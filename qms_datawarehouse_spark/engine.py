@@ -1,0 +1,135 @@
+"""Incremental sync engine — the reference's core lifecycle as one
+lazy Spark plan.
+
+Parity with ``sync_collection_streaming``
+(/root/reference/src/services/etl.py:181-261):
+
+    history STARTED row
+    → checkpoint read                       (S8)
+    → delta predicate updated_at > ckpt     (P1, pushed to the scan)
+    → normalize (ids, nesting→JSON, lineage)
+    → keyed upsert into warehouse table     (§2.10)
+    → running-max(updated_at) checkpoint advance (A1)
+    → history SUCCESS/FAILED row
+
+Differences by design:
+- the reference's async cursor + 5000-row buffers + thread offload
+  (etl.py:226-240, 148-151) disappear — Spark's partitioned scan and
+  executor parallelism own batching and overlap;
+- the delta filter is *pushed down* by Catalyst (parquet min/max,
+  connector predicates) exactly as the reference pushes ``$gt`` into
+  MongoDB (etl.py:207-212) — verified in tests via PushedFilters;
+- checkpoint advances only after the merge commits (swap completes),
+  matching the at-least-once + idempotent-upsert story (T2/T3);
+- ``delta_mode="ge_dedup"`` fixes the reference's lost-equal-timestamp
+  edge (T5): re-read ``>=`` and let the keyed merge collapse replays.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.config import Settings
+from qms_datawarehouse_spark.operators import checkpoint, history
+from qms_datawarehouse_spark.operators.merge import merge_upsert
+from qms_datawarehouse_spark.transform import clean_records
+from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+
+@dataclass
+class SyncResult:
+    source: str
+    collection: str
+    records_synced: int
+    duration_sec: float
+    message: str
+
+
+def delta_filter(
+    df: DataFrame, cursor_col: str, last_synced: dt.datetime | None, mode: str = "gt"
+) -> DataFrame:
+    """P1 temporal delta predicate. ``gt`` replicates the reference's
+    strict ``$gt`` (etl.py:210-211); ``ge_dedup`` is the documented
+    improvement (T5) — safe only in front of a keyed merge."""
+    if last_synced is None:
+        return df
+    op = ">" if mode == "gt" else ">="
+    return df.filter(F.expr(f"{cursor_col} {op} '{last_synced.isoformat()}'"))
+
+
+def sync_dataframe(
+    warehouse: ParquetWarehouse,
+    source_df: DataFrame,
+    source_name: str,
+    collection: str,
+    key: str = "_id",
+    cursor_col: str = "updated_at",
+    settings: Settings | None = None,
+) -> SyncResult:
+    """Run one incremental sync of ``source_df`` into warehouse table
+    ``collection``. The reference's whole §3.1 lifecycle."""
+    settings = settings or Settings()
+    started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    t0 = time.monotonic()
+    history.record(warehouse, source_name, collection, "STARTED", started)
+    try:
+        last = checkpoint.get_last_synced(warehouse, source_name, collection)
+        delta = delta_filter(source_df, cursor_col, last, settings.delta_mode)
+        cleaned = clean_records(delta, source_name=source_name)
+
+        # A1: running max of the cursor — one agg alongside the merge.
+        # (Computed on the delta before merge; None when batch empty.)
+        hwm_row = cleaned.agg(F.max(cursor_col).alias("hwm")).first()
+        hwm = hwm_row["hwm"] if hwm_row else None
+
+        n = merge_upsert(
+            warehouse, collection, cleaned, key=key, order_col=cursor_col
+        )
+
+        if hwm is not None:
+            checkpoint.set_last_synced(warehouse, source_name, collection, hwm)
+
+        duration = time.monotonic() - t0
+        msg = f"Synced {n} rows from {source_name}.{collection} in {duration:.2f}s"
+        history.record(
+            warehouse,
+            source_name,
+            collection,
+            "SUCCESS",
+            started,
+            completed_at=dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            records_synced=n,
+            message=msg,
+        )
+        return SyncResult(source_name, collection, n, duration, msg)
+    except Exception as exc:  # fail hard, but leave an audit trail
+        history.record(
+            warehouse,
+            source_name,
+            collection,
+            "FAILED",
+            started,
+            completed_at=dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+            message=str(exc)[:500],
+        )
+        raise
+
+
+def sync_all(
+    warehouse: ParquetWarehouse,
+    sources: dict[str, DataFrame],
+    collection: str,
+    **kwargs,
+) -> list[SyncResult]:
+    """T7 multi-source fan-in: sequential per-source keyed upsert into
+    one table, independent checkpoints per source name (parity:
+    src/main.py:36-43) — semantically a keyed union (D3)."""
+    results = []
+    for name, df in sources.items():
+        results.append(sync_dataframe(warehouse, df, name, collection, **kwargs))
+    return results

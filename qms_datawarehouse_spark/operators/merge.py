@@ -1,0 +1,144 @@
+"""Keyed upsert (merge) — the reference's centerpiece operator.
+
+Reference: staging-table upsert ``INSERT ... ON CONFLICT ("_id") DO
+UPDATE SET col = EXCLUDED.col`` (/root/reference/src/services/etl.py:
+17-87) — i.e. *last-write-wins by key*, create-table-on-first-write,
+fail-hard on error.
+
+Spark-first design (no transactional format in this image):
+
+1. **In-batch dedup**: keep the newest row per key, deterministic
+   tie-break (D1; the reference collapses replays onto the PK the same
+   way, last statement wins).
+2. **Create-on-first-write** (S11 parity, etl.py:31-49): first batch
+   just writes a bucketed version.
+3. **Partial merge**: the target is hash-bucketed on the key into
+   ``_bucket`` partition dirs (see warehouse.py). Only buckets present
+   in the update batch are rewritten:
+
+       touched   = distinct _bucket of updates            (tiny)
+       survivors = target ⋉̸ updates  on key, bucket-pruned (left_anti)
+       new       = survivors ∪ updates (unionByName, schema evolution)
+       write per-bucket dirs, swap pointer atomically
+
+   The anti-join's target side is partition-pruned to the touched
+   buckets, and the updates side is broadcast when small — so an
+   incremental batch costs O(touched-bucket bytes), not O(table).
+   At 100 TB / 8192 buckets a 5k-row batch reads+rewrites only the
+   ~dozens of buckets its keys hash into.
+4. **Schema evolution**: ``unionByName(allowMissingColumns=True)`` —
+   new source columns appear as nulls on old rows (the improvement over
+   the reference, which silently relies on frames matching the table —
+   SURVEY.md §4 note 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.warehouse import BUCKET_COL, ParquetWarehouse
+
+DEFAULT_BUCKETS = 32  # local[32] testing; set ~8192 for a 100 TB table
+
+
+def dedup_last_write_wins(
+    updates: DataFrame, key: str, order_col: str | None
+) -> DataFrame:
+    """Keep one row per key: newest by ``order_col``, ties broken by the
+    key itself so the result is deterministic (D1).
+
+    One shuffle on ``key`` — the same shuffle the merge join needs, so
+    Catalyst/AQE reuses the partitioning downstream.
+    """
+    if order_col is None or order_col not in updates.columns:
+        return updates.dropDuplicates([key])
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc_nulls_last())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    """Stable hash-bucket column for co-located merge partitioning.
+
+    xxhash64 is a fixed, seed-stable function — the bucket of a key
+    never changes across batches, which is what makes bucket-pruned
+    merges sound.
+    """
+    return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+
+
+def merge_upsert(
+    warehouse: ParquetWarehouse,
+    table: str,
+    updates: DataFrame,
+    key: str = "_id",
+    order_col: str | None = "updated_at",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> int:
+    """Upsert ``updates`` into ``table`` by ``key``. Returns rows merged.
+
+    Empty-batch short-circuit (P6 parity, etl.py:23-24); fail-hard on
+    error — no silent append fallback (etl.py:77-84).
+    """
+    # Empty guard via take(1), not isEmpty(): isEmpty() prunes the
+    # required schema to zero data columns, which Spark rejects on raw
+    # JSON scans filtered by _corrupt_record (QUERY_ONLY_CORRUPT_
+    # RECORD_COLUMN). take(1) keeps full-row references and stops at
+    # the first row found.
+    if not updates.take(1):
+        return 0
+
+    batch = dedup_last_write_wins(updates, key, order_col)
+    batch = with_bucket(batch, key, n_buckets)
+
+    if not warehouse.table_exists(table):
+        # Create-on-first-write (S11). Cache to avoid recomputing the
+        # dedup window for the count.
+        batch = batch.persist()
+        n = batch.count()
+        warehouse.write_version(table, batch, partition_by=[BUCKET_COL])
+        batch.unpersist()
+        return n
+
+    target = warehouse.read(table)
+
+    # Bucket pruning: list of touched buckets is tiny (≤ #distinct keys
+    # in the batch); collecting it to the driver is O(n_buckets) max.
+    touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+
+    untouched = target.filter(~F.col(BUCKET_COL).isin(touched))
+    # Anti-join inside touched buckets only. The updates side of an
+    # incremental batch is small → broadcast, no shuffle of the target.
+    survivors = target.filter(F.col(BUCKET_COL).isin(touched)).join(
+        F.broadcast(batch.select(key)), on=key, how="left_anti"
+    )
+    merged = (
+        untouched.unionByName(survivors, allowMissingColumns=True)
+        .unionByName(batch, allowMissingColumns=True)
+    )
+    batch = batch.persist()
+    n = batch.count()
+    warehouse.write_version(table, merged, partition_by=[BUCKET_COL])
+    batch.unpersist()
+    return n
+
+
+def merge_dataframes(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str = "_id",
+    order_col: str | None = "updated_at",
+) -> DataFrame:
+    """Pure-DataFrame merge (no I/O): last-write-wins keyed union.
+
+    The logical core of the upsert as a composable operator —
+    ``target ⋉̸ updates ∪ updates`` with in-batch dedup. Used by
+    streaming foreachBatch and by oracle-checked queries.
+    """
+    batch = dedup_last_write_wins(updates, key, order_col)
+    survivors = target.join(batch.select(key), on=key, how="left_anti")
+    return survivors.unionByName(batch, allowMissingColumns=True)

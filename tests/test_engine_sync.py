@@ -1,0 +1,133 @@
+"""E2E incremental-sync tests.
+
+Mirrors the reference's e2e test intent
+(/root/reference/tests/test_sync.py:10-46): seed docs incl. nulls and
+a nested dict → sync → assert counts/checkpoint/values → re-sync delta
+→ assert upsert, no dup, checkpoint advance. Containers are replaced
+by local parquet.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from qms_datawarehouse_spark.engine import sync_dataframe
+from qms_datawarehouse_spark.operators import checkpoint, history
+
+EMPLOYEES_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("updated_at", T.TimestampType()),
+    ]
+)
+
+
+def _seed(spark):
+    rows = [
+        ("1", "Alice", "engineer", {"foo": "bar"}, dt.datetime(2024, 1, 1, 10)),
+        ("2", "Bob", None, None, dt.datetime(2024, 1, 1, 11)),
+        ("3", "Charlie", "manager", None, dt.datetime(2024, 1, 1, 11)),
+    ]
+    return spark.createDataFrame(rows, EMPLOYEES_SCHEMA)
+
+
+def test_initial_sync(spark, warehouse):
+    res = sync_dataframe(warehouse, _seed(spark), "mongo://a", "employees")
+    assert res.records_synced == 3
+    assert "Synced 3 rows" in res.message
+
+    out = warehouse.read("employees")
+    assert out.count() == 3
+    # order-insensitive value check, same spirit as the reference's
+    # sorted(names) == [...] (tests/test_sync.py:45-46)
+    assert sorted(r["name"] for r in out.collect()) == ["Alice", "Bob", "Charlie"]
+    # nested dict flattened to a JSON string column
+    metas = {r["_id"]: r["meta"] for r in out.collect()}
+    assert metas["1"] == '{"foo":"bar"}'
+    assert metas["2"] is None
+    # lineage columns exist
+    assert {"_source", "_synced_at"} <= set(out.columns)
+    # checkpoint row written
+    assert checkpoint.get_last_synced(warehouse, "mongo://a", "employees") == dt.datetime(
+        2024, 1, 1, 11
+    )
+
+
+def test_resync_is_noop_and_delta_upserts(spark, warehouse):
+    sync_dataframe(warehouse, _seed(spark), "mongo://a", "employees")
+    # strict $gt: same data again → nothing to do (T2/P1 parity)
+    res2 = sync_dataframe(warehouse, _seed(spark), "mongo://a", "employees")
+    assert res2.records_synced == 0
+    assert warehouse.read("employees").count() == 3
+
+    # delta batch: one update (same _id), one insert
+    rows = [
+        ("2", "Bob2", "lead", None, dt.datetime(2024, 1, 2, 9)),
+        ("4", "Dana", None, {"x": "y"}, dt.datetime(2024, 1, 2, 9)),
+    ]
+    delta = spark.createDataFrame(rows, EMPLOYEES_SCHEMA)
+    res3 = sync_dataframe(warehouse, delta, "mongo://a", "employees")
+    assert res3.records_synced == 2
+
+    out = {r["_id"]: r for r in warehouse.read("employees").collect()}
+    assert len(out) == 4  # upsert: no duplicate _id=2
+    assert out["2"]["name"] == "Bob2"
+    assert checkpoint.get_last_synced(warehouse, "mongo://a", "employees") == dt.datetime(
+        2024, 1, 2, 9
+    )
+
+
+def test_in_batch_dedup_last_write_wins(spark, warehouse):
+    rows = [
+        ("1", "old", None, None, dt.datetime(2024, 1, 1, 10)),
+        ("1", "new", None, None, dt.datetime(2024, 1, 1, 12)),
+    ]
+    df = spark.createDataFrame(rows, EMPLOYEES_SCHEMA)
+    sync_dataframe(warehouse, df, "src", "t")
+    out = warehouse.read("t").collect()
+    assert len(out) == 1
+    assert out[0]["name"] == "new"
+
+
+def test_schema_evolution_on_merge(spark, warehouse):
+    sync_dataframe(warehouse, _seed(spark), "src", "t")
+    evolved = T.StructType(
+        EMPLOYEES_SCHEMA.fields + [T.StructField("badge", T.StringType())]
+    )
+    rows = [("5", "Eve", None, None, dt.datetime(2024, 2, 1), "B-5")]
+    sync_dataframe(warehouse, spark.createDataFrame(rows, evolved), "src", "t")
+    out = {r["_id"]: r for r in warehouse.read("t").collect()}
+    assert out["5"]["badge"] == "B-5"
+    assert out["1"]["badge"] is None  # old rows null-extended
+
+
+def test_failure_leaves_failed_history(spark, warehouse):
+    df = _seed(spark)
+    with pytest.raises(Exception):
+        # missing cursor column → hard failure (no silent fallback)
+        sync_dataframe(warehouse, df.drop("updated_at"), "src", "t")
+    statuses = [r["status"] for r in history.read_history(warehouse).collect()]
+    assert "FAILED" in statuses
+
+
+def test_multi_source_fan_in(spark, warehouse):
+    from qms_datawarehouse_spark.engine import sync_all
+
+    a = _seed(spark)
+    rows = [("9", "Zed", None, None, dt.datetime(2024, 1, 5))]
+    b = spark.createDataFrame(rows, EMPLOYEES_SCHEMA)
+    results = sync_all(warehouse, {"src_a": a, "src_b": b}, "employees")
+    assert [r.records_synced for r in results] == [3, 1]
+    out = warehouse.read("employees")
+    assert out.count() == 4
+    # independent checkpoints per source (T7)
+    assert checkpoint.get_last_synced(warehouse, "src_a", "employees") is not None
+    assert checkpoint.get_last_synced(warehouse, "src_b", "employees") == dt.datetime(
+        2024, 1, 5
+    )
