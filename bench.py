@@ -1,0 +1,84 @@
+"""Benchmark runner — driver contract.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan + execute + collect-to-count) on
+a warm session; data lands in the OS page cache after the first scan,
+which is the steady state a warehouse actually serves from.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the flagship + one representative per operator family
+# (scan-heavy agg, selective filter, fact-fact join, broadcast-dim
+# join, window/top-K, keyed dedup, two-level agg).
+HEADLINE = [
+    "flagship_staff_report",
+    "q1_pricing_summary",
+    "q6_revenue_filter",
+    "j3_lineitem_orders",
+    "j2_orders_customer",
+    "topk_per_group",
+    "d1_dedup_last_write",
+    "a6_daily_rate_stats",
+    "w2_recent_topn",
+]
+
+
+def main() -> None:
+    from qms_datawarehouse_spark.plans import queries_map
+    from qms_datawarehouse_spark.session import get_spark
+
+    spark = get_spark(
+        "qms-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+
+    registry = queries_map()
+    names = [n for n in HEADLINE if n in registry]
+    # warm-up: JVM/codegen + page cache (not counted)
+    registry["q6_revenue_filter"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.monotonic()
+        registry[name](spark, SF_DIR).count()
+        dt = round(time.monotonic() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+"""Query library. Importing this package registers every query into
+``qms_datawarehouse_spark.plans.registry.REGISTRY`` (name → Spark
+callable + DuckDB oracle SQL), which ``__spark_entry__`` exposes to
+the driver."""
+
+from qms_datawarehouse_spark.plans import analytics, relational  # noqa: F401
+from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
+
+__all__ = ["REGISTRY", "queries_map", "oracle_sql_map"]

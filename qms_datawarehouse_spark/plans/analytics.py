@@ -1,0 +1,624 @@
+"""QMS analytics — the queries the reference warehouse exists to serve.
+
+The reference's sample output (staff_reports.json) defines the
+flagship query: per-staff ticket totals, per-day rate stats, service
+-duration stats, distinct company lists (SURVEY §2 rows A5-A9, J2-J5,
+W2-W3, F10). On the driver fixtures the role mapping (FIXTURES.md §2)
+is: orders/lineitem ≈ ticket facts, customer ≈ staff dim,
+nation/region ≈ company/room dims, o_custkey ≈ staffId,
+o_orderdate ≈ date, min(l_shipdate) per order ≈ servedDate.
+
+Scale notes (100 TB posture):
+- facts (orders/lineitem) only ever join dims via broadcast or
+  equi-join on their natural keys — no cross joins, no driver
+  collects;
+- the fact-fact join (lineitem→orders) is an equi-join on the
+  bucket-able key ``l_orderkey``/``o_orderkey``; at scale both sides
+  would be bucketed on orderkey so the join is shuffle-free;
+- two-level aggregations (per-day → per-staff) reduce cardinality at
+  each step — partial aggregation map-side, tiny final shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.functions.scalars import duration_m_s, sorted_set_str
+from qms_datawarehouse_spark.plans.registry import query, tables
+
+# Shared CTE fragments for the DuckDB oracles -------------------------
+
+_SERVE_CTE = """
+    first_ship AS (
+        SELECT l_orderkey, min(l_shipdate) AS first_ship
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    o2 AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               greatest(date_diff('second', o.o_orderdate, f.first_ship), 0)
+                   AS serve_sec
+        FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+    )
+"""
+
+
+# --------------------------------------------------------------------
+# Flagship: the staff report (staff_reports.json reproduction)
+# --------------------------------------------------------------------
+
+
+def _staff_report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, lineitem, supplier, nation = tables(
+        spark, sf_dir, "orders", "customer", "lineitem", "supplier", "nation"
+    )
+
+    # servedDate analog: first shipment per order (fact-side pre-agg —
+    # shrinks the fact before any join).
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    o2 = (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.greatest(
+                F.col("first_ship").cast("long") - F.col("o_orderdate").cast("long"),
+                F.lit(0),
+            ).alias("serve_sec"),
+        )
+    )
+
+    # A6: two-level per-day rates — tickets per (staff, day), then
+    # avg/min/max per staff.
+    daily = o2.groupBy(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    ).agg(F.count("*").alias("n"))
+    day_stats = daily.groupBy("o_custkey").agg(
+        F.round(F.avg("n"), 4).alias("avg_tickets_per_day"),
+        F.min("n").alias("min_tickets_per_day"),
+        F.max("n").alias("max_tickets_per_day"),
+    )
+
+    # A5 + A7: totals and service-duration stats per staff, rendered
+    # "Xm Ys" (F10).
+    serve_stats = o2.groupBy("o_custkey").agg(
+        F.count("*").alias("total_tickets"),
+        F.floor(F.avg("serve_sec")).alias("avg_serve_sec"),
+        F.min("serve_sec").alias("min_serve_sec"),
+        F.max("serve_sec").alias("max_serve_sec"),
+    )
+
+    # A8: distinct "company" list per staff — supplier nations touched
+    # by the staff's orders. Dims broadcast; fact joins stay on
+    # orderkey.
+    companies = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sorted_set_str(F.col("n_name")).alias("company_names"))
+    )
+
+    return (
+        serve_stats.join(day_stats, "o_custkey")
+        .join(companies, "o_custkey")
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("staff_name"),
+            "company_names",
+            "total_tickets",
+            "avg_tickets_per_day",
+            "min_tickets_per_day",
+            "max_tickets_per_day",
+            duration_m_s(F.col("avg_serve_sec")).alias("avg_time_to_serve"),
+            duration_m_s(F.col("min_serve_sec")).alias("min_time_to_serve"),
+            duration_m_s(F.col("max_serve_sec")).alias("max_time_to_serve"),
+        )
+    )
+
+
+_STAFF_REPORT_SQL = f"""
+WITH {_SERVE_CTE},
+daily AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, count(*) AS n
+    FROM o2 GROUP BY 1, 2
+),
+day_stats AS (
+    SELECT o_custkey,
+           round(avg(n), 4) AS avg_tickets_per_day,
+           min(n) AS min_tickets_per_day,
+           max(n) AS max_tickets_per_day
+    FROM daily GROUP BY 1
+),
+serve_stats AS (
+    SELECT o_custkey,
+           count(*) AS total_tickets,
+           CAST(floor(avg(serve_sec)) AS BIGINT) AS avg_serve_sec,
+           min(serve_sec) AS min_serve_sec,
+           max(serve_sec) AS max_serve_sec
+    FROM o2 GROUP BY 1
+),
+companies AS (
+    SELECT o.o_custkey,
+           array_to_string(list_sort(list(DISTINCT n.n_name)), ',')
+               AS company_names
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+)
+SELECT c.c_name AS staff_name,
+       co.company_names,
+       ss.total_tickets,
+       ds.avg_tickets_per_day, ds.min_tickets_per_day, ds.max_tickets_per_day,
+       CAST(ss.avg_serve_sec // 60 AS VARCHAR) || 'm ' ||
+           CAST(ss.avg_serve_sec % 60 AS VARCHAR) || 's' AS avg_time_to_serve,
+       CAST(ss.min_serve_sec // 60 AS VARCHAR) || 'm ' ||
+           CAST(ss.min_serve_sec % 60 AS VARCHAR) || 's' AS min_time_to_serve,
+       CAST(ss.max_serve_sec // 60 AS VARCHAR) || 'm ' ||
+           CAST(ss.max_serve_sec % 60 AS VARCHAR) || 's' AS max_time_to_serve
+FROM serve_stats ss
+JOIN day_stats ds USING (o_custkey)
+JOIN companies co USING (o_custkey)
+JOIN customer c ON ss.o_custkey = c.c_custkey
+"""
+
+staff_report = query("flagship_staff_report", _STAFF_REPORT_SQL)(_staff_report_df)
+
+
+# --------------------------------------------------------------------
+# A5: per-staff ticket totals
+# --------------------------------------------------------------------
+
+
+@query(
+    "a5_per_staff_totals",
+    """
+    SELECT o_custkey AS staff_id, count(*) AS total_tickets,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders GROUP BY 1
+    """,
+)
+def per_staff_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (staff_reports.json:3,9): groupBy + count. Map-side partial
+    agg then one shuffle on the group key."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("staff_id")).agg(
+        F.count("*").alias("total_tickets"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------
+# A6: two-level per-day rate stats (standalone)
+# --------------------------------------------------------------------
+
+
+@query(
+    "a6_daily_rate_stats",
+    """
+    WITH daily AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey AS staff_id,
+           round(avg(n), 4) AS avg_tickets_per_day,
+           min(n) AS min_tickets_per_day,
+           max(n) AS max_tickets_per_day,
+           count(*) AS active_days
+    FROM daily GROUP BY 1
+    """,
+)
+def daily_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: tickets per (staff, day) re-aggregated to avg/min/max per
+    staff — the daily tumbling window in batch form (T9)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    ).agg(F.count("*").alias("n"))
+    return daily.groupBy(F.col("o_custkey").alias("staff_id")).agg(
+        F.round(F.avg("n"), 4).alias("avg_tickets_per_day"),
+        F.min("n").alias("min_tickets_per_day"),
+        F.max("n").alias("max_tickets_per_day"),
+        F.count("*").alias("active_days"),
+    )
+
+
+# --------------------------------------------------------------------
+# A7: service-duration stats (standalone, per order priority)
+# --------------------------------------------------------------------
+
+
+@query(
+    "a7_service_duration",
+    f"""
+    WITH {_SERVE_CTE}
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_orders,
+           CAST(floor(avg(serve_sec)) AS BIGINT) AS avg_serve_sec,
+           min(serve_sec) AS min_serve_sec,
+           max(serve_sec) AS max_serve_sec,
+           CAST(CAST(floor(avg(serve_sec)) AS BIGINT) // 60 AS VARCHAR)
+               || 'm ' ||
+               CAST(CAST(floor(avg(serve_sec)) AS BIGINT) % 60 AS VARCHAR)
+               || 's' AS avg_time_to_serve
+    FROM o2 JOIN orders o USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+def service_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + F10: stats over servedDate-calledAt analog
+    (min(l_shipdate) - o_orderdate), rendered "Xm Ys"."""
+    orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    o2 = orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey).select(
+        "o_orderpriority",
+        F.greatest(
+            F.col("first_ship").cast("long") - F.col("o_orderdate").cast("long"),
+            F.lit(0),
+        ).alias("serve_sec"),
+    )
+    agg = o2.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        F.floor(F.avg("serve_sec")).alias("avg_serve_sec"),
+        F.min("serve_sec").alias("min_serve_sec"),
+        F.max("serve_sec").alias("max_serve_sec"),
+    )
+    return agg.withColumn("avg_time_to_serve", duration_m_s(F.col("avg_serve_sec")))
+
+
+# --------------------------------------------------------------------
+# A8: distinct company list per staff
+# --------------------------------------------------------------------
+
+
+@query(
+    "a8_company_sets",
+    """
+    SELECT o.o_custkey AS staff_id,
+           array_to_string(list_sort(list(DISTINCT n.n_name)), ',')
+               AS company_names,
+           count(DISTINCT n.n_name) AS n_companies
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def company_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: collect_set per group, rendered sorted/joined for
+    order-insensitive comparison."""
+    orders, customer, nation = tables(spark, sf_dir, "orders", "customer", "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("staff_id"))
+        .agg(
+            sorted_set_str(F.col("n_name")).alias("company_names"),
+            F.countDistinct("n_name").alias("n_companies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# A9: rating aggregate analog
+# --------------------------------------------------------------------
+
+
+@query(
+    "a9_rating_agg",
+    """
+    SELECT n.n_name AS company_name,
+           round(avg(c.c_acctbal), 4) AS avg_stars,
+           count(*) AS n_ratings,
+           round(min(c.c_acctbal), 2) AS min_stars,
+           round(max(c.c_acctbal), 2) AS max_stars
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def rating_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (scripts/seed_mock.py:47-58): the rating entity exists to be
+    aggregated — avg/count per company dim."""
+    customer, nation = tables(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("company_name"))
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_stars"),
+            F.count("*").alias("n_ratings"),
+            F.round(F.min("c_acctbal"), 2).alias("min_stars"),
+            F.round(F.max("c_acctbal"), 2).alias("max_stars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# W2: sort desc + LIMIT (audit-log style top-N)
+# --------------------------------------------------------------------
+
+
+@query(
+    "w2_recent_topn",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+)
+def recent_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (routes.py:120-121): ORDER BY ts DESC LIMIT n. Spark plans
+    TakeOrderedAndProject — a distributed top-K, not a global sort.
+    Tie-broken by event_id for determinism."""
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "user_id",
+            "event_type",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# W3: per-queue sequential number
+# --------------------------------------------------------------------
+
+
+@query(
+    "w3_sequential_number",
+    """
+    SELECT event_id,
+           user_id,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS sequential_number
+    FROM events
+    """,
+)
+def sequential_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (scripts/seed_mock.py:29): per-queue ordinal assignment —
+    row_number over (queue, arrival order). One shuffle on the
+    partition key; within-partition sort."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id", "user_id", F.row_number().over(w).alias("sequential_number")
+    )
+
+
+# --------------------------------------------------------------------
+# A1 + A2: high-water mark + counts
+# --------------------------------------------------------------------
+
+
+@query(
+    "a1_high_water_mark",
+    """
+    SELECT epoch_us(max(ts)) AS hwm_us, count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 (etl.py:228-233): running max of the cursor column +
+    row counts — ungrouped aggregate, map-side partials."""
+    (events,) = tables(spark, sf_dir, "events")
+    return events.agg(
+        F.unix_micros(F.max("ts")).alias("hwm_us"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------
+# S1/P1: incremental delta scan
+# --------------------------------------------------------------------
+
+
+@query(
+    "s1_incremental_scan",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+           round(value, 6) AS value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+    """,
+)
+def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1 (etl.py:207-214): strict-$gt delta predicate. The filter
+    is pushed into the parquet scan (PushedFilters in .explain) — the
+    Spark analog of evaluating $gt inside MongoDB."""
+    (events,) = tables(spark, sf_dir, "events")
+    return events.filter(F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp")).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+# --------------------------------------------------------------------
+# D1: keyed dedup, last-write-wins
+# --------------------------------------------------------------------
+
+
+@query(
+    "d1_dedup_last_write",
+    """
+    SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS ts_us
+    FROM (
+        SELECT user_id, event_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_last_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 (etl.py:68-75): re-synced rows collapse onto the key,
+    last-write-wins — the merge's in-batch dedup as a standalone
+    query. Deterministic tie-break on event_id."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# D3: keyed union of heterogeneous sources
+# --------------------------------------------------------------------
+
+
+@query(
+    "d3_union_by_name",
+    """
+    SELECT id, name, kind, round(acctbal, 2) AS acctbal FROM (
+        SELECT c_custkey AS id, c_name AS name, 'customer' AS kind,
+               c_acctbal AS acctbal
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind,
+               s_acctbal AS acctbal
+        FROM supplier
+    )
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: multi-source fan-in as a keyed union (src/main.py:36-43 is
+    semantically this) — unionByName over differently-shaped
+    entities."""
+    customer, supplier = tables(spark, sf_dir, "customer", "supplier")
+    c = customer.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    s = supplier.select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("kind"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+# --------------------------------------------------------------------
+# F-suite: scalar functions over part (F1-F8, F10)
+# --------------------------------------------------------------------
+
+
+@query(
+    "f_scalar_suite",
+    """
+    SELECT CAST(p_partkey AS VARCHAR) AS id_str,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 10) AS name_prefix,
+           len(string_split(p_name, ' ')) AS name_words,
+           round(p_retailprice * 1.1, 2) AS price_taxed,
+           CAST(floor(p_retailprice // 100) AS BIGINT) AS price_bucket,
+           p_size % 7 AS size_mod,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+)
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 (id→string cast), F8 (split), plus string/math scalars —
+    all JVM-side built-ins, whole-stage-codegen'd."""
+    (part,) = tables(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").cast("string").alias("id_str"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.size(F.split("p_name", " ", -1)).cast("long").alias("name_words"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_taxed"),
+        F.floor(F.floor(F.col("p_retailprice") / 100)).alias("price_bucket"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+# --------------------------------------------------------------------
+# F3: JSON extraction from flattened nested columns
+# --------------------------------------------------------------------
+
+
+@query(
+    "f3_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (transform.py:33-42): nested values live as JSON strings in
+    the warehouse; analytic queries re-project fields with JSON path
+    expressions."""
+    (events,) = tables(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+# --------------------------------------------------------------------
+# F7: ISO-8601 date formatting
+# --------------------------------------------------------------------
+
+
+@query(
+    "f7_iso_format",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_iso,
+           CAST(o_orderdate AS DATE) AS order_date,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month
+    FROM orders
+    """,
+)
+def iso_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 (transform.py:16-17): UTC timestamps rendered ISO-8601;
+    date-part extraction."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("order_iso"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    )

@@ -1,0 +1,87 @@
+"""Registry pairing each named query with its DuckDB oracle SQL.
+
+Contract (driver): ``queries()[name](spark, sf_dir) -> DataFrame`` and
+``oracle_sql()[name]`` = equivalent ANSI SQL over the same parquet
+tables. Column names are aliased identically on both sides — the
+driver sorts columns by name before hashing values. Queries without a
+SQL-expressible oracle register ``sql=None`` (driver does a rows-only
+check).
+
+Determinism rules applied throughout the library:
+- float aggregates rounded (absorbs summation-order ulp drift);
+- timestamps surfaced as epoch micros (``unix_micros`` ↔ ``epoch_us``)
+  or as DATE — never as raw engine-local timestamps;
+- collected sets sorted + joined to a string;
+- every LIMIT is preceded by a total order (ties broken by a key).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+REGISTRY: dict[str, "QueryDef"] = {}
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    doc: str = ""
+
+
+def query(name: str, sql: str | None):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under
+    ``name`` with its oracle SQL."""
+
+    def deco(fn):
+        REGISTRY[name] = QueryDef(name, fn, sql, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: qd.sql for name, qd in REGISTRY.items() if qd.sql is not None}
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load fixture tables with the session pinned to UTC (the driver
+    owns the session; the timezone must still be deterministic for
+    timestamp semantics).
+
+    Parquet timestamps without timezone arrive as TIMESTAMP_NTZ in
+    Spark 4; cast them to session-TZ TimestampType (UTC → identical
+    wall values, matching DuckDB's naive reading) so epoch extraction
+    and interval arithmetic resolve.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.ts is INT64 TIMESTAMP(NANOS) parquet — illegal for the
+    # vectorized reader unless read as raw nanos (PARQUET_TYPE_ILLEGAL).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos_cols = {"events": ["ts"]}
+    out = []
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        for field in df.schema.fields:
+            if isinstance(field.dataType, T.TimestampNTZType):
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        for c in nanos_cols.get(n, []):
+            if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+                # nanos → micros via integer division — `/` is double
+                # division and epoch-nanos exceed double's exact-int
+                # range (2^53), which shifts values by ±1 µs.
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        out.append(df)
+    return out
