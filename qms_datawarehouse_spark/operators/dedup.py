@@ -1,0 +1,454 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over the ``documents`` corpus, each expressed
+Spark-first and (where SQL-expressible) oracle-checked against DuckDB:
+
+- **exact**: content-hash groupBy — one shuffle on the hash;
+- **n-gram Jaccard**: 3-word shingles → shared-shingle candidate pairs
+  → exact Jaccard verify. The self-join is on the shingle key, so
+  cost is Σ(docs-per-shingle²), not corpus²;
+- **MinHash + LSH**: per-doc minhash signatures (min of seeded md5
+  over shingles), banded; only band-collisions become candidates —
+  the 100 TB path, because candidate generation is a bucket join, not
+  a cross join. md5-based signatures keep the oracle cross-engine
+  deterministic;
+- **SimHash**: 32-bit sign-aggregated token hashes; pigeonhole band
+  blocking (4×8 bits) guarantees recall for hamming ≤ 3;
+- **embedding cosine**: exact pairwise over a block (the brute-force
+  baseline; LSH-bucketed variant lives in similarity.py).
+
+Scale notes: every family's candidate generation is key-partitioned
+(hash, shingle, band, bucket). Nothing collects to the driver; the
+only quadratic step (embedding pairs) is explicitly the small-block
+baseline with the LSH alternative registered alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.plans.registry import query, tables
+
+N_MINHASH = 8  # signature length
+N_BANDS = 4  # bands of 2 rows each
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingled(documents: DataFrame) -> DataFrame:
+    """doc_id + distinct 3-word shingles (lowercased)."""
+    return documents.select(
+        "doc_id",
+        F.expr(
+            """
+            array_distinct(transform(
+                sequence(1, greatest(size(split(lower(text), ' ', -1)) - 2, 0)),
+                i -> concat_ws(' ', slice(split(lower(text), ' ', -1), i, 3))
+            ))
+            """
+        ).alias("shingles"),
+    )
+
+
+_SHINGLE_CTE = """
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+                   i -> array_to_string(
+                       list_slice(string_split(lower(text), ' '), i, i + 2), ' ')
+               )) AS shingles
+        FROM documents
+    ),
+    sx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+"""
+
+
+# --------------------------------------------------------------------
+# Exact dedup (content hash)
+# --------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the lowest doc_id as
+    canonical. One shuffle on the hash key; at 100 TB this is the
+    cheapest full-corpus pass there is."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id"
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# N-gram Jaccard (exhaustive candidate generation via shared shingles)
+# --------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sx a JOIN sx b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON common.doc_a = na.doc_id
+    JOIN sizes nb ON common.doc_b = nb.doc_id
+    WHERE c * 1.0 / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup: pairs sharing a shingle, verified with
+    exact Jaccard ≥ 0.5. The join key is the shingle — candidate cost
+    scales with shingle collision counts, not corpus²."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    sh = _shingled(documents)
+    sx = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+
+    a, b = sx.alias("a"), sx.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------
+# MinHash + LSH (banded candidate generation, then exact verify)
+# --------------------------------------------------------------------
+
+def _minhash_cols_spark():
+    # built lazily — Column construction needs an active SparkContext
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(
+            f"m{i}"
+        )
+        for i in range(N_MINHASH)
+    ]
+
+
+_MINHASH_COLS_SQL = ", ".join(
+    f"min(md5('{i}:' || s)) AS m{i}" for i in range(N_MINHASH)
+)
+_BAND_EXPRS_SQL = ", ".join(
+    f"md5(m{2 * j} || m{2 * j + 1}) AS b{j}" for j in range(N_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM sx GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs),
+    bl AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, b{j} AS bv FROM bands" for j in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bl a JOIN bl b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS c
+        FROM cand c
+        JOIN sx a ON a.doc_id = c.doc_a
+        JOIN sx b ON b.doc_id = c.doc_b AND a.s = b.s
+        GROUP BY 1, 2
+    )
+    SELECT common.doc_a, common.doc_b,
+           round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON common.doc_a = na.doc_id
+    JOIN sizes nb ON common.doc_b = nb.doc_id
+    WHERE c * 1.0 / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle→minhash signature→band→bucket
+    join→exact verify. Candidates come from band-bucket collisions
+    only — the linear-ish scale path (vs the exhaustive shingle join).
+
+    Signatures are min-of-seeded-md5 (strings): deterministic across
+    engines, so the oracle checks the *whole* LSH pipeline, not just
+    the verify step.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    sh = _shingled(documents)
+    sx = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+
+    sigs = sx.groupBy("doc_id").agg(*_minhash_cols_spark())
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}")).cast("binary")).alias(
+                f"b{j}"
+            )
+            for j in range(N_BANDS)
+        ],
+    )
+    bl = None
+    for j in range(N_BANDS):
+        part = bands.select(
+            "doc_id", F.lit(j).alias("band_id"), F.col(f"b{j}").alias("bv")
+        )
+        bl = part if bl is None else bl.unionByName(part)
+
+    a, b = bl.alias("a"), bl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sxa = sx.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sxb = sx.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb"))
+    common = (
+        cand.join(sxa, "doc_a")
+        .join(
+            sxb,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------
+# SimHash (32-bit, band-blocked hamming)
+# --------------------------------------------------------------------
+
+_HAMMING_MAX = 3
+_SIMHASH_BITS = 32
+_N_SIM_BANDS = 4  # 4 bands × 8 bits; hamming ≤ 3 ⇒ ≥1 band equal
+
+
+def _spark_bit(h, b):
+    """Bit ``b`` (MSB-first) of a 32-bit hash given as 8 hex chars."""
+    nibble = F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(nibble, 3 - b % 4) % 2
+
+
+def _sql_bit(b):
+    nib = f"(strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+    return f"(({nib} >> {3 - b % 4}) & 1)"
+
+
+_SIMHASH_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS word
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, substr(md5(word), 1, 8) AS h FROM t),
+    votes AS (
+        SELECT doc_id,
+               {", ".join(f"sum(2 * {_sql_bit(b)} - 1) AS v{b}" for b in range(_SIMHASH_BITS))}
+        FROM hashed GROUP BY doc_id
+    ),
+    sim AS (
+        SELECT doc_id,
+               {" || ".join(f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(_SIMHASH_BITS))}
+                   AS bits
+        FROM votes
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, bits, {j} AS band_id, substr(bits, {8 * j + 1}, 8) AS bv FROM sim" for j in range(_N_SIM_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.bits AS bits_a, b.bits AS bits_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               list_sum(list_transform(range(1, {_SIMHASH_BITS + 1}),
+                   i -> CASE WHEN substr(bits_a, i, 1) = substr(bits_b, i, 1)
+                        THEN 0 ELSE 1 END)) AS hamming
+        FROM cand
+    ) WHERE hamming <= {_HAMMING_MAX}
+"""
+
+
+@query("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit sign-aggregated token hashes; band
+    blocking (pigeonhole: hamming ≤ 3 over 4 bands ⇒ one band
+    identical) turns all-pairs hamming into a bucket join."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    words = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " ", -1))
+        ).alias("word"),
+    )
+    hashed = words.select(
+        "doc_id", F.substring(F.md5(F.col("word").cast("binary")), 1, 8).alias("h")
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * _spark_bit(F.col("h"), b) - 1).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for b in range(_SIMHASH_BITS)
+            ]
+        ).alias("bits"),
+    )
+    bands = None
+    for j in range(_N_SIM_BANDS):
+        part = sim.select(
+            "doc_id",
+            "bits",
+            F.lit(j).alias("band_id"),
+            F.substring("bits", 8 * j + 1, 8).alias("bv"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.bits").alias("bits_a"),
+            F.col("b.bits").alias("bits_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("bits_a"), "", -1),
+            F.split(F.col("bits_b"), "", -1),
+            lambda x, y: F.when(x == y, 0).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------
+# Embedding-cosine near-dup (brute-force block baseline)
+# --------------------------------------------------------------------
+
+_COSINE_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    )
+    SELECT doc_a, doc_b, round(cos, 4) AS cosine FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                   / (a.nrm * b.nrm) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cos >= {_COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, brute-force block: all-pairs cosine within
+    the block, threshold filter. This is the exact baseline; at scale
+    the pair generation is replaced by LSH bucketing (similarity.py)
+    and this kernel runs per bucket."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    a = e.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _COSINE_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("cos", 4).alias("cosine"))
+    )

@@ -1,0 +1,205 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Operators over the ``documents`` corpus (doc_id, text, lang, source,
+n_chars): token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All pure built-in column expressions
+(split / higher-order array functions / regexp / md5) — JVM-side,
+no Python on the data path, so they scale linearly with the corpus:
+one parquet scan, no shuffle except the final (tiny) aggregations.
+
+Cross-engine determinism: every score is integer-arithmetic-derived
+ratios rounded to 4 decimals; fingerprints are md5 (identical in
+DuckDB); language scores tie-break by a fixed language order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.plans.registry import query, tables
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+# Deterministic marker lexicons for the language-ID heuristic. A real
+# deployment uses char-n-gram profiles; the *operator shape* is the
+# same: per-language hit score over the token stream, argmax with a
+# fixed tie-break.
+LANG_MARKERS = {
+    "de": ("table", "hash", "fast"),
+    "en": ("the", "a", "row"),
+    "es": ("data", "scan", "filter"),
+    "fr": ("order", "query", "value"),
+    "zh": ("spark", "merge", "batch"),
+}
+
+
+def _words(col: Column) -> Column:
+    return F.split(col, " ", -1)
+
+
+def _hits(words: Column, vocab: tuple[str, ...]) -> Column:
+    """Occurrences (with multiplicity) of ``vocab`` words."""
+    lit_set = [F.lit(v) for v in vocab]
+    return F.size(F.filter(words, lambda w: w.isin(*[v for v in vocab])))
+
+
+def _sql_hits(vocab: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{v}'" for v in vocab)
+    return f"len(list_filter(w, x -> x IN ({quoted})))"
+
+
+# --------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           strlen(text) AS n_chars,
+           len(w) AS n_words,
+           len(list_distinct(w)) AS n_distinct_words,
+           round(list_sum(list_transform(w, x -> strlen(x))) * 1.0 / len(w), 4)
+               AS avg_word_len
+    FROM t
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct vocab, mean token
+    length — all array higher-order functions, zero UDFs."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
+        F.round(
+            F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
+            * 1.0
+            / F.size(w),
+            4,
+        ).alias("avg_word_len"),
+    )
+
+
+# --------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------
+
+_QUALITY_SQL = f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           round({_sql_hits(STOPWORDS)} * 1.0 / len(w), 4) AS stopword_ratio,
+           round(len(list_distinct(w)) * 1.0 / len(w), 4) AS distinct_ratio,
+           round(strlen(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                 / strlen(text), 4) AS digit_ratio,
+           round(least(1.0, len(w) / 50.0) * 0.4
+                 + {_sql_hits(STOPWORDS)} * 1.0 / len(w) * 0.3
+                 + len(list_distinct(w)) * 1.0 / len(w) * 0.3, 4)
+               AS quality_score
+    FROM t
+"""
+
+
+@query("text_quality", _QUALITY_SQL)
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword / vocabulary-diversity /
+    digit-density signals blended into one score — the standard
+    pre-training corpus filter shape."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    n_words = F.size(w)
+    stop_ratio = _hits(w, STOPWORDS) * 1.0 / n_words
+    distinct_ratio = F.size(F.array_distinct(w)) * 1.0 / n_words
+    return documents.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0
+            / F.length("text"),
+            4,
+        ).alias("digit_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_words / 50.0) * 0.4
+            + stop_ratio * 0.3
+            + distinct_ratio * 0.3,
+            4,
+        ).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------
+# Language ID (marker-lexicon heuristic)
+# --------------------------------------------------------------------
+
+_LANGS = sorted(LANG_MARKERS)  # fixed tie-break order
+
+_LANGID_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_sql_hits(LANG_MARKERS[lang])} AS s_{lang}" for lang in _LANGS)}
+        FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {" ".join(f"WHEN s_{lang} = greatest({', '.join('s_' + x for x in _LANGS)}) THEN '{lang}'" for lang in _LANGS)}
+           END AS predicted_lang
+    FROM s
+"""
+
+
+@query("text_langid", _LANGID_SQL)
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language marker-hit scores, argmax
+    with fixed alphabetical tie-break. The char-n-gram version swaps
+    the marker lists for n-gram profiles; the plan shape is
+    identical."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    df = documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_hits(w, LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANGS])
+    pred = F.when(F.col(f"s_{_LANGS[0]}") == best, F.lit(_LANGS[0]))
+    for lang in _LANGS[1:]:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return df.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+# --------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(text) AS fingerprint,
+           md5(lower(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' '))) AS shingle_fingerprint
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprinting: exact content hash + an order-insensitive
+    bag-of-words hash (sorted distinct tokens re-hashed) — the cheap
+    canonicalization layer under exact dedup."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ", -1)
+    return documents.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+        F.md5(
+            F.lower(F.array_join(F.array_sort(F.array_distinct(w)), " ")).cast(
+                "binary"
+            )
+        ).alias("shingle_fingerprint"),
+    )

@@ -3,6 +3,12 @@
 callable + DuckDB oracle SQL), which ``__spark_entry__`` exposes to
 the driver."""
 
+from qms_datawarehouse_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
 from qms_datawarehouse_spark.plans import analytics, relational  # noqa: F401
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 

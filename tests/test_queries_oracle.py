@@ -1,0 +1,38 @@
+"""Every registered query must match its DuckDB oracle at sf0.001.
+
+This is the same comparison the driver runs at sf0.01 (row count +
+sorted-column schema + order-insensitive value multiset); running it
+in the suite keeps regressions out of the correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+from tests.oracle_harness import TABLES, compare_one
+
+from qms_datawarehouse_spark.plans.registry import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, duck, name):
+    qd = REGISTRY[name]
+    if qd.sql is None:
+        assert qd.fn(spark, SF_DIR).count() >= 0  # rows-only contract
+        return
+    problems = compare_one(spark, duck, name, qd.fn, qd.sql, SF_DIR)
+    assert not problems, f"{name}: {problems}"
