@@ -111,15 +111,34 @@ def merge_upsert(
     touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
 
     untouched = target.filter(~F.col(BUCKET_COL).isin(touched))
-    # Anti-join inside touched buckets only. The updates side of an
-    # incremental batch is small → broadcast, no shuffle of the target.
-    survivors = target.filter(F.col(BUCKET_COL).isin(touched)).join(
-        F.broadcast(batch.select(key)), on=key, how="left_anti"
-    )
-    merged = (
-        untouched.unionByName(survivors, allowMissingColumns=True)
-        .unionByName(batch, allowMissingColumns=True)
-    )
+    contested = target.filter(F.col(BUCKET_COL).isin(touched))
+
+    if order_col is not None and order_col in batch.columns:
+        # Order-aware resolution: the newest row by cursor wins across
+        # target ∪ updates, so an at-least-once replay (or an
+        # out-of-order late batch) can never regress newer state —
+        # the T3 effectively-once contract. Ties prefer the update.
+        combined = contested.withColumn("__prec", F.lit(0)).unionByName(
+            batch.withColumn("__prec", F.lit(1)), allowMissingColumns=True
+        )
+        w = Window.partitionBy(key).orderBy(
+            F.col(order_col).desc_nulls_last(), F.col("__prec").desc()
+        )
+        resolved = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__prec")
+        )
+    else:
+        # No cursor column: updates win unconditionally (the
+        # reference's ON CONFLICT DO UPDATE — last statement wins).
+        # Updates side of an incremental batch is small → broadcast.
+        survivors = contested.join(
+            F.broadcast(batch.select(key)), on=key, how="left_anti"
+        )
+        resolved = survivors.unionByName(batch, allowMissingColumns=True)
+
+    merged = untouched.unionByName(resolved, allowMissingColumns=True)
     batch = batch.persist()
     n = batch.count()
     warehouse.write_version(table, merged, partition_by=[BUCKET_COL])

@@ -10,6 +10,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     textops,
 )
 from qms_datawarehouse_spark.plans import analytics, relational  # noqa: F401
+from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 
 __all__ = ["REGISTRY", "queries_map", "oracle_sql_map"]

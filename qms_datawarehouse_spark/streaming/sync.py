@@ -1,0 +1,104 @@
+"""Structured Streaming variant of the incremental sync engine.
+
+The reference's streaming loop (async cursor → 5000-doc buffers →
+upsert per batch, /root/reference/src/services/etl.py:226-240) maps to
+Structured Streaming micro-batches with a ``foreachBatch`` keyed merge
+(T1-T7):
+
+- **T1 micro-batching**: the stream source chunks files/offsets into
+  micro-batches (``maxFilesPerTrigger`` as the batch-size knob);
+- **T2 checkpoint/resume**: Spark's checkpointLocation replaces the
+  hand-rolled ``sync_metadata`` high-water mark — offsets commit only
+  after the batch's merge completes;
+- **T3 effectively-once**: the merge is idempotent by key, so replayed
+  micro-batches collapse — same story as the reference's ON CONFLICT
+  upsert;
+- **T5 late data**: unlike the reference's strict ``$gt`` (which loses
+  equal-timestamp stragglers), a replayed or late row simply re-merges.
+
+The transformation pipeline (normalize → lineage → merge) is shared
+verbatim with the batch engine — one code path, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from qms_datawarehouse_spark.operators.merge import merge_upsert
+from qms_datawarehouse_spark.transform import clean_records
+from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_sync(
+    spark: SparkSession,
+    source_dir: str,
+    warehouse: ParquetWarehouse,
+    table: str,
+    source_name: str = "stream",
+    key: str = "event_id",
+    cursor_col: str = "ts",
+    checkpoint_dir: str | None = None,
+    schema: T.StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Start a file-source stream that keeps ``table`` upserted.
+
+    Each micro-batch runs the same normalize→lineage→merge pipeline as
+    the batch engine; offsets commit after the merge's atomic swap, so
+    a crash replays the batch into an idempotent sink (at-least-once
+    delivery, effectively-once state).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cleaned = clean_records(batch_df, source_name=source_name)
+        merge_upsert(warehouse, table, cleaned, key=key, order_col=cursor_col)
+
+    writer = stream.writeStream.foreachBatch(process_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "10 minutes",
+    window_len: str = "1 hour",
+    schema: T.StructType = EVENTS_SCHEMA,
+) -> DataFrame:
+    """Streaming tumbling-window aggregation with late-data handling
+    (T9 + T5): watermark bounds state, windows finalize once the
+    watermark passes — the grace period the reference lacks."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,136 @@
+"""Windowed event analytics — batch form of the streaming aggregations
+(T9), oracle-checked.
+
+The same window specs run unchanged under ``readStream`` (see
+sync.py:windowed_counts_stream); batch mode is how the driver's DuckDB
+oracle can verify the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.plans.registry import query, tables
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "t9_tumbling_hourly",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 tumbling window, batch form: F.window(ts, '1 hour') — the
+    aligned window start equals date_trunc('hour'). Streaming variant
+    adds only withWatermark."""
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("hour_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "t9_sliding_daily",
+    """
+    WITH days AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    )
+    SELECT day, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+    FROM days GROUP BY 1
+    """,
+)
+def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity rollup — the per-day tumbling window the
+    reference's staff report implies (A6/T9)."""
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "t9_sessionization",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > {SESSION_GAP_MIN * 60}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events,
+           round(count(*) * 1.0 / count(DISTINCT session_id), 4)
+               AS avg_events_per_session
+    FROM sessions GROUP BY 1
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min ⇒ new session): lag + running sum
+    of boundary flags — the batch dual of session_window(ts, gap) in
+    streaming. One shuffle on user_id; both windows reuse it."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > SESSION_GAP_MIN * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(
+            F.count("*") * 1.0 / F.countDistinct("session_id"), 4
+        ).alias("avg_events_per_session"),
+    )
