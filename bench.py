@@ -37,6 +37,11 @@ HEADLINE = [
     "d1_dedup_last_write",
     "a6_daily_rate_stats",
     "w2_recent_topn",
+    "s1_incremental_scan",
+    "t9_sessionization",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_quality",
 ]
 
 

@@ -36,14 +36,22 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _shingled(documents: DataFrame) -> DataFrame:
-    """doc_id + distinct 3-word shingles (lowercased)."""
+    """doc_id + distinct 3-word shingles (lowercased).
+
+    The word array is hoisted into its own projection so the lambda
+    slices a computed column — inlining ``split`` into the lambda
+    re-tokenizes the document once per shingle (O(words²) per doc;
+    measured 10× slower at sf0.1).
+    """
     return documents.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("w")
+    ).select(
         "doc_id",
         F.expr(
             """
             array_distinct(transform(
-                sequence(1, greatest(size(split(lower(text), ' ', -1)) - 2, 0)),
-                i -> concat_ws(' ', slice(split(lower(text), ' ', -1), i, 3))
+                sequence(1, greatest(size(w) - 2, 0)),
+                i -> concat_ws(' ', slice(w, i, 3))
             ))
             """
         ).alias("shingles"),
@@ -124,7 +132,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard ≥ 0.5. The join key is the shingle — candidate cost
     scales with shingle collision counts, not corpus²."""
     (documents,) = tables(spark, sf_dir, "documents")
-    sh = _shingled(documents)
+    # Persist: the shingle table feeds four plan branches (two join
+    # sides + two size lookups); without it the tokenizer re-runs per
+    # branch. ContextCleaner reclaims the cache when the DF is GC'd.
+    sh = _shingled(documents).persist()
     sx = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
 
@@ -151,12 +162,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH (banded candidate generation, then exact verify)
 # --------------------------------------------------------------------
 
-def _minhash_cols_spark():
-    # built lazily — Column construction needs an active SparkContext
+def _minhash_sig_cols():
+    """Per-ROW minhash signature: array_min over the doc's shingle
+    array — no explode, no shuffle; the whole signature computes inside
+    one codegen stage. (Column construction is lazy — needs an active
+    SparkContext.)"""
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))).alias(
-            f"m{i}"
-        )
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary")),
+            )
+        ).alias(f"m{i}")
         for i in range(N_MINHASH)
     ]
 
@@ -208,11 +225,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verify step.
     """
     (documents,) = tables(spark, sf_dir, "documents")
-    sh = _shingled(documents)
-    sx = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    # Persisted: signatures + both verify-join sides read it.
+    sh = _shingled(documents).persist()
 
-    sigs = sx.groupBy("doc_id").agg(*_minhash_cols_spark())
+    sigs = sh.select("doc_id", *_minhash_sig_cols())
     bands = sigs.select(
         "doc_id",
         *[
@@ -241,24 +257,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sxa = sx.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sxb = sx.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb"))
-    common = (
-        cand.join(sxa, "doc_a")
-        .join(
-            sxb,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jacc = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    # Exact verify via array_intersect on the two shingle sets — the
+    # candidate list is tiny, so two equi-joins back to the per-doc
+    # shingle arrays beat re-exploding the corpus.
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    withsets = cand.join(sha, "doc_a").join(shb, "doc_b")
+    c = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jacc = c * 1.0 / (F.size("sa") + F.size("sb") - c)
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jacc >= JACCARD_THRESHOLD)
+        withsets.filter(jacc >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
 

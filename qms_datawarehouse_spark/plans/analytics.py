@@ -53,26 +53,35 @@ def _staff_report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "orders", "customer", "lineitem", "supplier", "nation"
     )
 
-    # servedDate analog: first shipment per order (fact-side pre-agg —
-    # shrinks the fact before any join).
-    first_ship = lineitem.groupBy("l_orderkey").agg(
-        F.min("l_shipdate").alias("first_ship")
-    )
-    o2 = (
-        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            "o_orderdate",
-            F.greatest(
-                F.col("first_ship").cast("long") - F.col("o_orderdate").cast("long"),
-                F.lit(0),
-            ).alias("serve_sec"),
+    # ONE pass over the big fact: broadcast the two dims into the
+    # lineitem scan, then a single groupBy(orderkey) shuffle produces
+    # BOTH the servedDate analog (min shipdate) and the per-order
+    # company set. (The naive plan scans+shuffles lineitem twice.)
+    per_order = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.collect_set("n_name").alias("order_companies"),
         )
+    )
+    o2 = orders.join(per_order, orders.o_orderkey == per_order.l_orderkey).select(
+        "o_custkey",
+        "o_orderdate",
+        F.greatest(
+            F.col("first_ship").cast("long") - F.col("o_orderdate").cast("long"),
+            F.lit(0),
+        ).alias("serve_sec"),
+        "order_companies",
     )
 
     # A6: two-level per-day rates — tickets per (staff, day), then
-    # avg/min/max per staff.
+    # avg/min/max per staff. Order-grain input is already ~40× smaller
+    # than the fact.
     daily = o2.groupBy(
         "o_custkey", F.to_date("o_orderdate").alias("day")
     ).agg(F.count("*").alias("n"))
@@ -82,33 +91,25 @@ def _staff_report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_tickets_per_day"),
     )
 
-    # A5 + A7: totals and service-duration stats per staff, rendered
-    # "Xm Ys" (F10).
+    # A5 + A7 + A8 in one per-staff aggregation: totals,
+    # service-duration stats (rendered "Xm Ys", F10), and the distinct
+    # company list (per-order sets flattened + dedup'd — equivalent to
+    # collect_set over lines, without re-reading the fact).
     serve_stats = o2.groupBy("o_custkey").agg(
         F.count("*").alias("total_tickets"),
         F.floor(F.avg("serve_sec")).alias("avg_serve_sec"),
         F.min("serve_sec").alias("min_serve_sec"),
         F.max("serve_sec").alias("max_serve_sec"),
-    )
-
-    # A8: distinct "company" list per staff — supplier nations touched
-    # by the staff's orders. Dims broadcast; fact joins stay on
-    # orderkey.
-    companies = (
-        lineitem.select("l_orderkey", "l_suppkey")
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
-              F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
-              F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(orders.select("o_orderkey", "o_custkey"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_custkey")
-        .agg(sorted_set_str(F.col("n_name")).alias("company_names"))
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_set("order_companies")))
+            ),
+            ",",
+        ).alias("company_names"),
     )
 
     return (
         serve_stats.join(day_stats, "o_custkey")
-        .join(companies, "o_custkey")
         .join(F.broadcast(customer.select("c_custkey", "c_name")),
               F.col("o_custkey") == F.col("c_custkey"))
         .select(
@@ -449,11 +450,14 @@ def high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1/P1 (etl.py:207-214): strict-$gt delta predicate. The filter
-    is pushed into the parquet scan (PushedFilters in .explain) — the
-    Spark analog of evaluating $gt inside MongoDB."""
-    (events,) = tables(spark, sf_dir, "events")
-    return events.filter(F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp")).select(
+    """S1/P1 (etl.py:207-214): strict-$gt delta predicate, applied on
+    the raw cursor column so it reaches the parquet scan as a
+    PushedFilter (row-group skipping) — the Spark analog of evaluating
+    $gt inside MongoDB."""
+    from qms_datawarehouse_spark.plans.registry import events_delta
+
+    events = events_delta(spark, sf_dir, ts_gt="2024-01-25 00:00:00")
+    return events.select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "user_id",

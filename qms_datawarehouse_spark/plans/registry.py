@@ -85,3 +85,28 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
                 df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         out.append(df)
     return out
+
+
+def events_delta(spark: SparkSession, sf_dir: str, ts_gt: str | None = None):
+    """Events with the incremental delta predicate applied on the RAW
+    nanos column, *before* the timestamp conversion.
+
+    The timestamp_micros() conversion is opaque to parquet filter
+    pushdown — filtering the converted column leaves only IsNotNull at
+    the scan. Filtering raw epoch-nanos pushes GreaterThan into the
+    scan, so row groups outside the delta window are skipped via
+    min/max stats — the property that makes incremental sync O(delta)
+    instead of O(table) at 100 TB.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if ts_gt is not None:
+        cut = dt.datetime.fromisoformat(ts_gt).replace(tzinfo=dt.timezone.utc)
+        cut_ns = int(cut.timestamp()) * 1_000_000_000
+        df = df.filter(F.col("ts") > F.lit(cut_ns))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
