@@ -163,23 +163,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 def _minhash_sig_cols():
-    """Per-ROW minhash signature: array_min over the doc's shingle
-    array — no explode, no shuffle; the whole signature computes inside
-    one codegen stage. (Column construction is lazy — needs an active
+    """Per-ROW minhash signature: ONE md5 per shingle, sliced into
+    eight 4-hex-char chunks — each chunk is an independent 16-bit hash
+    function, and lexicographic min on fixed-width hex equals numeric
+    min. 8× fewer digests than seeding md5 per hash function, and the
+    whole signature computes inside one codegen stage (no explode, no
+    shuffle). (Column construction is lazy — needs an active
     SparkContext.)"""
     return [
         F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary")),
-            )
+            F.transform(F.col("hs"), lambda h: F.substring(h, 4 * i + 1, 4))
         ).alias(f"m{i}")
         for i in range(N_MINHASH)
     ]
 
 
 _MINHASH_COLS_SQL = ", ".join(
-    f"min(md5('{i}:' || s)) AS m{i}" for i in range(N_MINHASH)
+    f"min(substr(md5(s), {4 * i + 1}, 4)) AS m{i}" for i in range(N_MINHASH)
 )
 _BAND_EXPRS_SQL = ", ".join(
     f"md5(m{2 * j} || m{2 * j + 1}) AS b{j}" for j in range(N_BANDS)
@@ -228,22 +228,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted: signatures + both verify-join sides read it.
     sh = _shingled(documents).persist()
 
-    sigs = sh.select("doc_id", *_minhash_sig_cols())
-    bands = sigs.select(
+    # Hash array hoisted into its own projection so the md5 pass runs
+    # once, not once per signature slot.
+    hashed = sh.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}")).cast("binary")).alias(
-                f"b{j}"
-            )
-            for j in range(N_BANDS)
-        ],
+        F.transform(F.col("shingles"), lambda s: F.md5(s.cast("binary"))).alias("hs"),
     )
-    bl = None
-    for j in range(N_BANDS):
-        part = bands.select(
-            "doc_id", F.lit(j).alias("band_id"), F.col(f"b{j}").alias("bv")
-        )
-        bl = part if bl is None else bl.unionByName(part)
+    sigs = hashed.select("doc_id", *_minhash_sig_cols())
+    # One posexplode pass emits all band rows — vs a 4-way union that
+    # re-reads the signature projection once per band.
+    bl = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}")).cast(
+                            "binary"
+                        )
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "bv"),
+    )
 
     a, b = bl.alias("a"), bl.alias("b")
     cand = (
