@@ -9,7 +9,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     similarity,
     textops,
 )
-from qms_datawarehouse_spark.plans import analytics, relational  # noqa: F401
+from qms_datawarehouse_spark.plans import advanced, analytics, relational  # noqa: F401
 from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 

@@ -1,0 +1,520 @@
+"""Advanced relational coverage: grouping sets / cube, distinct
+aggregates, window frames and lag/lead analytics, set operations,
+pivot, scalar subqueries, and the classic multi-join TPC-H shapes
+(Q3/Q5/Q12/Q14 adapted to the fixture schema).
+
+The reference delegates all of these to PostgreSQL (SURVEY §2.4 "No
+grouping sets / cube / rollup ... Postgres would own those"); a user
+switching from the reference warehouse must still be able to run them,
+so they are first-class, oracle-checked queries here.
+
+Scale notes: every query is a scan→(broadcast-)join→partial-agg plan;
+grouping sets/cube expand *after* partial aggregation (Spark Expand
+runs on the aggregated side of the shuffle for distinct-style plans);
+window frames are bounded per partition key (no global sort); the only
+LIMITs are preceded by a total order with a key tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.plans.registry import query, tables
+
+
+# --------------------------------------------------------------------
+# CUBE — all 2^k grouping combinations
+# --------------------------------------------------------------------
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims: 4 grouping combinations in one pass — the
+    Expand operator multiplies rows after the map-side partial agg, so
+    the fact is still scanned once."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# GROUPING SETS — explicit, non-hierarchical combinations
+# --------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """
+
+
+@query("agg_grouping_sets", _GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (each dim alone + grand total) via Spark
+    SQL over a temp view — the DataFrame and SQL planes share one
+    Catalyst plan, so mixing them is free."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------
+# Distinct aggregates (multi-distinct in one pass)
+# --------------------------------------------------------------------
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT l_returnflag AS returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregation — Spark plans this
+    as a single Expand + two-stage aggregate, not one shuffle per
+    distinct column."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# W4: window frames — running total + moving average
+# --------------------------------------------------------------------
+
+
+@query(
+    "w4_window_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 2) AS moving_avg3
+    FROM orders
+    WHERE o_custkey <= 200
+    """,
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 frame specs: per-customer running total (UNBOUNDED
+    PRECEDING) and 3-row moving average. Frames are bounded per
+    partition key — one shuffle on custkey, sorted within partitions,
+    no global sort."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ).alias("running_total"),
+            F.round(
+                F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)),
+                2,
+            ).alias("moving_avg3"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# W4: lag / lead analytics
+# --------------------------------------------------------------------
+
+
+@query(
+    "w4_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+           date_diff('day',
+                     lag(o_orderdate) OVER w,
+                     o_orderdate)::BIGINT AS days_since_prev,
+           round(lead(o_totalprice) OVER w, 2) AS next_price
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a keyed, fully-tiebroken ordering: price delta vs
+    the previous order and days between consecutive orders — the
+    inter-arrival analysis a QMS runs on ticket streams."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+                "delta_prev"
+            ),
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+            )
+            .cast("long")
+            .alias("days_since_prev"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# D3: set operations (INTERSECT / EXCEPT)
+# --------------------------------------------------------------------
+
+
+@query(
+    "d3_set_ops",
+    """
+    SELECT 'both_years' AS cohort, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    )
+    UNION ALL
+    SELECT 'only_1994' AS cohort, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    )
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics): customer cohorts
+    active in both years vs churned. Both plan to aggregate+join —
+    no driver-side set logic."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    both = (
+        y94.intersect(y95)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("both_years").alias("cohort"), "n")
+    )
+    only94 = (
+        y94.exceptAll(y95.distinct())
+        .distinct()
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("only_1994").alias("cohort"), "n")
+    )
+    return both.unionByName(only94)
+
+
+# --------------------------------------------------------------------
+# Pivot — long → wide conditional aggregation
+# --------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_by_year",
+    """
+    SELECT year(o_orderdate)::BIGINT AS order_year,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by year × status, statuses widened to
+    columns. Pivot values are declared explicitly, so Spark skips the
+    extra distinct-values job."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("order_year"), "o_orderstatus"
+        )
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "order_year",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Scalar subquery
+# --------------------------------------------------------------------
+
+_SCALAR_SUBQ_SQL = """
+    SELECT p_brand AS brand, count(*) AS n_large
+    FROM part
+    WHERE p_size > (SELECT avg(p_size) FROM part)
+    GROUP BY 1
+    """
+
+
+@query("scalar_subquery", _SCALAR_SUBQ_SQL)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (parts above average size) — Spark
+    executes the subquery once and broadcasts the scalar into the
+    filter."""
+    (part,) = tables(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part")
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+# --------------------------------------------------------------------
+# TPC-H Q3 shape: shipping priority (top-N revenue orders)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate::DATE AS order_date,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer dim broadcast into
+    orders, date-pruned fact join, top-10 by revenue (total order +
+    key tiebreak, so the LIMIT is deterministic)."""
+    customer, orders, lineitem = tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    cut = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(
+            orders.filter(F.col("o_orderdate") < cut),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+                    "c_custkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date", "priority")
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q5 shape: regional supplier volume (6-way join)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join — region/nation/supplier broadcast
+    (region filter prunes them before broadcast), lineitem⋈orders is
+    the only shuffle join, plus the local-supplier equality between
+    the customer and supplier nations."""
+    customer, orders, lineitem, supplier, nation, region = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(asia_nations),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_nationkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q12 shape: conditional aggregation (CASE inside agg)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q12_priority_lines",
+    """
+    SELECT l.l_linestatus AS linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_priority_lines,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_priority_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted — fixture lineitem carries no
+    commit/receipt dates): CASE-conditional counts inside the
+    aggregate, fact⋈fact join date-pruned before the shuffle."""
+    lineitem, orders = tables(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("long")
+            .alias("low_priority_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q14 shape: conditional ratio (promo revenue share)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT round(
+               100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0 END)
+               / sum(l.l_extendedprice * (1 - l.l_discount)), 4
+           ) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — broadcast part dim into
+    the month-pruned fact, conditional numerator over one aggregate
+    pass."""
+    lineitem, part = tables(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
