@@ -112,6 +112,134 @@ def lsh_bucketed(embeddings: DataFrame, n_planes: int = N_HYPERPLANES) -> DataFr
     return embeddings.withColumn("bucket", F.concat(*bits))
 
 
+N_CELLS = 16  # IVF coarse cells (deterministic seed centroids)
+N_PROBE = 4  # cells probed per query
+
+
+def _ivf_scored_cells(v: Column, nrm: Column) -> Column:
+    """Per-row array of struct(negcos, cent_id) against the broadcast
+    centroid list — struct ordering gives 'highest cosine, then lowest
+    cell id' via plain min/sort, matching the oracle's ORDER BY."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (-_dot(v, c["cv"]) / (nrm * c["cnrm"])).alias("negcos"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+
+
+@query(
+    "similarity_ivf_probe",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS nrm
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM e
+        WHERE vec_id < {N_CELLS}
+    ),
+    assign AS (
+        SELECT vec_id, label, v, nrm, cent_id,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                                i -> v[i] * cv[i])) / (nrm * cnrm) DESC,
+                            cent_id
+               ) AS rk
+        FROM e CROSS JOIN cents
+    ),
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    qcells AS (
+        SELECT cent_id FROM cents CROSS JOIN q
+        ORDER BY list_sum(list_transform(range(1, 65),
+                     i -> qv[i] * cv[i])) / (qn * cnrm) DESC, cent_id
+        LIMIT {N_PROBE}
+    )
+    SELECT vec_id, label, cell_id, round(cos, 4) AS cosine FROM (
+        SELECT a.vec_id, a.label, a.cent_id AS cell_id,
+               list_sum(list_transform(range(1, 65), i -> a.v[i] * q.qv[i]))
+                   / (a.nrm * q.qn) AS cos
+        FROM assign a CROSS JOIN q
+        WHERE a.rk = 1 AND a.cent_id IN (SELECT cent_id FROM qcells)
+          AND a.vec_id <> {QUERY_VEC_ID}
+    )
+    ORDER BY cos DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest cell, probe only the query's ``N_PROBE`` nearest cells,
+    exact-rerank inside them. Centroids here are deterministic seed
+    vectors (``vec_id < N_CELLS``) standing in for an offline-trained
+    k-means codebook — which makes the WHOLE search path (assignment →
+    probe pruning → rerank) oracle-checkable, unlike typical ANN.
+
+    Scale shape: the codebook is collect_list'd once (bounded: K cells
+    ≪ corpus) and broadcast; assignment is a per-row argmax inside one
+    codegen stage — NO shuffle touches the embedding table. At 100 TB
+    the table would be written partitioned BY cell_id, so a probe scans
+    only nprobe/K of the data (partition pruning); recall is tuned by
+    N_PROBE exactly as in FAISS-style IVF.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+
+    cents = (
+        e.filter(F.col("vec_id") < N_CELLS)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cnrm"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cell_id", F.array_min(_ivf_scored_cells(F.col("v"), F.col("nrm")))["cent_id"]
+        )
+        .drop("cents")
+    )
+
+    q = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.transform(
+                F.slice(
+                    F.array_sort(_ivf_scored_cells(F.col("v"), F.col("nrm"))),
+                    1,
+                    N_PROBE,
+                ),
+                lambda s: s["cent_id"],
+            ).alias("probe_cells"),
+        )
+    )
+
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    return (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.array_contains(F.col("probe_cells"), F.col("cell_id")))
+        .withColumn("cos", cos)
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", "cell_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
 @query("similarity_ann_lsh", None)  # rows-only: bucketing demo + self-check
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: hyperplane sign buckets → per-bucket stats.
