@@ -1,0 +1,199 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+bounded range join.
+
+The reference has no temporal joins (its only join is the keyed merge,
+SURVEY §2.3), but its domain is event streams (`updatedAt` cursors,
+ticket call/serve times) — as-of and windowed-range lookups are the
+first queries a QMS analyst writes against that data ("what was the
+last X before this Y"). Both operators here are expressed as
+compositions of existing DataFrame ops (SURVEY's custom-operator
+preference (a)), not UDFs:
+
+- **as-of join** = tag both sides, union, one window pass per key with
+  a last-non-null carry-forward. ONE shuffle on the join key, no range
+  explosion, no per-row search — the distributed shape that survives
+  100 TB (point-in-time joins in feature stores use exactly this).
+- **range join** = time-bucketize both sides, equi-join on
+  (key, bucket) with a bounded 2-bucket candidate fan-out, then exact
+  range filter. Candidate cost is O(pairs in adjacent buckets), never
+  O(left × right); Catalyst sees only equi-joins.
+
+Oracles: DuckDB's native ``ASOF JOIN`` and a plain inequality join —
+the Spark plans must reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.plans.registry import query, tables
+
+BUCKET_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Generic distributed as-of join: for every left row, attach the
+    columns of the latest right row with ``right_ts <= left_ts`` on the
+    same ``key``. Right side must be unique per (key, right_ts).
+
+    Shape: tagged union → window(partitionBy key, orderBy ts with
+    right-before-left on ties) → last(ignorenulls) carry-forward →
+    keep left rows. One shuffle total.
+    """
+    rtag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
+    )
+    ltag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rtag.schema["_r"].dataType).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = rtag.unionByName(ltag).withColumn(
+        "_match", F.last("_r", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col("_match")[c].alias(f"asof_{c}") for c in right_cols],
+    )
+
+
+def _typed_events(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == etype)
+
+
+@query(
+    "asof_join_last_purchase",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts,
+               max(event_id) AS p_event_id,
+               arg_max(value, event_id) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS ts_us,
+           p.p_event_id AS asof_p_event_id,
+           round(p.p_value, 2) AS asof_p_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click annotated with the user's most recent
+    purchase at click time (NULL if none yet). Right side reduced to
+    unique (user, ts) first — ties broken by max event_id — so the
+    match is deterministic on both engines."""
+    purchases = (
+        _typed_events(spark, sf_dir, "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    clicks = _typed_events(spark, sf_dir, "click").select("event_id", "user_id", "ts")
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["p_event_id", "p_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "asof_p_event_id",
+        F.round("asof_p_value", 2).alias("asof_p_value"),
+    )
+
+
+def _bucket(ts: Column) -> Column:
+    return (F.unix_micros(ts) / BUCKET_US).cast("long")
+
+
+@query(
+    "range_join_purchases_1h",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           count(p.ts) AS n_purchases_1h,
+           round(coalesce(sum(p.value), 0), 2) AS sum_value_1h
+    FROM clicks c
+    LEFT JOIN purchases p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts - INTERVAL 1 HOUR
+     AND p.ts <= c.ts
+    GROUP BY 1, 2
+    """,
+)
+def range_join_purchases_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: purchases within the hour before each
+    click, aggregated per click. Implemented as a bucketized equi-join
+    — each click probes its own and the previous 1-hour bucket (exact
+    range re-checked after the join), so the plan contains only
+    equi-joins with a fixed 2× candidate fan-out instead of a
+    theta-join. The naive `ON a.ts BETWEEN ...` plan degenerates to
+    broadcast-nested-loop at scale; this one shuffles on
+    (user, bucket) and survives it."""
+    clicks = _typed_events(spark, sf_dir, "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = _typed_events(spark, sf_dir, "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+        _bucket(F.col("ts")).alias("p_bucket"),
+    )
+    cand = clicks.withColumn(
+        "probe_bucket", F.explode(F.array(_bucket(F.col("ts")) - 1, _bucket(F.col("ts"))))
+    )
+    hits = (
+        cand.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("probe_bucket") == F.col("p_bucket")),
+        )
+        .filter(
+            (F.col("p_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("p_ts") <= F.col("ts"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_purchases_1h"),
+            F.round(F.sum("value"), 2).alias("sum_value_1h"),
+        )
+    )
+    return clicks.join(hits, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_purchases_1h", F.lit(0)).alias("n_purchases_1h"),
+        F.round(F.coalesce("sum_value_1h", F.lit(0.0)), 2).alias("sum_value_1h"),
+    )

@@ -7,6 +7,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     similarity,
+    temporal,
     textops,
 )
 from qms_datawarehouse_spark.plans import advanced, analytics, relational  # noqa: F401
