@@ -110,3 +110,46 @@ def test_windowed_counts_with_watermark(spark, stream_dirs, tmp_path):
         q.stop()
     assert out[(t, "click")] == 2
     assert out[(t + dt.timedelta(hours=1), "view")] == 1
+
+
+def test_stateful_running_totals_across_batches(spark, stream_dirs):
+    from qms_datawarehouse_spark.streaming.stateful import running_user_totals
+
+    src, ckpt = stream_dirs
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    _events_df(spark, [
+        (1, t, 100, "click", 1.0, None),
+        (2, t + dt.timedelta(minutes=1), 100, "view", 2.5, None),
+        (3, t, 200, "click", 10.0, None),
+    ]).write.parquet(f"{src}/b1")
+
+    totals = running_user_totals(spark, f"{src}/*")
+    q = (
+        totals.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("state_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 100 returns — state must carry the earlier 2 events
+        _events_df(spark, [
+            (4, t + dt.timedelta(hours=2), 100, "purchase", 4.0, None),
+        ]).write.parquet(f"{src}/b2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM state_out").collect()
+    finally:
+        q.stop()
+
+    # memory sink in update mode appends each emitted update; the last
+    # row per user is the current state
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = r
+    assert latest[100]["n_events"] == 3
+    assert latest[100]["total_value"] == pytest.approx(7.5)
+    assert latest[100]["last_ts_us"] == int(
+        (t + dt.timedelta(hours=2)).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    assert latest[200]["n_events"] == 1
