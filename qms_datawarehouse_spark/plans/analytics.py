@@ -79,37 +79,42 @@ def _staff_report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_companies",
     )
 
-    # A6: two-level per-day rates — tickets per (staff, day), then
-    # avg/min/max per staff. Order-grain input is already ~40× smaller
-    # than the fact.
+    # Strict two-level aggregation TREE (order → day → staff): every
+    # A5-A8 statistic re-derives from the day grain, so o2 — and with
+    # it the lineitem scan — is consumed exactly ONCE (pinned by
+    # tests/test_plans_scale.py). Associative decompositions:
+    # total = Σ day counts; avg serve = Σ day sums / Σ day counts
+    # (serve_sec is integral → sums are exact, floor() matches the
+    # oracle's floor(avg)); min/max nest; company sets union.
     daily = o2.groupBy(
         "o_custkey", F.to_date("o_orderdate").alias("day")
-    ).agg(F.count("*").alias("n"))
-    day_stats = daily.groupBy("o_custkey").agg(
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("serve_sec").alias("day_serve_sum"),
+        F.min("serve_sec").alias("day_serve_min"),
+        F.max("serve_sec").alias("day_serve_max"),
+        F.array_distinct(F.flatten(F.collect_set("order_companies"))).alias(
+            "day_companies"
+        ),
+    )
+    staff = daily.groupBy("o_custkey").agg(
+        F.sum("n").alias("total_tickets"),
         F.round(F.avg("n"), 4).alias("avg_tickets_per_day"),
         F.min("n").alias("min_tickets_per_day"),
         F.max("n").alias("max_tickets_per_day"),
-    )
-
-    # A5 + A7 + A8 in one per-staff aggregation: totals,
-    # service-duration stats (rendered "Xm Ys", F10), and the distinct
-    # company list (per-order sets flattened + dedup'd — equivalent to
-    # collect_set over lines, without re-reading the fact).
-    serve_stats = o2.groupBy("o_custkey").agg(
-        F.count("*").alias("total_tickets"),
-        F.floor(F.avg("serve_sec")).alias("avg_serve_sec"),
-        F.min("serve_sec").alias("min_serve_sec"),
-        F.max("serve_sec").alias("max_serve_sec"),
+        F.floor(F.sum("day_serve_sum") / F.sum("n")).alias("avg_serve_sec"),
+        F.min("day_serve_min").alias("min_serve_sec"),
+        F.max("day_serve_max").alias("max_serve_sec"),
         F.array_join(
             F.array_sort(
-                F.array_distinct(F.flatten(F.collect_set("order_companies")))
+                F.array_distinct(F.flatten(F.collect_set("day_companies")))
             ),
             ",",
         ).alias("company_names"),
     )
 
     return (
-        serve_stats.join(day_stats, "o_custkey")
+        staff
         .join(F.broadcast(customer.select("c_custkey", "c_name")),
               F.col("o_custkey") == F.col("c_custkey"))
         .select(

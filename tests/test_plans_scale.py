@@ -1,0 +1,113 @@
+"""Physical-plan assertions: the scale properties every query claims
+(pushdown, broadcast strategy, no accidental cartesian products) are
+pinned here against ``.explain``-style plan text, so a refactor that
+silently loses a PushedFilter or turns a broadcast join into a
+nested-loop fails CI — correctness tests alone would not catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from qms_datawarehouse_spark.plans.registry import REGISTRY
+
+from conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_both_predicates(spark):
+    plan = _plan(spark, "s8_point_lookup")
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_custkey,42)" in plan.replace(" ", "")
+    assert "EqualTo(o_orderstatus,F)" in plan.replace(" ", "")
+
+
+def test_incremental_scan_pushes_cursor_predicate(spark):
+    plan = _plan(spark, "s1_incremental_scan")
+    # the delta predicate must reach the scan on the RAW column
+    assert "GreaterThan(ts" in plan.replace(" ", "")
+
+
+def test_projection_prunes_read_schema(spark):
+    plan = _plan(spark, "p4_projection")
+    # ReadSchema has exactly the referenced columns, not all 11
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_shipdate" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_dim_joins_are_broadcast(spark):
+    for name in ("j2_orders_customer", "j5_denormalized_orders", "q5_region_revenue"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_flagship_single_fact_shuffle(spark):
+    plan = _plan(spark, "flagship_staff_report")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # one groupBy(orderkey) pass produces first-ship AND company sets:
+    # lineitem must be scanned exactly once
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Only the explicitly-documented brute-force baselines may build
+    all-pairs; everything else must stay equi-join shaped."""
+    allowed = {
+        "dedup_embedding_cosine",  # documented small-block baseline
+        "similarity_topk_cosine",  # 1-row broadcast query vector
+        "similarity_ivf_probe",  # 1-row broadcast codebook + query
+    }
+    for name, qd in REGISTRY.items():
+        if name in allowed:
+            continue
+        try:
+            plan = _plan(spark, name)
+        except Exception:  # streaming-only entries can't explain in batch
+            continue
+        assert "CartesianProduct" not in plan, name
+
+
+def test_minhash_has_no_explode_before_signatures(spark):
+    """The signature stage must compute per-row (array_min over the
+    shingle array), never via explode+groupBy (which shuffles the
+    whole shingle corpus)."""
+    from qms_datawarehouse_spark.operators.dedup import _minhash_sig_cols  # noqa: F401
+
+    plan = _plan(spark, "dedup_minhash_lsh")
+    # explode appears only in the band layout (4 rows/doc), and the
+    # candidate+verify joins are equi-joins
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    plan = _plan(spark, "asof_join_last_purchase")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_stays_equi(spark):
+    plan = _plan(spark, "range_join_purchases_1h")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q6_revenue_filter"])
+def test_scan_agg_queries_whole_stage_codegen(spark, name):
+    # AQE finalizes the physical plan lazily — execute first, then
+    # inspect the final plan for codegen spans
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    df.collect()  # count() would execute a different (count-agg) plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes are WholeStageCodegen spans in the compact form
+    assert "*(" in plan
