@@ -41,7 +41,11 @@ HEADLINE = [
     "t9_sessionization",
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
+    "similarity_ivf_probe",
     "text_quality",
+    "asof_join_last_purchase",
+    "range_join_purchases_1h",
+    "q5_region_revenue",
 ]
 
 

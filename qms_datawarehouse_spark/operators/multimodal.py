@@ -85,3 +85,143 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-only predicate BEFORE the decode stage
     blobs = blobs.filter(F.length("content") > 0)
     return blobs.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# Modality-typed pipeline: image resize / audio features / video
+# frame sampling, dispatched per modality over one binary column
+# --------------------------------------------------------------------
+
+MEDIA_SCHEMA = (
+    "doc_id long, modality string, content binary, "
+    "meta struct<mime: string, n_bytes: long, duration_ms: long>"
+)
+
+IMAGE_OUT = "doc_id long, width long, height long, resized_bytes long"
+AUDIO_OUT = "doc_id long, duration_ms long, rms long, n_frames long"
+VIDEO_OUT = "doc_id long, frame_idx long, frame_checksum string"
+
+TARGET_SIZE = 32  # stub resize target (px)
+FRAME_EVERY_MS = 1000  # sample one frame per second
+
+
+def as_media(documents: DataFrame) -> DataFrame:
+    """Model the corpus as a multimodal table: opaque binary payload +
+    a typed metadata struct, modality assigned deterministically. At
+    scale this is the storage layout — metadata in queryable columns,
+    payload as one opaque binary, table partitioned by modality so a
+    per-modality pipeline prunes partitions."""
+    mod = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return documents.select(
+        "doc_id",
+        mod.alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.concat(F.lit("fake/"), mod).alias("mime"),
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB image decode+resize (PIL would slot in here): deterministic
+    fake dims from the payload, 'resized' byte count scaled to the
+    TARGET_SIZE box. Arrow-batched; one output row per image."""
+    for pdf in batches:
+        dims = pdf["content"].map(fake_decode)
+        w = dims.map(lambda d: d[0])
+        h = dims.map(lambda d: d[1])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w,
+                "height": h,
+                "resized_bytes": (
+                    pdf["content"].map(len) * (TARGET_SIZE * TARGET_SIZE) // (w * h)
+                ),
+            }
+        )
+
+
+def audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB audio feature extraction (librosa would slot in here):
+    RMS-ish energy from payload bytes + frame count from metadata
+    duration. One output row per clip."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "duration_ms": pdf["meta"].map(lambda m: m["duration_ms"]),
+                "rms": pdf["content"].map(
+                    lambda b: int(sum(b[:256]) / max(len(b[:256]), 1))
+                ),
+                "n_frames": pdf["meta"].map(
+                    lambda m: m["duration_ms"] // FRAME_EVERY_MS
+                ),
+            }
+        )
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB video frame sampling (PyAV would slot in here): emits one
+    row per sampled frame (1 fps against metadata duration) — a
+    row-EXPANDING mapInPandas stage, the shape real frame extraction
+    needs. Frame checksum stands in for decoded frame bytes."""
+    import hashlib
+
+    for pdf in batches:
+        out_ids, out_idx, out_sum = [], [], []
+        for doc_id, content, meta in zip(
+            pdf["doc_id"], pdf["content"], pdf["meta"]
+        ):
+            n = int(min(meta["duration_ms"] // FRAME_EVERY_MS, 10))
+            for i in range(n):
+                out_ids.append(doc_id)
+                out_idx.append(i)
+                out_sum.append(
+                    hashlib.md5(content + i.to_bytes(4, "little")).hexdigest()
+                )
+        yield pd.DataFrame(
+            {"doc_id": out_ids, "frame_idx": out_idx, "frame_checksum": out_sum}
+        )
+
+
+@query("multimodal_pipeline", None)  # rows-only: mapInPandas is not SQL
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality processing over one multimodal table: partition
+    prune by modality, run the modality's Arrow-batched stage, union
+    the typed summaries. Decode steps are deterministic stubs; the
+    Spark plumbing (modality dispatch, metadata pushdown, expanding
+    frame sampler) is real."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    media = as_media(documents)
+
+    images = (
+        media.filter(F.col("modality") == "image")
+        .mapInPandas(resize_images, schema=IMAGE_OUT)
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("resized_bytes").alias("payload"),
+        )
+        .select(F.lit("image").alias("modality"), "n_items", "payload")
+    )
+    audio = (
+        media.filter(F.col("modality") == "audio")
+        .mapInPandas(audio_features, schema=AUDIO_OUT)
+        .agg(F.count("*").alias("n_items"), F.sum("n_frames").alias("payload"))
+        .select(F.lit("audio").alias("modality"), "n_items", "payload")
+    )
+    video = (
+        media.filter(F.col("modality") == "video")
+        .mapInPandas(sample_frames, schema=VIDEO_OUT)
+        .agg(
+            F.countDistinct("doc_id").alias("n_items"),
+            F.count("*").alias("payload"),
+        )
+        .select(F.lit("video").alias("modality"), "n_items", "payload")
+    )
+    return images.unionByName(audio).unionByName(video)
