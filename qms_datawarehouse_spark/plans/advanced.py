@@ -518,3 +518,56 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Exact quantiles (interpolated) — oracle-checkable percentile stats
+# --------------------------------------------------------------------
+
+
+@query(
+    "quantile_order_value",
+    """
+    SELECT c_mktsegment AS segment,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+           count(*) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def quantile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (Spark `percentile`
+    == DuckDB `quantile_cont`, both linear interpolation). The exact
+    path shuffles whole groups; the sketch path below is what runs at
+    100 TB."""
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).groupBy(F.col("c_mktsegment").alias("segment"))
+    return j.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("sketch_aggregates", None)  # rows-only: sketch internals differ per engine
+def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for 100 TB cardinality/quantile work:
+    HyperLogLog++ (`approx_count_distinct`) and GK quantile sketch
+    (`approx_percentile`) — mergeable partial states, fixed memory per
+    group, single shuffle. Registered rows-only because sketch
+    estimates are engine-specific; the exact twins above are the
+    oracle-checked semantics."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("price_quantiles"),
+        F.count("*").alias("n_lines"),
+    )
