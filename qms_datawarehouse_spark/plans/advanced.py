@@ -571,3 +571,102 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_quantiles"),
         F.count("*").alias("n_lines"),
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q17 shape: correlated subquery (per-group threshold)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q17_small_quantity",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part threshold. Spark plans the
+    correlation as a de-correlated aggregate + equi-join — written
+    here explicitly (per-part avg, joined back) because that IS the
+    scalable plan: one extra groupBy on the join key instead of a
+    per-row subquery."""
+    lineitem, part = tables(spark, sf_dir, "lineitem", "part")
+    thresholds = lineitem.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        lineitem.join(
+            F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q10 shape: top-N customers by returned-item revenue
+# --------------------------------------------------------------------
+
+
+@query(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Returnflag filter prunes the fact at the scan; customer/nation
+    broadcast; deterministic top-N (revenue desc, key tiebreak)."""
+    customer, orders, lineitem, nation = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "nation")
+    )
