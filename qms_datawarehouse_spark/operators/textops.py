@@ -90,18 +90,32 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Quality scoring
 # --------------------------------------------------------------------
 
+# Ratios surfaced in integer BASIS POINTS via exact integer floor
+# division — float round() sits on half-boundaries (round(0.49975, 4)
+# split Spark vs DuckDB at sf0.1), integer arithmetic cannot.
+# quality = 0.4·min(1, n/50) + 0.3·stop/n + 0.3·distinct/n, scaled by
+# the common denominator 500n: numerator 4n² + 150(h+d) for n<50,
+# 200n + 150(h+d) otherwise — all exact in int64.
+
 _QUALITY_SQL = f"""
-    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n,
+               {_sql_hits(STOPWORDS)} AS h,
+               len(list_distinct(w)) AS d,
+               strlen(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+               strlen(text) AS chars
+        FROM t
+    )
     SELECT doc_id,
-           round({_sql_hits(STOPWORDS)} * 1.0 / len(w), 4) AS stopword_ratio,
-           round(len(list_distinct(w)) * 1.0 / len(w), 4) AS distinct_ratio,
-           round(strlen(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                 / strlen(text), 4) AS digit_ratio,
-           round(least(1.0, len(w) / 50.0) * 0.4
-                 + {_sql_hits(STOPWORDS)} * 1.0 / len(w) * 0.3
-                 + len(list_distinct(w)) * 1.0 / len(w) * 0.3, 4)
-               AS quality_score
-    FROM t
+           (10000 * h) // n AS stopword_bp,
+           (10000 * d) // n AS distinct_bp,
+           (10000 * digits) // chars AS digit_bp,
+           (10000 * (CASE WHEN n < 50 THEN 4 * n * n + 150 * (h + d)
+                          ELSE 200 * n + 150 * (h + d) END))
+               // (500 * n) AS quality_bp
+    FROM m
 """
 
 
@@ -109,27 +123,29 @@ _QUALITY_SQL = f"""
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / stopword / vocabulary-diversity /
     digit-density signals blended into one score — the standard
-    pre-training corpus filter shape."""
+    pre-training corpus filter shape. All ratios in exact integer
+    basis points (see SQL comment: cross-engine float rounding is not
+    deterministic at half-boundaries; int64 floor division is)."""
     (documents,) = tables(spark, sf_dir, "documents")
     w = _words(F.col("text"))
-    n_words = F.size(w)
-    stop_ratio = _hits(w, STOPWORDS) * 1.0 / n_words
-    distinct_ratio = F.size(F.array_distinct(w)) * 1.0 / n_words
-    return documents.select(
+    m = documents.select(
         "doc_id",
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(
-            F.length(F.regexp_replace("text", "[^0-9]", "")) * 1.0
-            / F.length("text"),
-            4,
-        ).alias("digit_ratio"),
-        F.round(
-            F.least(F.lit(1.0), n_words / 50.0) * 0.4
-            + stop_ratio * 0.3
-            + distinct_ratio * 0.3,
-            4,
-        ).alias("quality_score"),
+        F.size(w).cast("long").alias("n"),
+        _hits(w, STOPWORDS).cast("long").alias("h"),
+        F.size(F.array_distinct(w)).cast("long").alias("d"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("digits"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    # `div` is exact int64 floor division — double `/` can round up
+    # across an integer boundary before a floor/cast
+    return m.selectExpr(
+        "doc_id",
+        "(10000 * h) div n AS stopword_bp",
+        "(10000 * d) div n AS distinct_bp",
+        "(10000 * digits) div chars AS digit_bp",
+        """(10000 * (CASE WHEN n < 50 THEN 4 * n * n + 150 * (h + d)
+                     ELSE 200 * n + 150 * (h + d) END))
+           div (500 * n) AS quality_bp""",
     )
 
 

@@ -77,6 +77,28 @@ def stream_sync(
     return writer.start()
 
 
+def deduped_stream(
+    spark: SparkSession,
+    source_dir: str,
+    key: str = "event_id",
+    watermark: str = "1 hour",
+    schema: T.StructType = EVENTS_SCHEMA,
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon
+    (``dropDuplicates`` keyed state + event-time watermark bounding
+    state size). This is the T5 fix the reference lacks: an
+    equal-timestamp or replayed row inside the grace window collapses
+    instead of duplicating — and unlike an unbounded dedup, state for
+    keys older than the watermark is evicted, so memory is O(window),
+    not O(stream)."""
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicates([key])
+    )
+
+
 def windowed_counts_stream(
     spark: SparkSession,
     source_dir: str,

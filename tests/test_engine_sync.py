@@ -131,3 +131,36 @@ def test_multi_source_fan_in(spark, warehouse):
     assert checkpoint.get_last_synced(warehouse, "src_b", "employees") == dt.datetime(
         2024, 1, 5
     )
+
+
+def test_ge_dedup_mode_recovers_equal_timestamp_straggler(spark, warehouse):
+    """T5: strict $gt loses a row that lands with ts == checkpoint
+    after the sync; ge_dedup re-reads the boundary and the keyed merge
+    collapses the replay."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.config import Settings
+    from qms_datawarehouse_spark.engine import sync_dataframe
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = spark.createDataFrame(
+        [{"_id": "a", "v": 1}], "`_id` string, v long"
+    ).withColumn("updated_at", F.lit(t).cast("timestamp"))
+    sync_dataframe(warehouse, batch1, "s", "straggler")
+
+    # a second row commits with the SAME timestamp after the first sync
+    batch2 = spark.createDataFrame(
+        [{"_id": "a", "v": 1}, {"_id": "b", "v": 2}], "`_id` string, v long"
+    ).withColumn("updated_at", F.lit(t).cast("timestamp"))
+
+    strict = sync_dataframe(warehouse, batch2, "s", "straggler")
+    assert strict.records_synced == 0  # reference semantics: lost
+
+    ge = sync_dataframe(
+        warehouse, batch2, "s", "straggler", settings=Settings(delta_mode="ge_dedup")
+    )
+    assert ge.records_synced == 2  # boundary re-read
+    rows = {r["_id"]: r["v"] for r in warehouse.read("straggler").collect()}
+    assert rows == {"a": 1, "b": 2}  # replayed 'a' collapsed by the merge

@@ -153,3 +153,38 @@ def test_stateful_running_totals_across_batches(spark, stream_dirs):
         (t + dt.timedelta(hours=2)).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
     )
     assert latest[200]["n_events"] == 1
+
+
+def test_streaming_dedup_within_watermark(spark, stream_dirs):
+    from qms_datawarehouse_spark.streaming.sync import deduped_stream
+
+    src, ckpt = stream_dirs
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # duplicate event_id=1 inside one batch + a replay in batch 2
+    _events_df(spark, [
+        (1, t, 100, "click", 1.0, None),
+        (1, t, 100, "click", 1.0, None),
+        (2, t + dt.timedelta(minutes=1), 101, "view", 2.0, None),
+    ]).write.parquet(f"{src}/b1")
+
+    q = (
+        deduped_stream(spark, f"{src}/*")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _events_df(spark, [
+            (1, t, 100, "click", 1.0, None),  # replay across batches
+            (3, t + dt.timedelta(minutes=2), 102, "click", 3.0, None),
+        ]).write.parquet(f"{src}/b2")
+        q.processAllAvailable()
+        ids = sorted(
+            r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()
+        )
+    finally:
+        q.stop()
+    assert ids == [1, 2, 3]  # both the in-batch and cross-batch dup collapsed
