@@ -129,3 +129,36 @@ class ParquetWarehouse:
         """D2 destructive reload (parity: delete_many({}),
         dump.py:187-194)."""
         shutil.rmtree(self.table_dir(table), ignore_errors=True)
+
+    # -- maintenance ---------------------------------------------------
+
+    def compact(
+        self,
+        table: str,
+        sort_col: str | None = None,
+        files_per_partition: int = 1,
+    ) -> str:
+        """Rewrite the current version with consolidated files.
+
+        Frequent small incremental merges accrete small files — the
+        classic streaming-warehouse pathology (at 100 TB, scan cost is
+        dominated by file-open overhead once files are ≪ the parquet
+        row-group size). Compaction rewrites each bucket partition
+        into ``files_per_partition`` files; with ``sort_col`` set,
+        rows are sorted within files so parquet min/max stats give
+        point lookups row-group skipping (poor-man's clustering).
+        Readers are never blocked: this is just another atomic
+        version swap.
+        """
+        df = self.read(table)
+        parted = BUCKET_COL in df.columns
+        if parted:
+            df = df.repartition(files_per_partition, BUCKET_COL)
+        else:
+            df = df.coalesce(files_per_partition)
+        if sort_col is not None:
+            cols = ([BUCKET_COL] if parted else []) + [sort_col]
+            df = df.sortWithinPartitions(*cols)
+        return self.write_version(
+            table, df, partition_by=[BUCKET_COL] if parted else None
+        )
