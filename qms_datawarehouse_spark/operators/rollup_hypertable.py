@@ -1,0 +1,185 @@
+"""Hypertable-style hierarchical rollups with incremental maintenance.
+
+Time-series warehouses (TimescaleDB continuous aggregates, Druid
+rollup segments) keep pre-aggregated tables at coarsening resolutions
+and maintain them incrementally as data lands. The reference's A6
+"per-day rates" analytics are exactly this shape one level deep; here
+the cascade is explicit and *incrementally maintainable*:
+
+    events ──agg──▶ rollup_1h ──agg──▶ rollup_1d
+
+- Each level stores MERGEABLE partial aggregates (count / sum / min /
+  max — avg derives as sum/count at read time), so level N+1 computes
+  from level N, never from raw events: a day re-aggregates 24 hourly
+  rows, not 86M raw rows.
+- Incremental update: a delta batch aggregates to per-bucket partials,
+  then MERGES into the stored rollup by (bucket, key): existing and
+  new partials combine with the same associative ops (count+count,
+  sum+sum, min(min), max(max)). Replays are NOT idempotent for
+  count/sum — exactly-once delivery comes from the sync engine's
+  checkpointed delta (strict ``$gt``), same contract the reference
+  relies on for its row counts.
+- At 100 TB: the delta agg shuffles only the batch; the merge touches
+  only the buckets the batch lands in (time-partitioned tables make
+  this partition-pruned: recent buckets only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.plans.registry import query, tables
+from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+PARTIALS = ("n", "value_sum", "value_min", "value_max")
+
+
+def aggregate_to_bucket(events: DataFrame, bucket_len: str) -> DataFrame:
+    """Raw events → partial aggregates per (window bucket, event_type)."""
+    return (
+        events.groupBy(
+            F.window("ts", bucket_len).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", *PARTIALS)
+    )
+
+
+def coarsen(rollup: DataFrame, bucket_len: str) -> DataFrame:
+    """Level N → level N+1: re-aggregate PARTIALS (associative ops
+    only) into coarser buckets. Never touches raw events."""
+    return (
+        rollup.groupBy(
+            F.window("bucket", bucket_len).alias("w"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("value_sum").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", *PARTIALS)
+    )
+
+
+def merge_partials(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Combine two partial-aggregate tables by (bucket, event_type)
+    with the partials' own associative ops — a full-outer merge, no
+    recompute of untouched buckets."""
+    e = existing.select(
+        "bucket", "event_type", *[F.col(c).alias(f"e_{c}") for c in PARTIALS]
+    )
+    d = delta.select(
+        "bucket", "event_type", *[F.col(c).alias(f"d_{c}") for c in PARTIALS]
+    )
+    j = e.join(d, ["bucket", "event_type"], "full_outer")
+    return j.select(
+        "bucket",
+        "event_type",
+        (F.coalesce("e_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
+        (
+            F.coalesce("e_value_sum", F.lit(0.0))
+            + F.coalesce("d_value_sum", F.lit(0.0))
+        ).alias("value_sum"),
+        F.least(
+            F.coalesce("e_value_min", F.col("d_value_min")),
+            F.coalesce("d_value_min", F.col("e_value_min")),
+        ).alias("value_min"),
+        F.greatest(
+            F.coalesce("e_value_max", F.col("d_value_max")),
+            F.coalesce("d_value_max", F.col("e_value_max")),
+        ).alias("value_max"),
+    )
+
+
+def update_rollups(
+    warehouse: ParquetWarehouse,
+    delta_events: DataFrame,
+    hourly_table: str = "rollup_1h",
+    daily_table: str = "rollup_1d",
+) -> None:
+    """Incrementally fold a delta batch into the hourly and daily
+    rollup tables. The daily delta derives from the hourly delta
+    (cascade), so raw events are aggregated exactly once."""
+    delta_1h = aggregate_to_bucket(delta_events, "1 hour").persist()
+    try:
+        for table, delta in (
+            (hourly_table, delta_1h),
+            (daily_table, coarsen(delta_1h, "1 day")),
+        ):
+            if warehouse.table_exists(table):
+                merged = merge_partials(warehouse.read(table), delta)
+            else:
+                merged = delta
+            warehouse.write_version(table, merged)
+    finally:
+        delta_1h.unpersist()
+
+
+@query(
+    "rollup_hierarchy_1d",
+    """
+    WITH h AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+               min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+               max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 DAY, bucket) AS day, event_type,
+           sum(n) AS n,
+           sum(sum_cents) AS sum_cents,
+           sum(sum_cents) // sum(n) AS avg_cents,
+           min(min_cents) AS min_cents,
+           max(max_cents) AS max_cents
+    FROM h GROUP BY 1, 2
+    """,
+)
+def rollup_hierarchy_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stats derived THROUGH the hourly rollup (the cascade's
+    read path): avg reconstructed from sum/count partials — proof the
+    partial-aggregate schema loses nothing the flat query had.
+
+    Monetary partials carried as exact integer CENTS: double sums
+    accumulate in engine-specific order, and round(avg, 4) split Spark
+    vs DuckDB at a half-boundary; int64 sums and floor-div avg are
+    bit-identical everywhere (same rationale as text_quality's basis
+    points)."""
+    (events,) = tables(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n",
+                "sum_cents", "min_cents", "max_cents")
+    )
+    return (
+        hourly.groupBy(F.window("bucket", "1 day").alias("w"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .select(
+            F.col("w.start").alias("day"),
+            "event_type",
+            "n",
+            "sum_cents",
+            F.expr("sum_cents div n").alias("avg_cents"),
+            "min_cents",
+            "max_cents",
+        )
+    )

@@ -6,6 +6,7 @@ the driver."""
 from qms_datawarehouse_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    rollup_hypertable,
     similarity,
     temporal,
     textops,
