@@ -670,3 +670,103 @@ def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "nation")
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING-filtered keys rejoined to detail
+# --------------------------------------------------------------------
+
+
+@query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate::DATE AS order_date,
+           round(o.o_totalprice, 2) AS total_price,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3, 4
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-HAVING produces a key set, which
+    SEMI-join-prunes both fact scans before the detail re-aggregation
+    — the filter runs at order grain, not line grain."""
+    orders, lineitem, customer = tables(
+        spark, sf_dir, "orders", "lineitem", "customer"
+    )
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        lineitem.join(big.withColumnRenamed("l_orderkey", "bk"),
+                      F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q22 shape: anti join + scalar-subquery threshold
+# --------------------------------------------------------------------
+
+
+@query(
+    "q22_idle_customers",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_balance
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+        )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    GROUP BY 1
+    """,
+)
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance (uncorrelated scalar
+    subquery, computed once and broadcast into the filter) and no
+    orders (anti join) — the lost-revenue cohort."""
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("t"))
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(orders.select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
