@@ -251,3 +251,108 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.countDistinct("label").alias("n_labels"),
     )
+
+
+# --------------------------------------------------------------------
+# IVF codebook training: Lloyd's k-means in pure DataFrame ops
+# --------------------------------------------------------------------
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (cosine) via per-row argmax against
+    the broadcast codebook — same no-shuffle shape as the IVF probe."""
+    cents = centroids.select(
+        F.struct(
+            F.col("cent_id"), F.col("cv"), F.col("cnrm")
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (-_dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])).alias(
+                "negcos"
+            ),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    return (
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn("cell_id", F.array_min(scored)["cent_id"])
+        .drop("cents")
+    )
+
+
+def train_codebook(
+    embeddings: DataFrame, k: int = N_CELLS, iterations: int = 3
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, expressed entirely in
+    DataFrame ops (no MLlib dependency, no driver-side math):
+
+    - init: deterministic seed vectors (vec_id < k);
+    - assign: broadcast-codebook argmax (map-side, no shuffle);
+    - update: element-wise centroid means via posexplode →
+      groupBy(cell, dim) → re-assemble sorted arrays.
+
+    Returns (cent_id, cv, cnrm) — the codebook ``similarity_ivf_probe``
+    consumes. At 100 TB you train on a sample (codebook quality needs
+    ~1000·k vectors, not the corpus); assignment of the full corpus is
+    the map-side pass above. Empty cells keep their previous centroid
+    (standard Lloyd's degenerate-cell handling)."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+
+    centroids = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    for _ in range(iterations):
+        assigned = assign_cells(e, centroids)
+        dims = assigned.select(
+            "cell_id", F.posexplode("v").alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("cell_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(
+                F.col("cell_id").alias("cent_id"),
+                "cv",
+                _norm(F.col("cv")).alias("cnrm"),
+            )
+        )
+        # empty cells: keep previous centroid
+        kept = centroids.join(
+            means.select("cent_id"), "cent_id", "left_anti"
+        )
+        centroids = means.unionByName(kept)
+    return centroids
+
+
+def codebook_sse(embeddings: DataFrame, centroids: DataFrame) -> float:
+    """Mean cosine distance of every vector to its assigned centroid —
+    the quantization-quality metric k-means descends."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    assigned = assign_cells(e, centroids)
+    cents = centroids.select(
+        F.col("cent_id").alias("cell_id"), "cv", "cnrm"
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    return (
+        assigned.join(F.broadcast(cents), "cell_id")
+        .select((1.0 - cos).alias("dist"))
+        .agg(F.avg("dist"))
+        .first()[0]
+    )
