@@ -770,3 +770,43 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Unpivot (wide → long) — inverse of the pivot above
+# --------------------------------------------------------------------
+
+
+@query(
+    "unpivot_status_counts",
+    """
+    WITH wide AS (
+        SELECT year(o_orderdate)::BIGINT AS order_year,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY 1
+    )
+    SELECT order_year, status, n FROM (
+        SELECT order_year, 'F' AS status, n_f AS n FROM wide
+        UNION ALL SELECT order_year, 'O', n_o FROM wide
+        UNION ALL SELECT order_year, 'P', n_p FROM wide
+    ) WHERE n > 0
+    """,
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long): the inverse of pivot, via the
+    native ``unpivot`` operator — one Expand node, no join, no
+    repeated scans of the wide table."""
+    wide = pivot_status_by_year(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["order_year"],
+            values=["n_f", "n_o", "n_p"],
+            variableColumnName="status",
+            valueColumnName="n",
+        )
+        .withColumn("status", F.upper(F.expr("substring(status, 3, 1)")))
+        .filter(F.col("n") > 0)
+        .select("order_year", "status", "n")
+    )
