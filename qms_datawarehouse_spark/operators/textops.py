@@ -54,22 +54,28 @@ def _sql_hits(vocab: tuple[str, ...]) -> str:
 # --------------------------------------------------------------------
 
 
+_BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 @query(
     "text_token_stats",
-    """
+    f"""
     WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
     SELECT doc_id,
            strlen(text) AS n_chars,
            len(w) AS n_words,
            len(list_distinct(w)) AS n_distinct_words,
            round(list_sum(list_transform(w, x -> strlen(x))) * 1.0 / len(w), 4)
-               AS avg_word_len
+               AS avg_word_len,
+           len(regexp_extract_all(text, '{_BPE_ISH}')) AS n_subword_tokens
     FROM t
     """,
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct vocab, mean token
-    length — all array higher-order functions, zero UDFs."""
+    length, and a BPE-ish pre-tokenizer count (letter runs / single
+    digits / punctuation — the GPT-2 pre-tokenizer's shape) — all
+    array/regex built-ins, zero UDFs."""
     (documents,) = tables(spark, sf_dir, "documents")
     w = _words(F.col("text"))
     return documents.select(
@@ -83,6 +89,15 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(w),
             4,
         ).alias("avg_word_len"),
+        # Spark SQL string literals process backslash escapes (DuckDB's
+        # don't) — double them or \s silently becomes the letter s
+        F.size(
+            F.expr(
+                f"regexp_extract_all(text, '{_BPE_ISH.replace(chr(92), chr(92) * 2)}', 0)"
+            )
+        )
+        .cast("long")
+        .alias("n_subword_tokens"),
     )
 
 

@@ -810,3 +810,210 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .select("order_year", "status", "n")
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume by year
+# --------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_trade",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate)::BIGINT AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
+        OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral flows — nation dim joined TWICE under
+    different roles (supplier side, customer side), the disjunctive
+    country pair filter applied after both broadcasts."""
+    lineitem, orders, customer, supplier, nation = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+        )
+        .join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_nationkey").join(
+                    F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                customer.select("c_custkey", "c_nationkey").join(
+                    F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q8 shape: market share (conditional share of total)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT year(o.o_orderdate)::BIGINT AS order_year,
+           round(sum(CASE WHEN sn.n_name = 'BRAZIL'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+               AS brazil_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'AMERICA'
+    GROUP BY 1
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year
+    — conditional numerator over the same aggregate pass, nation dim
+    again in two roles."""
+    lineitem, orders, customer, supplier, nation, region = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation",
+        "region",
+    )
+    amer_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_nationkey").join(
+                    F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                customer.select("c_custkey", "c_nationkey").join(
+                    F.broadcast(amer_nations),
+                    F.col("c_nationkey") == F.col("cn_key"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "BRAZIL", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("brazil_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by nation and year
+# --------------------------------------------------------------------
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT sn.n_name AS nation, year(o.o_orderdate)::BIGINT AS order_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY 1, 2
+    """,
+)
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (fixture carries no ps_supplycost — profit is
+    discounted revenue): LIKE-filtered part dim broadcast FIRST so the
+    fact shrinks before the orders join."""
+    lineitem, part, orders, supplier, nation = tables(
+        spark, sf_dir, "lineitem", "part", "orders", "supplier", "nation"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("%green%")).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_nationkey").join(
+                    F.broadcast(nation.select("n_nationkey", "n_name")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
