@@ -1017,3 +1017,84 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# W4: first_value / last_value over frames
+# --------------------------------------------------------------------
+
+
+@query(
+    "w4_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), 2) AS latest_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 navigation functions: customer's first / latest / second
+    order price — running frame for first/nth (history-so-far), full
+    frame for latest."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfull = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.filter(F.col("o_custkey") <= 200).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("latest_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+# --------------------------------------------------------------------
+# Map functions over JSON props
+# --------------------------------------------------------------------
+
+
+@query(
+    "map_functions_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS n_distinct_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/JSON surface: props parsed into MapType, values extracted
+    and aggregated — the dynamic-document field access pattern the
+    reference's JSON-blob columns require (transform.py:33-42)."""
+    (events,) = tables(spark, sf_dir, "events")
+    m = events.filter(F.col("props").isNotNull()).select(
+        "event_type",
+        F.from_json("props", "map<string,bigint>").alias("p"),
+    )
+    return m.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.element_at("p", "k")).alias("sum_k"),
+        F.countDistinct(F.element_at("p", "k")).alias("n_distinct_k"),
+    )
