@@ -188,3 +188,36 @@ def test_streaming_dedup_within_watermark(spark, stream_dirs):
     finally:
         q.stop()
     assert ids == [1, 2, 3]  # both the in-batch and cross-batch dup collapsed
+
+
+def test_stream_stream_interval_join(spark, stream_dirs):
+    from qms_datawarehouse_spark.streaming.joins import clicks_with_purchases
+
+    src, ckpt = stream_dirs
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    _events_df(spark, [
+        (1, t, 100, "click", 0.0, None),
+        (2, t + dt.timedelta(minutes=20), 100, "purchase", 9.5, None),   # in window
+        (3, t + dt.timedelta(hours=2), 100, "purchase", 1.0, None),      # too late
+        (4, t + dt.timedelta(minutes=10), 200, "purchase", 5.0, None),   # other user
+        (5, t + dt.timedelta(minutes=5), 300, "click", 0.0, None),       # no purchase
+    ]).write.parquet(f"{src}/b1")
+
+    joined = clicks_with_purchases(spark, f"{src}/*")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ssj_out").collect()
+    finally:
+        q.stop()
+
+    assert len(rows) == 1
+    assert rows[0]["click_id"] == 1
+    assert rows[0]["purchase_id"] == 2
+    assert rows[0]["purchase_value"] == pytest.approx(9.5)
