@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.config import Settings
 from qms_datawarehouse_spark.operators import checkpoint, history
-from qms_datawarehouse_spark.operators.merge import merge_upsert
+from qms_datawarehouse_spark.operators.merge import merge_upsert_stats
 from qms_datawarehouse_spark.transform import clean_records
 from qms_datawarehouse_spark.warehouse import ParquetWarehouse
 
@@ -82,12 +82,18 @@ def sync_dataframe(
         delta = delta_filter(source_df, cursor_col, last, settings.delta_mode)
         cleaned = clean_records(delta, source_name=source_name)
 
-        # A1: running max of the cursor — one agg alongside the merge.
-        # (Computed on the delta before merge; None when batch empty.)
-        hwm_row = cleaned.agg(F.max(cursor_col).alias("hwm")).first()
-        hwm = hwm_row["hwm"] if hwm_row else None
+        # The checkpoint contract REQUIRES the cursor column — fail
+        # hard (etl.py:77-84: no silent fallback), leaving a FAILED
+        # history row via the except path below.
+        if cursor_col not in cleaned.columns:
+            raise ValueError(
+                f"cursor column {cursor_col!r} missing from delta for "
+                f"{source_name}.{collection}"
+            )
 
-        n = merge_upsert(
+        # A1 rides the merge's own count aggregation (merge_upsert_stats)
+        # — no separate max() pass over the delta.
+        n, hwm = merge_upsert_stats(
             warehouse, collection, cleaned, key=key, order_col=cursor_col
         )
 

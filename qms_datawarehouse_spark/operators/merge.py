@@ -84,25 +84,52 @@ def merge_upsert(
     Empty-batch short-circuit (P6 parity, etl.py:23-24); fail-hard on
     error — no silent append fallback (etl.py:77-84).
     """
+    return merge_upsert_stats(
+        warehouse, table, updates, key=key, order_col=order_col,
+        n_buckets=n_buckets,
+    )[0]
+
+
+def merge_upsert_stats(
+    warehouse: ParquetWarehouse,
+    table: str,
+    updates: DataFrame,
+    key: str = "_id",
+    order_col: str | None = "updated_at",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[int, object]:
+    """``merge_upsert`` returning ``(rows_merged, cursor_high_water)``.
+
+    The high-water mark (A1) rides the SAME aggregation as the row
+    count (A2) over the cached batch — the sync engine needs both, and
+    computing the max in its own pass would scan the delta twice.
+    """
     # Empty guard via take(1), not isEmpty(): isEmpty() prunes the
     # required schema to zero data columns, which Spark rejects on raw
     # JSON scans filtered by _corrupt_record (QUERY_ONLY_CORRUPT_
     # RECORD_COLUMN). take(1) keeps full-row references and stops at
     # the first row found.
     if not updates.take(1):
-        return 0
+        return 0, None
 
     batch = dedup_last_write_wins(updates, key, order_col)
-    batch = with_bucket(batch, key, n_buckets)
+    # Persist BEFORE any action: the dedup window + bucket hash compute
+    # once; the touched-bucket scan, the stats agg, and the version
+    # write all read the cache.
+    batch = with_bucket(batch, key, n_buckets).persist()
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    has_cursor = order_col is not None and order_col in batch.columns
+    if has_cursor:
+        aggs.append(F.max(order_col).alias("hwm"))
+    row = batch.agg(*aggs).first()
+    n, hwm = int(row["n"]), (row["hwm"] if has_cursor else None)
 
     if not warehouse.table_exists(table):
-        # Create-on-first-write (S11). Cache to avoid recomputing the
-        # dedup window for the count.
-        batch = batch.persist()
-        n = batch.count()
+        # Create-on-first-write (S11).
         warehouse.write_version(table, batch, partition_by=[BUCKET_COL])
         batch.unpersist()
-        return n
+        return n, hwm
 
     target = warehouse.read(table)
 
@@ -113,7 +140,7 @@ def merge_upsert(
     untouched = target.filter(~F.col(BUCKET_COL).isin(touched))
     contested = target.filter(F.col(BUCKET_COL).isin(touched))
 
-    if order_col is not None and order_col in batch.columns:
+    if has_cursor:
         # Order-aware resolution: the newest row by cursor wins across
         # target ∪ updates, so an at-least-once replay (or an
         # out-of-order late batch) can never regress newer state —
@@ -139,11 +166,9 @@ def merge_upsert(
         resolved = survivors.unionByName(batch, allowMissingColumns=True)
 
     merged = untouched.unionByName(resolved, allowMissingColumns=True)
-    batch = batch.persist()
-    n = batch.count()
     warehouse.write_version(table, merged, partition_by=[BUCKET_COL])
     batch.unpersist()
-    return n
+    return n, hwm
 
 
 def merge_dataframes(
