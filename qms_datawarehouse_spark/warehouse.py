@@ -130,6 +130,34 @@ class ParquetWarehouse:
         dump.py:187-194)."""
         shutil.rmtree(self.table_dir(table), ignore_errors=True)
 
+    def write_time_partitioned(
+        self,
+        table: str,
+        df: DataFrame,
+        ts_col: str,
+        grain: str = "day",
+    ) -> str:
+        """Write a time-series table partitioned by event date —
+        the layout for append-mostly fact tables (events, tickets).
+
+        Date-range predicates then prune whole partition directories
+        (PartitionFilters in the scan, asserted in
+        tests/test_plans_scale.py) — at 100 TB a one-day query reads
+        1/retention of the table before any row is touched. Combine
+        with bucket-partitioning only when a table needs BOTH keyed
+        merges and time pruning (partitionBy(date, bucket)).
+        """
+        from pyspark.sql import functions as F
+
+        part = {"day": F.to_date(ts_col), "month": F.date_trunc("month", ts_col)}[
+            grain
+        ].cast("date")
+        return self.write_version(
+            table,
+            df.withColumn("_event_date", part),
+            partition_by=["_event_date"],
+        )
+
     # -- maintenance ---------------------------------------------------
 
     def compact(

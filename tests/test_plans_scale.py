@@ -111,3 +111,24 @@ def test_scan_agg_queries_whole_stage_codegen(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # "*(n)" prefixes are WholeStageCodegen spans in the compact form
     assert "*(" in plan
+
+
+def test_time_partitioned_write_prunes_partitions(spark, warehouse):
+    """A date predicate on a time-partitioned table must prune whole
+    partition directories (PartitionFilters), not filter rows."""
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.plans.registry import tables
+
+    (events,) = tables(spark, SF_DIR, "events")
+    warehouse.write_time_partitioned("events_td", events, ts_col="ts")
+
+    df = warehouse.read("events_td").filter(
+        F.col("_event_date") == "2024-01-05"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_event_date" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # row results still correct
+    n_direct = events.filter(F.to_date("ts") == "2024-01-05").count()
+    assert df.count() == n_direct
