@@ -5,6 +5,7 @@ the driver."""
 
 from qms_datawarehouse_spark.operators import (  # noqa: F401
     dedup,
+    grouped_pandas,
     multimodal,
     rollup_hypertable,
     similarity,
