@@ -356,3 +356,36 @@ def codebook_sse(embeddings: DataFrame, centroids: DataFrame) -> float:
         .agg(F.avg("dist"))
         .first()[0]
     )
+
+
+# --------------------------------------------------------------------
+# Scalar @pandas_udf alternative kernel (U0 vectorized form)
+# --------------------------------------------------------------------
+
+
+def cosine_pandas_udf():
+    """Arrow-vectorized cosine against a closure-captured query vector
+    — the @pandas_udf form of the zip_with fold used everywhere else.
+    Built-ins win below ~10⁴ dims (no Python round-trip); the pandas
+    form wins when the kernel needs numpy/BLAS (large dims, batched
+    matrix ops). Equivalence is pinned in tests/test_codebook.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def make(query_vec: list[float]):
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = float(np.sqrt((q * q).sum()))
+
+        def cos(v):
+            m = np.stack(v.to_numpy())  # (batch, dim) — one BLAS call
+            dots = m @ q
+            norms = np.sqrt((m * m).sum(axis=1))
+            return pd.Series(dots / (norms * qn))
+
+        # module uses `from __future__ import annotations` (string
+        # hints, which pandas_udf can't infer) — set real ones
+        cos.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        return pandas_udf("double")(cos)
+
+    return make

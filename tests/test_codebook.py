@@ -38,3 +38,37 @@ def test_training_reduces_quantization_error(spark):
     # training must actually move the centroids
     one_more = train_codebook(embeddings, iterations=3)
     assert codebook_sse(embeddings, one_more) <= trained_err + 1e-9
+
+
+def test_pandas_udf_cosine_matches_builtin(spark):
+    """The vectorized @pandas_udf kernel must agree with the JVM-side
+    zip_with fold to float tolerance."""
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.similarity import (
+        _dot,
+        cosine_pandas_udf,
+    )
+
+    (embeddings,) = tables(spark, SF_DIR, "embeddings")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    qrow = e.filter(F.col("vec_id") == 0).first()
+    qv, qn = list(qrow["v"]), qrow["nrm"]
+
+    builtin = F.aggregate(
+        F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in qv]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("nrm") * F.lit(qn))
+    cos_udf = cosine_pandas_udf()(qv)
+
+    out = e.select(
+        "vec_id",
+        builtin.alias("jvm"),
+        cos_udf(F.col("v")).alias("pandas"),
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert abs(r["jvm"] - r["pandas"]) < 1e-9, r["vec_id"]
