@@ -631,3 +631,33 @@ def iso_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("long").alias("order_year"),
         F.month("o_orderdate").cast("long").alias("order_month"),
     )
+
+
+# --------------------------------------------------------------------
+# A2-A4: row counts (sync/progress/verification counters)
+# --------------------------------------------------------------------
+
+
+@query(
+    "a2_row_counts",
+    """
+    SELECT 'orders' AS tbl, count(*) AS n FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    """,
+)
+def row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A4 (etl.py:217,239; dump.py:48-58,227): the count family —
+    records-synced, pre-scan progress totals, post-load verification —
+    as one multi-table count. Parquet count() reads footer metadata,
+    not data."""
+    out = None
+    for name in ("orders", "lineitem", "customer", "events", "documents"):
+        (t,) = tables(spark, sf_dir, name)
+        part = t.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("tbl"), "n"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -221,3 +221,51 @@ def test_stream_stream_interval_join(spark, stream_dirs):
     assert rows[0]["click_id"] == 1
     assert rows[0]["purchase_id"] == 2
     assert rows[0]["purchase_value"] == pytest.approx(9.5)
+
+
+def test_native_session_window_stream(spark, stream_dirs):
+    """T9 session windows in STREAMING mode via F.session_window —
+    dynamic gap-based windows with watermark-bounded state (the batch
+    twin is t9_sessionization)."""
+    src, ckpt = stream_dirs
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    _events_df(spark, [
+        (1, t, 100, "click", 1.0, None),
+        (2, t + dt.timedelta(minutes=3), 100, "click", 1.0, None),   # same session
+        (3, t + dt.timedelta(minutes=30), 100, "click", 1.0, None),  # new session
+        (4, t + dt.timedelta(minutes=1), 200, "view", 1.0, None),
+    ]).write.parquet(f"{src}/b1")
+
+    from qms_datawarehouse_spark.streaming.sync import EVENTS_SCHEMA
+
+    sessions = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["user_id"], r["session_start"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+
+    assert rows[(100, t)] == 2  # events 3 min apart merged into one session
+    assert rows[(100, t + dt.timedelta(minutes=30))] == 1
+    assert rows[(200, t + dt.timedelta(minutes=1))] == 1
