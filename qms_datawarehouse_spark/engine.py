@@ -133,9 +133,25 @@ def sync_all(
     **kwargs,
 ) -> list[SyncResult]:
     """T7 multi-source fan-in: sequential per-source keyed upsert into
-    one table, independent checkpoints per source name (parity:
-    src/main.py:36-43) — semantically a keyed union (D3)."""
+    one table, independent checkpoints per source name — with
+    per-source exception ISOLATION (parity: src/main.py:40-43 — one
+    failing source must not block the rest). Failures surface as
+    zero-row results with a FAILED message; the audit trail already
+    holds the FAILED history row from sync_dataframe's except path."""
     results = []
     for name, df in sources.items():
-        results.append(sync_dataframe(warehouse, df, name, collection, **kwargs))
+        try:
+            results.append(
+                sync_dataframe(warehouse, df, name, collection, **kwargs)
+            )
+        except Exception as exc:  # noqa: BLE001 — isolate per source
+            results.append(
+                SyncResult(
+                    source=name,
+                    collection=collection,
+                    records_synced=0,
+                    duration_sec=0.0,
+                    message=f"FAILED: {exc}"[:500],
+                )
+            )
     return results

@@ -164,3 +164,22 @@ def test_ge_dedup_mode_recovers_equal_timestamp_straggler(spark, warehouse):
     assert ge.records_synced == 2  # boundary re-read
     rows = {r["_id"]: r["v"] for r in warehouse.read("straggler").collect()}
     assert rows == {"a": 1, "b": 2}  # replayed 'a' collapsed by the merge
+
+
+def test_sync_all_isolates_per_source_failure(spark, warehouse):
+    """T7: a failing source must not block the remaining sources
+    (reference isolates per-pair exceptions, main.py:40-43)."""
+    from qms_datawarehouse_spark.engine import sync_all
+
+    good = _seed(spark)
+    bad = good.drop("updated_at")  # cursor missing -> hard failure
+    results = sync_all(
+        warehouse, {"bad_src": bad, "good_src": good}, "iso"
+    )
+    assert len(results) == 2
+    assert results[0].records_synced == 0
+    assert results[0].message.startswith("FAILED")
+    assert results[1].records_synced == good.count()
+    assert warehouse.read("iso").count() == good.count()
+    statuses = [r["status"] for r in history.read_history(warehouse).collect()]
+    assert "FAILED" in statuses and "SUCCESS" in statuses
