@@ -28,11 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qms_datawarehouse_spark.plans.registry import query, tables
+from qms_datawarehouse_spark.plans.registry import query, spread, tables
 
 N_MINHASH = 8  # signature length
 N_BANDS = 4  # bands of 2 rows each
 JACCARD_THRESHOLD = 0.5
+
+
+_spread = spread  # CPU-bound stages need input parallelism, see registry
 
 
 def _shingled(documents: DataFrame) -> DataFrame:
@@ -43,6 +46,7 @@ def _shingled(documents: DataFrame) -> DataFrame:
     re-tokenizes the document once per shingle (O(words²) per doc;
     measured 10× slower at sf0.1).
     """
+    documents = _spread(documents)
     return documents.select(
         "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("w")
     ).select(
@@ -360,7 +364,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking (pigeonhole: hamming ≤ 3 over 4 bands ⇒ one band
     identical) turns all-pairs hamming into a bucket join."""
     (documents,) = tables(spark, sf_dir, "documents")
-    words = documents.select(
+    words = _spread(documents).select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.lower(F.col("text")), " ", -1))

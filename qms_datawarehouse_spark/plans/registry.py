@@ -110,3 +110,16 @@ def events_delta(spark: SparkSession, sf_dir: str, ts_gt: str | None = None):
         cut_ns = int(cut.timestamp()) * 1_000_000_000
         df = df.filter(F.col("ts") > F.lit(cut_ns))
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def spread(df):
+    """Repartition up to cluster parallelism when the source arrived in
+    fewer partitions (single small parquet file → one partition → any
+    CPU-bound per-row stage runs on ONE core). Moves only the raw rows
+    and only when needed; a multi-file corpus at scale already has
+    ≥ parallelism partitions and skips the shuffle entirely.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
