@@ -126,3 +126,24 @@ def corrupt_count(df: DataFrame, corrupt_col: str = "_corrupt_record") -> int:
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star text corpus (doc_id, text, lang, source, n_chars)."""
     return load_fixture(spark, sf_dir, "documents")
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
+    """Register every fixture table as a temp view so plain
+    ``spark.sql`` works — the reference's users query the warehouse in
+    raw SQL (PostgreSQL); this is the equivalent front door here.
+    Views are lazy: registration reads only parquet footers.
+    """
+    import os
+
+    from qms_datawarehouse_spark.plans.registry import tables as _load
+
+    names = [
+        f[: -len(".parquet")]
+        for f in sorted(os.listdir(sf_dir))
+        if f.endswith(".parquet")
+    ]
+    for n in names:
+        (df,) = _load(spark, sf_dir, n)
+        df.createOrReplaceTempView(prefix + n)
+    return [prefix + n for n in names]

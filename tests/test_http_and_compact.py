@@ -56,3 +56,21 @@ def test_compact_consolidates_files_and_preserves_rows(spark, warehouse):
     )
     assert files_after <= files_before
     assert files_after <= 4  # one file per touched bucket
+
+
+def test_register_views_sql_front_door(spark):
+    from qms_datawarehouse_spark.sources.readers import register_views
+
+    from conftest import SF_DIR
+
+    views = register_views(spark, SF_DIR)
+    assert "orders" in views and "lineitem" in views
+    out = spark.sql(
+        """
+        SELECT c.c_mktsegment, count(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """
+    ).collect()
+    assert len(out) == 5
+    assert sum(r["n"] for r in out) == spark.table("orders").count()
