@@ -7,11 +7,11 @@ Spark-first and (where SQL-expressible) oracle-checked against DuckDB:
 - **n-gram Jaccard**: 3-word shingles → shared-shingle candidate pairs
   → exact Jaccard verify. The self-join is on the shingle key, so
   cost is Σ(docs-per-shingle²), not corpus²;
-- **MinHash + LSH**: per-doc minhash signatures (min of seeded md5
-  over shingles), banded; only band-collisions become candidates —
-  the 100 TB path, because candidate generation is a bucket join, not
-  a cross join. md5-based signatures keep the oracle cross-engine
-  deterministic;
+- **MinHash + LSH**: per-doc minhash signatures (one md5 per shingle
+  sliced into eight 16-bit hash slots, minimized in a single fold),
+  banded; only band-collisions become candidates — the 100 TB path,
+  because candidate generation is a bucket join, not a cross join.
+  md5-based signatures keep the oracle cross-engine deterministic;
 - **SimHash**: 32-bit sign-aggregated token hashes; pigeonhole band
   blocking (4×8 bits) guarantees recall for hamming ≤ 3;
 - **embedding cosine**: exact pairwise over a block (the brute-force

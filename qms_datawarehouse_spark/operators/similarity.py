@@ -3,12 +3,19 @@
 - ``similarity_topk_cosine``: brute-force top-k against a query
   vector — the exact baseline. Distributed shape: broadcast the query
   vector, score every row (one scan, no shuffle), TakeOrdered top-k.
-- ``similarity_ann_lsh``: random-hyperplane LSH bucketing — the scale
-  path. Hyperplanes are derived deterministically from md5, so bucket
-  assignment is reproducible; search cost drops from O(N) to
+- ``similarity_ivf_probe``: IVF coarse quantization + nprobe cell
+  pruning + exact rerank, fully oracle-checked (deterministic seed
+  codebook); ``train_codebook`` is the DataFrame-native Lloyd's
+  k-means that produces a real codebook, ``assign_cells`` the
+  map-side full-corpus assignment.
+- ``similarity_ann_lsh``: random-hyperplane LSH bucketing — the other
+  scale path. Hyperplanes are derived deterministically from md5, so
+  bucket assignment is reproducible; search cost drops from O(N) to
   O(bucket). Registered rows-only (the bucketing math is not worth
   expressing in SQL; the exact baseline above is the oracle-checked
   kernel).
+- ``cosine_pandas_udf``: the Arrow-vectorized @pandas_udf form of the
+  cosine kernel, equivalence-tested against the JVM fold.
 
 At 100 TB: the query vector (or batch of query vectors) broadcasts;
 candidate scoring is a map-side zip_with fold inside codegen; top-k
