@@ -1262,3 +1262,111 @@ def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact
+# --------------------------------------------------------------------
+
+@query(
+    "q21_sole_late_supplier",
+    """
+    SELECT s.s_name, count(*) AS n_waiting_orders
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: lateness = shipped >60d after order):
+    suppliers who were the ONLY late supplier on a multi-supplier
+    order. The two correlated subqueries de-correlate into one
+    order-grain aggregate — per order: distinct suppliers and distinct
+    LATE suppliers — joined back; three scans become two."""
+    supplier, lineitem, orders = tables(
+        spark, sf_dir, "supplier", "lineitem", "orders"
+    )
+    o = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supps"),
+    )
+    # l1 grain, matching the SQL's count(*): a supplier with two late
+    # lines on one order counts twice
+    waiting = (
+        li.filter(late)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .select("l_orderkey", "l_suppkey")
+    )
+    return (
+        waiting.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_waiting_orders"))
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q16 shape: NOT IN subquery + conditional distinct count
+# --------------------------------------------------------------------
+
+
+@query(
+    "q16_part_supplier_counts",
+    """
+    SELECT p.p_brand AS brand, p.p_size AS size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part bucket,
+    excluding a NOT-IN denylist (negative-balance suppliers). NOT IN
+    is a null-aware anti join; the denylist is tiny → broadcast."""
+    lineitem, part, supplier = tables(spark, sf_dir, "lineitem", "part", "supplier")
+    deny = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(deny), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_type") != "PROMO").select(
+                    "p_partkey", "p_brand", "p_size"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
