@@ -661,3 +661,58 @@ def row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# --------------------------------------------------------------------
+# User-activity report: the staff report's shape on the event domain
+# --------------------------------------------------------------------
+
+
+@query(
+    "user_activity_report",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS day_cents,
+               count(DISTINCT event_type) AS day_types
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           sum(n) AS total_events,
+           round(avg(n), 4) AS avg_events_per_day,
+           min(n) AS min_events_per_day,
+           max(n) AS max_events_per_day,
+           sum(day_cents) AS total_cents,
+           sum(day_cents) // sum(n) AS avg_cents,
+           max(day_types) AS max_daily_types
+    FROM daily GROUP BY 1
+    """,
+)
+def user_activity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's two-level aggregation shape on the EVENT domain
+    (per-user daily rates + value stats) — proof the staff-report
+    pattern generalizes beyond the order fixtures. Same determinism
+    discipline: monetary partials in exact integer cents, avg via
+    int64 floor division."""
+    (events,) = tables(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("day_cents"),
+        F.countDistinct("event_type").alias("day_types"),
+    )
+    return (
+        daily.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("total_events"),
+            F.round(F.avg("n"), 4).alias("avg_events_per_day"),
+            F.min("n").alias("min_events_per_day"),
+            F.max("n").alias("max_events_per_day"),
+            F.sum("day_cents").alias("total_cents"),
+            F.expr("sum(day_cents) div sum(n)").alias("avg_cents"),
+            F.max("day_types").alias("max_daily_types"),
+        )
+    )
