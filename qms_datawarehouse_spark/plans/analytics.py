@@ -716,3 +716,70 @@ def user_activity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day_types").alias("max_daily_types"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# F-suite 2: broad scalar built-in coverage (string / date / math)
+# --------------------------------------------------------------------
+
+
+@query(
+    "f_scalar_suite2",
+    """
+    SELECT o_orderkey,
+           upper(o_orderstatus) AS status_upper,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+           reverse(o_orderpriority) AS prio_rev,
+           replace(o_orderpriority, '-', '_') AS prio_snake,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           length(o_orderpriority) AS prio_len,
+           concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+           CAST(floor(abs(o_totalprice - 150000)) AS BIGINT) AS dist_from_150k,
+           CAST(sign(o_totalprice - 150000) AS BIGINT) AS above_150k,
+           mod(o_orderkey, 7) AS key_mod7,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+               AS days_since_1995
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def scalar_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broad scalar built-in coverage beyond the reference's own F1-F11
+    (a warehouse user's day-to-day function surface): string case /
+    pad / reverse / replace / substr / concat, integer math, date
+    part extraction, truncation, month boundaries, interval
+    arithmetic, day differences — all JVM built-ins, all matched
+    against DuckDB's implementations."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_custkey") <= 100).select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.reverse("o_orderpriority").alias("prio_rev"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("prio_snake"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.floor(F.abs(F.col("o_totalprice") - 150000)).alias("dist_from_150k"),
+        F.signum(F.col("o_totalprice") - 150000).cast("long").alias("above_150k"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).cast("date").alias(
+            "due_date"
+        ),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since_1995"),
+    )
