@@ -491,3 +491,105 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _COSINE_THRESHOLD)
         .select("doc_a", "doc_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------
+# Dup-cluster canonicalization: connected components over near-dup
+# pairs (iterative min-label propagation)
+# --------------------------------------------------------------------
+
+_MAX_CC_ITERS = 20  # ≥ graph diameter; near-dup clusters are shallow
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM sx GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs),
+    bl AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, b{j} AS bv FROM bands" for j in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bl a JOIN bl b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b
+        WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS doc, doc_id AS peer FROM documents
+        UNION
+        SELECT r.doc, s.b FROM reach r JOIN sym s ON r.peer = s.a
+    )
+    SELECT doc, min(peer) AS cluster_id FROM reach GROUP BY doc
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: pairs alone don't dedup a corpus — a
+    keep-one-per-group decision needs connected components over the
+    pair graph. Implemented as iterative min-label propagation in
+    DataFrames (labels converge to each component's min doc_id);
+    the oracle is a DuckDB recursive-CTE transitive closure over the
+    SAME LSH-verified edges, so the entire shingle→LSH→verify→cluster
+    pipeline is cross-engine checked.
+
+    Scale: each iteration is one join + one aggregate on (node, label)
+    — O(E) per round, diameter-bounded rounds (near-dup clusters are
+    shallow); the loop breaks as soon as a round changes nothing.
+    This is the standard large-graph CC shape (label propagation), not
+    a driver-side union-find."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    (documents,) = tables(spark, sf_dir, "documents")
+
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+
+    labels = documents.select(
+        F.col("doc_id").alias("doc"), F.col("doc_id").alias("label")
+    ).persist()
+
+    for _ in range(_MAX_CC_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.doc)
+            .groupBy(F.col("doc_a").alias("doc"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc")
+            .filter(F.col("label") != F.col("old"))
+            .take(1)
+        )
+        labels.unpersist()
+        labels = new_labels
+        if not changed:
+            break
+
+    out = labels.select("doc", F.col("label").alias("cluster_id"))
+    sym.unpersist()
+    return out
