@@ -1370,3 +1370,38 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------
+# W4: rank-family window functions
+# --------------------------------------------------------------------
+
+
+@query(
+    "w4_rank_family",
+    """
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER w AS drk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 rank family: dense_rank / ntile / percent_rank / cume_dist
+    over a fully-tiebroken per-customer ordering — the remaining
+    analytic-window surface (row_number and lag/lead live in their own
+    queries)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.filter(F.col("o_custkey") <= 100).select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
