@@ -49,6 +49,10 @@ HEADLINE = [
     "asof_join_last_purchase",
     "range_join_purchases_1h",
     "q5_region_revenue",
+    "q13_order_distribution",
+    "quantile_order_value",
+    "rollup_hierarchy_1d",
+    "dedup_clusters",
 ]
 
 

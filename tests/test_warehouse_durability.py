@@ -1,0 +1,47 @@
+"""Durability properties of the versioned warehouse: a half-written
+version is invisible (atomic pointer swap), and concurrent readers of
+a superseded version survive GC (keep_versions retention)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _df(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id").alias("_id"), F.lit(tag).alias("tag")
+    )
+
+
+def test_partial_write_is_invisible(spark, warehouse):
+    warehouse.write_version("t", _df(spark, 5, "v1"))
+
+    # simulate a crashed writer: version dir exists, pointer never moved
+    tdir = warehouse.table_dir("t")
+    crashed = os.path.join(tdir, "v_deadbeef0000")
+    os.makedirs(os.path.join(crashed, "partial"), exist_ok=True)
+
+    out = warehouse.read("t")
+    assert out.count() == 5
+    assert {r["tag"] for r in out.collect()} == {"v1"}
+
+
+def test_concurrent_reader_survives_one_gc_cycle(spark, warehouse):
+    warehouse.write_version("t", _df(spark, 3, "old"))
+    old_reader = warehouse.read("t")  # lazy — resolves the old dir
+
+    warehouse.write_version("t", _df(spark, 4, "new"), keep_versions=2)
+    # old version retained (keep=2) → the in-flight reader still works
+    assert old_reader.count() == 3
+    assert warehouse.read("t").count() == 4
+
+
+def test_gc_eventually_removes_stale_versions(spark, warehouse):
+    for i in range(5):
+        warehouse.write_version("t", _df(spark, i + 1, f"v{i}"), keep_versions=1)
+    tdir = warehouse.table_dir("t")
+    versions = [d for d in os.listdir(tdir) if d.startswith("v_")]
+    assert len(versions) <= 2  # current + 1 retained
+    assert warehouse.read("t").count() == 5
