@@ -23,5 +23,41 @@ PySpark DataFrame API and Catalyst/Tungsten pick the physical strategy.
 from qms_datawarehouse_spark.config import Settings
 from qms_datawarehouse_spark.session import get_spark
 
-__all__ = ["Settings", "get_spark"]
+
+def __getattr__(name: str):
+    """Lazy top-level API (avoids importing the full query library —
+    and with it a SparkSession dependency chain — on bare import)."""
+    lazy = {
+        "ParquetWarehouse": ("qms_datawarehouse_spark.warehouse", "ParquetWarehouse"),
+        "sync_dataframe": ("qms_datawarehouse_spark.engine", "sync_dataframe"),
+        "sync_all": ("qms_datawarehouse_spark.engine", "sync_all"),
+        "merge_upsert": ("qms_datawarehouse_spark.operators.merge", "merge_upsert"),
+        "clean_records": ("qms_datawarehouse_spark.transform", "clean_records"),
+        "queries_map": ("qms_datawarehouse_spark.plans", "queries_map"),
+        "oracle_sql_map": ("qms_datawarehouse_spark.plans", "oracle_sql_map"),
+        "register_views": (
+            "qms_datawarehouse_spark.sources.readers",
+            "register_views",
+        ),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "Settings",
+    "get_spark",
+    "ParquetWarehouse",
+    "sync_dataframe",
+    "sync_all",
+    "merge_upsert",
+    "clean_records",
+    "queries_map",
+    "oracle_sql_map",
+    "register_views",
+]
 __version__ = "0.1.0"
