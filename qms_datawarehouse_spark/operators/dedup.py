@@ -564,6 +564,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc"), F.col("doc_id").alias("label")
     ).persist()
 
+    # Convergence check: labels only ever DECREASE, so the label sum
+    # is strictly monotone until fixpoint — one cheap agg per round
+    # replaces a change-detection join.
+    prev_sum = None
     for _ in range(_MAX_CC_ITERS):
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc)
@@ -580,15 +584,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc")
-            .filter(F.col("label") != F.col("old"))
-            .take(1)
-        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if not changed:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
 
     out = labels.select("doc", F.col("label").alias("cluster_id"))
     sym.unpersist()
