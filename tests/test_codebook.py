@@ -72,3 +72,47 @@ def test_pandas_udf_cosine_matches_builtin(spark):
     assert len(out) > 0
     for r in out:
         assert abs(r["jvm"] - r["pandas"]) < 1e-9, r["vec_id"]
+
+
+def test_lsh_buckets_deterministic_and_bounded(spark):
+    """similarity_ann_lsh is rows-only (no SQL oracle) — pin its
+    contract here: bucket assignment is deterministic across runs,
+    every vector lands in exactly one of ≤ 2^n_planes buckets, and
+    bucketing groups genuinely similar vectors (mean intra-bucket
+    cosine of the query's bucket exceeds the corpus mean)."""
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.similarity import (
+        _dot,
+        lsh_bucketed,
+    )
+
+    (embeddings,) = tables(spark, SF_DIR, "embeddings")
+    b1 = lsh_bucketed(embeddings).select("vec_id", "bucket")
+    b2 = lsh_bucketed(embeddings).select("vec_id", "bucket")
+    assert b1.exceptAll(b2).isEmpty()  # deterministic
+
+    n_vectors = embeddings.count()
+    stats = b1.agg(
+        F.countDistinct("bucket").alias("nb"), F.count("*").alias("n")
+    ).first()
+    assert stats["n"] == n_vectors  # every vector bucketed once
+    assert stats["nb"] <= 256  # 2^8 hyperplane sign patterns
+
+    # similarity structure: query vector's bucket-mates are closer to
+    # it than the corpus average
+    e = lsh_bucketed(embeddings).select(
+        "vec_id", "bucket", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).first()
+    qv, qb = q["v"], q["bucket"]
+    cos = _dot(F.col("v"), F.array(*[F.lit(x) for x in qv]))
+    scored = e.filter(F.col("vec_id") != 0).select(
+        "bucket", cos.alias("dot")
+    ).persist()
+    mean_all = scored.agg(F.avg("dot")).first()[0]
+    mates = scored.filter(F.col("bucket") == qb)
+    if mates.take(1):  # bucket may hold only the query at tiny SF
+        mean_bucket = mates.agg(F.avg("dot")).first()[0]
+        assert mean_bucket > mean_all
+    scored.unpersist()
