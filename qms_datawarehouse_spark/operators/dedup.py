@@ -53,10 +53,11 @@ def _shingled(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.expr(
             """
-            array_distinct(transform(
-                sequence(1, greatest(size(w) - 2, 0)),
+            CASE WHEN size(w) < 3 THEN cast(array() AS array<string>)
+            ELSE array_distinct(transform(
+                sequence(1, size(w) - 2),
                 i -> concat_ws(' ', slice(w, i, 3))
-            ))
+            )) END
             """
         ).alias("shingles"),
     )
@@ -349,10 +350,12 @@ _SIMHASH_SQL = f"""
           ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM (
+        -- CAST: list_sum yields HUGEINT, which pandas widens to
+        -- float64 (3.0 vs Spark's int64 3) — r1 hash-fail root cause
         SELECT doc_a, doc_b,
-               list_sum(list_transform(range(1, {_SIMHASH_BITS + 1}),
+               CAST(list_sum(list_transform(range(1, {_SIMHASH_BITS + 1}),
                    i -> CASE WHEN substr(bits_a, i, 1) = substr(bits_b, i, 1)
-                        THEN 0 ELSE 1 END)) AS hamming
+                        THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
         FROM cand
     ) WHERE hamming <= {_HAMMING_MAX}
 """

@@ -128,15 +128,15 @@ def update_rollups(
     WITH h AS (
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
                count(*) AS n,
-               sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
-               min(CAST(round(value * 100) AS BIGINT)) AS min_cents,
-               max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+               sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS sum_cents,
+               min(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS min_cents,
+               max(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS max_cents
         FROM events GROUP BY 1, 2
     )
     SELECT time_bucket(INTERVAL 1 DAY, bucket) AS day, event_type,
-           sum(n) AS n,
-           sum(sum_cents) AS sum_cents,
-           sum(sum_cents) // sum(n) AS avg_cents,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+           CAST(sum(sum_cents) // sum(n) AS BIGINT) AS avg_cents,
            min(min_cents) AS min_cents,
            max(max_cents) AS max_cents
     FROM h GROUP BY 1, 2
@@ -153,7 +153,11 @@ def rollup_hierarchy_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical everywhere (same rationale as text_quality's basis
     points)."""
     (events,) = tables(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    # `value` is FLOAT32 in parquet: widen to double explicitly BEFORE
+    # the ×100 — Spark auto-widens float×int to double while DuckDB
+    # multiplies in single precision, so the implicit promotion rounds
+    # differently per engine (r1 hash-fail root cause).
+    cents = F.round(F.col("value").cast("double") * 100).cast("long")
     hourly = (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(

@@ -122,41 +122,58 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w4_window_frames",
     """
+    WITH c AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey <= 200
+    )
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(cents) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_total,
-           round(avg(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-           ), 2) AS moving_avg3
-    FROM orders
-    WHERE o_custkey <= 200
+           ) AS BIGINT) AS running_total_cents,
+           CAST(sum(cents) OVER w3 // count(*) OVER w3 AS BIGINT)
+               AS moving_avg3_cents
+    FROM c
+    WINDOW w3 AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    )
     """,
 )
 def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 frame specs: per-customer running total (UNBOUNDED
     PRECEDING) and 3-row moving average. Frames are bounded per
     partition key — one shuffle on custkey, sorted within partitions,
-    no global sort."""
+    no global sort.
+
+    Money carried as exact int64 CENTS (prices are 2-decimal by
+    construction): `round(sum(double))` hash-diverged cross-engine in
+    r1 — accumulated double sums land on half-boundaries that Spark's
+    BigDecimal HALF_UP and DuckDB's binary round resolve differently.
+    Int64 sums and floor-div averages are bit-identical everywhere."""
     (orders,) = tables(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w3 = w.rowsBetween(-2, Window.currentRow)
     return (
         orders.filter(F.col("o_custkey") <= 200)
+        .select("o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents"))
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round(
-                F.sum("o_totalprice").over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
-                2,
-            ).alias("running_total"),
-            F.round(
-                F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)),
-                2,
-            ).alias("moving_avg3"),
+            F.sum("cents").over(wrun).alias("running_total_cents"),
+            F.sum("cents").over(w3).alias("s3"),
+            F.count("*").over(w3).alias("c3"),
+        )
+        # `div` = exact int64 division (== DuckDB `//` for positives);
+        # floor(double/double) can cross an integer boundary.
+        .selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            "running_total_cents",
+            "s3 div c3 AS moving_avg3_cents",
         )
     )
 
@@ -528,30 +545,60 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quantile_order_value",
     """
-    SELECT c_mktsegment AS segment,
-           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
-           count(*) AS n
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY 1
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+        SELECT segment, cents,
+               row_number() OVER (PARTITION BY segment ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY segment) AS n
+        FROM j
+    )
+    SELECT segment,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cents END)
+               AS p50_cents,
+           max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cents END)
+               AS p90_cents,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN cents END)
+               AS p99_cents,
+           max(n) AS n
+    FROM r GROUP BY segment
     """,
 )
 def quantile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per segment (Spark `percentile`
-    == DuckDB `quantile_cont`, both linear interpolation). The exact
-    path shuffles whole groups; the sketch path below is what runs at
-    100 TB."""
+    """Exact DISCRETE percentiles per segment (percentile_disc
+    semantics: the element at rank ceil(p·n) of the sorted group), on
+    integer cents. Interpolated quantiles (r1) hash-diverged because
+    Spark and DuckDB evaluate `lo + frac·(hi-lo)` with different
+    operation orders; rank selection over int64 cents is bit-exact in
+    both engines. The exact path sorts whole groups — inherent to
+    exact quantiles; the sketch path below is what runs at 100 TB."""
     orders, customer = tables(spark, sf_dir, "orders", "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     j = orders.join(
         F.broadcast(customer.select("c_custkey", "c_mktsegment")),
         F.col("o_custkey") == F.col("c_custkey"),
-    ).groupBy(F.col("c_mktsegment").alias("segment"))
-    return j.agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
-        F.count("*").alias("n"),
+    ).select(F.col("c_mktsegment").alias("segment"), cents.alias("cents"))
+    w = Window.partitionBy("segment").orderBy("cents")
+    wp = Window.partitionBy("segment")
+    r = j.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+
+    def pick(p: float):
+        target = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == target, F.col("cents")))
+
+    return r.groupBy("segment").agg(
+        pick(0.5).alias("p50_cents"),
+        pick(0.9).alias("p90_cents"),
+        pick(0.99).alias("p99_cents"),
+        F.max("n").alias("n"),
     )
 
 
@@ -566,8 +613,12 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = tables(spark, sf_dir, "lineitem")
     return lineitem.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        # Serialized to a JSON string: the driver's pandas canonicalizer
+        # can't hash a raw list cell (r1 harness crash).
+        F.to_json(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            )
         ).alias("price_quantiles"),
         F.count("*").alias("n_lines"),
     )
@@ -1089,14 +1140,18 @@ def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregated — the dynamic-document field access pattern the
     reference's JSON-blob columns require (transform.py:33-42)."""
     (events,) = tables(spark, sf_dir, "events")
+    # get_json_object per key, NOT from_json(map<string,bigint>): the
+    # map cast is all-or-nothing (one uncastable sibling value NULLs
+    # the whole map), whereas the oracle's json_extract_string pulls
+    # '$.k' regardless of sibling values (r1 hash-fail root cause).
+    k = F.get_json_object("props", "$.k").cast("bigint")
     m = events.filter(F.col("props").isNotNull()).select(
-        "event_type",
-        F.from_json("props", "map<string,bigint>").alias("p"),
+        "event_type", k.alias("k")
     )
     return m.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.element_at("p", "k")).alias("sum_k"),
-        F.countDistinct(F.element_at("p", "k")).alias("n_distinct_k"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
     )
 
 

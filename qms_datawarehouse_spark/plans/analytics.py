@@ -99,7 +99,11 @@ def _staff_report_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staff = daily.groupBy("o_custkey").agg(
         F.sum("n").alias("total_tickets"),
-        F.round(F.avg("n"), 4).alias("avg_tickets_per_day"),
+        # exact bp ÷ 10000.0 == bit-identical doubles cross-engine
+        # (round(avg(double),4) is the r1 hash-fail class)
+        (
+            F.expr("CAST((10000 * sum(n)) div count(*) AS BIGINT)") / 10000.0
+        ).alias("avg_tickets_per_day"),
         F.min("n").alias("min_tickets_per_day"),
         F.max("n").alias("max_tickets_per_day"),
         F.floor(F.sum("day_serve_sum") / F.sum("n")).alias("avg_serve_sec"),
@@ -139,7 +143,8 @@ daily AS (
 ),
 day_stats AS (
     SELECT o_custkey,
-           round(avg(n), 4) AS avg_tickets_per_day,
+           CAST((10000 * sum(n)) // count(*) AS BIGINT) / 10000.0
+               AS avg_tickets_per_day,
            min(n) AS min_tickets_per_day,
            max(n) AS max_tickets_per_day
     FROM daily GROUP BY 1
@@ -190,17 +195,24 @@ staff_report = query("flagship_staff_report", _STAFF_REPORT_SQL)(_staff_report_d
     "a5_per_staff_totals",
     """
     SELECT o_custkey AS staff_id, count(*) AS total_tickets,
-           round(sum(o_totalprice), 2) AS total_value
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
     FROM orders GROUP BY 1
     """,
 )
 def per_staff_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (staff_reports.json:3,9): groupBy + count. Map-side partial
-    agg then one shuffle on the group key."""
+    agg then one shuffle on the group key.
+
+    Money as exact int64 cents: ~1.5k output rows × round(sum(double))
+    is the r1 hash-fail class (accumulated sums land on half-boundaries
+    that Spark's decimal-string HALF_UP and DuckDB's binary round
+    resolve differently)."""
     (orders,) = tables(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return orders.groupBy(F.col("o_custkey").alias("staff_id")).agg(
         F.count("*").alias("total_tickets"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.sum(cents).alias("total_value_cents"),
     )
 
 
@@ -217,7 +229,8 @@ def per_staff_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1, 2
     )
     SELECT o_custkey AS staff_id,
-           round(avg(n), 4) AS avg_tickets_per_day,
+           CAST((10000 * sum(n)) // count(*) AS BIGINT) / 10000.0
+               AS avg_tickets_per_day,
            min(n) AS min_tickets_per_day,
            max(n) AS max_tickets_per_day,
            count(*) AS active_days
@@ -226,13 +239,20 @@ def per_staff_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def daily_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: tickets per (staff, day) re-aggregated to avg/min/max per
-    staff — the daily tumbling window in batch form (T9)."""
+    staff — the daily tumbling window in batch form (T9).
+
+    avg carried as exact int64 basis points divided by 10000.0: both
+    engines divide the SAME integer by the same literal, producing
+    bit-identical doubles — `round(avg(double), 4)` over ~1.5k rows is
+    the r1 cross-engine hash-fail class."""
     (orders,) = tables(spark, sf_dir, "orders")
     daily = orders.groupBy(
         "o_custkey", F.to_date("o_orderdate").alias("day")
     ).agg(F.count("*").alias("n"))
     return daily.groupBy(F.col("o_custkey").alias("staff_id")).agg(
-        F.round(F.avg("n"), 4).alias("avg_tickets_per_day"),
+        (
+            F.expr("CAST((10000 * sum(n)) div count(*) AS BIGINT)") / 10000.0
+        ).alias("avg_tickets_per_day"),
         F.min("n").alias("min_tickets_per_day"),
         F.max("n").alias("max_tickets_per_day"),
         F.count("*").alias("active_days"),
@@ -449,7 +469,7 @@ def high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s1_incremental_scan",
     """
     SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
-           round(value, 6) AS value
+           round(CAST(value AS DOUBLE), 6) AS value
     FROM events
     WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
     """,
@@ -467,7 +487,9 @@ def incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "user_id",
         "event_type",
-        F.round("value", 6).alias("value"),
+        # FLOAT32 → double explicitly on both sides: keeps the rounded
+        # value AND the output dtype identical cross-engine
+        F.round(F.col("value").cast("double"), 6).alias("value"),
     )
 
 
@@ -557,7 +579,8 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(p_brand) AS brand_upper,
            substr(p_name, 1, 10) AS name_prefix,
            len(string_split(p_name, ' ')) AS name_words,
-           round(p_retailprice * 1.1, 2) AS price_taxed,
+           (CAST(round(p_retailprice * 100) AS BIGINT) * 11) // 10
+               AS price_taxed_cents,
            CAST(floor(p_retailprice // 100) AS BIGINT) AS price_bucket,
            p_size % 7 AS size_mod,
            concat(p_brand, ':', p_type) AS brand_type
@@ -573,7 +596,12 @@ def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_upper"),
         F.substring("p_name", 1, 10).alias("name_prefix"),
         F.size(F.split("p_name", " ", -1)).cast("long").alias("name_words"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_taxed"),
+        # ×1.1 as exact cents×11÷10: a 2-decimal price with odd cents
+        # ×1.1 lands EXACTLY on a third-decimal half-boundary, where
+        # Spark's HALF_UP and DuckDB's binary rounding diverge
+        F.expr(
+            "(CAST(round(p_retailprice * 100) AS BIGINT) * 11) div 10"
+        ).alias("price_taxed_cents"),
         F.floor(F.floor(F.col("p_retailprice") / 100)).alias("price_bucket"),
         (F.col("p_size") % 7).alias("size_mod"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
@@ -674,17 +702,19 @@ def row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day,
                count(*) AS n,
-               sum(CAST(round(value * 100) AS BIGINT)) AS day_cents,
+               sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+                   AS day_cents,
                count(DISTINCT event_type) AS day_types
         FROM events GROUP BY 1, 2
     )
     SELECT user_id,
-           sum(n) AS total_events,
-           round(avg(n), 4) AS avg_events_per_day,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           CAST((10000 * sum(n)) // count(*) AS BIGINT) / 10000.0
+               AS avg_events_per_day,
            min(n) AS min_events_per_day,
            max(n) AS max_events_per_day,
-           sum(day_cents) AS total_cents,
-           sum(day_cents) // sum(n) AS avg_cents,
+           CAST(sum(day_cents) AS BIGINT) AS total_cents,
+           CAST(sum(day_cents) // sum(n) AS BIGINT) AS avg_cents,
            max(day_types) AS max_daily_types
     FROM daily GROUP BY 1
     """,
@@ -696,7 +726,9 @@ def user_activity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: monetary partials in exact integer cents, avg via
     int64 floor division."""
     (events,) = tables(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    # double-cast BEFORE ×100: `value` is FLOAT32 and the implicit
+    # promotion differs per engine (Spark widens, DuckDB stays single)
+    cents = F.round(F.col("value").cast("double") * 100).cast("long")
     daily = events.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(
@@ -708,7 +740,9 @@ def user_activity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy("user_id")
         .agg(
             F.sum("n").alias("total_events"),
-            F.round(F.avg("n"), 4).alias("avg_events_per_day"),
+            (
+                F.expr("CAST((10000 * sum(n)) div count(*) AS BIGINT)") / 10000.0
+            ).alias("avg_events_per_day"),
             F.min("n").alias("min_events_per_day"),
             F.max("n").alias("max_events_per_day"),
             F.sum("day_cents").alias("total_cents"),
