@@ -11,25 +11,32 @@ Spark-first design (no transactional format in this image):
    tie-break (D1; the reference collapses replays onto the PK the same
    way, last statement wins).
 2. **Create-on-first-write** (S11 parity, etl.py:31-49): first batch
-   just writes a bucketed version.
+   writes a bucketed version and persists ``n_buckets`` in the table's
+   ``_META.json`` — later merges validate against it instead of
+   trusting the caller (a mismatched bucket count re-hashes keys into
+   different dirs and would strand stale rows).
 3. **Partial merge**: the target is hash-bucketed on the key into
    ``_bucket`` partition dirs (see warehouse.py). Only buckets present
-   in the update batch are rewritten:
+   in the update batch are read AND written:
 
-       touched   = distinct _bucket of updates            (tiny)
-       survivors = target ⋉̸ updates  on key, bucket-pruned (left_anti)
-       new       = survivors ∪ updates (unionByName, schema evolution)
-       write per-bucket dirs, swap pointer atomically
+       touched   = distinct _bucket of updates             (tiny)
+       contested = target pruned to touched buckets        (partition
+                                                            pruning)
+       resolved  = last-write-wins over contested ∪ updates
+       write touched-bucket dirs; every untouched bucket dir is
+       inherited from the previous version by hardlink
+       (warehouse.write_version_partial); swap pointer atomically.
 
-   The anti-join's target side is partition-pruned to the touched
-   buckets, and the updates side is broadcast when small — so an
-   incremental batch costs O(touched-bucket bytes), not O(table).
-   At 100 TB / 8192 buckets a 5k-row batch reads+rewrites only the
-   ~dozens of buckets its keys hash into.
+   An incremental batch therefore costs O(touched-bucket bytes) of
+   I/O — read and write — plus O(n_buckets) filesystem-metadata ops.
+   At 100 TB / 8192 buckets a 5k-row batch reads and rewrites only the
+   ~dozens of buckets its keys hash into; the other ~8k dirs are
+   linked, not copied.
 4. **Schema evolution**: ``unionByName(allowMissingColumns=True)`` —
    new source columns appear as nulls on old rows (the improvement over
    the reference, which silently relies on frames matching the table —
-   SURVEY.md §4 note 3).
+   SURVEY.md §4 note 3). Versions record their full schema
+   (``_SCHEMA.json``) so inherited pre-evolution files read as nulls.
 """
 
 from __future__ import annotations
@@ -45,15 +52,21 @@ DEFAULT_BUCKETS = 32  # local[32] testing; set ~8192 for a 100 TB table
 def dedup_last_write_wins(
     updates: DataFrame, key: str, order_col: str | None
 ) -> DataFrame:
-    """Keep one row per key: newest by ``order_col``, ties broken by the
-    key itself so the result is deterministic (D1).
+    """Keep one row per key: newest by ``order_col``; full ties (same
+    key, same cursor, different payload) are broken by a stable hash of
+    the whole row, so the winner is deterministic (D1) — replaying the
+    same batch always collapses to the same row, never to whichever row
+    a shuffle happened to order first.
 
     One shuffle on ``key`` — the same shuffle the merge join needs, so
     Catalyst/AQE reuses the partitioning downstream.
     """
     if order_col is None or order_col not in updates.columns:
         return updates.dropDuplicates([key])
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc_nulls_last())
+    row_hash = F.xxhash64(F.struct(*[F.col(c) for c in updates.columns]))
+    w = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc_nulls_last(), row_hash.asc()
+    )
     return (
         updates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -71,13 +84,31 @@ def with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
 
 
+def _resolve_buckets(
+    warehouse: ParquetWarehouse, table: str, n_buckets: int | None
+) -> int:
+    """The table's persisted bucket count wins; an explicit caller
+    value may only agree with it. New tables adopt the caller's value
+    (or the default) and persist it."""
+    meta = warehouse.read_meta(table) if warehouse.table_exists(table) else {}
+    persisted = meta.get("n_buckets")
+    if persisted is not None:
+        if n_buckets is not None and int(n_buckets) != int(persisted):
+            raise ValueError(
+                f"table {table!r} is bucketed with n_buckets={persisted}; "
+                f"merge called with n_buckets={n_buckets}"
+            )
+        return int(persisted)
+    return int(n_buckets) if n_buckets is not None else DEFAULT_BUCKETS
+
+
 def merge_upsert(
     warehouse: ParquetWarehouse,
     table: str,
     updates: DataFrame,
     key: str = "_id",
     order_col: str | None = "updated_at",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> int:
     """Upsert ``updates`` into ``table`` by ``key``. Returns rows merged.
 
@@ -96,7 +127,7 @@ def merge_upsert_stats(
     updates: DataFrame,
     key: str = "_id",
     order_col: str | None = "updated_at",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> tuple[int, object]:
     """``merge_upsert`` returning ``(rows_merged, cursor_high_water)``.
 
@@ -112,11 +143,12 @@ def merge_upsert_stats(
     if not updates.take(1):
         return 0, None
 
+    buckets = _resolve_buckets(warehouse, table, n_buckets)
     batch = dedup_last_write_wins(updates, key, order_col)
     # Persist BEFORE any action: the dedup window + bucket hash compute
     # once; the touched-bucket scan, the stats agg, and the version
     # write all read the cache.
-    batch = with_bucket(batch, key, n_buckets).persist()
+    batch = with_bucket(batch, key, buckets).persist()
 
     aggs = [F.count(F.lit(1)).alias("n")]
     has_cursor = order_col is not None and order_col in batch.columns
@@ -126,8 +158,12 @@ def merge_upsert_stats(
     n, hwm = int(row["n"]), (row["hwm"] if has_cursor else None)
 
     if not warehouse.table_exists(table):
-        # Create-on-first-write (S11).
+        # Create-on-first-write (S11); bucket count becomes a table
+        # fact, not a per-call opinion.
         warehouse.write_version(table, batch, partition_by=[BUCKET_COL])
+        warehouse.write_meta(
+            table, {"n_buckets": buckets, "key": key, "order_col": order_col}
+        )
         batch.unpersist()
         return n, hwm
 
@@ -137,7 +173,6 @@ def merge_upsert_stats(
     # in the batch); collecting it to the driver is O(n_buckets) max.
     touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
 
-    untouched = target.filter(~F.col(BUCKET_COL).isin(touched))
     contested = target.filter(F.col(BUCKET_COL).isin(touched))
 
     if has_cursor:
@@ -165,8 +200,10 @@ def merge_upsert_stats(
         )
         resolved = survivors.unionByName(batch, allowMissingColumns=True)
 
-    merged = untouched.unionByName(resolved, allowMissingColumns=True)
-    warehouse.write_version(table, merged, partition_by=[BUCKET_COL])
+    # Only the touched buckets are materialized; untouched bucket dirs
+    # are hardlink-inherited from the previous version — the step that
+    # makes incremental cost O(touched), not O(table).
+    warehouse.write_version_partial(table, resolved, touched)
     batch.unpersist()
     return n, hwm
 

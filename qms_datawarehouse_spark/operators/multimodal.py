@@ -75,7 +75,30 @@ def with_binary_content(documents: DataFrame) -> DataFrame:
     )
 
 
-@query("multimodal_features", None)  # rows-only: mapInPandas is not SQL
+# The stub decode is deterministic arithmetic over the payload bytes,
+# so the whole feature row — not just counts — is SQL-expressible:
+# n_bytes = octet_length of the UTF-8 encoding, checksum = md5 of the
+# same bytes, width/height = 64 + (first/last byte % 64) recovered by
+# parsing the hex dump. A real codec would drop width/height back to a
+# rows-only check; everything else stays verifiable.
+_FEATURES_SQL = """
+    WITH b AS (
+        SELECT doc_id,
+               'fake/blob' AS format,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               hex(encode(text)) AS h
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    )
+    SELECT doc_id, format, n_bytes, checksum,
+           64 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 64 AS width,
+           64 + CAST('0x' || right(h, 2) AS BIGINT) % 64 AS height
+    FROM b
+"""
+
+
+@query("multimodal_features", _FEATURES_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas: metadata
     filter (pushed before decode) → Arrow-batched stub decode →

@@ -247,11 +247,55 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_lsh", None)  # rows-only: bucketing demo + self-check
+def _plane_sql_literal(j: int, dim: int = 64) -> str:
+    """Hyperplane ``j`` as a DuckDB DOUBLE[] literal, computed with
+    hashlib — bit-identical to the Spark side's JVM md5 + conv path:
+    component = int(md5("j:i")[:8 hex], 16) / 2^32 − 0.5, and 2^32 is
+    a power-of-two denominator so the division is exact in both
+    engines."""
+    import hashlib
+
+    comps = [
+        int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) / float(16**8)
+        - 0.5
+        for i in range(dim)
+    ]
+    return "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
+
+
+_ANN_LSH_SQL = f"""
+    WITH planes AS (
+        SELECT * FROM (VALUES
+            {",".join(f"({j}, {_plane_sql_literal(j)})" for j in range(N_HYPERPLANES))}
+        ) AS t(plane_id, p)
+    ),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    bits AS (
+        SELECT e.vec_id, e.label, pl.plane_id,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> e.v[i] * pl.p[i])) > 0
+                    THEN '1' ELSE '0' END AS b
+        FROM e CROSS JOIN planes pl
+    ),
+    buckets AS (
+        SELECT vec_id, label, string_agg(b, '' ORDER BY plane_id) AS bucket
+        FROM bits GROUP BY vec_id, label
+    )
+    SELECT bucket, count(*) AS n_vectors, count(DISTINCT label) AS n_labels
+    FROM buckets GROUP BY bucket
+"""
+
+
+@query("similarity_ann_lsh", _ANN_LSH_SQL)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: hyperplane sign buckets → per-bucket stats.
     The scale path for similarity search — candidate generation
-    becomes a bucket equi-join instead of a full scan per query."""
+    becomes a bucket equi-join instead of a full scan per query.
+
+    Oracle: the hyperplanes are pure md5-derived constants, so the
+    DuckDB side re-derives them as literal arrays (hashlib == JVM md5)
+    and replays the same sign test — full value verification of the
+    bucket assignment, not just a rows-only check."""
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     bucketed = lsh_bucketed(embeddings)
     return bucketed.groupBy("bucket").agg(

@@ -790,13 +790,15 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_mktsegment AS segment,
            count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_balance
+           sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS total_balance_cents
     FROM customer c
     WHERE c.c_acctbal > (
             SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
         )
       AND NOT EXISTS (
-            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= DATE '2000-01-01'
         )
     GROUP BY 1
     """,
@@ -804,21 +806,26 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: above-average balance (uncorrelated scalar
     subquery, computed once and broadcast into the filter) and no
-    orders (anti join) — the lost-revenue cohort."""
+    RECENT orders (anti join on the filtered fact) — the churn-risk
+    cohort. The recency cutoff keeps the cohort non-empty in a fixture
+    where every customer has at least one lifetime order; balances
+    summed as exact int64 cents."""
     orders, customer = tables(spark, sf_dir, "orders", "customer")
     avg_bal = (
         customer.filter(F.col("c_acctbal") > 0)
         .agg(F.avg("c_acctbal").alias("t"))
     )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
     return (
         customer.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("t"))
-        .join(orders.select("o_custkey"),
-              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "total_balance_cents"
+            ),
         )
     )
 
@@ -873,34 +880,48 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l.l_shipdate)::BIGINT AS ship_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               AS revenue_e4
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
     JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-    WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
-        OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
     GROUP BY 1, 2, 3
     """,
 )
 def nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral flows — nation dim joined TWICE under
     different roles (supplier side, customer side), the disjunctive
-    country pair filter applied after both broadcasts."""
+    country pair filter applied after both broadcasts.
+
+    Revenue carried as exact int64 (unit 1e-4 dollars): prices are
+    2-decimal and discounts 2-decimal percentages, so
+    cents × (100 − disc_pct) is an exact integer product — immune to
+    the round(sum(double)) cross-engine half-boundary class. Nation
+    constants match the fixture's NATION_N names (FRANCE/GERMANY
+    matched nothing → r1 passed vacuously on 0 rows)."""
     lineitem, orders, customer, supplier, nation = tables(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
     )
-    sn = nation.select(
+    # pre-filter both nation roles to the pair's two members BEFORE the
+    # broadcast joins — rows outside {NATION_1, NATION_2} can never
+    # satisfy the disjunction, so the fact shrinks at the first join
+    # instead of after all four.
+    members = ["NATION_1", "NATION_2"]
+    sn = nation.filter(F.col("n_name").isin(members)).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    cn = nation.select(
+    cn = nation.filter(F.col("n_name").isin(members)).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         lineitem.select(
             "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
@@ -930,9 +951,10 @@ def nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_e4")
         )
     )
 
@@ -1021,28 +1043,34 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     """
     SELECT sn.n_name AS nation, year(o.o_orderdate)::BIGINT AS order_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               AS profit_e4,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-    WHERE p.p_name LIKE '%green%'
+    WHERE p.p_name LIKE '%red%'
     GROUP BY 1, 2
     """,
 )
 def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (fixture carries no ps_supplycost — profit is
     discounted revenue): LIKE-filtered part dim broadcast FIRST so the
-    fact shrinks before the orders join."""
+    fact shrinks before the orders join.
+
+    Profit as exact int64 (unit 1e-4 dollars, cents × (100−disc_pct));
+    the LIKE constant matches the fixture's color vocabulary ('green'
+    matched nothing → r1 passed vacuously on 0 rows)."""
     lineitem, part, orders, supplier, nation = tables(
         spark, sf_dir, "lineitem", "part", "orders", "supplier", "nation"
     )
     return (
         lineitem.join(
             F.broadcast(
-                part.filter(F.col("p_name").like("%green%")).select("p_partkey")
+                part.filter(F.col("p_name").like("%red%")).select("p_partkey")
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
@@ -1062,9 +1090,10 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("order_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("profit"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("profit_e4"),
             F.count("*").alias("n_lines"),
         )
     )

@@ -25,6 +25,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 REGISTRY: dict[str, "QueryDef"] = {}
 
+# Names the driver should verify first (it checks the FIRST 50 entries
+# of queries()). Populated by ``plans/__init__`` after all modules
+# register; applied lazily in ``_ordered_names`` because eager
+# reordering at import time races the package's circular imports
+# (importing an operators module directly triggers ``plans/__init__``
+# before that module's own @query decorators have run).
+DRIVER_WINDOW: list[str] = []
+
+
+def _ordered_names() -> list[str]:
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:  # loud: a typo would silently demote a query
+        raise RuntimeError(f"DRIVER_WINDOW names unknown queries: {missing}")
+    rest = [n for n in REGISTRY if n not in DRIVER_WINDOW]
+    return [*DRIVER_WINDOW, *rest]
+
 
 @dataclass
 class QueryDef:
@@ -46,11 +62,15 @@ def query(name: str, sql: str | None):
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {name: qd.sql for name, qd in REGISTRY.items() if qd.sql is not None}
+    return {
+        name: REGISTRY[name].sql
+        for name in _ordered_names()
+        if REGISTRY[name].sql is not None
+    }
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

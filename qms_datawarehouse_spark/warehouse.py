@@ -7,29 +7,70 @@ transactional table format in this image) the equivalent durability
 story is **write-new-version-then-repoint**:
 
     {root}/{table}/v_{uuid}/...parquet     (immutable version dirs)
+    {root}/{table}/v_{uuid}/_SCHEMA.json   (the version's full schema)
     {root}/{table}/_CURRENT                (text file naming the live one)
+    {root}/{table}/_META.json              (table facts: n_buckets, key)
 
 ``_CURRENT`` is replaced with ``os.replace`` (atomic on POSIX), so a
 reader always resolves a fully-written version — the parity of the
 reference's transactional apply + temp-table drop (etl.py:52-87).
 
 Scale design: data tables are hash-bucketed on the merge key into
-``_bucket=pmod(xxhash64(key), n_buckets)`` partition directories. A
-merge then touches ONLY the buckets that contain updated keys (see
-``operators/merge.py``) — at 100 TB with n_buckets≈8192, a 5k-row
-incremental batch rewrites a handful of buckets, not the table.
+``_bucket=pmod(xxhash64(key), n_buckets)`` partition directories, and
+an incremental merge produces its new version via
+``write_version_partial``: ONLY the touched bucket dirs are written;
+every untouched bucket dir is inherited from the previous version by
+hardlinking its (immutable) parquet files — zero data copied, zero
+data read. At 100 TB with n_buckets≈8192, a 5k-row batch costs
+O(touched-bucket bytes) of I/O plus O(n_buckets) metadata ops, not
+O(table). On an object store the hardlink step becomes manifest
+entries pointing at inherited objects — same layout, same swap.
+
+Schema evolution makes versions heterogeneous (inherited files can
+predate newly-added columns), so each version records its full schema
+in ``_SCHEMA.json`` and ``read`` applies it explicitly — missing
+columns in old files surface as nulls, and no reader ever depends on
+which file's footer Spark happens to sniff first.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 CURRENT_POINTER = "_CURRENT"
 BUCKET_COL = "_bucket"
+META_FILE = "_META.json"
+SCHEMA_FILE = "_SCHEMA.json"
+
+# P5 identifier safety (reference src/schemas/request.py:7,
+# src/api/routes.py:82-87): table names become filesystem paths, so an
+# unvalidated name like ``../evil`` escapes the warehouse root.
+_VALID_TABLE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.-]*$")
+
+
+def validate_table_name(table: str) -> str:
+    if not _VALID_TABLE.fullmatch(table or "") or ".." in table:
+        raise ValueError(f"invalid table name: {table!r}")
+    return table
+
+
+def _merge_schemas(base: T.StructType, extra: T.StructType) -> T.StructType:
+    """unionByName-style schema merge: ``base`` field order, new fields
+    from ``extra`` appended as nullable (schema evolution adds columns;
+    it never retypes them)."""
+    fields = list(base.fields)
+    have = {f.name for f in fields}
+    for f in extra.fields:
+        if f.name not in have:
+            fields.append(T.StructField(f.name, f.dataType, nullable=True))
+    return T.StructType(fields)
 
 
 class ParquetWarehouse:
@@ -43,7 +84,7 @@ class ParquetWarehouse:
     # -- paths ---------------------------------------------------------
 
     def table_dir(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        return os.path.join(self.root, validate_table_name(table))
 
     def _pointer_path(self, table: str) -> str:
         return os.path.join(self.table_dir(table), CURRENT_POINTER)
@@ -73,15 +114,63 @@ class ParquetWarehouse:
             if os.path.exists(os.path.join(self.root, d, CURRENT_POINTER))
         )
 
+    # -- table metadata --------------------------------------------------
+
+    def read_meta(self, table: str) -> dict:
+        path = os.path.join(self.table_dir(table), META_FILE)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def write_meta(self, table: str, meta: dict) -> None:
+        """Merge ``meta`` into the table's persisted facts (atomic
+        replace). Facts like ``n_buckets`` are written once at table
+        creation and validated — never silently changed — by later
+        merges (a different bucket count re-hashes keys to different
+        dirs and would strand stale rows in 'untouched' buckets)."""
+        tdir = self.table_dir(table)
+        os.makedirs(tdir, exist_ok=True)
+        path = os.path.join(tdir, META_FILE)
+        merged = {**self.read_meta(table), **meta}
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
     # -- read ----------------------------------------------------------
 
     def read(self, table: str) -> DataFrame:
         path = self.current_version_dir(table)
         if path is None:
             raise FileNotFoundError(f"warehouse table not found: {table}")
+        schema_path = os.path.join(path, SCHEMA_FILE)
+        if os.path.exists(schema_path):
+            with open(schema_path) as f:
+                schema = T.StructType.fromJson(json.load(f))
+            # explicit schema: inherited pre-evolution files surface
+            # missing columns as nulls; no footer sniffing.
+            return self.spark.read.schema(schema).parquet(path)
         return self.spark.read.parquet(path)
 
     # -- write ---------------------------------------------------------
+
+    def _new_version_dir(self, table: str) -> tuple[str, str]:
+        tdir = self.table_dir(table)
+        os.makedirs(tdir, exist_ok=True)
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        return version, os.path.join(tdir, version)
+
+    def _write_schema_file(self, vdir: str, schema: T.StructType) -> None:
+        with open(os.path.join(vdir, SCHEMA_FILE), "w") as f:
+            json.dump(schema.jsonValue(), f)
+
+    def _swap_pointer(self, table: str, version: str, keep_versions: int) -> None:
+        tmp_ptr = self._pointer_path(table) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp_ptr, "w") as f:
+            f.write(version)
+        os.replace(tmp_ptr, self._pointer_path(table))  # atomic repoint
+        self._gc_versions(table, keep=keep_versions)
 
     def write_version(
         self,
@@ -98,21 +187,70 @@ class ParquetWarehouse:
         its temp staging table at etl.py:87; here old versions are the
         staging residue).
         """
-        tdir = self.table_dir(table)
-        os.makedirs(tdir, exist_ok=True)
-        version = f"v_{uuid.uuid4().hex[:12]}"
-        vdir = os.path.join(tdir, version)
+        version, vdir = self._new_version_dir(table)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(vdir)
+        self._write_schema_file(vdir, df.schema)
+        self._swap_pointer(table, version, keep_versions)
+        return vdir
 
-        tmp_ptr = self._pointer_path(table) + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp_ptr, "w") as f:
-            f.write(version)
-        os.replace(tmp_ptr, self._pointer_path(table))  # atomic repoint
+    def write_version_partial(
+        self,
+        table: str,
+        df: DataFrame,
+        touched: list,
+        partition_col: str = BUCKET_COL,
+        keep_versions: int = 2,
+    ) -> str:
+        """Incremental version: write ONLY the ``touched`` partition
+        values of ``partition_col`` from ``df``; inherit every other
+        partition dir from the current version by hardlinking its
+        immutable parquet files (same inode — no data read or copied).
 
-        self._gc_versions(table, keep=keep_versions)
+        This is what keeps a keyed merge O(touched-bucket bytes) at
+        100 TB: a 5k-row batch writes the ~dozens of buckets its keys
+        hash into and links the other ~8k dirs in filesystem-metadata
+        time. Crash safety is unchanged — the pointer swaps only after
+        the full version (written + linked) exists, and GC of an old
+        version only unlinks names, never shared inodes.
+
+        ``df`` must contain exactly the rows belonging to the touched
+        partitions (the caller's contested-bucket resolution).
+        """
+        prev = self.current_version_dir(table)
+        if prev is None:
+            raise FileNotFoundError(f"partial write needs an existing table: {table}")
+        version, vdir = self._new_version_dir(table)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
+
+        touched_dirs = {f"{partition_col}={v}" for v in touched}
+        for entry in os.listdir(prev):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            if entry in touched_dirs:
+                continue
+            src = os.path.join(prev, entry)
+            if not os.path.isdir(src):
+                continue
+            dst = os.path.join(vdir, entry)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                if fn.endswith(".parquet"):
+                    os.link(os.path.join(src, fn), os.path.join(dst, fn))
+
+        # evolved schema = previous version's schema ∪ the batch's —
+        # inherited files may lack new columns; read() null-fills them.
+        prev_schema_path = os.path.join(prev, SCHEMA_FILE)
+        if os.path.exists(prev_schema_path):
+            with open(prev_schema_path) as f:
+                prev_schema = T.StructType.fromJson(json.load(f))
+        else:
+            prev_schema = self.spark.read.parquet(prev).schema
+        self._write_schema_file(vdir, _merge_schemas(prev_schema, df.schema))
+
+        self._swap_pointer(table, version, keep_versions)
         return vdir
 
     def _gc_versions(self, table: str, keep: int) -> None:

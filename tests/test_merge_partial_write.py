@@ -1,0 +1,112 @@
+"""Incremental merges must NOT rewrite the whole table.
+
+Pins the O(touched-bucket) contract: after a small merge, every
+untouched bucket's parquet files in the new version are the SAME
+inodes as in the previous version (hardlink-inherited, zero bytes
+copied), while touched buckets are fresh files. Also pins the
+persisted-n_buckets validation and schema evolution across inherited
+files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.operators.merge import merge_upsert
+from qms_datawarehouse_spark.warehouse import BUCKET_COL, ParquetWarehouse
+
+N_BUCKETS = 8
+
+
+def _inodes_by_bucket(vdir: str) -> dict[str, set[int]]:
+    out: dict[str, set[int]] = {}
+    for entry in os.listdir(vdir):
+        if not entry.startswith(f"{BUCKET_COL}="):
+            continue
+        files = [
+            os.path.join(vdir, entry, f)
+            for f in os.listdir(os.path.join(vdir, entry))
+            if f.endswith(".parquet")
+        ]
+        out[entry] = {os.stat(p).st_ino for p in files}
+    return out
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    return ParquetWarehouse(spark, str(tmp_path / "wh"))
+
+
+def _seed(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("_id"),
+        F.lit(1).alias("updated_at"),
+        F.lit("v1").alias("payload"),
+    )
+
+
+def test_untouched_buckets_are_hardlink_inherited(spark, warehouse):
+    merge_upsert(warehouse, "t", _seed(spark), key="_id", n_buckets=N_BUCKETS)
+    v1 = warehouse.current_version_dir("t")
+    before = _inodes_by_bucket(v1)
+    assert len(before) == N_BUCKETS  # 200 keys cover all 8 buckets
+
+    # one-key update → exactly one touched bucket
+    upd = spark.createDataFrame(
+        [(7, 2, "v2")], "_id long, updated_at int, payload string"
+    )
+    merge_upsert(warehouse, "t", upd, key="_id")
+    v2 = warehouse.current_version_dir("t")
+    assert v2 != v1
+    after = _inodes_by_bucket(v2)
+
+    from qms_datawarehouse_spark.operators.merge import with_bucket
+
+    touched = f"{BUCKET_COL}=" + str(
+        with_bucket(upd, "_id", N_BUCKETS).select(BUCKET_COL).first()[0]
+    )
+    for bucket, inodes in after.items():
+        if bucket == touched:
+            assert inodes.isdisjoint(before[bucket]), "touched bucket must be rewritten"
+        else:
+            assert inodes == before[bucket], f"{bucket} was rewritten, not inherited"
+
+    # and the merge is still correct
+    rows = {r["_id"]: r["payload"] for r in warehouse.read("t").collect()}
+    assert rows[7] == "v2" and rows[8] == "v1" and len(rows) == 200
+
+
+def test_n_buckets_is_persisted_and_validated(spark, warehouse):
+    merge_upsert(warehouse, "t", _seed(spark), key="_id", n_buckets=N_BUCKETS)
+    assert warehouse.read_meta("t")["n_buckets"] == N_BUCKETS
+
+    upd = spark.createDataFrame([(1, 2, "x")], "_id long, updated_at int, payload string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        merge_upsert(warehouse, "t", upd, key="_id", n_buckets=N_BUCKETS * 2)
+
+    # omitting n_buckets adopts the persisted value — no strand, no dup
+    merge_upsert(warehouse, "t", upd, key="_id")
+    assert warehouse.read("t").filter(F.col("_id") == 1).count() == 1
+
+
+def test_schema_evolution_across_inherited_files(spark, warehouse):
+    merge_upsert(warehouse, "t", _seed(spark), key="_id", n_buckets=N_BUCKETS)
+    upd = spark.createDataFrame(
+        [(7, 2, "v2", "extra!")],
+        "_id long, updated_at int, payload string, note string",
+    )
+    merge_upsert(warehouse, "t", upd, key="_id")
+    out = warehouse.read("t")
+    assert "note" in out.columns
+    vals = {r["_id"]: r["note"] for r in out.filter(F.col("_id").isin(7, 8)).collect()}
+    # updated row carries the new column; inherited rows null-fill it
+    assert vals == {7: "extra!", 8: None}
+
+
+def test_invalid_table_names_rejected(spark, warehouse):
+    for bad in ["../evil", "a/b", "", ".", "a b", "x;drop"]:
+        with pytest.raises(ValueError):
+            warehouse.table_dir(bad)
