@@ -39,6 +39,7 @@ def __getattr__(name: str):
             "qms_datawarehouse_spark.sources.readers",
             "register_views",
         ),
+        "IntervalRunner": ("qms_datawarehouse_spark.scheduler", "IntervalRunner"),
     }
     if name in lazy:
         import importlib
@@ -59,5 +60,6 @@ __all__ = [
     "queries_map",
     "oracle_sql_map",
     "register_views",
+    "IntervalRunner",
 ]
 __version__ = "0.1.0"

@@ -59,19 +59,24 @@ def _dot(a: Column, b: Column) -> Column:
         FROM embeddings
     ),
     q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID})
-    SELECT vec_id, label, round(cos, 4) AS cosine FROM (
+    SELECT vec_id, label, cosine FROM (
         SELECT e.vec_id, e.label,
-               list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i]))
-                   / (e.nrm * q.qn) AS cos
+               round(list_sum(list_transform(range(1, 65),
+                   i -> e.v[i] * q.qv[i])) / (e.nrm * q.qn), 4) AS cosine
         FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
     )
-    ORDER BY cos DESC, vec_id
+    ORDER BY cosine DESC, vec_id
     LIMIT {TOP_K}
     """,
 )
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast query vector, score all,
-    TakeOrdered(k). The exact-ANN baseline."""
+    TakeOrdered(k). The exact-ANN baseline.
+
+    The LIMIT boundary is decided on the ROUNDED score (+ id
+    tie-break) in both engines — ordering by the raw float lets a
+    cross-engine summation-order ulp at the k-th place select
+    different rows despite identical rounded output."""
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -83,10 +88,10 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
-        .withColumn("cos", cos)
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .withColumn("cosine", F.round(cos, 4))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", "label", F.round("cos", 4).alias("cosine"))
+        .select("vec_id", "label", "cosine")
     )
 
 
@@ -166,15 +171,15 @@ def _ivf_scored_cells(v: Column, nrm: Column) -> Column:
                      i -> qv[i] * cv[i])) / (qn * cnrm) DESC, cent_id
         LIMIT {N_PROBE}
     )
-    SELECT vec_id, label, cell_id, round(cos, 4) AS cosine FROM (
+    SELECT vec_id, label, cell_id, cosine FROM (
         SELECT a.vec_id, a.label, a.cent_id AS cell_id,
-               list_sum(list_transform(range(1, 65), i -> a.v[i] * q.qv[i]))
-                   / (a.nrm * q.qn) AS cos
+               round(list_sum(list_transform(range(1, 65),
+                   i -> a.v[i] * q.qv[i])) / (a.nrm * q.qn), 4) AS cosine
         FROM assign a CROSS JOIN q
         WHERE a.rk = 1 AND a.cent_id IN (SELECT cent_id FROM qcells)
           AND a.vec_id <> {QUERY_VEC_ID}
     )
-    ORDER BY cos DESC, vec_id
+    ORDER BY cosine DESC, vec_id
     LIMIT {TOP_K}
     """,
 )
@@ -240,10 +245,12 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .filter(F.array_contains(F.col("probe_cells"), F.col("cell_id")))
-        .withColumn("cos", cos)
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        # LIMIT boundary decided on the rounded score in both engines
+        # (raw-float ordering lets a k-th-place ulp pick different rows)
+        .withColumn("cosine", F.round(cos, 4))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", "label", "cell_id", F.round("cos", 4).alias("cosine"))
+        .select("vec_id", "label", "cell_id", "cosine")
     )
 
 
