@@ -1,0 +1,79 @@
+"""Source/sink spec seam (S12/S13) + JSON write-back round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from qms_datawarehouse_spark.sources.connectors import (
+    SinkSpec,
+    SourceSpec,
+    json_source,
+    mongo_sink,
+    mongo_source,
+    parquet_source,
+    write_json,
+)
+from qms_datawarehouse_spark.sources.readers import valid_records
+
+
+def test_parquet_spec_roundtrip(spark, tmp_path):
+    df = spark.range(10).toDF("x")
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    out = parquet_source(p).load(spark)
+    assert out.count() == 10
+
+
+def test_json_spec_keeps_corrupt_record_policy(spark, tmp_path):
+    p = str(tmp_path / "in.ndjson")
+    with open(p, "w") as f:
+        f.write(json.dumps({"a": 1}) + "\n")
+        f.write("{nope\n")
+        f.write(json.dumps({"a": 2}) + "\n")
+    # cache before counting: a count over the raw scan prunes columns
+    # down to the corrupt-record filter alone, which Spark rejects
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    df = json_source(p).load(spark).cache()
+    try:
+        assert valid_records(df).count() == 2
+    finally:
+        df.unpersist()
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "héllo"), (2, "world")], "id long, s string")
+    out_dir = str(tmp_path / "out")
+    write_json(df, out_dir)
+    files = [f for f in os.listdir(out_dir) if f.endswith(".json")]
+    assert len(files) == 1  # coalesced single-file dump
+    back = spark.read.json(out_dir)
+    assert {(r["id"], r["s"]) for r in back.collect()} == {(1, "héllo"), (2, "world")}
+
+
+def test_sink_spec_json(spark, tmp_path):
+    df = spark.range(3).toDF("x")
+    out_dir = str(tmp_path / "sink")
+    SinkSpec(format="json", path=out_dir).write(df)
+    assert spark.read.json(out_dir).count() == 3
+
+
+def test_mongo_seam_fails_with_actionable_error(spark):
+    spec = mongo_source("mongodb://localhost:27017", "qms", "tickets")
+    assert spec.format == "mongodb"
+    with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        spec.load(spark)
+
+
+def test_mongo_sink_spec_shape():
+    s = mongo_sink("mongodb://h", "db", "coll")
+    assert s.mode == "append" and s.options["collection"] == "coll"
+
+
+def test_unknown_builtin_error_passthrough(spark, tmp_path):
+    # builtin formats surface Spark's own error, not the connector hint
+    with pytest.raises(Exception) as ei:
+        SourceSpec(format="parquet", path=str(tmp_path / "missing")).load(spark)
+    assert "connector package" not in str(ei.value)
