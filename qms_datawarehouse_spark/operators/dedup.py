@@ -504,6 +504,84 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_CC_ITERS = 20  # ≥ graph diameter; near-dup clusters are shallow
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc",
+    max_iters: int = _MAX_CC_ITERS,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation,
+    reusable for ANY orderable node-id type.
+
+    ``nodes``: one column ``id_col``; ``edges``: columns ``a``/``b``
+    (undirected — symmetrization happens here). Returns
+    ``(id_col, cluster_id)`` where cluster_id is the component's min.
+
+    Each round is one join + one aggregate on (node, label) — O(E)
+    per round, diameter-bounded rounds, no driver-side union-find; the
+    driver receives one scalar per round.
+
+    Convergence check: labels only ever DECREASE toward each
+    component's min, so for NUMERIC ids the label sum is strictly
+    monotone until fixpoint — one cheap agg per round. For
+    non-numeric ids (string doc keys) that sum is undefined, so the
+    guard falls back to counting changed labels — one extra
+    equality-filter per round, same asymptotics. A silent wrong-type
+    sum previously meant string ids could terminate early with
+    half-propagated labels.
+    """
+    from pyspark.sql import types as T
+
+    numeric = isinstance(
+        nodes.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+         T.DoubleType, T.DecimalType),
+    )
+    sym = edges.select(F.col("a"), F.col("b")).unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+
+    labels = nodes.select(
+        F.col(id_col).alias("doc"), F.col(id_col).alias("label")
+    ).persist()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.doc)
+            .groupBy(F.col("a").alias("doc"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.col("old_label"),
+                F.least(
+                    F.col("old_label"), F.coalesce("nbr_label", F.col("old_label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        if numeric:
+            cur = new_labels.agg(F.sum("label")).first()[0]
+            converged = cur == prev_sum
+            prev_sum = cur
+        else:
+            converged = (
+                new_labels.filter(F.col("label") != F.col("old_label")).take(1) == []
+            )
+        labels.unpersist()
+        labels = new_labels.drop("old_label")
+        if converged:
+            break
+
+    out = labels.select(F.col("doc").alias(id_col), F.col("label").alias("cluster_id"))
+    sym.unpersist()
+    return out
+
+
 @query(
     "dedup_clusters",
     f"""
@@ -554,46 +632,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shallow); the loop breaks as soon as a round changes nothing.
     This is the standard large-graph CC shape (label propagation), not
     a driver-side union-find."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
     (documents,) = tables(spark, sf_dir, "documents")
-
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).persist()
-
-    labels = documents.select(
-        F.col("doc_id").alias("doc"), F.col("doc_id").alias("label")
-    ).persist()
-
-    # Convergence check: labels only ever DECREASE, so the label sum
-    # is strictly monotone until fixpoint — one cheap agg per round
-    # replaces a change-detection join.
-    prev_sum = None
-    for _ in range(_MAX_CC_ITERS):
-        neighbor_min = (
-            sym.join(labels, sym.doc_b == labels.doc)
-            .groupBy(F.col("doc_a").alias("doc"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc", "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
-        )
-        cur_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-
-    out = labels.select("doc", F.col("label").alias("cluster_id"))
-    sym.unpersist()
-    return out
+    nodes = documents.select(F.col("doc_id").alias("doc"))
+    return connected_components(nodes, pairs, id_col="doc")

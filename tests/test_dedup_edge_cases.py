@@ -61,3 +61,31 @@ def test_short_docs_match_oracle(short_docs):
     ).fetchall()
     oracle_out = {doc_id: sorted(sh) for doc_id, sh in oracle}
     assert spark_out == oracle_out
+
+
+def test_connected_components_string_ids(spark):
+    """String node ids must propagate to full convergence — the
+    numeric monotone-sum convergence shortcut does not apply and a
+    silent wrong-type sum previously could terminate early."""
+    from qms_datawarehouse_spark.operators.dedup import connected_components
+
+    # a 4-chain: full propagation needs >1 round; plus an isolate
+    nodes = spark.createDataFrame(
+        [("d",), ("c",), ("b",), ("a",), ("z",)], "doc string"
+    )
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a")], "a string, b string"
+    )
+    out = {r["doc"]: r["cluster_id"] for r in
+           connected_components(nodes, edges, id_col="doc").collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "z": "z"}
+
+
+def test_connected_components_numeric_ids(spark):
+    from qms_datawarehouse_spark.operators.dedup import connected_components
+
+    nodes = spark.range(6).toDF("doc")
+    edges = spark.createDataFrame([(5, 4), (4, 3), (1, 0)], "a long, b long")
+    out = {r["doc"]: r["cluster_id"] for r in
+           connected_components(nodes, edges, id_col="doc").collect()}
+    assert out == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 3}
