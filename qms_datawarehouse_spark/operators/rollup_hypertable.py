@@ -98,6 +98,9 @@ def merge_partials(existing: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+DAY_COL = "_day"  # rollup tables' partition column (to_date(bucket))
+
+
 def update_rollups(
     warehouse: ParquetWarehouse,
     delta_events: DataFrame,
@@ -106,18 +109,43 @@ def update_rollups(
 ) -> None:
     """Incrementally fold a delta batch into the hourly and daily
     rollup tables. The daily delta derives from the hourly delta
-    (cascade), so raw events are aggregated exactly once."""
+    (cascade), so raw events are aggregated exactly once.
+
+    Rollup tables are partitioned by event DAY, and an update is
+    partial: only the days present in the delta are read (partition
+    pruning), merged, and rewritten — every other day's directory is
+    hardlink-inherited (``write_version_partial``). With
+    time-correlated ingest a batch lands in one or two days, so
+    maintenance cost is O(touched days), not O(retention window) —
+    the same contract the keyed merge has, applied to the time axis.
+    Pre-partitioned legacy tables (no day column) fall back to one
+    full rewrite, which migrates them to the partitioned layout."""
     delta_1h = aggregate_to_bucket(delta_events, "1 hour").persist()
     try:
         for table, delta in (
             (hourly_table, delta_1h),
             (daily_table, coarsen(delta_1h, "1 day")),
         ):
-            if warehouse.table_exists(table):
-                merged = merge_partials(warehouse.read(table), delta)
-            else:
-                merged = delta
-            warehouse.write_version(table, merged)
+            delta = delta.withColumn(DAY_COL, F.to_date("bucket"))
+            if not warehouse.table_exists(table):
+                warehouse.write_version(table, delta, partition_by=[DAY_COL])
+                continue
+            existing = warehouse.read(table)
+            if DAY_COL not in existing.columns:
+                # legacy unpartitioned layout: migrate via full rewrite
+                merged = merge_partials(existing, delta).withColumn(
+                    DAY_COL, F.to_date("bucket")
+                )
+                warehouse.write_version(table, merged, partition_by=[DAY_COL])
+                continue
+            days = [r[0] for r in delta.select(DAY_COL).distinct().collect()]
+            contested = existing.filter(F.col(DAY_COL).isin(days)).drop(DAY_COL)
+            merged = merge_partials(contested, delta.drop(DAY_COL)).withColumn(
+                DAY_COL, F.to_date("bucket")
+            )
+            warehouse.write_version_partial(
+                table, merged, days, partition_col=DAY_COL
+            )
     finally:
         delta_1h.unpersist()
 

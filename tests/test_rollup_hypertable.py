@@ -57,3 +57,37 @@ def test_incremental_equals_full_recompute(spark, warehouse):
     assert len(clicks) == 1
     assert clicks[0]["n"] == 3
     assert clicks[0]["value_sum"] == 11.0
+
+
+def test_rollup_update_inherits_untouched_days(spark, warehouse):
+    """A delta landing in day-2 must not rewrite day-1's partition —
+    same hardlink-inheritance contract as the keyed merge."""
+    import os
+
+    from qms_datawarehouse_spark.operators.rollup_hypertable import DAY_COL
+
+    t = dt.datetime(2024, 3, 1, 12, 0, 0)
+    day1 = [(1, t, 1, "click", 1.0, None), (2, t, 2, "view", 2.0, None)]
+    day2 = [(3, t + dt.timedelta(days=1), 1, "click", 4.0, None)]
+
+    update_rollups(warehouse, _events(spark, day1))
+    v1 = warehouse.current_version_dir("rollup_1h")
+    day1_dir = f"{DAY_COL}=2024-03-01"
+    before = {
+        f: os.stat(os.path.join(v1, day1_dir, f)).st_ino
+        for f in os.listdir(os.path.join(v1, day1_dir))
+        if f.endswith(".parquet")
+    }
+
+    update_rollups(warehouse, _events(spark, day2))
+    v2 = warehouse.current_version_dir("rollup_1h")
+    assert v2 != v1
+    after = {
+        f: os.stat(os.path.join(v2, day1_dir, f)).st_ino
+        for f in os.listdir(os.path.join(v2, day1_dir))
+        if f.endswith(".parquet")
+    }
+    assert after == before, "untouched day partition was rewritten"
+    # both days readable, partials correct
+    rows = warehouse.read("rollup_1h").count()
+    assert rows == 3  # 2 hourly buckets day1 + 1 day2
