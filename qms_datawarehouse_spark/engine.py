@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from qms_datawarehouse_spark import observability
 from qms_datawarehouse_spark.config import Settings
 from qms_datawarehouse_spark.operators import checkpoint, history
 from qms_datawarehouse_spark.operators.merge import merge_upsert_stats
@@ -112,6 +113,13 @@ def sync_dataframe(
             records_synced=n,
             message=msg,
         )
+        observability.record_sync_metrics(
+            observability.METRICS, source_name, collection, "SUCCESS", n, duration
+        )
+        observability.log_event(
+            "sync_success", source=source_name, collection=collection,
+            records=n, duration_sec=round(duration, 3),
+        )
         return SyncResult(source_name, collection, n, duration, msg)
     except Exception as exc:  # fail hard, but leave an audit trail
         history.record(
@@ -122,6 +130,14 @@ def sync_dataframe(
             started,
             completed_at=dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
             message=str(exc)[:500],
+        )
+        observability.record_sync_metrics(
+            observability.METRICS, source_name, collection, "FAILED",
+            0, time.monotonic() - t0,
+        )
+        observability.log_event(
+            "sync_failed", source=source_name, collection=collection,
+            error=str(exc)[:200],
         )
         raise
 

@@ -1,0 +1,140 @@
+"""T8 observability: metrics + structured logs, Spark-first.
+
+Reference surface: Prometheus instrumentation on the API
+(/root/reference/src/main.py:9,108), Redis task-status hashes
+(src/api/routes.py:21-29), structured JSON logs
+(src/core/logger.py:20-27). The Spark-side equivalents:
+
+- ``MetricsRegistry`` — in-process counters/gauges with label sets,
+  the scrape surface a Prometheus exporter (or any agent) would read;
+  ``snapshot_df`` exposes it as a DataFrame so the warehouse's own
+  query stack can serve the dashboard.
+- ``observe_rows`` — the Spark ``Observation`` API: named metrics
+  (row count, null count, min/max) collected AS the plan executes, so
+  data-quality telemetry costs zero extra scans (the reference counts
+  rows with separate queries).
+- ``log_event`` — one structured JSON line per lifecycle event on the
+  standard ``logging`` channel; collectors ship it as-is.
+
+The sync engine (engine.py) publishes per-run metrics here; nothing
+in the data path depends on this module (observability must never be
+load-bearing).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+logger = logging.getLogger("qms_datawarehouse_spark")
+
+
+def _labelkey(labels: dict[str, str] | None) -> tuple:
+    return tuple(sorted((labels or {}).items()))
+
+
+@dataclass
+class MetricsRegistry:
+    """Thread-safe counters and gauges with label sets."""
+
+    counters: dict = field(default_factory=dict)
+    gauges: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self._lock = threading.Lock()
+
+    def inc(self, name: str, labels: dict[str, str] | None = None, by: float = 1.0):
+        k = (name, _labelkey(labels))
+        with self._lock:
+            self.counters[k] = self.counters.get(k, 0.0) + by
+
+    def set_gauge(self, name: str, value: float, labels: dict[str, str] | None = None):
+        with self._lock:
+            self.gauges[(name, _labelkey(labels))] = value
+
+    def value(self, name: str, labels: dict[str, str] | None = None) -> float | None:
+        k = (name, _labelkey(labels))
+        with self._lock:
+            return self.counters.get(k, self.gauges.get(k))
+
+    def snapshot(self) -> list[dict]:
+        with self._lock:
+            rows = [
+                {"metric": n, "kind": "counter", "value": float(v),
+                 "labels": json.dumps(dict(lk), sort_keys=True)}
+                for (n, lk), v in self.counters.items()
+            ] + [
+                {"metric": n, "kind": "gauge", "value": float(v),
+                 "labels": json.dumps(dict(lk), sort_keys=True)}
+                for (n, lk), v in self.gauges.items()
+            ]
+        return sorted(rows, key=lambda r: (r["metric"], r["labels"]))
+
+    def snapshot_df(self, spark: SparkSession) -> DataFrame:
+        """The scrape endpoint as a DataFrame (metric, kind, labels,
+        value) — queryable by the same SQL front door as everything
+        else."""
+        return spark.createDataFrame(
+            self.snapshot() or [{"metric": "", "kind": "", "value": 0.0, "labels": "{}"}],
+            "metric string, kind string, value double, labels string",
+        ).filter(F.col("metric") != "")
+
+
+#: process-wide default registry (the reference's module-level
+#: Instrumentator is the same shape)
+METRICS = MetricsRegistry()
+
+
+def observe_rows(df: DataFrame, name: str, *null_check_cols: str):
+    """Attach zero-cost plan metrics: total rows plus per-column null
+    counts for ``null_check_cols``. Returns ``(df, observation)`` —
+    read ``observation.get`` AFTER an action has run the plan.
+
+    This is the Spark-native version of the reference's per-batch
+    counts (dump.py logs fetched/inserted counts with extra queries):
+    the metrics ride the SAME job, no second scan.
+    """
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    for c in null_check_cols:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        )
+    return df.observe(obs, *metrics), obs
+
+
+def log_event(event: str, **fields) -> str:
+    """One structured JSON log line (reference src/core/logger.py:
+    JSON-formatted records). Returns the serialized line (also sent to
+    the library logger)."""
+    line = json.dumps(
+        {"event": event, "ts": time.time(), **fields},
+        sort_keys=True,
+        default=str,
+    )
+    logger.info(line)
+    return line
+
+
+def record_sync_metrics(
+    registry: MetricsRegistry,
+    source: str,
+    collection: str,
+    status: str,
+    records: int,
+    duration_sec: float,
+) -> None:
+    """Publish one sync run's outcome (the reference's
+    sync-counter/last-duration surface)."""
+    labels = {"source": source, "collection": collection}
+    registry.inc("sync_runs_total", {**labels, "status": status})
+    registry.inc("sync_records_total", labels, by=float(records))
+    registry.set_gauge("last_sync_records", float(records), labels)
+    registry.set_gauge("last_sync_duration_sec", float(duration_sec), labels)
+    registry.set_gauge("last_sync_unixtime", time.time(), labels)

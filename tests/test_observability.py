@@ -1,0 +1,74 @@
+"""T8: metrics registry, Observation-based plan metrics, structured
+logs, and the sync engine's publication of all three."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.observability import (
+    METRICS,
+    MetricsRegistry,
+    log_event,
+    observe_rows,
+    record_sync_metrics,
+)
+
+
+def test_registry_counters_gauges_labels():
+    r = MetricsRegistry()
+    r.inc("runs", {"c": "a"})
+    r.inc("runs", {"c": "a"})
+    r.inc("runs", {"c": "b"})
+    r.set_gauge("last", 7.0, {"c": "a"})
+    assert r.value("runs", {"c": "a"}) == 2.0
+    assert r.value("runs", {"c": "b"}) == 1.0
+    assert r.value("last", {"c": "a"}) == 7.0
+    snap = r.snapshot()
+    assert {s["metric"] for s in snap} == {"runs", "last"}
+
+
+def test_snapshot_df_is_queryable(spark):
+    r = MetricsRegistry()
+    r.inc("x")
+    r.set_gauge("y", 3.5)
+    df = r.snapshot_df(spark)
+    got = {row["metric"]: row["value"] for row in df.collect()}
+    assert got == {"x": 1.0, "y": 3.5}
+
+
+def test_observe_rows_rides_the_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, s string"
+    )
+    observed, obs = observe_rows(df, "probe", "s")
+    assert observed.count() == 3  # the action that runs the plan
+    assert obs.get == {"rows": 3, "null_s": 1}
+
+
+def test_log_event_is_json():
+    line = log_event("unit_test", collection="t", records=5)
+    parsed = json.loads(line)
+    assert parsed["event"] == "unit_test"
+    assert parsed["records"] == 5
+    assert "ts" in parsed
+
+
+def test_sync_publishes_metrics(spark, warehouse):
+    from qms_datawarehouse_spark.engine import sync_dataframe
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00", 1)], "_id string, updated_at string, v long"
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    sync_dataframe(warehouse, df, "src", "obs_t")
+    labels = {"source": "src", "collection": "obs_t"}
+    assert METRICS.value("sync_runs_total", {**labels, "status": "SUCCESS"}) >= 1
+    assert METRICS.value("last_sync_records", labels) == 1.0
+    assert METRICS.value("last_sync_duration_sec", labels) > 0
+
+
+def test_record_sync_metrics_failure_path():
+    r = MetricsRegistry()
+    record_sync_metrics(r, "s", "c", "FAILED", 0, 0.5)
+    assert r.value("sync_runs_total", {"source": "s", "collection": "c", "status": "FAILED"}) == 1.0
