@@ -43,6 +43,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.functions import col as F_col
 
 CURRENT_POINTER = "_CURRENT"
 BUCKET_COL = "_bucket"
@@ -298,13 +299,34 @@ class ParquetWarehouse:
 
     # -- maintenance ---------------------------------------------------
 
+    def fragmented_partitions(
+        self, table: str, partition_col: str = BUCKET_COL, max_files: int = 1
+    ) -> list:
+        """Partition values whose directory holds more than
+        ``max_files`` parquet files — the compaction work list.
+        Pure directory metadata, no data read."""
+        vdir = self.current_version_dir(table)
+        if vdir is None:
+            raise FileNotFoundError(f"warehouse table not found: {table}")
+        out = []
+        prefix = f"{partition_col}="
+        for entry in os.listdir(vdir):
+            if not entry.startswith(prefix):
+                continue
+            pdir = os.path.join(vdir, entry)
+            n = sum(1 for f in os.listdir(pdir) if f.endswith(".parquet"))
+            if n > max_files:
+                out.append(entry[len(prefix):])
+        return sorted(out)
+
     def compact(
         self,
         table: str,
         sort_col: str | None = None,
         files_per_partition: int = 1,
+        only_fragmented: bool = False,
     ) -> str:
-        """Rewrite the current version with consolidated files.
+        """Rewrite fragmented files into consolidated ones.
 
         Frequent small incremental merges accrete small files — the
         classic streaming-warehouse pathology (at 100 TB, scan cost is
@@ -315,9 +337,33 @@ class ParquetWarehouse:
         point lookups row-group skipping (poor-man's clustering).
         Readers are never blocked: this is just another atomic
         version swap.
+
+        ``only_fragmented=True`` makes compaction itself incremental:
+        only bucket dirs holding more than ``files_per_partition``
+        files are rewritten; already-unit buckets hardlink-inherit
+        (write_version_partial). At 100 TB this is the difference
+        between a nightly compaction that touches the day's churned
+        buckets and one that rewrites the table.
         """
         df = self.read(table)
         parted = BUCKET_COL in df.columns
+
+        if only_fragmented and parted:
+            frag = self.fragmented_partitions(
+                table, BUCKET_COL, max_files=files_per_partition
+            )
+            if not frag:
+                return self.current_version_dir(table)  # nothing to do
+            # partition values arrive as strings from dir names; the
+            # bucket column is numeric — cast for the filter
+            vals = [int(v) for v in frag]
+            sub = df.filter(F_col(BUCKET_COL).isin(vals)).repartition(
+                files_per_partition, BUCKET_COL
+            )
+            if sort_col is not None:
+                sub = sub.sortWithinPartitions(BUCKET_COL, sort_col)
+            return self.write_version_partial(table, sub, vals)
+
         if parted:
             df = df.repartition(files_per_partition, BUCKET_COL)
         else:

@@ -110,3 +110,37 @@ def test_invalid_table_names_rejected(spark, warehouse):
     for bad in ["../evil", "a/b", "", ".", "a b", "x;drop"]:
         with pytest.raises(ValueError):
             warehouse.table_dir(bad)
+
+
+def test_partial_compaction_touches_only_fragmented_buckets(spark, warehouse):
+    """only_fragmented compaction rewrites multi-file buckets into unit
+    files and hardlink-inherits already-unit buckets."""
+    # seed writes land multiple shuffle files per bucket dir; the
+    # follow-up merge rewrites one bucket into a unit file — leaving a
+    # mix of fragmented and already-compact buckets
+    merge_upsert(warehouse, "t", _seed(spark), key="_id", n_buckets=N_BUCKETS)
+    upd = spark.createDataFrame(
+        [(7, 2, "v2")], "_id long, updated_at int, payload string"
+    )
+    merge_upsert(warehouse, "t", upd, key="_id")
+
+    vdir = warehouse.current_version_dir("t")
+    before = _inodes_by_bucket(vdir)
+    frag = warehouse.fragmented_partitions("t")
+    assert frag and len(frag) < N_BUCKETS, "need a mix to test partial compaction"
+
+    out = warehouse.compact("t", sort_col="_id", only_fragmented=True)
+    assert out != vdir
+    after = _inodes_by_bucket(out)
+    for bucket, inodes in after.items():
+        key = bucket.split("=")[1]
+        if key in frag:
+            assert len(inodes) == 1, "fragmented bucket not consolidated"
+        else:
+            assert inodes == before[bucket], f"{bucket} rewritten needlessly"
+    # contents intact
+    rows = {r["_id"]: r["payload"] for r in warehouse.read("t").collect()}
+    assert len(rows) == 200 and rows[7] == "v2"
+
+    # idempotent: nothing fragmented → same version returned
+    assert warehouse.compact("t", only_fragmented=True) == out
