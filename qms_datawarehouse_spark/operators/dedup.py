@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qms_datawarehouse_spark.plans.registry import query, spread, tables
+from qms_datawarehouse_spark.plans.registry import REGISTRY, query, spread, tables
 
 N_MINHASH = 8  # signature length
 N_BANDS = 4  # bands of 2 rows each
@@ -494,6 +494,119 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _COSINE_THRESHOLD)
         .select("doc_a", "doc_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------
+# Embedding near-dup, LSH-bucketed (the 100 TB path for the block
+# baseline above): hyperplane sign buckets generate candidates, the
+# exact cosine kernel verifies only same-bucket pairs
+# --------------------------------------------------------------------
+
+
+def _embedding_lsh_sql() -> str:
+    from qms_datawarehouse_spark.operators.lsh_planes import (
+        N_HYPERPLANES,
+        plane_sql_literal,
+    )
+
+    planes = ",".join(
+        f"({j}, {plane_sql_literal(j)})" for j in range(N_HYPERPLANES)
+    )
+    return f"""
+    WITH planes AS (
+        SELECT * FROM (VALUES {planes}) AS t(plane_id, p)
+    ),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS nrm
+        FROM embeddings
+    ),
+    bits AS (
+        SELECT e.vec_id, pl.plane_id,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> e.v[i] * pl.p[i])) > 0
+                    THEN '1' ELSE '0' END AS b
+        FROM e CROSS JOIN planes pl
+    ),
+    buckets AS (
+        SELECT vec_id, string_agg(b, '' ORDER BY plane_id) AS bucket
+        FROM bits GROUP BY vec_id
+    )
+    SELECT doc_a, doc_b, cosine FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_sum(list_transform(range(1, 65),
+                   i -> ea.v[i] * eb.v[i])) / (ea.nrm * eb.nrm), 4) AS cosine
+        FROM buckets a
+        JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+    ) WHERE cosine >= {_COSINE_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_lsh", None)  # SQL attached below (lazy import)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: candidate pairs come from a
+    hyperplane-LSH bucket equi-join instead of the all-pairs cross
+    join above — cost ∝ Σ(bucket²), not corpus². The exact cosine
+    kernel then verifies only same-bucket pairs. Recall < 1 by design
+    (pairs split across buckets are missed — more planes/band OR-ing
+    trades recall for candidates), but both engines derive identical
+    buckets from the md5 constants, so the whole pipeline is value-
+    checked, not just the kernel.
+
+    At 100 TB: bucket assignment is map-side (broadcast plane
+    constants, codegen fold); the equi-join shuffles on the 8-bit
+    bucket key; verification touches only candidate pairs. No stage
+    scales with corpus²."""
+    from qms_datawarehouse_spark.operators.similarity import lsh_bucketed
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    bucketed = lsh_bucketed(embeddings).select(
+        "vec_id",
+        "bucket",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    a = bucketed.select(
+        "bucket",
+        F.col("vec_id").alias("doc_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = bucketed.select(
+        "bucket",
+        F.col("vec_id").alias("doc_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cosine") >= _COSINE_THRESHOLD)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+# attach the oracle lazily: building it needs similarity's plane
+# constants, and importing similarity at module top would recurse
+# through the package __init__ during circular-import windows
+REGISTRY["dedup_embedding_lsh"].sql = _embedding_lsh_sql()
 
 
 # --------------------------------------------------------------------

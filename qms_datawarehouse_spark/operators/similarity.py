@@ -28,11 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from qms_datawarehouse_spark.operators.lsh_planes import (
+    N_HYPERPLANES,
+    plane_sql_literal,
+)
 from qms_datawarehouse_spark.plans.registry import query, tables
 
 TOP_K = 10
 QUERY_VEC_ID = 0
-N_HYPERPLANES = 8
 
 
 def _norm(v: Column) -> Column:
@@ -254,21 +257,10 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_sql_literal(j: int, dim: int = 64) -> str:
-    """Hyperplane ``j`` as a DuckDB DOUBLE[] literal, computed with
-    hashlib — bit-identical to the Spark side's JVM md5 + conv path:
-    component = int(md5("j:i")[:8 hex], 16) / 2^32 − 0.5, and 2^32 is
-    a power-of-two denominator so the division is exact in both
-    engines."""
-    import hashlib
-
-    comps = [
-        int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) / float(16**8)
-        - 0.5
-        for i in range(dim)
-    ]
-    return "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
-
+# DuckDB-side planes: computed with hashlib in the shared leaf module
+# — bit-identical to the JVM md5 + conv path used in lsh_bucketed
+# (power-of-two denominator ⇒ exact division in both engines).
+_plane_sql_literal = plane_sql_literal
 
 _ANN_LSH_SQL = f"""
     WITH planes AS (
@@ -308,6 +300,104 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("bucket").agg(
         F.count("*").alias("n_vectors"),
         F.countDistinct("label").alias("n_labels"),
+    )
+
+
+# --------------------------------------------------------------------
+# IVF materialized index: embeddings written partitioned BY cell, so
+# a probe becomes a partition-pruned scan of nprobe/K of the corpus
+# --------------------------------------------------------------------
+
+IVF_CELL_COL = "cell_id"
+
+
+def build_ivf_index(
+    warehouse,
+    embeddings: DataFrame,
+    table: str = "ivf_embeddings",
+    centroids: DataFrame | None = None,
+) -> str:
+    """Materialize the IVF layout: assign every vector to its nearest
+    centroid (map-side broadcast argmax — no shuffle of the embedding
+    table beyond the partitioned write) and store the corpus
+    partitioned by ``cell_id``.
+
+    This is the piece that turns nprobe pruning from a row filter into
+    PARTITION pruning: a probe reads only the nprobe matching cell
+    directories — at 100 TB, nprobe/K of the data never leaves disk.
+    Rebuild when the codebook retrains; serving reads are immutable
+    versions (same atomic-swap story as every table).
+    """
+    e = embeddings.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    if centroids is None:
+        centroids = e.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    assigned = assign_cells(e, centroids).withColumnRenamed("cell_id", IVF_CELL_COL)
+    return warehouse.write_version(table, assigned, partition_by=[IVF_CELL_COL])
+
+
+def ivf_probe_indexed(
+    warehouse,
+    query_vec: list[float],
+    table: str = "ivf_embeddings",
+    centroids: DataFrame | None = None,
+    n_probe: int = N_PROBE,
+    top_k: int = TOP_K,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ANN search against the materialized IVF table: pick the query's
+    ``n_probe`` nearest cells driver-side against the (tiny) codebook,
+    then scan ONLY those cell partitions and exact-rerank.
+
+    The cell filter is an IN over the partition column → Spark prunes
+    the other cell directories at planning time (PartitionFilters in
+    the scan, pinned by tests/test_plans_scale.py-style asserts) —
+    the materialized twin of ``similarity_ivf_probe``'s row-filter
+    pruning."""
+    spark = warehouse.spark
+    stored = warehouse.read(table)
+    if centroids is None:
+        centroids = stored.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    import math
+
+    qv = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in qv))
+    # codebook is tiny (K rows): the nprobe argmax is a driver-side
+    # fold over collected centroids, not a Spark job
+    cents = centroids.collect()
+    scored = sorted(
+        (
+            (
+                -sum(x * y for x, y in zip(qv, r["cv"])) / (qn * r["cnrm"]),
+                r["cent_id"],
+            )
+            for r in cents
+        ),
+    )
+    probe = [cid for _, cid in scored[:n_probe]]
+
+    qcol = F.array(*[F.lit(x) for x in qv])
+    cos = _dot(F.col("v"), qcol) / (F.col("nrm") * F.lit(qn))
+    scan = stored.filter(F.col(IVF_CELL_COL).isin(probe))  # partition pruning
+    if exclude_vec_id is not None:
+        # self-exclusion BEFORE the top-k so the limit still fills k
+        scan = scan.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        scan.withColumn("cosine", F.round(cos, 4))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(top_k)
+        .select("vec_id", "label", F.col(IVF_CELL_COL), "cosine")
     )
 
 
