@@ -122,6 +122,51 @@ def log_event(event: str, **fields) -> str:
     return line
 
 
+class TaskStatusStore:
+    """S14 task-status hashes (reference src/api/routes.py:21-29:
+    ``redis_client.hset(task_id, source_uri, status)``): per-task
+    field→status maps with the same hset/hget/hgetall surface.
+
+    In-memory by default — a Redis deployment swaps in by subclassing
+    with the redis client's own hset/hget/hgetall, nothing else
+    changes (the seam is the three methods, not this class)."""
+
+    def __init__(self):
+        self._h: dict[str, dict[str, str]] = {}
+        self._lock = threading.Lock()
+
+    def hset(self, task_id: str, field: str, value: str) -> None:
+        with self._lock:
+            self._h.setdefault(task_id, {})[field] = value
+
+    def hget(self, task_id: str, field: str) -> str | None:
+        with self._lock:
+            return self._h.get(task_id, {}).get(field)
+
+    def hgetall(self, task_id: str) -> dict[str, str]:
+        with self._lock:
+            return dict(self._h.get(task_id, {}))
+
+
+#: process-wide default status store
+STATUS = TaskStatusStore()
+
+
+def run_tracked(task_id: str, source: str, fn, status: TaskStatusStore | None = None):
+    """The reference's background-task lifecycle (routes.py:18-28):
+    mark running → run → mark ``success: <result>`` or
+    ``failed: <error>``; failures re-raise after being recorded."""
+    store = status or STATUS
+    store.hset(task_id, source, "running")
+    try:
+        result = fn()
+        store.hset(task_id, source, f"success: {result}")
+        return result
+    except Exception as exc:
+        store.hset(task_id, source, f"failed: {exc!s}"[:500])
+        raise
+
+
 def record_sync_metrics(
     registry: MetricsRegistry,
     source: str,

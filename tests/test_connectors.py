@@ -77,3 +77,13 @@ def test_unknown_builtin_error_passthrough(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         SourceSpec(format="parquet", path=str(tmp_path / "missing")).load(spark)
     assert "connector package" not in str(ei.value)
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    """F11: CSV serialization through the same sink seam (the
+    reference's pandas to_csv path, dump.py CSV export)."""
+    df = spark.createDataFrame([(1, "a,b"), (2, "c")], "id long, s string")
+    out_dir = str(tmp_path / "csv")
+    SinkSpec(format="csv", path=out_dir, options={"header": "true"}).write(df)
+    back = spark.read.option("header", "true").csv(out_dir)
+    assert {(r["id"], r["s"]) for r in back.collect()} == {("1", "a,b"), ("2", "c")}

@@ -72,3 +72,22 @@ def test_record_sync_metrics_failure_path():
     r = MetricsRegistry()
     record_sync_metrics(r, "s", "c", "FAILED", 0, 0.5)
     assert r.value("sync_runs_total", {"source": "s", "collection": "c", "status": "FAILED"}) == 1.0
+
+
+def test_task_status_store_lifecycle():
+    import pytest
+
+    from qms_datawarehouse_spark.observability import TaskStatusStore, run_tracked
+
+    store = TaskStatusStore()
+    out = run_tracked("t1", "src_a", lambda: 42, status=store)
+    assert out == 42
+    assert store.hget("t1", "src_a") == "success: 42"
+
+    def boom():
+        raise RuntimeError("nope")
+
+    with pytest.raises(RuntimeError):
+        run_tracked("t1", "src_b", boom, status=store)
+    assert store.hget("t1", "src_b").startswith("failed: nope")
+    assert set(store.hgetall("t1")) == {"src_a", "src_b"}
