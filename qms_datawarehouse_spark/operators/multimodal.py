@@ -213,7 +213,45 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("multimodal_pipeline", None)  # rows-only: mapInPandas is not SQL
+# Every stub stage is deterministic arithmetic over the payload bytes
+# and metadata, so the per-modality summaries are fully SQL-checkable:
+# image payload = Σ n_bytes·32² // (w·h) (dims from first/last byte),
+# audio payload = Σ duration_ms // 1000, video = expanded frame rows
+# capped at 10/doc. A real codec keeps the same plan shape but drops
+# the decode-derived columns back to rows-only.
+_PIPELINE_SQL = """
+    WITH m AS (
+        SELECT doc_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+                   AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               hex(encode(text)) AS h,
+               CAST(n_chars * 10 AS BIGINT) AS duration_ms
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, modality, n_bytes, duration_ms,
+               64 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 64 AS w,
+               64 + CAST('0x' || right(h, 2) AS BIGINT) % 64 AS hgt
+        FROM m
+    )
+    SELECT 'image' AS modality, count(*) AS n_items,
+           CAST(sum(n_bytes * 1024 // (w * hgt)) AS BIGINT) AS payload
+    FROM d WHERE modality = 'image'
+    UNION ALL
+    SELECT 'audio', count(*),
+           CAST(sum(duration_ms // 1000) AS BIGINT)
+    FROM d WHERE modality = 'audio'
+    UNION ALL
+    SELECT 'video',
+           count(DISTINCT CASE WHEN least(duration_ms // 1000, 10) > 0
+                               THEN doc_id END),
+           CAST(sum(least(duration_ms // 1000, 10)) AS BIGINT)
+    FROM d WHERE modality = 'video'
+"""
+
+
+@query("multimodal_pipeline", _PIPELINE_SQL)
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-modality processing over one multimodal table: partition
     prune by modality, run the modality's Arrow-batched stage, union
