@@ -132,3 +132,34 @@ def test_time_partitioned_write_prunes_partitions(spark, warehouse):
     # row results still correct
     n_direct = events.filter(F.to_date("ts") == "2024-01-05").count()
     assert df.count() == n_direct
+
+
+def test_q7_nation_filters_reach_the_scans(spark):
+    """The bilateral pair's nation filter must be pushed into BOTH
+    nation-role scans (pre-filtered broadcast dims), and every dim
+    join stays broadcast — the fact shrinks at its first join."""
+    plan = _plan(spark, "q7_nation_trade")
+    squashed = plan.replace(" ", "")
+    assert squashed.count("In(n_name,[NATION_1,NATION_2])") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q9_like_filter_pushed_and_part_broadcast(spark):
+    plan = _plan(spark, "q9_product_profit")
+    assert "StringContains(p_name,red)" in plan.replace(" ", "")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_embedding_lsh_is_an_equi_join_not_all_pairs(spark):
+    """The scale path must generate candidates via a bucket equi-join;
+    a refactor that loses the bucket key silently degrades to the
+    corpus² cross join."""
+    plan = _plan(spark, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the baseline next door IS all-pairs, by design
+    base = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" in base or "BroadcastNestedLoopJoin" in base
