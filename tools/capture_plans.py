@@ -17,6 +17,8 @@ PICKS = {
     "flagship_staff_report": "One lineitem scan feeds the whole report; dims enter via BroadcastHashJoin; two-level HashAggregate tree (order grain -> day grain -> staff grain).",
     "asof_join_last_purchase": "No range explosion: tagged union + one Window pass per key.",
     "dedup_minhash_lsh": "Signatures compute per-row (no explode before the band layout); candidate + verify stages are hash equi-joins.",
+    "q7_nation_trade": "Bilateral-pair nation filter pushed into BOTH nation-role scans; all dims broadcast; single lineitem pass.",
+    "dedup_embedding_lsh": "Near-dup candidates via hyperplane-bucket equi-join (cost ~ sum of bucket^2) — contrast with the intentional all-pairs baseline.",
 }
 
 HEADER = """# Physical plans (captured)
