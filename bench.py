@@ -97,9 +97,61 @@ def main() -> None:
                 "sf": sf_val,
                 "cold_value": round(cold_total, 3),
                 "runs_per_query": 2,
+                "merge": _merge_bench(spark),
             }
         )
     )
+
+
+def _merge_bench(spark) -> dict:
+    """Side metric (not in ``value``): incremental-merge cost on a
+    bucketed table — seed a table from orders, then time a small
+    keyed batch. ``partial_sec`` is what the O(touched-bucket) write
+    path costs; ``full_rewrite_sec`` is the same batch if every bucket
+    were rewritten (the r1 behavior), measured by touching all
+    buckets. The gap is the point."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    root = tempfile.mkdtemp(prefix="bench_merge_")
+    try:
+        wh = ParquetWarehouse(spark, root)
+        orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+            F.col("o_orderkey").alias("_id"),
+            F.col("o_orderdate").alias("updated_at"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        n_rows = orders.count()
+        merge_upsert(wh, "t", orders, key="_id", n_buckets=64)
+
+        # small batch → few touched buckets (partial write path)
+        small = orders.limit(50).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        )
+        t0 = time.monotonic()
+        merge_upsert(wh, "t", small)
+        partial = time.monotonic() - t0
+
+        # batch touching EVERY bucket → forced full rewrite, same rows
+        wide = orders.filter(F.col("_id") % (n_rows // 200 or 1) == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        )
+        t0 = time.monotonic()
+        merge_upsert(wh, "t", wide)
+        full = time.monotonic() - t0
+        return {
+            "table_rows": n_rows,
+            "partial_sec": round(partial, 3),
+            "all_buckets_sec": round(full, 3),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
