@@ -62,6 +62,19 @@ def validate_table_name(table: str) -> str:
     return table
 
 
+def _parse_partition_value(raw: str, dtype: T.DataType):
+    """Directory-name partition value → the column's Python type (the
+    inverse of Spark's partition-path encoding for the types used
+    here)."""
+    import datetime as _dt
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(raw)
+    return raw
+
+
 def _merge_schemas(base: T.StructType, extra: T.StructType) -> T.StructType:
     """unionByName-style schema merge: ``base`` field order, new fields
     from ``extra`` appended as nullable (schema evolution adds columns;
@@ -223,6 +236,17 @@ class ParquetWarehouse:
         prev = self.current_version_dir(table)
         if prev is None:
             raise FileNotFoundError(f"partial write needs an existing table: {table}")
+        if not any(
+            e.startswith(f"{partition_col}=") for e in os.listdir(prev)
+        ):
+            # loud failure beats silent loss: inheriting from a version
+            # with no matching partition dirs would drop every
+            # untouched row (e.g. after a layout-stripping rewrite)
+            raise ValueError(
+                f"table {table!r} current version has no "
+                f"{partition_col}= partition dirs; partial write would "
+                f"lose untouched data — write a full version instead"
+            )
         version, vdir = self._new_version_dir(table)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
 
@@ -319,6 +343,18 @@ class ParquetWarehouse:
                 out.append(entry[len(prefix):])
         return sorted(out)
 
+    def partition_column(self, table: str) -> str | None:
+        """The table's physical partition column, detected from the
+        current version's directory layout (``col=value`` dirs) — the
+        ground truth a maintenance rewrite must preserve."""
+        vdir = self.current_version_dir(table)
+        if vdir is None:
+            return None
+        for entry in os.listdir(vdir):
+            if "=" in entry and os.path.isdir(os.path.join(vdir, entry)):
+                return entry.split("=", 1)[0]
+        return None
+
     def compact(
         self,
         table: str,
@@ -346,31 +382,37 @@ class ParquetWarehouse:
         buckets and one that rewrites the table.
         """
         df = self.read(table)
-        parted = BUCKET_COL in df.columns
+        # preserve whatever partition layout the table actually has —
+        # assuming _bucket here would strip e.g. a rollup table's day
+        # partitioning, after which partial writes could not inherit
+        part_col = self.partition_column(table)
 
-        if only_fragmented and parted:
+        if only_fragmented and part_col is not None:
             frag = self.fragmented_partitions(
-                table, BUCKET_COL, max_files=files_per_partition
+                table, part_col, max_files=files_per_partition
             )
             if not frag:
                 return self.current_version_dir(table)  # nothing to do
-            # partition values arrive as strings from dir names; the
-            # bucket column is numeric — cast for the filter
-            vals = [int(v) for v in frag]
-            sub = df.filter(F_col(BUCKET_COL).isin(vals)).repartition(
-                files_per_partition, BUCKET_COL
+            # dir names are strings; cast back through the column's
+            # own type via the isin on the read column
+            field = df.schema[part_col].dataType
+            vals = [_parse_partition_value(v, field) for v in frag]
+            sub = df.filter(F_col(part_col).isin(vals)).repartition(
+                files_per_partition, part_col
             )
             if sort_col is not None:
-                sub = sub.sortWithinPartitions(BUCKET_COL, sort_col)
-            return self.write_version_partial(table, sub, vals)
+                sub = sub.sortWithinPartitions(part_col, sort_col)
+            return self.write_version_partial(
+                table, sub, vals, partition_col=part_col
+            )
 
-        if parted:
-            df = df.repartition(files_per_partition, BUCKET_COL)
+        if part_col is not None:
+            df = df.repartition(files_per_partition, part_col)
         else:
             df = df.coalesce(files_per_partition)
         if sort_col is not None:
-            cols = ([BUCKET_COL] if parted else []) + [sort_col]
+            cols = ([part_col] if part_col else []) + [sort_col]
             df = df.sortWithinPartitions(*cols)
         return self.write_version(
-            table, df, partition_by=[BUCKET_COL] if parted else None
+            table, df, partition_by=[part_col] if part_col else None
         )

@@ -144,3 +144,13 @@ def test_partial_compaction_touches_only_fragmented_buckets(spark, warehouse):
 
     # idempotent: nothing fragmented → same version returned
     assert warehouse.compact("t", only_fragmented=True) == out
+
+
+def test_partial_write_refuses_unpartitioned_previous_version(spark, warehouse):
+    """Inheriting from a version with no partition dirs would silently
+    drop every untouched row — must fail loudly instead."""
+    warehouse.write_version("t", spark.range(5).toDF("x"))  # unpartitioned
+    with pytest.raises(ValueError, match="partition dirs"):
+        warehouse.write_version_partial(
+            "t", spark.range(1).toDF("x").withColumn(BUCKET_COL, F.lit(0)), [0]
+        )

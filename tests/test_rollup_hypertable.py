@@ -91,3 +91,28 @@ def test_rollup_update_inherits_untouched_days(spark, warehouse):
     # both days readable, partials correct
     rows = warehouse.read("rollup_1h").count()
     assert rows == 3  # 2 hourly buckets day1 + 1 day2
+
+
+def test_compact_preserves_day_partition_layout(spark, warehouse):
+    """compact() must keep the table's actual partition column — a
+    layout-stripping rewrite would make later partial updates unable
+    to inherit untouched days (silent data loss)."""
+    import os
+
+    from qms_datawarehouse_spark.operators.rollup_hypertable import DAY_COL
+
+    t = dt.datetime(2024, 3, 1, 12, 0, 0)
+    update_rollups(warehouse, _events(spark, [
+        (1, t, 1, "click", 1.0, None),
+        (2, t + dt.timedelta(days=1), 2, "view", 2.0, None),
+    ]))
+    warehouse.compact("rollup_1h", sort_col="bucket")
+    vdir = warehouse.current_version_dir("rollup_1h")
+    assert any(e.startswith(f"{DAY_COL}=") for e in os.listdir(vdir)), (
+        "compaction stripped the day-partition layout"
+    )
+    # and the incremental path still works afterwards
+    update_rollups(warehouse, _events(spark, [
+        (3, t + dt.timedelta(days=2), 1, "click", 4.0, None),
+    ]))
+    assert warehouse.read("rollup_1h").count() == 3
