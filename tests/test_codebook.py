@@ -116,3 +116,46 @@ def test_lsh_buckets_deterministic_and_bounded(spark):
         mean_bucket = mates.agg(F.avg("dot")).first()[0]
         assert mean_bucket > mean_all
     scored.unpersist()
+
+
+def test_train_codebook_matches_numpy_reference(spark):
+    """Independent oracle: the DataFrame-native Lloyd's must produce
+    the same centroids as a from-scratch NumPy implementation of the
+    identical algorithm (cosine argmax, id tie-break, empty cells keep
+    previous centroid) to float tolerance — the iterative-algorithm
+    analog of the DuckDB oracles, run where tolerance can be explicit
+    instead of hash-exact."""
+    import numpy as np
+
+    (embeddings,) = tables(spark, SF_DIR, "embeddings")
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+         for r in embeddings.select("vec_id", "embedding").collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    X = np.stack([t[1] for t in rows])
+    nrm = np.linalg.norm(X, axis=1)
+
+    C = X[ids < N_CELLS].copy()
+    cn = nrm[ids < N_CELLS].copy()
+    for _ in range(3):
+        cos = (X @ C.T) / np.outer(nrm, cn)  # (n, k)
+        # argmax with lowest-cent-id tie-break == np.argmax semantics
+        assign = np.argmax(cos, axis=1)
+        newC = C.copy()
+        for c in range(N_CELLS):
+            members = X[assign == c]
+            if len(members):
+                newC[c] = members.mean(axis=0)
+        C, cn = newC, np.linalg.norm(newC, axis=1)
+
+    got = {
+        r["cent_id"]: (np.array(r["cv"]), r["cnrm"])
+        for r in train_codebook(embeddings, iterations=3).collect()
+    }
+    assert set(got) == set(range(N_CELLS))
+    for c in range(N_CELLS):
+        gv, gn = got[c]
+        np.testing.assert_allclose(gv, C[c], rtol=0, atol=1e-9)
+        assert abs(gn - cn[c]) < 1e-9
