@@ -14,7 +14,7 @@ DuckDB); language scores tie-break by a fixed language order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.plans.registry import query, tables
@@ -233,4 +233,114 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "binary"
             )
         ).alias("shingle_fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------
+# Corpus curation: the composed training-data pipeline
+# --------------------------------------------------------------------
+
+_MIN_QUALITY_BP = 4500
+_KEEP_LANGS = ("de", "en", "es", "fr")
+_TOKEN_BUDGET = 8000
+
+_CURATION_SQL = f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    m AS (
+        SELECT doc_id, text,
+               len(w) AS n,
+               {_sql_hits(STOPWORDS)} AS h,
+               len(list_distinct(w)) AS d,
+               {", ".join(f"{_sql_hits(LANG_MARKERS[lang])} AS s_{lang}" for lang in _LANGS)}
+        FROM t
+    ),
+    scored AS (
+        SELECT doc_id, text, n AS n_words,
+               (10000 * (CASE WHEN n < 50 THEN 4 * n * n + 150 * (h + d)
+                              ELSE 200 * n + 150 * (h + d) END))
+                   // (500 * n) AS quality_bp,
+               CASE {" ".join(f"WHEN s_{lang} = greatest({', '.join('s_' + x for x in _LANGS)}) THEN '{lang}'" for lang in _LANGS)}
+               END AS predicted_lang
+        FROM m
+    ),
+    filtered AS (
+        SELECT * FROM scored
+        WHERE quality_bp >= {_MIN_QUALITY_BP}
+          AND predicted_lang IN {_KEEP_LANGS!r}
+    ),
+    deduped AS (
+        SELECT doc_id, predicted_lang, quality_bp, n_words FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+            ) AS rn FROM filtered
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, predicted_lang, quality_bp, n_words, cum_words FROM (
+        SELECT *, CAST(sum(n_words) OVER (
+                   ORDER BY quality_bp DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_words
+        FROM deduped
+    ) WHERE cum_words <= {_TOKEN_BUDGET}
+"""
+
+
+@query("corpus_curation", _CURATION_SQL)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline over one corpus scan:
+    quality score (int basis points) → language filter → exact dedup
+    (content hash, lowest doc_id wins) → greedy token budget (running
+    word sum over quality-desc order, cut at the budget). This is the
+    end-to-end curation operation an LLM-data user runs — every stage
+    reuses a verified kernel above, and the whole composition is
+    oracle-checked.
+
+    Scale shape: scoring/langid/hash are one map-side pass (no
+    shuffle); dedup is one hash shuffle; the only global structure is
+    the budget's running sum — at 100 TB replace the exact global
+    window with per-partition budgets or quality-threshold binary
+    search (both documented sketch-style relaxations); constants are
+    module-level so a deployment tunes them per corpus."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    m = documents.select(
+        "doc_id",
+        "text",
+        F.size(w).cast("long").alias("n"),
+        _hits(w, STOPWORDS).cast("long").alias("h"),
+        F.size(F.array_distinct(w)).cast("long").alias("d"),
+        *[_hits(w, LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANGS])
+    pred = F.when(F.col(f"s_{_LANGS[0]}") == best, F.lit(_LANGS[0]))
+    for lang in _LANGS[1:]:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    scored = m.select(
+        "doc_id",
+        "text",
+        F.col("n").alias("n_words"),
+        F.expr(
+            """(10000 * (CASE WHEN n < 50 THEN 4 * n * n + 150 * (h + d)
+                         ELSE 200 * n + 150 * (h + d) END))
+               div (500 * n)"""
+        ).alias("quality_bp"),
+        pred.alias("predicted_lang"),
+    )
+    filtered = scored.filter(
+        (F.col("quality_bp") >= _MIN_QUALITY_BP)
+        & F.col("predicted_lang").isin(*_KEEP_LANGS)
+    )
+    wdup = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "predicted_lang", "quality_bp", "n_words")
+    )
+    wbudget = (
+        Window.orderBy(F.desc("quality_bp"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deduped.withColumn("cum_words", F.sum("n_words").over(wbudget))
+        .filter(F.col("cum_words") <= _TOKEN_BUDGET)
     )
