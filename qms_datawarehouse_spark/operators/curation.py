@@ -1,0 +1,380 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Four operations every 100 TB pretraining pipeline runs between "raw
+crawl" and "tokenizer", each expressed so its cost is one scan plus at
+most one bounded shuffle:
+
+- **stratified sampling** — deterministic hash-threshold downsampling
+  with a per-language rate table (rebalance over-represented
+  languages). Pure map-side filter: no shuffle, no RNG state, and the
+  same row set comes back on every run and every engine, which is what
+  makes a sampled corpus reproducible.
+- **sequence packing** — greedy concat-and-chunk packing of documents
+  into fixed token-budget training sequences, sharded so the running
+  sum is a per-shard window (shards scale with the cluster; there is
+  no global ordering anywhere in the plan).
+- **contamination check** — n-gram overlap of every corpus document
+  against a benchmark/eval set, the standard train-test leakage gate.
+  Benchmark shingles are a broadcast-sized set; the probe is one
+  explode + broadcast semi-structured join, never corpus × corpus.
+- **PII redaction** — regex scrub (emails, IPv4, long digit runs) with
+  per-class counts and a post-redaction fingerprint. Map-side only.
+
+Reference parity: the reference has no curation surface — these extend
+the north-star LLM-pipeline operators mandated by BASELINE.json
+alongside dedup/similarity/textops. Cross-engine determinism uses the
+same idioms as the rest of the package: md5-derived integer hashing
+(`conv` ↔ `::UBIGINT`), integer basis points instead of float ratios,
+and identical regex dialect subset (RE2 ∩ java.util.regex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.plans.registry import query, spread, tables
+
+# --------------------------------------------------------------------
+# Shared: deterministic uniform hash in [0, 10000) from a key column.
+# md5 first-8-hex-digits as an integer is uniform and identical in
+# Spark (conv hex→dec) and DuckDB ('0x…'::UBIGINT); both see the same
+# bytes because the key is cast to its decimal string first.
+# --------------------------------------------------------------------
+
+
+def hash_bp(key: Column) -> Column:
+    """Uniform [0, 10000) bucket from a key — Spark side."""
+    h = F.md5(key.cast("string").cast("binary")).substr(1, 8)
+    return F.conv(h, 16, 10).cast("long") % 10000
+
+
+def _sql_hash_bp(key_expr: str) -> str:
+    """Same uniform bucket — DuckDB side. BIGINT, not UBIGINT: the
+    driver hashes pandas values, and uint64 vs int64 dtypes diverge."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))::UBIGINT"
+        f" % 10000 AS BIGINT)"
+    )
+
+
+# --------------------------------------------------------------------
+# Stratified deterministic sampling
+# --------------------------------------------------------------------
+
+# Per-language keep rates in basis points: the shape of a real corpus
+# rebalance (downsample dominant languages hard, keep the tail).
+SAMPLE_RATES_BP = {"de": 5000, "en": 8000, "es": 2500, "fr": 2500, "zh": 1000}
+_DEFAULT_RATE_BP = 0  # unknown language → drop
+
+
+def stratified_sample(
+    documents: DataFrame, rates_bp: dict[str, int], key: str = "doc_id"
+) -> DataFrame:
+    """Keep a deterministic ``rates_bp[lang]/10000`` fraction per
+    language: row survives iff ``md5(key) % 10000 < rate``. Map-side
+    filter — no shuffle, no sampling state; at 100 TB this runs at
+    scan speed and the filter is co-planned with column pruning."""
+    rate = F.lit(_DEFAULT_RATE_BP)
+    for lang, bp in sorted(rates_bp.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    return documents.withColumn("sample_key", hash_bp(F.col(key))).filter(
+        F.col("sample_key") < rate
+    )
+
+
+_SAMPLE_RATE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {bp}" for lang, bp in sorted(SAMPLE_RATES_BP.items())
+) + f" ELSE {_DEFAULT_RATE_BP} END"
+
+
+@query(
+    "curation_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source, {_sql_hash_bp('doc_id')} AS sample_key
+    FROM documents
+    WHERE {_sql_hash_bp('doc_id')} < ({_SAMPLE_RATE_SQL})
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified reproducible sample of the corpus."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    return stratified_sample(documents, SAMPLE_RATES_BP).select(
+        "doc_id", "lang", "source", "sample_key"
+    )
+
+
+# --------------------------------------------------------------------
+# Sequence packing (concat-and-chunk into token-budget sequences)
+# --------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 512
+PACK_SHARDS = 32  # raise to O(cluster cores) at scale
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = PACK_BUDGET_TOKENS,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Assign each document to a (shard, seq_id) training sequence:
+    documents are concatenated in doc_id order within a hash shard and
+    chunked every ``budget`` tokens (a document whose start crosses a
+    boundary opens the next sequence — greedy concat-and-chunk, the
+    standard pretraining packing).
+
+    The running sum is windowed **per shard**, so parallelism = shard
+    count and no stage ever sees a global order. At 100 TB you raise
+    ``n_shards`` to the cluster's task count; the plan is one shuffle
+    (hash partition by shard) + one in-partition sort.
+    """
+    toks = F.size(F.split(F.col("text"), " ", -1)).cast("long")
+    shard = (hash_bp(F.col("doc_id")) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        documents.select("doc_id", shard, toks.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        # integer `div`, not `/`-then-cast: Spark casts doubles by
+        # truncation but DuckDB CAST rounds — floor division is exact
+        # in int64 on both engines.
+        .withColumn(
+            "seq_id", F.expr(f"(cum_tokens - n_tokens) div {budget}")
+        )
+    )
+
+
+@query(
+    "curation_pack_sequences",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               {_sql_hash_bp('doc_id')} % {PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard,
+               (CAST(sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) - n_tokens) // {PACK_BUDGET_TOKENS} AS seq_id,
+               n_tokens
+        FROM d
+    )
+    SELECT shard, seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+    FROM packed
+    GROUP BY shard, seq_id
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into token-budget training sequences; report
+    per-sequence document count and token fill."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    return (
+        pack_sequences(documents)
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Benchmark contamination (train-test n-gram overlap)
+# --------------------------------------------------------------------
+
+# Deterministic stand-in benchmark: every 97th document plays the role
+# of the held-out eval set the real pipeline loads from a separate
+# (small) table.
+_BENCH_MOD = 97
+
+
+def contamination(corpus: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Per-document fraction (basis points) of distinct 3-gram shingles
+    that also occur in the benchmark set.
+
+    The benchmark side is aggregated to a distinct-shingle set first —
+    eval suites are tiny relative to a crawl, so the probe join is
+    broadcast: the corpus never shuffles, each task streams its
+    exploded shingles past an in-memory hash set. Never corpus².
+    """
+    from qms_datawarehouse_spark.operators.dedup import _shingled
+
+    bench_sh = (
+        _shingled(benchmark)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus_sh = _shingled(corpus)
+    sizes = corpus_sh.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
+    hits = (
+        corpus_sh.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .withColumn(
+            "n_contaminated",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "contamination_bp",
+            F.expr("(10000 * n_contaminated) div n_shingles"),
+        )
+    )
+
+
+@query(
+    "curation_contamination",
+    f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+                   i -> array_to_string(
+                       list_slice(string_split(lower(text), ' '), i, i + 2), ' ')
+               )) AS shingles
+        FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh
+        WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0),
+    sizes AS (
+        SELECT doc_id, len(shingles) AS n_shingles FROM corpus
+        WHERE len(shingles) > 0
+    ),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_contaminated
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM corpus) c
+        JOIN bench USING (s)
+        GROUP BY c.doc_id
+    )
+    SELECT sizes.doc_id, n_shingles,
+           coalesce(n_contaminated, 0) AS n_contaminated,
+           (10000 * coalesce(n_contaminated, 0)) // n_shingles
+               AS contamination_bp
+    FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+    """,
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test leakage gate: 3-gram overlap of each corpus document
+    against the benchmark subset (``doc_id % 97 == 0``)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    bench = documents.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    corpus = documents.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return contamination(corpus, bench)
+
+
+# --------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------
+
+# Patterns restricted to the RE2 ∩ java.util.regex common dialect
+# (no backrefs, no lookaround) so Spark and the DuckDB oracle agree.
+_PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PAT_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PAT_DIGITS = r"\b[0-9]{5,}\b"
+
+
+def _spark_pat(pat: str) -> str:
+    # Spark SQL string literals eat one level of backslashes.
+    return pat.replace("\\", "\\\\")
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails → ``<EMAIL>``, IPv4 → ``<IP>``, then 5+-digit runs
+    → ``<NUM>`` (in that order: inner classes are consumed by outer
+    ones first so counts don't double-fire). Adds per-class counts and
+    the redacted text. Pure map-side regex — scan-speed at 100 TB."""
+    c = F.col(text_col)
+    out = df.withColumn(
+        "n_emails",
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{_spark_pat(_PAT_EMAIL)}', 0)")),
+    )
+    out = out.withColumn("redacted", F.regexp_replace(c, _PAT_EMAIL, "<EMAIL>"))
+    out = out.withColumn(
+        "n_ips",
+        F.size(F.expr(f"regexp_extract_all(redacted, '{_spark_pat(_PAT_IPV4)}', 0)")),
+    )
+    out = out.withColumn(
+        "redacted", F.regexp_replace(F.col("redacted"), _PAT_IPV4, "<IP>")
+    )
+    out = out.withColumn(
+        "n_digit_runs",
+        F.size(F.expr(f"regexp_extract_all(redacted, '{_spark_pat(_PAT_DIGITS)}', 0)")),
+    )
+    return out.withColumn(
+        "redacted", F.regexp_replace(F.col("redacted"), _PAT_DIGITS, "<NUM>")
+    )
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    || ' ref ' || CAST(doc_id * doc_id AS VARCHAR) AS text
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PAT_EMAIL}')) AS n_emails,
+               regexp_replace(text, '{_PAT_EMAIL}', '<EMAIL>', 'g') AS r1
+        FROM enriched
+    ),
+    i AS (
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(r1, '{_PAT_IPV4}')) AS n_ips,
+               regexp_replace(r1, '{_PAT_IPV4}', '<IP>', 'g') AS r2
+        FROM e
+    )
+    SELECT doc_id, n_emails, n_ips,
+           len(regexp_extract_all(r2, '{_PAT_DIGITS}')) AS n_digit_runs,
+           md5(regexp_replace(r2, '{_PAT_DIGITS}', '<NUM>', 'g')) AS redacted_hash
+    FROM i
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus. The fixture text is synthetic
+    word-salad with no organic PII, so the query plants deterministic
+    PII derived from ``doc_id`` (same construction in the oracle) —
+    the redaction path is exercised for real, not vacuously."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    planted = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" ref "),
+            (F.col("doc_id") * F.col("doc_id")).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(planted).select(
+        "doc_id",
+        F.col("n_emails").cast("long"),
+        F.col("n_ips").cast("long"),
+        F.col("n_digit_runs").cast("long"),
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_hash"),
+    )

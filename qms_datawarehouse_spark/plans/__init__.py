@@ -14,6 +14,7 @@ and oracle-checked by the in-repo suite (tests/test_queries_oracle.py
 parametrizes all of them)."""
 
 from qms_datawarehouse_spark.operators import (  # noqa: F401
+    curation,
     dedup,
     grouped_pandas,
     multimodal,
