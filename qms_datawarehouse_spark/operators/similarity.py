@@ -25,7 +25,7 @@ global sort, no shuffle of the embedding table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.operators.lsh_planes import (
@@ -537,3 +537,113 @@ def cosine_pandas_udf():
         return pandas_udf("double")(cos)
 
     return make
+
+
+# --------------------------------------------------------------------
+# k-NN self-join: every vector's top-k neighbors via LSH buckets
+# --------------------------------------------------------------------
+
+K_NEIGHBORS = 5
+
+
+def knn_join_lsh(embeddings: DataFrame, k: int = K_NEIGHBORS) -> DataFrame:
+    """For EVERY vector, its top-``k`` most-cosine-similar neighbors
+    among vectors sharing its LSH sign bucket — the all-queries
+    companion to the single-query top-k above.
+
+    Scale shape: candidate generation is a bucket equi-join, so total
+    pair work is Σ(bucket²) rather than corpus² (256 buckets at 8
+    planes; add planes to subdivide further, or band the signature for
+    multi-probe recall). The per-vector ranking is one window over the
+    pair set, partitioned by the query vector — no global order, no
+    driver state. Recall is bucket-bounded by construction and the
+    operator says so: a neighbor in another bucket is not a candidate
+    (the documented LSH trade; the IVF index above is the other
+    recall/cost point).
+    """
+    e = lsh_bucketed(embeddings).select(
+        "vec_id",
+        "bucket",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    e = e.withColumn("nrm", _norm(F.col("v")))
+    a = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    pairs = (
+        a.join(e, "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        # rank on the ROUNDED score (+ id tie-break) so the k-th
+        # boundary is decided on identical values in both engines
+        .withColumn("cosine", F.round(cos, 4))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_KNN_SQL = f"""
+    WITH planes AS (
+        SELECT * FROM (VALUES
+            {",".join(f"({j}, {_plane_sql_literal(j)})" for j in range(N_HYPERPLANES))}
+        ) AS t(plane_id, p)
+    ),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                   AS nrm
+        FROM embeddings
+    ),
+    bits AS (
+        SELECT e.vec_id, pl.plane_id,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> e.v[i] * pl.p[i])) > 0
+                    THEN '1' ELSE '0' END AS b
+        FROM e CROSS JOIN planes pl
+    ),
+    buckets AS (
+        SELECT vec_id, string_agg(b, '' ORDER BY plane_id) AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    be AS (
+        SELECT b.vec_id, b.bucket, e.v, e.nrm
+        FROM buckets b JOIN e ON b.vec_id = e.vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS qid, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, 65),
+                   i -> a.v[i] * c.v[i])) / (a.nrm * c.nrm), 4) AS cosine
+        FROM be a JOIN be c ON a.bucket = c.bucket
+        WHERE a.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT qid, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cosine DESC, neighbor_id
+               ) AS rank
+        FROM pairs
+    )
+    SELECT qid AS vec_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {K_NEIGHBORS}
+"""
+
+
+@query("similarity_knn_join_lsh", _KNN_SQL)
+def similarity_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed k-NN self-join: top-5 in-bucket neighbors per vector.
+    Oracle replays the identical md5-derived hyperplane bucketing in
+    DuckDB, so assignment AND ranking are fully value-verified."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    return knn_join_lsh(embeddings)

@@ -197,3 +197,91 @@ def range_join_purchases_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_purchases_1h", F.lit(0)).alias("n_purchases_1h"),
         F.round(F.coalesce("sum_value_1h", F.lit(0.0)), 2).alias("sum_value_1h"),
     )
+
+
+# --------------------------------------------------------------------
+# SCD2: slowly-changing-dimension reconstruction from a change stream
+# --------------------------------------------------------------------
+
+
+def scd2_from_stream(
+    updates: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Collapse a per-key change stream into type-2 dimension history:
+    one row per *distinct consecutive value* of ``attr``, with
+    ``valid_from``/``valid_to`` interval bounds and an ``is_current``
+    flag on the open row.
+
+    The warehouse-side complement to the sync engine's last-write-wins
+    merge (reference keeps only the latest row per ``_id``,
+    src/services/etl.py:68-75; SCD2 keeps the full attribute history —
+    the standard audit/dimension pattern the reference's
+    ``sync_history`` table gestures at).
+
+    Two windows, both partitioned by ``key`` — one shuffle total, the
+    second window reuses the partitioning (AQE keeps them in one
+    exchange). Nothing global, nothing on the driver; scales as a
+    single keyed window pipeline.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    changed = (
+        updates.withColumn("_prev", F.lag(attr).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+@query(
+    "scd2_user_event_type",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    changed AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to_us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL AS is_current
+    FROM changed
+    """,
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each user's event_type: consecutive duplicate
+    states collapse, each surviving state carries its validity
+    interval (epoch micros; open interval = current)."""
+    (events,) = tables(spark, sf_dir, "events")
+    out = scd2_from_stream(
+        events.select("user_id", "event_type", "ts", "event_id"),
+        key="user_id",
+        attr="event_type",
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )

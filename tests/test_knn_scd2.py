@@ -1,0 +1,109 @@
+"""Semantics tests for the k-NN self-join and SCD2 operators on
+crafted frames (properties the fixture oracle can't isolate)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.operators.similarity import (
+    knn_join_lsh,
+    lsh_bucketed,
+)
+from qms_datawarehouse_spark.operators.temporal import scd2_from_stream
+
+
+def _emb(spark, n=60, dim=64, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)], i % 3)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_knn_join_matches_brute_force_within_buckets(spark):
+    df = _emb(spark)
+    out = knn_join_lsh(df, k=3).collect()
+    buckets = {
+        r.vec_id: r.bucket for r in lsh_bucketed(df).select("vec_id", "bucket").collect()
+    }
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in df.collect()
+    }
+    # independent reference: per query, rank in-bucket candidates by
+    # (rounded cosine desc, id asc)
+    got = {}
+    for r in out:
+        got.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    for qid, q in vecs.items():
+        cands = []
+        for cid, c in vecs.items():
+            if cid == qid or buckets[cid] != buckets[qid]:
+                continue
+            cos = float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c)))
+            cands.append((-round(cos, 4), cid))
+        cands.sort()
+        expect = [(i + 1, cid) for i, (_, cid) in enumerate(cands[:3])]
+        have = sorted((rk, nid) for rk, nid, _ in got.get(qid, []))
+        assert have == expect, f"qid={qid}"
+
+
+def test_knn_join_is_symmetric_candidate_set(spark):
+    # neighborhood is bucket-bounded: every reported neighbor shares
+    # the query's bucket
+    df = _emb(spark, n=40)
+    buckets = {
+        r.vec_id: r.bucket for r in lsh_bucketed(df).select("vec_id", "bucket").collect()
+    }
+    for r in knn_join_lsh(df, k=5).collect():
+        assert buckets[r.vec_id] == buckets[r.neighbor_id]
+
+
+def _ts(s):
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_scd2_collapses_consecutive_duplicates(spark):
+    rows = [
+        (1, "a", _ts(0), 10),
+        (1, "a", _ts(1), 11),  # duplicate state — collapses
+        (1, "b", _ts(2), 12),
+        (1, "a", _ts(3), 13),  # back to a — NEW version (type 2)
+        (2, "x", _ts(0), 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, ts timestamp, event_id long"
+    )
+    out = scd2_from_stream(df, "user_id", "state", "ts", "event_id")
+    u1 = sorted(
+        [
+            (r.state, r.valid_from, r.valid_to, r.is_current)
+            for r in out.filter("user_id = 1").collect()
+        ],
+        key=lambda t: t[1],
+    )
+    assert [s for s, *_ in u1] == ["a", "b", "a"]
+    assert u1[0][1] == _ts(0) and u1[0][2] == _ts(2)
+    assert u1[1][1] == _ts(2) and u1[1][2] == _ts(3)
+    assert u1[2][2] is None and u1[2][3] is True
+    # intervals tile: each valid_to equals the next valid_from
+    assert u1[0][2] == u1[1][1] and u1[1][2] == u1[2][1]
+
+
+def test_scd2_equal_ts_tiebreak_is_deterministic(spark):
+    # two changes at the SAME timestamp: event_id decides the order,
+    # so the later event_id wins the open interval
+    rows = [(1, "a", _ts(0), 1), (1, "b", _ts(0), 2)]
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, ts timestamp, event_id long"
+    )
+    out = {
+        r.state: r for r in scd2_from_stream(df, "user_id", "state", "ts", "event_id").collect()
+    }
+    assert out["b"].is_current and not out["a"].is_current
