@@ -19,6 +19,9 @@ PICKS = {
     "dedup_minhash_lsh": "Signatures compute per-row (no explode before the band layout); candidate + verify stages are hash equi-joins.",
     "q7_nation_trade": "Bilateral-pair nation filter pushed into BOTH nation-role scans; all dims broadcast; single lineitem pass.",
     "dedup_embedding_lsh": "Near-dup candidates via hyperplane-bucket equi-join (cost ~ sum of bucket^2) — contrast with the intentional all-pairs baseline.",
+    "curation_contamination": "Benchmark shingle set broadcast into the probe join; one shingling pass, one groupBy — never corpus x corpus.",
+    "similarity_knn_join_lsh": "Per-vector top-k rides WindowGroupLimit (partial top-k BEFORE the exchange): at most k rows per query vector cross the shuffle.",
+    "curation_stratified_sample": "Sampling is a map-side hash-threshold filter co-planned with the scan — no shuffle, no RNG state.",
 }
 
 HEADER = """# Physical plans (captured)
