@@ -53,6 +53,10 @@ HEADLINE = [
     "quantile_order_value",
     "rollup_hierarchy_1d",
     "dedup_clusters",
+    "curation_stratified_sample",
+    "curation_pack_sequences",
+    "curation_contamination",
+    "scd2_user_event_type",
 ]
 
 

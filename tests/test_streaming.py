@@ -269,3 +269,56 @@ def test_native_session_window_stream(spark, stream_dirs):
     assert rows[(100, t)] == 2  # events 3 min apart merged into one session
     assert rows[(100, t + dt.timedelta(minutes=30))] == 1
     assert rows[(200, t + dt.timedelta(minutes=1))] == 1
+
+
+def test_curation_ops_are_streaming_compatible(spark, stream_dirs):
+    """The curation map-side operators (stratified sample, PII redact)
+    are stateless column transforms, so the SAME functions compose
+    into a readStream→transform→writeStream pipeline and produce the
+    batch answer — the property that lets a crawl be curated on
+    arrival instead of in a nightly sweep."""
+    import os
+
+    from qms_datawarehouse_spark.operators.curation import (
+        redact_pii,
+        stratified_sample,
+    )
+
+    src, ckpt = stream_dirs
+    rows = [
+        (i, f"doc {i} mail u{i}@ex.com", "en" if i % 2 else "de")
+        for i in range(200)
+    ]
+    schema = "doc_id long, text string, lang string"
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(f"{src}/b1")
+
+    rates = {"en": 6000, "de": 2000}
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+    out_dir = os.path.join(os.path.dirname(ckpt), "out")
+    q = (
+        redact_pii(stratified_sample(stream, rates))
+        .select("doc_id", "lang", "n_emails", "redacted")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r.doc_id: r for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {
+        r.doc_id: r
+        for r in redact_pii(stratified_sample(batch_df, rates))
+        .select("doc_id", "lang", "n_emails", "redacted")
+        .collect()
+    }
+    assert set(streamed) == set(expected) and len(streamed) > 0
+    for k in expected:
+        assert streamed[k] == expected[k]
+    # every kept row was scrubbed
+    for r in streamed.values():
+        assert r.n_emails == 1 and "<EMAIL>" in r.redacted
