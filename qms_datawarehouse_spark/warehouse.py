@@ -39,6 +39,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +50,7 @@ CURRENT_POINTER = "_CURRENT"
 BUCKET_COL = "_bucket"
 META_FILE = "_META.json"
 SCHEMA_FILE = "_SCHEMA.json"
+VERSIONS_LOG = "_VERSIONS.jsonl"
 
 # P5 identifier safety (reference src/schemas/request.py:7,
 # src/api/routes.py:82-87): table names become filesystem paths, so an
@@ -154,8 +156,22 @@ class ParquetWarehouse:
 
     # -- read ----------------------------------------------------------
 
-    def read(self, table: str) -> DataFrame:
-        path = self.current_version_dir(table)
+    def read(self, table: str, version: str | None = None) -> DataFrame:
+        """Read the current version, or — time travel — any retained
+        older version by name (see ``list_versions``). Old versions
+        are immutable snapshots; reading one is the audit/diff story
+        after a bad sync (every row of the previous state, not just
+        the ``sync_history`` summary the reference keeps)."""
+        if version is not None:
+            path = os.path.join(self.table_dir(table), version)
+            if not os.path.isdir(path):
+                raise FileNotFoundError(
+                    f"version {version!r} of table {table!r} is not "
+                    f"available (never committed, or garbage-collected "
+                    f"past keep_versions)"
+                )
+        else:
+            path = self.current_version_dir(table)
         if path is None:
             raise FileNotFoundError(f"warehouse table not found: {table}")
         schema_path = os.path.join(path, SCHEMA_FILE)
@@ -184,7 +200,42 @@ class ParquetWarehouse:
         with open(tmp_ptr, "w") as f:
             f.write(version)
         os.replace(tmp_ptr, self._pointer_path(table))  # atomic repoint
+        # version log gives time travel a commit ORDER (dir names are
+        # uuids); appended after the swap, so a logged entry is always
+        # a version that was live at some point
+        with open(os.path.join(self.table_dir(table), VERSIONS_LOG), "a") as f:
+            f.write(
+                json.dumps(
+                    {"version": version, "committed_at": time.time()}
+                )
+                + "\n"
+            )
         self._gc_versions(table, keep=keep_versions)
+
+    # -- time travel ---------------------------------------------------
+
+    def list_versions(self, table: str) -> list[dict]:
+        """Commit history, oldest → newest: ``{version, committed_at,
+        available, is_current}``. Versions beyond ``keep_versions`` are
+        GC'd — logged but no longer readable (``available=False``)."""
+        log_path = os.path.join(self.table_dir(table), VERSIONS_LOG)
+        if not os.path.exists(log_path):
+            return []
+        tdir = self.table_dir(table)
+        current = os.path.basename(self.current_version_dir(table) or "")
+        out = []
+        with open(log_path) as f:
+            for line in f:
+                entry = json.loads(line)
+                v = entry["version"]
+                out.append(
+                    {
+                        **entry,
+                        "available": os.path.isdir(os.path.join(tdir, v)),
+                        "is_current": v == current,
+                    }
+                )
+        return out
 
     def write_version(
         self,

@@ -45,3 +45,39 @@ def test_gc_eventually_removes_stale_versions(spark, warehouse):
     versions = [d for d in os.listdir(tdir) if d.startswith("v_")]
     assert len(versions) <= 2  # current + 1 retained
     assert warehouse.read("t").count() == 5
+
+
+def test_time_travel_reads_retained_versions(spark, warehouse):
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string")
+    warehouse.write_version("t", df1, keep_versions=3)
+    warehouse.write_version("t", df2, keep_versions=3)
+
+    hist = warehouse.list_versions("t")
+    assert len(hist) == 2
+    assert [h["is_current"] for h in hist] == [False, True]
+    assert all(h["available"] for h in hist)
+    assert hist[0]["committed_at"] <= hist[1]["committed_at"]
+
+    old = warehouse.read("t", version=hist[0]["version"])
+    assert [(r.id, r.v) for r in old.collect()] == [(1, "a")]
+    assert warehouse.read("t").count() == 2
+
+
+def test_time_travel_gc_marks_unavailable(spark, warehouse):
+    for i in range(4):
+        df = spark.createDataFrame([(i,)], "id long")
+        warehouse.write_version("t", df, keep_versions=1)
+    hist = warehouse.list_versions("t")
+    assert len(hist) == 4
+    assert hist[-1]["is_current"] and hist[-1]["available"]
+    # keep_versions=1 → one retained non-current version; the oldest
+    # are logged but GC'd
+    assert not hist[0]["available"]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="garbage-collected"):
+        warehouse.read("t", version=hist[0]["version"])
+    # the retained previous version still reads
+    prev = [h for h in hist if h["available"] and not h["is_current"]]
+    assert prev and warehouse.read("t", version=prev[-1]["version"]).count() == 1
