@@ -40,7 +40,6 @@ _DRIVER_WINDOW = [
     "a8_company_sets",
     "a9_rating_agg",
     "a1_high_water_mark",
-    "a2_row_counts",
     # §2.1/2.2 scan + predicates
     "s1_incremental_scan",
     # §2.5 windows
@@ -51,7 +50,6 @@ _DRIVER_WINDOW = [
     "d3_union_by_name",
     # §2.7 functions
     "f_scalar_suite",
-    "f_scalar_suite2",
     "f3_json_extract",
     "f7_iso_format",
     "user_activity_report",
@@ -65,24 +63,32 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q6_revenue_filter",
     "topk_per_group",
-    "agg_rollup",
-    "semi_anti_join",
     # §2.8 streaming windows (batch-equivalent checks)
     "t9_tumbling_hourly",
     "t9_sliding_daily",
     "t9_sessionization",
-    # LLM-pipeline operators (dedup suite incl. the simhash fix)
-    "dedup_exact",
+    # LLM-pipeline operators. Swapped OUT in r3 (slots are scarce):
+    # dedup_exact, dedup_embedding_cosine, a2_row_counts,
+    # f_scalar_suite2, agg_rollup, semi_anti_join — all driver-green
+    # in CORRECTNESS_r01 and untouched since; their slots go to the
+    # round-3 curation/knn/scd2 operators, which have no driver row
+    # yet. The shingle-dependent dedup queries stay (the r2 short-doc
+    # guard changed their values).
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
     "dedup_clusters",
     "rollup_hierarchy_1d",
     "similarity_topk_cosine",
     "similarity_ivf_probe",
     "similarity_ann_lsh",
     "multimodal_features",
+    "curation_stratified_sample",
+    "curation_pack_sequences",
+    "curation_contamination",
+    "text_pii_redact",
+    "similarity_knn_join_lsh",
+    "scd2_user_event_type",
     # r1 hash-fail / vacuous-pass reworks
     "w4_window_frames",
     "quantile_order_value",
