@@ -578,8 +578,10 @@ def knn_join_lsh(embeddings: DataFrame, k: int = K_NEIGHBORS) -> DataFrame:
         a.join(e, "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
         # rank on the ROUNDED score (+ id tie-break) so the k-th
-        # boundary is decided on identical values in both engines
-        .withColumn("cosine", F.round(cos, 4))
+        # boundary is decided on identical values in both engines;
+        # + 0.0 canonicalizes IEEE -0.0 (a tiny negative cosine rounds
+        # to -0.0 in DuckDB but 0.0 in Spark)
+        .withColumn("cosine", F.round(cos, 4) + F.lit(0.0))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -624,7 +626,8 @@ _KNN_SQL = f"""
     pairs AS (
         SELECT a.vec_id AS qid, c.vec_id AS neighbor_id,
                round(list_sum(list_transform(range(1, 65),
-                   i -> a.v[i] * c.v[i])) / (a.nrm * c.nrm), 4) AS cosine
+                   i -> a.v[i] * c.v[i])) / (a.nrm * c.nrm), 4) + 0.0
+                   AS cosine
         FROM be a JOIN be c ON a.bucket = c.bucket
         WHERE a.vec_id <> c.vec_id
     ),
