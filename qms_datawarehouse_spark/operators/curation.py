@@ -385,3 +385,59 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_digit_runs").cast("long"),
         F.md5(F.col("redacted").cast("binary")).alias("redacted_hash"),
     )
+
+
+# --------------------------------------------------------------------
+# Train/validation/test split
+# --------------------------------------------------------------------
+
+# Hash-range boundaries in basis points: 90 / 5 / 5.
+SPLIT_VAL_BP = 9000
+SPLIT_TEST_BP = 9500
+
+
+def assign_split(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from the same
+    md5 hash as sampling: membership is a pure function of the key,
+    so the split is stable across runs, engines, and re-shuffles —
+    a document can never leak between splits as the corpus grows."""
+    h = hash_bp(F.col(key))
+    return df.withColumn(
+        "split",
+        F.when(h < SPLIT_VAL_BP, F.lit("train"))
+        .when(h < SPLIT_TEST_BP, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+@query(
+    "curation_split_summary",
+    f"""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN {_sql_hash_bp('doc_id')} < {SPLIT_VAL_BP} THEN 'train'
+                    WHEN {_sql_hash_bp('doc_id')} < {SPLIT_TEST_BP} THEN 'val'
+                    ELSE 'test' END AS split,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, lang
+    """,
+)
+def curation_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, language) document and token counts of the
+    deterministic 90/5/5 split — the sanity report run before any
+    training job consumes the corpus."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ", -1)).cast("long")
+    return (
+        assign_split(documents)
+        .select("split", "lang", toks.alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -110,3 +110,19 @@ def test_pack_sequences_shard_is_hash_stable(spark):
             % 10000
         ) % 8
         assert r.shard == expect
+
+
+def test_assign_split_is_stable_partition(spark):
+    from qms_datawarehouse_spark.operators.curation import assign_split
+
+    df = _docs(spark, [(i, "x", "en") for i in range(3000)])
+    out = {r.doc_id: r.split for r in assign_split(df).collect()}
+    # total partition: every doc in exactly one split
+    assert len(out) == 3000 and set(out.values()) == {"train", "val", "test"}
+    # ratios near 90/5/5
+    n_train = sum(1 for s in out.values() if s == "train")
+    assert 2600 < n_train < 2800
+    # growing the corpus never moves an existing doc's split
+    bigger = _docs(spark, [(i, "x", "en") for i in range(6000)])
+    out2 = {r.doc_id: r.split for r in assign_split(bigger).collect()}
+    assert all(out2[k] == v for k, v in out.items())
