@@ -35,3 +35,38 @@ def test_import_cli_roundtrip(spark, tmp_path, capsys, monkeypatch):
     wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
     names = {r["name"] for r in wh.read("t").collect()}
     assert names == {"a", "ወረፋ"}
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    import tools.curate as curate
+
+    wh_dir = str(tmp_path / "wh")
+    rc = curate.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--warehouse", wh_dir,
+            "--out", "curated",
+            "--rates", "en=8000,de=5000,es=2500,fr=2500,zh=1000",
+            "--redact", "--dedup", "--split",
+            "--pack-budget", "2048",
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "curated curated:" in out and "sequences" in out
+
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, wh_dir)
+    cur = wh.read("curated")
+    assert 0 < cur.count() < 500  # sampling dropped rows
+    cols = set(cur.columns)
+    assert {"split", "text", "n_emails"} <= cols
+    # dedup: content hashes unique
+    from pyspark.sql import functions as F
+
+    n = cur.count()
+    assert cur.select(F.md5(F.col("text").cast("binary"))).distinct().count() == n
+    seqs = wh.read("curated_sequences")
+    assert seqs.count() == n  # one row per surviving doc

@@ -1,0 +1,107 @@
+"""Corpus-curation CLI — the end-to-end training-data pipeline over a
+documents table, composed from the verified kernels and written back
+to the warehouse as versioned tables.
+
+Stages (each optional, all map-side or single-shuffle — see
+docs/SCALING.md "Curation layer"):
+
+1. stratified sample  (``--rates en=8000,de=5000``)
+2. PII redaction      (``--redact``; text column replaced by the scrub)
+3. exact dedup        (``--dedup``; lowest doc_id per content hash)
+4. split assignment   (``--split``; deterministic 90/5/5)
+5. sequence packing   (``--pack-budget 2048``; writes a second table
+   ``{out}_sequences`` with the (shard, seq) → docs layout)
+
+Usage:
+    python tools/curate.py --input /root/testdata/sf0.01/documents.parquet \
+        --warehouse /tmp/wh --out curated \
+        --rates en=8000,de=5000,es=2500,fr=2500,zh=1000 \
+        --redact --dedup --split --pack-budget 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main(argv: list[str] | None = None) -> int:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.curation import (
+        assign_split,
+        pack_sequences,
+        redact_pii,
+        stratified_sample,
+    )
+    from qms_datawarehouse_spark.session import get_spark
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--warehouse", required=True, help="warehouse root dir")
+    ap.add_argument("--out", default="curated", help="output table name")
+    ap.add_argument("--rates", default=None, help="lang=bp,... sample rates")
+    ap.add_argument("--redact", action="store_true", help="scrub PII")
+    ap.add_argument("--dedup", action="store_true", help="exact dedup")
+    ap.add_argument("--split", action="store_true", help="train/val/test")
+    ap.add_argument("--pack-budget", type=int, default=None, metavar="TOKENS")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("curate", master=args.master)
+    wh = ParquetWarehouse(spark, args.warehouse)
+
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+
+    if args.rates:
+        rates = {}
+        for part in args.rates.split(","):
+            lang, _, bp = part.partition("=")
+            rates[lang.strip()] = int(bp)
+        df = stratified_sample(df, rates)
+
+    if args.redact:
+        df = (
+            redact_pii(df)
+            .drop("text")
+            .withColumnRenamed("redacted", "text")
+        )
+
+    if args.dedup:
+        w = Window.partitionBy(
+            F.md5(F.col("text").cast("binary"))
+        ).orderBy("doc_id")
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    if args.split:
+        df = assign_split(df)
+
+    wh.write_version(args.out, df)
+    n_out = wh.read(args.out).count()
+    print(f"curated {args.out}: {n_in} -> {n_out} rows")
+
+    if args.pack_budget:
+        seqs = pack_sequences(df, budget=args.pack_budget)
+        wh.write_version(f"{args.out}_sequences", seqs)
+        n_seq = (
+            wh.read(f"{args.out}_sequences")
+            .select("shard", "seq_id")
+            .distinct()
+            .count()
+        )
+        print(f"packed {args.out}_sequences: {n_seq} sequences")
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
