@@ -624,6 +624,78 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64
+_KMV_SQL = f"""
+    WITH d AS (
+        SELECT DISTINCT o_orderpriority AS priority,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                    ::UBIGINT AS BIGINT) AS h
+        FROM orders
+    ),
+    r AS (
+        SELECT priority, h,
+               row_number() OVER (PARTITION BY priority ORDER BY h) AS rn
+        FROM d
+    ),
+    s AS (
+        SELECT priority,
+               count(*) AS n_exact,
+               max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+        FROM r GROUP BY priority
+    )
+    SELECT priority, n_exact,
+           CASE WHEN n_exact >= {_KMV_K}
+                THEN (({_KMV_K} - 1) * 4294967296) // greatest(kth, 1)
+                ELSE n_exact END AS kmv_estimate
+    FROM s
+"""
+
+
+@query("sketch_kmv_distinct", _KMV_SQL)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the
+    DETERMINISTIC sketch: the estimate is a pure function of the
+    md5 hashes ((k−1)·2³² div k-th smallest 32-bit hash), so unlike
+    HLL both engines compute the identical value and the sketch path
+    itself is oracle-checked, with the exact count alongside for
+    error visibility.
+
+    Mergeability (the 100 TB property): the state per group is its k
+    smallest hashes; union-then-keep-k merges partials. Here groups
+    are few, so rank selection over distinct hashes is one windowed
+    pass; at scale the same state folds per-partition first."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    h = (
+        F.conv(
+            F.md5(F.col("o_custkey").cast("string").cast("binary")).substr(1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    d = orders.select(F.col("o_orderpriority").alias("priority"), h).distinct()
+    w = Window.partitionBy("priority").orderBy("h")
+    s = (
+        d.withColumn("rn", F.row_number().over(w))
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+        )
+    )
+    return s.select(
+        "priority",
+        "n_exact",
+        F.when(
+            F.col("n_exact") >= _KMV_K,
+            F.expr(f"(({_KMV_K} - 1) * 4294967296) div greatest(kth, 1)"),
+        )
+        .otherwise(F.col("n_exact"))
+        .alias("kmv_estimate"),
+    )
+
+
 # --------------------------------------------------------------------
 # TPC-H Q17 shape: correlated subquery (per-group threshold)
 # --------------------------------------------------------------------
