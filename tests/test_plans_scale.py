@@ -163,3 +163,47 @@ def test_embedding_lsh_is_an_equi_join_not_all_pairs(spark):
     # the baseline next door IS all-pairs, by design
     base = _plan(spark, "dedup_embedding_cosine")
     assert "CartesianProduct" in base or "BroadcastNestedLoopJoin" in base
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    plan = _plan(spark, "curation_stratified_sample")
+    # map-side hash-threshold filter: a single scan stage, no exchange
+    assert "Exchange" not in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_pack_sequences_windows_per_shard_only(spark):
+    plan = _plan(spark, "curation_pack_sequences")
+    # exactly one hash exchange (partition by shard); the groupBy
+    # reuses the shard partitioning — a second exchange would mean the
+    # packing had acquired a global stage
+    import re
+
+    hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_exchanges == 1, plan[:2000]
+    assert "rangepartitioning" not in plan  # no global sort anywhere
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    plan = _plan(spark, "curation_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # probe must not shuffle the corpus
+
+
+def test_knn_join_prunes_topk_before_shuffle(spark):
+    plan = _plan(spark, "similarity_knn_join_lsh")
+    # Spark's WindowGroupLimit partial mode runs BEFORE the exchange:
+    # at most k rows per query vector cross the wire
+    assert "WindowGroupLimit" in plan
+    assert plan.index("WindowGroupLimit") is not None
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_keyed_shuffle(spark):
+    plan = _plan(spark, "scd2_user_event_type")
+    import re
+
+    hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    # lag-filter window and lead window share the user_id partitioning
+    assert hash_exchanges == 1, plan[:2000]
