@@ -1,0 +1,58 @@
+"""Property test: sequence packing vs an independent Python model on
+arbitrary corpora — token conservation, budget invariant, and
+shard-local determinism hold for any document mix (empty docs,
+single-word docs, docs bigger than the budget)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from qms_datawarehouse_spark.operators.curation import pack_sequences
+
+doc_strategy = st.lists(
+    st.integers(min_value=1, max_value=40),  # words per doc
+    min_size=1,
+    max_size=60,
+)
+
+
+def _model(token_counts: dict[int, int], budget: int, n_shards: int):
+    """Independent greedy concat-and-chunk: per shard, docs in doc_id
+    order, seq = floor(tokens-before-this-doc / budget)."""
+    shards: dict[int, list[int]] = {}
+    for doc_id in sorted(token_counts):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        shards.setdefault((h % 10000) % n_shards, []).append(doc_id)
+    expect = {}
+    for shard, ids in shards.items():
+        cum = 0
+        for doc_id in ids:
+            expect[doc_id] = (shard, cum // budget)
+            cum += token_counts[doc_id]
+    return expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(word_counts=doc_strategy, budget=st.sampled_from([8, 32, 128]))
+def test_packing_matches_model(spark, word_counts, budget):
+    rows = [
+        (i, " ".join(["w"] * n), "en") for i, n in enumerate(word_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = pack_sequences(df, budget=budget, n_shards=4).collect()
+
+    token_counts = {i: n for i, n in enumerate(word_counts)}
+    expect = _model(token_counts, budget, 4)
+
+    assert len(out) == len(rows)  # every doc lands in exactly one seq
+    for r in out:
+        assert (r.shard, r.seq_id) == expect[r.doc_id], r
+    # token conservation: sum over sequences == sum over docs
+    assert sum(r.n_tokens for r in out) == sum(word_counts)
