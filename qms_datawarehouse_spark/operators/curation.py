@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qms_datawarehouse_spark.plans.registry import query, spread, tables
+from qms_datawarehouse_spark.plans.registry import query, tables
 
 # --------------------------------------------------------------------
 # Shared: deterministic uniform hash in [0, 10000) from a key column.
