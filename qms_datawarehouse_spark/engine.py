@@ -92,6 +92,19 @@ def sync_dataframe(
                 f"{source_name}.{collection}"
             )
 
+        # JSON sources surface ISO-8601 cursors as strings (Spark's
+        # JSON reader does not infer timestamps by default). The
+        # checkpoint contract is temporal (reference db.py:43-50:
+        # last_synced_at TIMESTAMP), so coerce once here: the merge's
+        # running max() then yields a datetime and the stored table
+        # carries a typed timestamp like the reference's column.
+        from pyspark.sql import types as T
+
+        if isinstance(cleaned.schema[cursor_col].dataType, T.StringType):
+            cleaned = cleaned.withColumn(
+                cursor_col, F.col(cursor_col).cast("timestamp")
+            )
+
         # A1 rides the merge's own count aggregation (merge_upsert_stats)
         # — no separate max() pass over the delta.
         n, hwm = merge_upsert_stats(

@@ -57,10 +57,19 @@ def set_last_synced(
     warehouse: ParquetWarehouse,
     source_uri: str,
     collection: str,
-    ts: dt.datetime,
+    ts: dt.datetime | str,
 ) -> None:
     """Composite-key upsert of the high-water mark (parity:
-    etl.py:102-126 — same ON CONFLICT idiom as the data tables)."""
+    etl.py:102-126 — same ON CONFLICT idiom as the data tables).
+
+    Accepts an ISO-8601 string for callers whose cursor column was
+    never typed (raw string sources); normalized to naive UTC, the
+    same convention ``get_last_synced`` documents.
+    """
+    if isinstance(ts, str):
+        ts = dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
     update = warehouse.spark.createDataFrame(
         [(source_uri, collection, ts)], schema=SCHEMA
     )

@@ -109,27 +109,41 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 def events_delta(spark: SparkSession, sf_dir: str, ts_gt: str | None = None):
     """Events with the incremental delta predicate applied on the RAW
-    nanos column, *before* the timestamp conversion.
+    cursor column, *before* any type conversion.
 
-    The timestamp_micros() conversion is opaque to parquet filter
-    pushdown — filtering the converted column leaves only IsNotNull at
-    the scan. Filtering raw epoch-nanos pushes GreaterThan into the
-    scan, so row groups outside the delta window are skipped via
-    min/max stats — the property that makes incremental sync O(delta)
-    instead of O(table) at 100 TB.
+    Conversions (timestamp_micros(), NTZ→TZ cast) are opaque to
+    parquet filter pushdown — filtering the converted column leaves
+    only IsNotNull at the scan. Filtering the raw column pushes
+    GreaterThan into the scan, so row groups outside the delta window
+    are skipped via min/max stats — the property that makes
+    incremental sync O(delta) instead of O(table) at 100 TB.
+
+    Schema-adaptive: fixture generations have shipped ``ts`` both as
+    INT64 epoch-nanos (read raw via nanosAsLong) and as
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Both paths keep the
+    predicate on the stored representation.
     """
     import datetime as dt
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # INT64 TIMESTAMP(NANOS) parquet
+        if ts_gt is not None:
+            cut = dt.datetime.fromisoformat(ts_gt).replace(tzinfo=dt.timezone.utc)
+            cut_ns = int(cut.timestamp()) * 1_000_000_000
+            df = df.filter(F.col("ts") > F.lit(cut_ns))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # TIMESTAMP(MICROS) parquet → TIMESTAMP_NTZ: compare against an NTZ
+    # literal so the predicate stays on the stored column and pushes down.
     if ts_gt is not None:
-        cut = dt.datetime.fromisoformat(ts_gt).replace(tzinfo=dt.timezone.utc)
-        cut_ns = int(cut.timestamp()) * 1_000_000_000
-        df = df.filter(F.col("ts") > F.lit(cut_ns))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        cut_lit = F.lit(dt.datetime.fromisoformat(ts_gt)).cast("timestamp_ntz")
+        df = df.filter(F.col("ts") > cut_lit)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def spread(df):

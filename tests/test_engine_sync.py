@@ -183,3 +183,47 @@ def test_sync_all_isolates_per_source_failure(spark, warehouse):
     assert warehouse.read("iso").count() == good.count()
     statuses = [r["status"] for r in history.read_history(warehouse).collect()]
     assert "FAILED" in statuses and "SUCCESS" in statuses
+
+
+def test_string_cursor_column_is_coerced_to_timestamp(spark, warehouse):
+    """JSON sources surface ISO-8601 cursors as strings (Spark's JSON
+    reader does not infer timestamps). The sync path must coerce: the
+    checkpoint is TimestampType and the stored table should carry a
+    typed cursor like the reference's TIMESTAMP column."""
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("updated_at", T.StringType()),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [("a1", 1, "2024-01-01T00:00:00Z"), ("a2", 2, "2024-01-02T00:00:00Z")],
+        schema,
+    )
+    res = sync_dataframe(warehouse, batch, "json://f", "t")
+    assert res.records_synced == 2
+    assert checkpoint.get_last_synced(warehouse, "json://f", "t") == dt.datetime(
+        2024, 1, 2
+    )
+    stored = warehouse.read("t")
+    assert isinstance(stored.schema["updated_at"].dataType, T.TimestampType)
+
+    # delta batch updates a2 — no duplicate key, value replaced
+    delta = spark.createDataFrame(
+        [("a2", 99, "2024-01-03T00:00:00Z")], schema
+    )
+    sync_dataframe(warehouse, delta, "json://f", "t")
+    out = warehouse.read("t")
+    assert out.count() == 2
+    assert out.filter("_id = 'a2'").first()["v"] == 99
+    assert checkpoint.get_last_synced(warehouse, "json://f", "t") == dt.datetime(
+        2024, 1, 3
+    )
+
+
+def test_set_last_synced_accepts_iso_string(spark, warehouse):
+    checkpoint.set_last_synced(warehouse, "s", "c", "2024-05-06T07:08:09Z")
+    assert checkpoint.get_last_synced(warehouse, "s", "c") == dt.datetime(
+        2024, 5, 6, 7, 8, 9
+    )
