@@ -1561,3 +1561,195 @@ def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q2 shape: min-cost supplier per part within a region
+# --------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT ps.l_partkey, ps.l_suppkey, ps.cost,
+               s.s_acctbal, s.s_name, n.n_name
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_name, e.n_name, p.p_partkey AS partkey, p.p_brand,
+           CAST(floor(e.cost * 100 + 0.5) AS BIGINT) AS cost_cents
+    FROM eu e
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+      AND e.cost = (SELECT min(e2.cost) FROM eu e2
+                    WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, partkey, e.l_suppkey
+    LIMIT 100
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted: the fixture has no partsupp table, so
+    supply cost derives from lineitem as min unit price per
+    (part, supplier). The correlated per-part min de-correlates into a
+    window min over the region-filtered supply list — one shuffle on
+    l_partkey instead of a rejoin; region/nation/supplier dims
+    broadcast. Cost surfaces as deterministic integer cents
+    (floor(x*100+0.5) is exact IEEE on both engines)."""
+    lineitem, supplier, nation, region = tables(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region"
+    )
+    ps = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = ps.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    part = tables(spark, sf_dir, "part")[0].filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_name",
+            "n_name",
+            F.col("p_partkey").alias("partkey"),
+            "p_brand",
+            F.floor(F.col("cost") * 100 + 0.5).cast("bigint").alias("cost_cents"),
+            "s_acctbal",
+            "l_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "partkey", "l_suppkey"
+        )
+        .limit(100)
+        .drop("s_acctbal", "l_suppkey")
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q11 shape: parts above a fraction of total national value
+# --------------------------------------------------------------------
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH natl AS (
+        SELECT l.l_partkey AS partkey,
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                              + 0.5) AS BIGINT)) AS value_cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_7', 'NATION_13')
+        GROUP BY 1
+    )
+    SELECT partkey, value_cents
+    FROM natl
+    WHERE value_cents > (SELECT sum(value_cents) * 0.001 FROM natl)
+    """,
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape, adapted (no partsupp): per-part value of
+    lineitems supplied from a nation group, keeping parts above a
+    fraction of the group total. HAVING-vs-scalar-aggregate shape: the
+    grand total is a one-row aggregate of the already-grouped frame —
+    reused via a broadcast cross join, not a second fact scan. Exact
+    int64 cents make the boundary comparison engine-stable."""
+    lineitem, supplier, nation = tables(
+        spark, sf_dir, "lineitem", "supplier", "nation"
+    )
+    supp = (
+        supplier.join(
+            F.broadcast(
+                nation.filter(
+                    F.col("n_name").isin("NATION_1", "NATION_7", "NATION_13")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    natl = (
+        lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = natl.agg((F.sum("value_cents") * 0.001).alias("threshold"))
+    return (
+        natl.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("threshold"))
+        .select("partkey", "value_cents")
+    )
+
+
+# --------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers with heavy shipments of matching parts
+# --------------------------------------------------------------------
+
+
+@query(
+    "q20_heavy_shippers",
+    """
+    SELECT s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%red%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > 80
+    )
+    """,
+)
+def heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted (availqty → shipped quantity):
+    suppliers who shipped more than a threshold of any name-matched
+    part in a date window. IN-subquery over a grouped HAVING →
+    aggregate then left-semi join; the part-name filter broadcasts
+    into the fact scan so only matching lines aggregate. Quantities
+    are whole numbers stored as doubles — their sums are exact
+    integers (< 2^53), so the HAVING boundary is engine-stable."""
+    lineitem, part, supplier = tables(spark, sf_dir, "lineitem", "part", "supplier")
+    red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    heavy = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 80)
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name")

@@ -207,3 +207,21 @@ def test_scd2_single_keyed_shuffle(spark):
     hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     # lag-filter window and lead window share the user_id partitioning
     assert hash_exchanges == 1, plan[:2000]
+
+
+def test_q2_q11_q20_broadcast_dims_no_cartesian(spark):
+    """The adapted TPC-H Q2/Q11/Q20 shapes: dims broadcast; the only
+    cross join allowed is the one-row scalar threshold in Q11; no
+    nested-loop joins over the fact table."""
+    for name in ("q2_min_cost_supplier", "q11_important_parts", "q20_heavy_shippers"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # Q20's IN-subquery must become a semi join, not an aggregate rejoin
+    assert "LeftSemi" in _plan(spark, "q20_heavy_shippers")
+
+
+def test_q20_name_filter_prunes_fact_scan(spark):
+    """The date-window predicate reaches the lineitem scan."""
+    plan = _plan(spark, "q20_heavy_shippers")
+    assert "GreaterThanOrEqual(l_shipdate" in plan.replace(" ", "")
