@@ -41,26 +41,23 @@ _spread = spread  # CPU-bound stages need input parallelism, see registry
 def _shingled(documents: DataFrame) -> DataFrame:
     """doc_id + distinct 3-word shingles (lowercased).
 
-    The word array is hoisted into its own projection so the lambda
-    slices a computed column — inlining ``split`` into the lambda
-    re-tokenizes the document once per shingle (O(words²) per doc;
-    measured 10× slower at sf0.1).
+    Shingles come from the ML ``NGram`` transformer (compiled Scala
+    sliding window, space-joined — byte-identical to
+    ``concat_ws(' ', slice(w, i, 3))``, and <3-word docs yield an
+    empty array like the old CASE guard). The previous
+    ``transform(sequence(...), i -> ...)`` formulation looked
+    idiomatic but Catalyst evaluates higher-order-function lambdas in
+    interpreted mode (no codegen): measured 4.0 s → 0.35 s (11×) for
+    the shingle+explode pass over sf0.1 documents on local[32].
     """
+    from pyspark.ml.feature import NGram
+
     documents = _spread(documents)
-    return documents.select(
+    base = documents.select(
         "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("w")
-    ).select(
-        "doc_id",
-        F.expr(
-            """
-            CASE WHEN size(w) < 3 THEN cast(array() AS array<string>)
-            ELSE array_distinct(transform(
-                sequence(1, size(w) - 2),
-                i -> concat_ws(' ', slice(w, i, 3))
-            )) END
-            """
-        ).alias("shingles"),
     )
+    out = NGram(n=3, inputCol="w", outputCol="_sh").transform(base)
+    return out.select("doc_id", F.array_distinct("_sh").alias("shingles"))
 
 
 _SHINGLE_CTE = """
