@@ -441,3 +441,85 @@ def curation_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Domain mixing: token-budgeted per-source sampling
+# --------------------------------------------------------------------
+
+# Per-source token budgets (the "data mixture" of a pretraining run):
+# up-weight a few high-quality sources, cap the rest at a default.
+MIX_BUDGETS = {"src0": 3000, "src3": 2500, "src7": 2000}
+_MIX_DEFAULT_BUDGET = 1000
+
+_MIX_BUDGET_SQL = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {b}" for s, b in sorted(MIX_BUDGETS.items())
+) + f" ELSE {_MIX_DEFAULT_BUDGET} END"
+
+
+def domain_mix(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = _MIX_DEFAULT_BUDGET,
+) -> DataFrame:
+    """Fill each source's token budget with a deterministic priority
+    sample: documents are ranked inside their source by
+    ``md5(doc_id)`` (reproducible, engine-independent) and admitted
+    in that order until the source's running token sum crosses its
+    budget.
+
+    One hash shuffle on ``source`` + an in-partition sort — the same
+    cost envelope as any per-group top-k. Budgets and token counts
+    are exact integers, so the admission boundary is engine-stable.
+    At 100 TB the per-source partitions are the parallelism unit; a
+    corpus whose source cardinality is tiny relative to cores should
+    pre-split hot sources (salt the source key, then cap each salt at
+    budget/n_salts).
+    """
+    budget = F.lit(default_budget)
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col("source") == s, F.lit(b)).otherwise(budget)
+    toks = F.size(F.split(F.col("text"), " ", -1)).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            toks.alias("n_toks"),
+            hash_bp(F.col("doc_id")).alias("pri"),
+        )
+        .withColumn("cum_toks", F.sum("n_toks").over(w))
+        .filter(F.col("cum_toks") <= budget)
+        .select("doc_id", "source", "n_toks", "cum_toks")
+    )
+
+
+@query(
+    "curation_domain_mix",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               {_sql_hash_bp('doc_id')} AS pri
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_toks,
+               CAST(sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY pri, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_toks
+        FROM t
+    )
+    SELECT doc_id, source, n_toks, cum_toks
+    FROM c WHERE cum_toks <= ({_MIX_BUDGET_SQL})
+    """,
+)
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted domain mixture over the corpus sources."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    return domain_mix(documents, MIX_BUDGETS)

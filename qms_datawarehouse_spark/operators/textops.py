@@ -344,3 +344,126 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.withColumn("cum_words", F.sum("n_words").over(wbudget))
         .filter(F.col("cum_words") <= _TOKEN_BUDGET)
     )
+
+
+# --------------------------------------------------------------------
+# Repetition filtering (Gopher-style quality rules)
+# --------------------------------------------------------------------
+
+# Thresholds in basis points, tuned so the fixture corpus rejects a
+# real fraction (25/500 at sf0.01) — a 0-reject gate verifies nothing.
+_REP_MAX_DUP_WORD_BP = 7800
+_REP_MAX_TOP_BIGRAM_BP = 900
+_REP_MAX_DUP_TRIGRAM_BP = 2500
+
+_REPETITION_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id, 1 AS n, unnest(w) AS g FROM t
+        UNION ALL
+        SELECT doc_id, 2 AS n,
+               unnest(list_transform(range(1, len(w)),
+                   i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+        FROM t WHERE len(w) >= 2
+        UNION ALL
+        SELECT doc_id, 3 AS n,
+               unnest(list_transform(range(1, len(w) - 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS g
+        FROM t WHERE len(w) >= 3
+    ),
+    c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY ALL),
+    p AS (
+        SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS total, max(c) AS topn,
+               count(*) AS uniq,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupocc
+        FROM c GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 1 THEN total END) AS n_words,
+               coalesce(max(CASE WHEN n = 1
+                   THEN (total - uniq) * 10000 // total END), 0) AS dup_word_bp,
+               coalesce(max(CASE WHEN n = 2
+                   THEN topn * 10000 // total END), 0) AS top_bigram_bp,
+               coalesce(max(CASE WHEN n = 3
+                   THEN dupocc * 10000 // total END), 0) AS dup_trigram_bp
+        FROM p GROUP BY 1
+    )
+    SELECT doc_id, n_words, dup_word_bp, top_bigram_bp, dup_trigram_bp,
+           CAST(CASE WHEN dup_word_bp < {_REP_MAX_DUP_WORD_BP}
+                      AND top_bigram_bp < {_REP_MAX_TOP_BIGRAM_BP}
+                      AND dup_trigram_bp < {_REP_MAX_DUP_TRIGRAM_BP}
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+"""
+
+
+@query("text_repetition", _REPETITION_SQL)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: per-document duplicate-word
+    fraction, most-frequent-bigram share, and duplicated-trigram
+    occupancy, each as exact integer basis points, plus the keep/
+    reject decision at the published-style thresholds.
+
+    Plan shape: three scan branches (unigrams pass the word array
+    straight to explode; bigrams/trigrams come from the compiled
+    NGram sliding window — no interpreted lambdas), one union, then a
+    two-level aggregation tree keyed (doc, n, gram) → (doc, n) →
+    doc. Partial aggregation collapses each task's gram counts before
+    either shuffle, so the exchanged volume is per-doc distinct grams,
+    not raw gram occurrences. At 100 TB the three branches re-scan the
+    text column; if the corpus is hot, tokenize once into a persisted
+    frame and feed all three branches from it.
+    """
+    from pyspark.ml.feature import NGram
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    base = documents.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ", -1).alias("w")
+    )
+
+    def branch(n: int) -> DataFrame:
+        if n == 1:
+            src, col = base, F.col("w")
+        else:
+            src = NGram(n=n, inputCol="w", outputCol="_g").transform(base)
+            col = F.col("_g")
+        return src.select(
+            "doc_id", F.lit(n).alias("n"), F.explode(col).alias("g")
+        )
+
+    grams = branch(1).unionByName(branch(2)).unionByName(branch(3))
+    per_gram = grams.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("topn"),
+        F.count("*").alias("uniq"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dupocc"),
+    )
+
+    def pick(n: int, expr: Column) -> Column:
+        return F.max(F.when(F.col("n") == n, expr))
+
+    # integer `div` keeps the basis points exact — float division +
+    # cast truncates and can land one off the oracle's `//` at exact
+    # boundaries
+    m = per_n.groupBy("doc_id").agg(
+        pick(1, F.col("total")).alias("n_words"),
+        F.coalesce(
+            pick(1, F.expr("(total - uniq) * 10000 div total")), F.lit(0)
+        ).cast("long").alias("dup_word_bp"),
+        F.coalesce(
+            pick(2, F.expr("topn * 10000 div total")), F.lit(0)
+        ).cast("long").alias("top_bigram_bp"),
+        F.coalesce(
+            pick(3, F.expr("dupocc * 10000 div total")), F.lit(0)
+        ).cast("long").alias("dup_trigram_bp"),
+    )
+    return m.withColumn(
+        "keep",
+        (
+            (F.col("dup_word_bp") < _REP_MAX_DUP_WORD_BP)
+            & (F.col("top_bigram_bp") < _REP_MAX_TOP_BIGRAM_BP)
+            & (F.col("dup_trigram_bp") < _REP_MAX_DUP_TRIGRAM_BP)
+        ).cast("long"),
+    )

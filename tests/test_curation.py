@@ -126,3 +126,60 @@ def test_assign_split_is_stable_partition(spark):
     bigger = _docs(spark, [(i, "x", "en") for i in range(6000)])
     out2 = {r.doc_id: r.split for r in assign_split(bigger).collect()}
     assert all(out2[k] == v for k, v in out.items())
+
+
+def test_domain_mix_budget_invariants(spark):
+    from qms_datawarehouse_spark.operators.curation import domain_mix
+
+    rows = [
+        (i, " ".join(["w"] * (10 + i % 5)), "en", f"src{i % 3}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = domain_mix(df, {"src0": 200}, default_budget=100).collect()
+    # per-source token sums never exceed the budget
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r.source, []).append(r)
+    assert set(per_src) <= {"src0", "src1", "src2"}
+    assert sum(r.n_toks for r in per_src["src0"]) <= 200
+    for s in ("src1", "src2"):
+        assert sum(r.n_toks for r in per_src[s]) <= 100
+    # deterministic: second run returns the identical admission set
+    again = domain_mix(df, {"src0": 200}, default_budget=100).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+    # greedy: each admitted doc's running sum is its cum_toks
+    for s, rs in per_src.items():
+        rs = sorted(rs, key=lambda r: r.cum_toks)
+        run = 0
+        for r in rs:
+            run += r.n_toks
+            assert r.cum_toks == run
+
+
+def test_text_repetition_flags_degenerate_docs(spark):
+    from qms_datawarehouse_spark.plans.registry import REGISTRY
+    import tempfile, os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a a a", "en", "s", 19),      # one word repeated
+            # 20 distinct words: top-bigram share 10000/19 = 526 bp —
+            # below threshold (short docs bottom out at 1/n_bigrams)
+            (2, " ".join(chr(ord("a") + i) for i in range(20)), "en", "s", 39),
+            (3, "x", "en", "s", 1),                           # single word
+            (4, "x y", "en", "s", 3),                         # no trigrams
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp()
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in REGISTRY["text_repetition"].fn(spark, d).collect()}
+    assert out[1].keep == 0          # maximal repetition → rejected
+    assert out[1].dup_word_bp == 9000
+    assert out[2].keep == 1          # all-distinct 20-word text → kept
+    assert out[2].dup_word_bp == 0 and out[2].dup_trigram_bp == 0
+    assert out[3].n_words == 1 and out[3].top_bigram_bp == 0   # no bigrams
+    assert out[4].dup_trigram_bp == 0                           # no trigrams
