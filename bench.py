@@ -57,6 +57,9 @@ HEADLINE = [
     "curation_pack_sequences",
     "curation_contamination",
     "scd2_user_event_type",
+    "text_repetition",
+    "curation_domain_mix",
+    "q2_min_cost_supplier",
 ]
 
 

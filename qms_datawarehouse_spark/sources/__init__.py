@@ -1,3 +1,4 @@
+from qms_datawarehouse_spark.sources.pyds import register_docstore
 from qms_datawarehouse_spark.sources.readers import (
     detect_json_format,
     load_fixture,
@@ -12,4 +13,5 @@ __all__ = [
     "load_fixtures",
     "read_documents",
     "read_json_auto",
+    "register_docstore",
 ]

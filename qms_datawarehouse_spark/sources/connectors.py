@@ -18,6 +18,12 @@ options, resolved to ``spark.read.format(...)`` /
   sandbox has no Mongo server or jar, so resolving it raises a clear
   error naming the missing piece — the SEAM is real and tested; the
   driver jar is deployment config.
+- ``SourceSpec("docstore", options={"path": ..})`` resolves to the
+  in-repo Python Data Source connector (``sources/pyds.py``): a
+  working document-store source with shard-parallel reads,
+  connector-level filter pushdown, and a polling stream reader —
+  proof the seam carries a full custom connector, not just built-in
+  formats (register once via ``register_docstore(spark)``).
 
 The incremental-sync contract is format-agnostic: whatever the spec
 loads, ``engine.sync_dataframe`` applies the cursor predicate
