@@ -23,7 +23,12 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     temporal,
     textops,
 )
-from qms_datawarehouse_spark.plans import advanced, analytics, relational  # noqa: F401
+from qms_datawarehouse_spark.plans import (  # noqa: F401
+    advanced,
+    analytics,
+    modern,
+    relational,
+)
 from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map

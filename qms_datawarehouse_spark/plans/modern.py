@@ -1,0 +1,127 @@
+"""Modern Spark-4 semi-structured surface: VariantType and Python
+UDTFs.
+
+The reference stores dynamic-schema documents whose nested parts the
+engine serializes to JSON strings (SURVEY §1.1, §2.7 F3). Spark 4
+adds two first-class tools for exactly that shape:
+
+- **VariantType** (``parse_json``/``variant_get``): a binary-encoded
+  semi-structured value with typed path extraction — the right 100 TB
+  answer for "JSON column we filter and extract from constantly",
+  because the variant encoding avoids re-parsing the raw string per
+  expression (the repeated ``get_json_object`` pattern parses once
+  PER CALL).
+- **Python UDTF** (``@udtf``): the user-defined *table* function row
+  in the §2.9 UDF/UDAF/UDTF surface. Demonstrated here with a JSON
+  pair-exploder over a LATERAL join — arrow-optimized, but still a
+  row-at-a-time Python path: the docstring contract is that anything
+  expressible with built-ins (from_json + explode) should use them;
+  the UDTF is for genuinely imperative row-to-rows logic.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from qms_datawarehouse_spark.plans.registry import query, tables
+
+
+# --------------------------------------------------------------------
+# VariantType: typed path extraction from a JSON column
+# --------------------------------------------------------------------
+
+
+@query(
+    "variant_props_agg",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the ``props`` JSON column into a Variant once, extract
+    ``$.k`` as a typed bigint, aggregate per event type. Unlike the
+    string-path functions, the parse cost is paid once per row no
+    matter how many paths are extracted — the scalable pattern for
+    wide semi-structured access."""
+    (events,) = tables(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Python UDTF: row → rows with a LATERAL join (§2.9 U3)
+# --------------------------------------------------------------------
+
+
+@udtf(returnType="key string, val string", useArrow=True)
+class JsonPairs:
+    """Explode a JSON object into (key, value-as-string) rows,
+    keys sorted for determinism. Scalars render via ``str`` (ints and
+    strings only feed this query — float repr is NOT cross-engine
+    stable and must not pass through here)."""
+
+    def eval(self, js: str):
+        try:
+            d = json.loads(js) if js is not None else None
+        except ValueError:
+            return
+        if not isinstance(d, dict):
+            return
+        for k, v in sorted(d.items()):
+            if v is None:
+                yield k, None
+            elif isinstance(v, (dict, list)):
+                yield k, json.dumps(v, separators=(",", ":"))
+            else:
+                yield k, str(v)
+
+
+@query(
+    "udtf_json_pairs",
+    """
+    SELECT 'event_type' AS key, count(*) AS n,
+           count(DISTINCT event_type) AS n_vals
+    FROM events
+    UNION ALL
+    SELECT 'user_id' AS key, count(*) AS n,
+           count(DISTINCT CAST(user_id AS VARCHAR)) AS n_vals
+    FROM events
+    """,
+)
+def udtf_json_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface check: serialize (event_type, user_id) to JSON,
+    lateral-explode it back to key/value rows with the ``JsonPairs``
+    UDTF, and aggregate per key — the oracle recomputes the same
+    counts straight from the columns, so every emitted pair is value-
+    verified. LATERAL correlation fans the UDTF out per input row on
+    the executors (no driver loop)."""
+    (events,) = tables(spark, sf_dir, "events")
+    spark.udtf.register("json_pairs", JsonPairs)
+    events.select(
+        F.to_json(F.struct("event_type", "user_id")).alias("js")
+    ).createOrReplaceTempView("_udtf_events_js")
+    return spark.sql(
+        """
+        SELECT p.key, count(*) AS n, count(DISTINCT p.val) AS n_vals
+        FROM _udtf_events_js, LATERAL json_pairs(js) p
+        GROUP BY p.key
+        """
+    )
