@@ -70,16 +70,36 @@ def set_last_synced(
         ts = dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
     if ts.tzinfo is not None:
         ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    from qms_datawarehouse_spark.warehouse import ConcurrentWriteError
+
     update = warehouse.spark.createDataFrame(
         [(source_uri, collection, ts)], schema=SCHEMA
     )
-    if not warehouse.table_exists(TABLE):
-        warehouse.write_version(TABLE, update)
-        return
-    target = warehouse.read(TABLE)
-    survivors = target.join(
-        update.select("source_uri", "collection_name"),
-        on=["source_uri", "collection_name"],
-        how="left_anti",
+    # CAS + retry: concurrent syncs of DIFFERENT collections each
+    # read-modify-write this one tiny table; an unchecked write would
+    # drop the other sync's freshly-advanced mark.
+    for _ in range(5):
+        base = warehouse.current_version_name(TABLE)
+        if base is None:
+            try:
+                warehouse.write_version(TABLE, update, expect_base=None)
+                return
+            except ConcurrentWriteError:
+                continue  # raced the create — merge into theirs
+        target = warehouse.read(TABLE)
+        survivors = target.join(
+            update.select("source_uri", "collection_name"),
+            on=["source_uri", "collection_name"],
+            how="left_anti",
+        )
+        try:
+            warehouse.write_version(
+                TABLE, survivors.unionByName(update), expect_base=base
+            )
+            return
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"checkpoint upsert for {source_uri}.{collection} kept losing "
+        "the commit race"
     )
-    warehouse.write_version(TABLE, survivors.unionByName(update))

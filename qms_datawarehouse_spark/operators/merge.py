@@ -128,13 +128,42 @@ def merge_upsert_stats(
     key: str = "_id",
     order_col: str | None = "updated_at",
     n_buckets: int | None = None,
+    max_retries: int = 2,
 ) -> tuple[int, object]:
     """``merge_upsert`` returning ``(rows_merged, cursor_high_water)``.
 
     The high-water mark (A1) rides the SAME aggregation as the row
     count (A2) over the cached batch — the sync engine needs both, and
     computing the max in its own pass would scan the delta twice.
+
+    Concurrent writers: the commit is a compare-and-swap on the base
+    version (see ``write_version_partial``); on conflict the merge is
+    recomputed against the winner's version — safe because the
+    resolution is deterministic and order-aware (replaying the same
+    batch over newer state can never regress it, T3). After
+    ``max_retries`` conflicts it surfaces ``ConcurrentWriteError``.
     """
+    from qms_datawarehouse_spark.warehouse import ConcurrentWriteError
+
+    last_exc: Exception | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return _merge_upsert_once(
+                warehouse, table, updates, key, order_col, n_buckets
+            )
+        except ConcurrentWriteError as exc:
+            last_exc = exc
+    raise last_exc
+
+
+def _merge_upsert_once(
+    warehouse: ParquetWarehouse,
+    table: str,
+    updates: DataFrame,
+    key: str,
+    order_col: str | None,
+    n_buckets: int | None,
+) -> tuple[int, object]:
     # Empty guard via take(1), not isEmpty(): isEmpty() prunes the
     # required schema to zero data columns, which Spark rejects on raw
     # JSON scans filtered by _corrupt_record (QUERY_ONLY_CORRUPT_
@@ -159,8 +188,12 @@ def merge_upsert_stats(
 
     if not warehouse.table_exists(table):
         # Create-on-first-write (S11); bucket count becomes a table
-        # fact, not a per-call opinion.
-        warehouse.write_version(table, batch, partition_by=[BUCKET_COL])
+        # fact, not a per-call opinion. expect_base=None: if a racing
+        # writer creates the table first, CAS fails and the retry
+        # takes the merge path instead of clobbering their version.
+        warehouse.write_version(
+            table, batch, partition_by=[BUCKET_COL], expect_base=None
+        )
         warehouse.write_meta(
             table, {"n_buckets": buckets, "key": key, "order_col": order_col}
         )

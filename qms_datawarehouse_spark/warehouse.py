@@ -51,6 +51,22 @@ BUCKET_COL = "_bucket"
 META_FILE = "_META.json"
 SCHEMA_FILE = "_SCHEMA.json"
 VERSIONS_LOG = "_VERSIONS.jsonl"
+LOCK_FILE = "_LOCK"
+
+# sentinel: "don't check the base" (None is a real value — it means
+# "expect the table to have no committed version yet")
+_UNCHECKED = object()
+
+# a commit lock older than this is presumed abandoned (writer died
+# between acquire and release) and is broken; the guarded critical
+# section is a pointer read + rename — microseconds, not seconds
+_LOCK_STALE_SEC = 30.0
+
+
+class ConcurrentWriteError(RuntimeError):
+    """The table's current version advanced after this writer read its
+    base — committing would silently discard the other writer's rows.
+    Recompute against the new current version and retry."""
 
 # P5 identifier safety (reference src/schemas/request.py:7,
 # src/api/routes.py:82-87): table names become filesystem paths, so an
@@ -113,6 +129,11 @@ class ParquetWarehouse:
             version = f.read().strip()
         path = os.path.join(self.table_dir(table), version)
         return path if os.path.exists(path) else None
+
+    def current_version_name(self, table: str) -> str | None:
+        """The committed version a writer must name as its CAS base."""
+        path = self.current_version_dir(table)
+        return os.path.basename(path) if path else None
 
     # -- catalog -------------------------------------------------------
 
@@ -195,21 +216,80 @@ class ParquetWarehouse:
         with open(os.path.join(vdir, SCHEMA_FILE), "w") as f:
             json.dump(schema.jsonValue(), f)
 
-    def _swap_pointer(self, table: str, version: str, keep_versions: int) -> None:
+    def _acquire_lock(self, table: str, timeout: float = 5.0) -> str:
+        """Tiny mutual-exclusion window around the compare-and-swap:
+        atomic O_CREAT|O_EXCL on ``_LOCK``. Stale locks (a writer that
+        died inside the window) are broken after ``_LOCK_STALE_SEC``."""
+        lock = os.path.join(self.table_dir(table), LOCK_FILE)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # released between exists-check and stat
+                if age > _LOCK_STALE_SEC:
+                    try:
+                        os.unlink(lock)  # break the abandoned lock
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire commit lock for {table!r} "
+                        f"within {timeout}s"
+                    )
+                time.sleep(0.01)
+
+    def _swap_pointer(
+        self,
+        table: str,
+        version: str,
+        keep_versions: int,
+        expect_base=_UNCHECKED,
+    ) -> None:
         tmp_ptr = self._pointer_path(table) + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp_ptr, "w") as f:
             f.write(version)
-        os.replace(tmp_ptr, self._pointer_path(table))  # atomic repoint
-        # version log gives time travel a commit ORDER (dir names are
-        # uuids); appended after the swap, so a logged entry is always
-        # a version that was live at some point
-        with open(os.path.join(self.table_dir(table), VERSIONS_LOG), "a") as f:
-            f.write(
-                json.dumps(
-                    {"version": version, "committed_at": time.time()}
+        lock = self._acquire_lock(table)
+        try:
+            if expect_base is not _UNCHECKED:
+                cur = self.current_version_name(table)
+                if cur != expect_base:
+                    # the staged dir was never committed — remove it so
+                    # it can't be mistaken for a retained version
+                    os.unlink(tmp_ptr)
+                    shutil.rmtree(
+                        os.path.join(self.table_dir(table), version),
+                        ignore_errors=True,
+                    )
+                    raise ConcurrentWriteError(
+                        f"table {table!r}: base advanced from "
+                        f"{expect_base!r} to {cur!r} during the write"
+                    )
+            os.replace(tmp_ptr, self._pointer_path(table))  # atomic repoint
+            # version log gives time travel a commit ORDER (dir names
+            # are uuids); appended inside the lock and after the swap,
+            # so entries are totally ordered and each was live once
+            with open(
+                os.path.join(self.table_dir(table), VERSIONS_LOG), "a"
+            ) as f:
+                f.write(
+                    json.dumps(
+                        {"version": version, "committed_at": time.time()}
+                    )
+                    + "\n"
                 )
-                + "\n"
-            )
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
         self._gc_versions(table, keep=keep_versions)
 
     # -- time travel ---------------------------------------------------
@@ -243,6 +323,7 @@ class ParquetWarehouse:
         df: DataFrame,
         partition_by: list[str] | None = None,
         keep_versions: int = 2,
+        expect_base=_UNCHECKED,
     ) -> str:
         """Write ``df`` as a fresh immutable version and atomically
         repoint ``_CURRENT`` at it. Returns the version dir.
@@ -251,6 +332,14 @@ class ParquetWarehouse:
         readers mid-scan, then garbage-collected (the reference drops
         its temp staging table at etl.py:87; here old versions are the
         staging residue).
+
+        ``expect_base`` (a version name, or None for "table must not
+        exist yet") makes the commit a compare-and-swap: if another
+        writer committed first, ``ConcurrentWriteError`` is raised
+        instead of silently discarding their rows. Unchecked by
+        default — full rewrites (destructive reload) replace whatever
+        is current by design; read-modify-write callers must pass the
+        base they read.
         """
         version, vdir = self._new_version_dir(table)
         writer = df.write.mode("overwrite")
@@ -258,7 +347,7 @@ class ParquetWarehouse:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(vdir)
         self._write_schema_file(vdir, df.schema)
-        self._swap_pointer(table, version, keep_versions)
+        self._swap_pointer(table, version, keep_versions, expect_base)
         return vdir
 
     def write_version_partial(
@@ -283,6 +372,12 @@ class ParquetWarehouse:
 
         ``df`` must contain exactly the rows belonging to the touched
         partitions (the caller's contested-bucket resolution).
+
+        The commit is ALWAYS a compare-and-swap on the version whose
+        partitions it inherits: if another writer commits in between,
+        the hardlinked "untouched" dirs are stale and committing them
+        would resurrect overwritten rows — ``ConcurrentWriteError``
+        tells the caller to recompute from the new current version.
         """
         prev = self.current_version_dir(table)
         if prev is None:
@@ -312,9 +407,18 @@ class ParquetWarehouse:
                 continue
             dst = os.path.join(vdir, entry)
             os.makedirs(dst, exist_ok=True)
-            for fn in os.listdir(src):
-                if fn.endswith(".parquet"):
-                    os.link(os.path.join(src, fn), os.path.join(dst, fn))
+            try:
+                for fn in os.listdir(src):
+                    if fn.endswith(".parquet"):
+                        os.link(os.path.join(src, fn), os.path.join(dst, fn))
+            except FileNotFoundError as exc:
+                # another writer committed and GC collected our base
+                # mid-inherit — same stale-base condition as the CAS
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"table {table!r}: base version {os.path.basename(prev)!r}"
+                    " was garbage-collected during the partial write"
+                ) from exc
 
         # evolved schema = previous version's schema ∪ the batch's —
         # inherited files may lack new columns; read() null-fills them.
@@ -326,7 +430,9 @@ class ParquetWarehouse:
             prev_schema = self.spark.read.parquet(prev).schema
         self._write_schema_file(vdir, _merge_schemas(prev_schema, df.schema))
 
-        self._swap_pointer(table, version, keep_versions)
+        self._swap_pointer(
+            table, version, keep_versions, expect_base=os.path.basename(prev)
+        )
         return vdir
 
     def _gc_versions(self, table: str, keep: int) -> None:

@@ -1,0 +1,154 @@
+"""Multi-writer safety: the version-pointer commit is a
+compare-and-swap, so interleaved read-modify-write writers cannot
+silently discard each other's rows. Interleaving is simulated by
+committing a competing version between a writer's read of the base
+and its commit (the window the CAS guards)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.operators.merge import merge_upsert, with_bucket
+from qms_datawarehouse_spark.warehouse import (
+    BUCKET_COL,
+    ConcurrentWriteError,
+    ParquetWarehouse,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "_id string, v long, updated_at timestamp")
+
+
+TS = dt.datetime(2024, 1, 1)
+TS2 = dt.datetime(2024, 1, 2)
+
+
+def test_partial_write_cas_rejects_stale_base(spark, warehouse):
+    merge_upsert(warehouse, "t", _df(spark, [("a", 1, TS), ("b", 1, TS)]),
+                 n_buckets=4)
+    base = warehouse.current_version_name("t")
+
+    # writer 2 commits first (full path, unchecked by design)
+    w2 = with_bucket(_df(spark, [("a", 2, TS2), ("b", 2, TS2)]), "_id", 4)
+    warehouse.write_version("t", w2, partition_by=[BUCKET_COL])
+
+    # writer 1 commits against the OLD base: the CAS must refuse it
+    w1 = with_bucket(_df(spark, [("a", 9, TS2)]), "_id", 4)
+    with pytest.raises(ConcurrentWriteError):
+        warehouse.write_version("t", w1, partition_by=[BUCKET_COL],
+                                expect_base=base)
+    # writer 2's state survived intact
+    out = {r._id: r.v for r in warehouse.read("t").collect()}
+    assert out == {"a": 2, "b": 2}
+
+
+def test_merge_retries_and_converges_after_conflict(spark, warehouse):
+    """A merge that loses the race recomputes against the winner and
+    lands both writers' effects (order-aware resolution)."""
+    merge_upsert(warehouse, "t", _df(spark, [("a", 1, TS), ("b", 1, TS)]),
+                 n_buckets=4)
+
+    real_partial = ParquetWarehouse.write_version_partial
+    fired = {"n": 0}
+
+    def racing_partial(self, table, df, touched, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # interleave: another writer advances 'b' before our commit
+            other = with_bucket(
+                _df(spark, [("a", 1, TS), ("b", 7, TS2)]), "_id", 4
+            )
+            real_full = ParquetWarehouse.write_version
+            real_full(self, table, other, partition_by=[BUCKET_COL])
+        return real_partial(self, table, df, touched, **kw)
+
+    # merge writer updates 'a'; the interposed commit updates 'b'
+    import unittest.mock as mock
+
+    with mock.patch.object(ParquetWarehouse, "write_version_partial",
+                           racing_partial):
+        n = merge_upsert(
+            warehouse, "t", _df(spark, [("a", 5, TS2)]), n_buckets=4
+        )
+    assert n == 1
+    assert fired["n"] == 1  # the race actually happened
+    out = {r._id: r.v for r in warehouse.read("t").collect()}
+    # both effects present: no lost update in either direction
+    assert out == {"a": 5, "b": 7}
+
+
+def test_create_race_does_not_clobber(spark, warehouse):
+    """Two writers both observe 'table absent'; the loser's CAS fails
+    and its retry merges into the winner's table."""
+    real_write = ParquetWarehouse.write_version
+    fired = {"n": 0}
+
+    def racing_create(self, table, df, partition_by=None, **kw):
+        if fired["n"] == 0 and kw.get("expect_base", "x") is None:
+            fired["n"] += 1
+            other = with_bucket(_df(spark, [("z", 1, TS)]), "_id", 4)
+            real_write(self, table, other, partition_by=[BUCKET_COL])
+            self.write_meta(table, {"n_buckets": 4, "key": "_id",
+                                    "order_col": "updated_at"})
+        return real_write(self, table, df, partition_by=partition_by, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(ParquetWarehouse, "write_version", racing_create):
+        merge_upsert(warehouse, "t", _df(spark, [("a", 1, TS)]), n_buckets=4)
+    assert fired["n"] == 1
+    out = {r._id: r.v for r in warehouse.read("t").collect()}
+    assert out == {"a": 1, "z": 1}  # winner's row survived the race
+
+
+def test_checkpoint_cas_preserves_other_collections(spark, warehouse):
+    """set_last_synced loses the race to a different collection's
+    advance and retries — neither mark is lost."""
+    from qms_datawarehouse_spark.operators import checkpoint
+
+    checkpoint.set_last_synced(warehouse, "s", "c1", TS)
+    real_write = ParquetWarehouse.write_version
+    fired = {"n": 0}
+
+    def racing_write(self, table, df, partition_by=None, **kw):
+        if fired["n"] == 0 and table == checkpoint.TABLE and \
+                kw.get("expect_base", None) is not None:
+            fired["n"] += 1
+            # another sync advances c1 between our read and commit
+            upd = self.spark.createDataFrame(
+                [("s", "c1", TS2)], schema=checkpoint.SCHEMA
+            )
+            target = self.read(checkpoint.TABLE)
+            survivors = target.join(
+                upd.select("source_uri", "collection_name"),
+                on=["source_uri", "collection_name"], how="left_anti",
+            )
+            real_write(self, checkpoint.TABLE, survivors.unionByName(upd))
+        return real_write(self, table, df, partition_by=partition_by, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(ParquetWarehouse, "write_version", racing_write):
+        checkpoint.set_last_synced(warehouse, "s", "c2", TS)
+    assert fired["n"] == 1
+    assert checkpoint.get_last_synced(warehouse, "s", "c1") == TS2
+    assert checkpoint.get_last_synced(warehouse, "s", "c2") == TS
+
+
+def test_stale_lock_is_broken(spark, warehouse, tmp_path):
+    import os
+    import time
+
+    merge_upsert(warehouse, "t", _df(spark, [("a", 1, TS)]), n_buckets=4)
+    lock = os.path.join(warehouse.table_dir("t"), "_LOCK")
+    with open(lock, "w") as f:
+        f.write("99999 0")
+    old = time.time() - 120
+    os.utime(lock, (old, old))  # abandoned 2 minutes ago
+    # next merge must break the stale lock and commit
+    merge_upsert(warehouse, "t", _df(spark, [("a", 2, TS2)]), n_buckets=4)
+    assert {r.v for r in warehouse.read("t").collect()} == {2}
