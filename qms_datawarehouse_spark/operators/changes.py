@@ -1,0 +1,81 @@
+"""Change data feed over the warehouse's retained versions.
+
+The reference's audit story stops at ``sync_history`` row counts
+(src/services/etl.py:241-253); here the versioned layout already
+retains full immutable snapshots (time travel), so the row-level diff
+between any two retained versions is a join away — what changed, not
+just how much. This is the feed a downstream consumer (cache
+invalidation, search indexing, CDC export) actually wants after a
+sync.
+
+Scale shape: one full-outer join keyed on the merge key. Both sides
+are bucket-partitioned by the SAME key layout (the merge wrote them),
+so at 100 TB the join is co-partitioned; with version manifests the
+diff can skip bucket dirs whose files are hardlink-identical (same
+inode ⇒ provably unchanged) and join only buckets that differ —
+O(changed buckets), mirroring the merge's own cost envelope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.warehouse import BUCKET_COL, ParquetWarehouse
+
+
+def table_changes(
+    warehouse: ParquetWarehouse,
+    table: str,
+    key: str,
+    from_version: str,
+    to_version: str | None = None,
+) -> DataFrame:
+    """Row-level diff ``from_version → to_version`` (default: current).
+
+    Returns one row per changed key with ``_change_type`` ∈
+    {insert, update, delete} and the NEW row's columns (the OLD row's
+    for deletes). Unchanged rows are filtered before the result
+    materializes.
+    """
+    old = warehouse.read(table, version=from_version)
+    new = (
+        warehouse.read(table, version=to_version)
+        if to_version is not None
+        else warehouse.read(table)
+    )
+    # compare on the columns both versions share, minus the physical
+    # bucket column; schema evolution's added columns count as changes
+    # only for keys present on both sides (null ≠ value)
+    shared = [
+        c for c in new.columns if c in set(old.columns) and c != BUCKET_COL
+    ]
+    value_cols = [c for c in shared if c != key]
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key).alias("_k"),
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in value_cols]))).alias(
+                "_fp"
+            ),
+            *[F.col(c) for c in shared],
+        )
+
+    o = fp(old)
+    n = fp(new)
+    joined = o.alias("o").join(
+        n.alias("n"), F.col("o._k") == F.col("n._k"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o._k").isNull(), F.lit("insert"))
+        .when(F.col("n._k").isNull(), F.lit("delete"))
+        .when(F.col("o._fp") != F.col("n._fp"), F.lit("update"))
+    )
+    picked = [
+        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c) for c in shared
+    ]
+    return (
+        joined.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select("_change_type", *picked)
+    )

@@ -199,6 +199,36 @@ def _sig_slots(sigs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """LSH band rows ``(doc_id, band_id, bv)`` from a shingled frame —
+    the reusable index-entry kernel shared by the full-corpus dedup
+    and the incremental ingestion gate. Hash array hoisted into its
+    own projection so the md5 pass runs once, not once per signature
+    slot; one posexplode pass emits all band rows (vs an N-way union
+    that re-reads the signature projection per band). Docs with no
+    shingles (<3 words) produce no band rows."""
+    hashed = sh.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.md5(s.cast("binary"))).alias("hs"),
+    )
+    sigs = _sig_slots(hashed.select("doc_id", *_minhash_sig_cols()))
+    return sigs.filter(F.col("m0") != "g").select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}")).cast(
+                            "binary"
+                        )
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "bv"),
+    )
+
+
 _MINHASH_COLS_SQL = ", ".join(
     f"min(substr(md5(s), {4 * i + 1}, 4)) AS m{i}" for i in range(N_MINHASH)
 )
@@ -251,28 +281,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Hash array hoisted into its own projection so the md5 pass runs
     # once, not once per signature slot.
-    hashed = sh.select(
-        "doc_id",
-        F.transform(F.col("shingles"), lambda s: F.md5(s.cast("binary"))).alias("hs"),
-    )
-    sigs = _sig_slots(hashed.select("doc_id", *_minhash_sig_cols()))
-    # One posexplode pass emits all band rows — vs a 4-way union that
-    # re-reads the signature projection once per band.
-    bl = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat(F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}")).cast(
-                            "binary"
-                        )
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("band_id", "bv"),
-    )
+    bl = minhash_bands(sh)
 
     a, b = bl.alias("a"), bl.alias("b")
     cand = (

@@ -1753,3 +1753,81 @@ def heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplier.join(
         heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_name")
+
+
+# --------------------------------------------------------------------
+# Data-quality constraint checks (warehouse validation pass)
+# --------------------------------------------------------------------
+
+
+@query(
+    "dq_constraint_checks",
+    """
+    SELECT 'lineitem_null_orderkey' AS check_name,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+               AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           (SELECT count(*) FROM (
+               SELECT o_orderkey FROM orders
+               GROUP BY 1 HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'orders_bad_status',
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-load validation pass a warehouse runs after every
+    sync: NOT NULL, referential integrity (orphan foreign keys via
+    anti join), primary-key uniqueness, domain ranges, and enum
+    membership — one row per constraint with its violation count.
+
+    Plan shape: each check is an independent aggregate over one scan
+    (the orphan check is a broadcast-able anti join on the fact);
+    Spark runs the union's branches as parallel stages. At 100 TB,
+    run it on the delta plus touched buckets, not the full table —
+    the checks compose with the merge's bucket pruning."""
+    lineitem, orders = tables(spark, sf_dir, "lineitem", "orders")
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    null_ok = lineitem.filter(F.col("l_orderkey").isNull()).agg(
+        F.count("*").alias("n")
+    )
+    orphans = lineitem.join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n"))
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n"))
+    )
+    bad_qty = lineitem.filter(F.col("l_quantity") <= 0).agg(
+        F.count("*").alias("n")
+    )
+    bad_status = orders.filter(
+        ~F.col("o_orderstatus").isin("F", "O", "P")
+    ).agg(F.count("*").alias("n"))
+    return (
+        one("lineitem_null_orderkey", null_ok)
+        .unionByName(one("lineitem_orphan_orderkey", orphans))
+        .unionByName(one("orders_duplicate_pk", dup_pk))
+        .unionByName(one("lineitem_nonpositive_qty", bad_qty))
+        .unionByName(one("orders_bad_status", bad_status))
+    )

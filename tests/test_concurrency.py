@@ -152,3 +152,34 @@ def test_stale_lock_is_broken(spark, warehouse, tmp_path):
     # next merge must break the stale lock and commit
     merge_upsert(warehouse, "t", _df(spark, [("a", 2, TS2)]), n_buckets=4)
     assert {r.v for r in warehouse.read("t").collect()} == {2}
+
+
+def test_table_changes_between_versions(spark, warehouse):
+    """CDF over time travel: insert/update/delete classification
+    between two retained versions."""
+    from qms_datawarehouse_spark.operators.changes import table_changes
+
+    merge_upsert(
+        warehouse, "t",
+        _df(spark, [("a", 1, TS), ("b", 1, TS), ("c", 1, TS)]), n_buckets=4,
+    )
+    v1 = warehouse.current_version_name("t")
+    # update a, insert d (merge never deletes; emulate a delete with a
+    # destructive rewrite of the resolved state minus 'c')
+    merge_upsert(
+        warehouse, "t", _df(spark, [("a", 2, TS2), ("d", 1, TS2)]),
+        n_buckets=4,
+    )
+    cur = warehouse.read("t").filter(F.col("_id") != "c")
+    warehouse.write_version("t", cur, partition_by=[BUCKET_COL],
+                            keep_versions=4)
+
+    out = {
+        r._id: r._change_type
+        for r in table_changes(warehouse, "t", "_id", v1).collect()
+    }
+    assert out == {"a": "update", "c": "delete", "d": "insert"}
+    # values come from the NEW side for upserts
+    rows = {r._id: r.v for r in table_changes(
+        warehouse, "t", "_id", v1).collect()}
+    assert rows["a"] == 2 and rows["d"] == 1 and rows["c"] == 1

@@ -1,0 +1,70 @@
+"""Ingestion-gate dedup: batches are admitted against the stored
+corpus at batch-proportional cost, with in-batch canonicalization and
+a persistent LSH index maintained by keyed merges."""
+
+from __future__ import annotations
+
+from qms_datawarehouse_spark.operators.incremental_dedup import (
+    INDEX_TABLE,
+    ingest_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the morning sun light"
+)
+NEAR = BASE.replace("morning", "evening")  # one-word edit → near-dup
+OTHER = (
+    "completely different content about spark shuffles partitions "
+    "and broadcast joins in a distributed query engine at scale"
+)
+THIRD = (
+    "yet another unrelated document discussing parquet row groups "
+    "statistics pruning and columnar compression strategies today"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_first_batch_all_accepted_and_indexed(spark, warehouse):
+    res = ingest_dedup(warehouse, _docs(spark, [(1, BASE), (2, OTHER)]))
+    assert (res.n_batch, res.n_accepted, res.n_rejected) == (2, 2, 0)
+    assert warehouse.read("corpus_docs").count() == 2
+    assert warehouse.read(INDEX_TABLE).count() > 0
+
+
+def test_near_dup_of_stored_doc_rejected(spark, warehouse):
+    ingest_dedup(warehouse, _docs(spark, [(1, BASE), (2, OTHER)]))
+    res = ingest_dedup(warehouse, _docs(spark, [(10, NEAR), (11, THIRD)]))
+    assert res.n_accepted == 1 and res.n_rejected == 1
+    assert res.rejected[0][0] == 10 and res.rejected[0][1] == 1
+    # corpus holds only admitted docs
+    ids = {r.doc_id for r in warehouse.read("corpus_docs").collect()}
+    assert ids == {1, 2, 11}
+
+
+def test_in_batch_dup_resolves_to_lowest_id(spark, warehouse):
+    res = ingest_dedup(
+        warehouse, _docs(spark, [(5, BASE), (6, NEAR), (7, OTHER)])
+    )
+    assert res.n_accepted == 2 and res.n_rejected == 1
+    assert res.rejected[0][:2] == (6, 5)
+    ids = {r.doc_id for r in warehouse.read("corpus_docs").collect()}
+    assert ids == {5, 7}
+
+
+def test_reingest_same_doc_id_is_upsert_not_dup(spark, warehouse):
+    ingest_dedup(warehouse, _docs(spark, [(1, BASE)]))
+    # same doc re-ingested (same id): self-pairs are excluded, the
+    # merge upserts — no duplicate row, no rejection
+    res = ingest_dedup(warehouse, _docs(spark, [(1, BASE)]))
+    assert res.n_accepted == 1 and res.n_rejected == 0
+    assert warehouse.read("corpus_docs").count() == 1
+
+
+def test_short_doc_without_shingles_is_admitted(spark, warehouse):
+    ingest_dedup(warehouse, _docs(spark, [(1, BASE)]))
+    res = ingest_dedup(warehouse, _docs(spark, [(2, "two words")]))
+    assert res.n_accepted == 1 and res.n_rejected == 0
