@@ -68,3 +68,48 @@ def test_short_doc_without_shingles_is_admitted(spark, warehouse):
     ingest_dedup(warehouse, _docs(spark, [(1, BASE)]))
     res = ingest_dedup(warehouse, _docs(spark, [(2, "two words")]))
     assert res.n_accepted == 1 and res.n_rejected == 0
+
+
+def test_streaming_ingestion_gate(spark, warehouse, tmp_path):
+    """Composition: a docstore stream feeds the ingestion gate per
+    micro-batch — the live-pipeline form (connector → foreachBatch →
+    LSH-gated corpus)."""
+    import json
+
+    from qms_datawarehouse_spark.sources.pyds import register_docstore
+
+    register_docstore(spark)
+    log = str(tmp_path / "feed.jsonl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def append(doc_id, text):
+        with open(log, "a") as fh:
+            fh.write(json.dumps(
+                {"_id": str(doc_id), "payload": text,
+                 "updated_at": "2024-01-01T00:00:00Z"}) + "\n")
+
+    def run():
+        q = (
+            spark.readStream.format("docstore").option("path", log).load()
+            .writeStream.foreachBatch(
+                lambda df, epoch: ingest_dedup(
+                    warehouse,
+                    df.selectExpr("CAST(_id AS LONG) AS doc_id",
+                                  "payload AS text"),
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    append(1, BASE)
+    append(2, OTHER)
+    run()
+    # a later batch carrying a near-dup is gated out
+    append(3, NEAR)
+    append(4, THIRD)
+    run()
+    ids = {r.doc_id for r in warehouse.read("corpus_docs").collect()}
+    assert ids == {1, 2, 4}

@@ -22,6 +22,9 @@ PICKS = {
     "curation_contamination": "Benchmark shingle set broadcast into the probe join; one shingling pass, one groupBy — never corpus x corpus.",
     "similarity_knn_join_lsh": "Per-vector top-k rides WindowGroupLimit (partial top-k BEFORE the exchange): at most k rows per query vector cross the shuffle.",
     "curation_stratified_sample": "Sampling is a map-side hash-threshold filter co-planned with the scan — no shuffle, no RNG state.",
+    "q2_min_cost_supplier": "Correlated per-part min de-correlates into a window over the region-filtered supply list; every dim broadcasts; ordered LIMIT is a TakeOrderedAndProject.",
+    "text_repetition": "Three gram branches union before a two-level aggregation tree; partial aggregation collapses per-task gram counts before either exchange.",
+    "dq_constraint_checks": "Each constraint is an independent aggregate branch; the orphan-FK check is a broadcast left-anti join on the fact.",
 }
 
 HEADER = """# Physical plans (captured)
