@@ -44,9 +44,12 @@ import os
 from dataclasses import dataclass
 from typing import Iterator, Tuple
 
+import uuid
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -56,6 +59,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -198,6 +202,54 @@ class DocStoreStreamReader(SimpleDataSourceStreamReader):
         return self._rows(self._lines()[start["pos"]:end["pos"]])
 
 
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    staged: str
+    final: str
+
+
+class DocStoreWriter(DataSourceWriter):
+    """Batch sink (S12 parity: dump.py's PyMongo batch export, in
+    reverse): each task streams its partition to a staged NDJSON
+    shard; the driver's ``commit`` renames every staged shard into
+    place only after ALL tasks succeeded — task-level atomicity
+    without a transaction log, the same stage-then-publish shape as
+    the warehouse's version swap. ``overwrite`` clears prior shards
+    inside ``commit``, after the new ones are fully staged."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool) -> None:
+        self.fields = [f.name for f in schema.fields]
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("docstore write requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _ShardCommit:
+        os.makedirs(self.path, exist_ok=True)
+        name = f"shard-{uuid.uuid4().hex[:12]}"
+        staged = os.path.join(self.path, f".{name}.staging")
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in rows:
+                doc = {f: row[i] for i, f in enumerate(self.fields)}
+                fh.write(json.dumps(doc, separators=(",", ":")) + "\n")
+        return _ShardCommit(staged, os.path.join(self.path, f"{name}.jsonl"))
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for n in os.listdir(self.path):
+                if n.endswith((".jsonl", ".ndjson")):
+                    os.unlink(os.path.join(self.path, n))
+        for m in messages:
+            os.replace(m.staged, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.unlink(m.staged)
+            except OSError:
+                pass
+
+
 class DocStoreDataSource(DataSource):
     """Format name ``docstore``; default schema matches the export's
     document shape, overridable via ``.schema(...)``."""
@@ -214,3 +266,6 @@ class DocStoreDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> DocStoreStreamReader:
         return DocStoreStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DocStoreWriter:
+        return DocStoreWriter(schema, self.options, overwrite)

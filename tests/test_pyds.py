@@ -139,3 +139,28 @@ def test_docstore_feeds_incremental_sync(spark, tmp_path, warehouse):
     res = sync_dataframe(warehouse, src, "docstore://export2", "docs")
     assert res.records_synced == 6
     assert warehouse.read("docs").count() == 6
+
+
+def test_write_roundtrip_and_overwrite(spark, tmp_path):
+    register_docstore(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [("a", "p1", "2024-01-01T00:00:00Z"), ("b", "p2", "2024-01-02T00:00:00Z")],
+        "_id string, payload string, updated_at string",
+    ).repartition(2)
+    df.write.format("docstore").mode("append").option("path", out).save()
+    back = spark.read.format("docstore").option("path", out).load()
+    assert {(r._id, r.payload) for r in back.collect()} == {("a", "p1"), ("b", "p2")}
+    # tasks stage privately; only committed shards are visible
+    import os
+    assert all(not n.startswith(".") or not n.endswith(".staging")
+               for n in os.listdir(out))
+
+    # overwrite replaces prior shards atomically at commit
+    df2 = spark.createDataFrame(
+        [("z", "p9", "2024-02-01T00:00:00Z")],
+        "_id string, payload string, updated_at string",
+    )
+    df2.write.format("docstore").mode("overwrite").option("path", out).save()
+    back2 = spark.read.format("docstore").option("path", out).load()
+    assert [(r._id) for r in back2.collect()] == ["z"]
