@@ -56,3 +56,70 @@ def test_packing_matches_model(spark, word_counts, budget):
         assert (r.shard, r.seq_id) == expect[r.doc_id], r
     # token conservation: sum over sequences == sum over docs
     assert sum(r.n_tokens for r in out) == sum(word_counts)
+
+
+# --------------------------------------------------------------------
+# text_repetition vs an independent Python model
+# --------------------------------------------------------------------
+
+words_strategy = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "aa", "bb"]),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _rep_model(words: list[str]) -> dict:
+    from collections import Counter
+
+    def grams(n):
+        return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+    uni = Counter(grams(1))
+    bi = Counter(grams(2))
+    tri = Counter(grams(3))
+    total1 = sum(uni.values())
+    out = {
+        "n_words": total1,
+        "dup_word_bp": (total1 - len(uni)) * 10000 // total1,
+        "top_bigram_bp": 0,
+        "dup_trigram_bp": 0,
+    }
+    if bi:
+        out["top_bigram_bp"] = max(bi.values()) * 10000 // sum(bi.values())
+    if tri:
+        dup = sum(c for c in tri.values() if c > 1)
+        out["dup_trigram_bp"] = dup * 10000 // sum(tri.values())
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(words_strategy, min_size=1, max_size=6))
+def test_repetition_matches_model(spark, docs, tmp_path_factory):
+    import os
+    import tempfile
+
+    from qms_datawarehouse_spark.plans.registry import REGISTRY
+
+    rows = [
+        (i, " ".join(ws), "en", "s", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in REGISTRY["text_repetition"].fn(spark, d).collect()}
+    assert set(out) == set(range(len(docs)))
+    for i, ws in enumerate(docs):
+        exp = _rep_model(ws)
+        got = out[i]
+        assert got.n_words == exp["n_words"], (i, ws)
+        assert got.dup_word_bp == exp["dup_word_bp"], (i, ws)
+        assert got.top_bigram_bp == exp["top_bigram_bp"], (i, ws)
+        assert got.dup_trigram_bp == exp["dup_trigram_bp"], (i, ws)

@@ -225,3 +225,37 @@ def test_q20_name_filter_prunes_fact_scan(spark):
     """The date-window predicate reaches the lineitem scan."""
     plan = _plan(spark, "q20_heavy_shippers")
     assert "GreaterThanOrEqual(l_shipdate" in plan.replace(" ", "")
+
+
+def test_dynamic_partition_pruning_on_time_partitioned_fact(spark, tmp_path, warehouse):
+    """DPP: joining the date-partitioned fact to a FILTERED dim plants
+    a dynamicpruning subquery on the fact's partition column — at
+    100 TB the fact reads only the partitions the dim's surviving
+    rows name, decided at runtime. This is the Spark feature that
+    makes star-joins over partitioned facts feasible without manually
+    propagating the dim filter."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 5, 12), i % 7, "t", 1.0)
+        for i in range(200)
+    ]
+    fact = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    warehouse.write_time_partitioned("events_tp", fact, "ts")
+    stored = warehouse.read("events_tp")
+
+    dim = spark.createDataFrame(
+        [(dt.date(2024, 1, 1 + i), "keep" if i < 2 else "drop") for i in range(5)],
+        "d date, flag string",
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    # force the non-broadcast-reuse DPP path to be visible either way
+    joined = stored.join(dim.filter(F.col("flag") == "keep"),
+                         stored["_event_date"] == dim["d"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == 80  # 2 of 5 days survive
