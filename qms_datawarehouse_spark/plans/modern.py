@@ -125,3 +125,52 @@ def udtf_json_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.key
         """
     )
+
+
+# --------------------------------------------------------------------
+# Recursive CTE (Spark 4): calendar dimension + gap-filled time series
+# --------------------------------------------------------------------
+
+
+@query(
+    "calendar_fill_gaps",
+    """
+    WITH RECURSIVE cal(d) AS (
+        SELECT DATE '2024-01-01' AS d
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY FROM cal
+        WHERE d < DATE '2024-02-29'
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(cal.d AS DATE) AS day, coalesce(daily.n, 0) AS n_events
+    FROM cal LEFT JOIN daily ON cal.d = daily.d
+    """,
+)
+def calendar_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily event counts over a recursively generated
+    calendar dimension (WITH RECURSIVE, new in Spark 4) — the
+    time-series report where zero-activity days must appear as rows,
+    which a plain GROUP BY can never produce. The recursion is
+    driver-bounded (one row per day); the join against the aggregated
+    fact is a broadcast of the tiny calendar side."""
+    (events,) = tables(spark, sf_dir, "events")
+    events.createOrReplaceTempView("_cal_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(d) AS (
+            SELECT DATE '2024-01-01' AS d
+            UNION ALL
+            SELECT d + INTERVAL 1 DAY FROM cal
+            WHERE d < DATE '2024-02-29'
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS n
+            FROM _cal_events GROUP BY 1
+        )
+        SELECT cal.d AS day, coalesce(daily.n, CAST(0 AS BIGINT)) AS n_events
+        FROM cal LEFT JOIN daily ON cal.d = daily.d
+        """
+    )

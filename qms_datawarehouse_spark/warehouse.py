@@ -151,6 +151,20 @@ class ParquetWarehouse:
             if os.path.exists(os.path.join(self.root, d, CURRENT_POINTER))
         )
 
+    def register_views(self, prefix: str = "") -> list[str]:
+        """Expose every table as a temp view (``prefix`` + name), so
+        plain ``spark.sql`` works over the warehouse — the SQL-client
+        story for users coming from the reference's Postgres. Views
+        resolve the version CURRENT AT REGISTRATION; re-register after
+        syncs for fresh reads (a temp view pins the snapshot, which is
+        also exactly what a consistent multi-statement report wants)."""
+        names = []
+        for t in self.list_tables():
+            name = f"{prefix}{t}"
+            self.read(t).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
     # -- table metadata --------------------------------------------------
 
     def read_meta(self, table: str) -> dict:

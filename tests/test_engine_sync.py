@@ -227,3 +227,17 @@ def test_set_last_synced_accepts_iso_string(spark, warehouse):
     assert checkpoint.get_last_synced(warehouse, "s", "c") == dt.datetime(
         2024, 5, 6, 7, 8, 9
     )
+
+
+def test_register_views_enables_plain_sql(spark, warehouse):
+    sync_dataframe(warehouse, _seed(spark), "mongo://a", "employees")
+    names = warehouse.register_views()
+    assert "employees" in names and "sync_metadata" in names
+    n = spark.sql("SELECT count(*) AS n FROM employees").first()["n"]
+    assert n == 3
+    # joins across warehouse tables work in plain SQL
+    joined = spark.sql(
+        "SELECT e.name FROM employees e "
+        "JOIN sync_metadata m ON m.collection_name = 'employees'"
+    )
+    assert joined.count() == 3
