@@ -24,6 +24,61 @@ from pyspark.sql import functions as F
 from qms_datawarehouse_spark.warehouse import BUCKET_COL, ParquetWarehouse
 
 
+def changed_partitions(
+    warehouse: ParquetWarehouse,
+    table: str,
+    from_version: str,
+    to_version: str | None = None,
+    partition_col: str = BUCKET_COL,
+) -> list[str] | None:
+    """Partition VALUES that differ between two versions, decided from
+    filesystem metadata alone: a partition dir is provably unchanged
+    iff both versions hold the same file names backed by the same
+    inodes (partial writes hardlink-inherit untouched buckets, so
+    shared inodes ⇒ byte-identical data — no file is ever rewritten
+    in place). Returns None when either version lacks the partition
+    layout (caller must treat everything as changed).
+
+    This is the O(1)-per-bucket change detector that lets CDF diffs
+    and materialized-view refreshes touch only what a merge touched.
+    """
+    import os
+
+    old_dir = os.path.join(warehouse.table_dir(table), from_version)
+    new_dir = (
+        os.path.join(warehouse.table_dir(table), to_version)
+        if to_version is not None
+        else warehouse.current_version_dir(table)
+    )
+    if not (old_dir and new_dir and os.path.isdir(old_dir) and os.path.isdir(new_dir)):
+        return None
+    prefix = f"{partition_col}="
+
+    def layout(d):
+        out = {}
+        for entry in os.listdir(d):
+            if not entry.startswith(prefix):
+                continue
+            pdir = os.path.join(d, entry)
+            if not os.path.isdir(pdir):
+                continue
+            out[entry[len(prefix):]] = {
+                fn: os.stat(os.path.join(pdir, fn)).st_ino
+                for fn in os.listdir(pdir)
+                if fn.endswith(".parquet")
+            }
+        return out
+
+    old_l, new_l = layout(old_dir), layout(new_dir)
+    if not old_l or not new_l:
+        return None  # at least one side has no partition layout
+    return sorted(
+        v
+        for v in set(old_l) | set(new_l)
+        if old_l.get(v) != new_l.get(v)
+    )
+
+
 def table_changes(
     warehouse: ParquetWarehouse,
     table: str,
@@ -37,6 +92,11 @@ def table_changes(
     {insert, update, delete} and the NEW row's columns (the OLD row's
     for deletes). Unchanged rows are filtered before the result
     materializes.
+
+    When both versions carry the bucket layout, provably-unchanged
+    buckets (shared inodes — see ``changed_partitions``) are filtered
+    OUT of both scan sides first, so the join reads O(changed
+    buckets), mirroring the merge that produced the diff.
     """
     old = warehouse.read(table, version=from_version)
     new = (
@@ -44,6 +104,11 @@ def table_changes(
         if to_version is not None
         else warehouse.read(table)
     )
+    changed = changed_partitions(warehouse, table, from_version, to_version)
+    if changed is not None and BUCKET_COL in old.columns and BUCKET_COL in new.columns:
+        vals = [int(v) for v in changed] if changed else []
+        old = old.filter(F.col(BUCKET_COL).isin(vals))
+        new = new.filter(F.col(BUCKET_COL).isin(vals))
     # compare on the columns both versions share, minus the physical
     # bucket column; schema evolution's added columns count as changes
     # only for keys present on both sides (null ≠ value)

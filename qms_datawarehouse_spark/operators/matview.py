@@ -1,0 +1,132 @@
+"""Pull-based materialized views with version-tracked staleness and
+O(changed-bucket) incremental refresh.
+
+The rollup cascade (``rollup_hypertable``) is push-based: the ingest
+path hands it each delta. A consumer who does NOT own the ingest
+pipeline still wants pre-aggregated tables that (a) know when they
+are stale and (b) refresh in time proportional to what changed. This
+layer provides that over any key-bucketed warehouse table:
+
+- the MV's ``_META`` records the base table and the exact base
+  VERSION the stored aggregates reflect — staleness is one string
+  compare, no data read;
+- refresh computes ``delta = agg(changed buckets @ new) − agg(changed
+  buckets @ old)`` using the inode-level change detector
+  (``changes.changed_partitions``): hardlink-inherited buckets are
+  provably unchanged and never scanned. The stored partials merge
+  with the delta by group key; groups whose count reaches zero drop;
+- partials are ADDITIVE (count, sums — mean derives at read time), so
+  the merge is associative and the delta can be negative. min/max are
+  NOT incrementally maintainable under deletes/updates and are
+  deliberately excluded here (the rollup layer handles them for
+  append-only feeds);
+- if the recorded base version was garbage-collected (retention
+  passed), refresh falls back to a full recompute — correct, just not
+  incremental.
+
+At 100 TB: staleness checks are free; a sync that touched 40 of 8192
+buckets makes the MV refresh read those 40 buckets twice (old + new
+version — both retained snapshots) and shuffle only their group keys.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.operators.changes import changed_partitions
+from qms_datawarehouse_spark.warehouse import BUCKET_COL, ParquetWarehouse
+
+
+def _aggregate(df: DataFrame, group_cols: list[str], sum_cols: list[str],
+               sign: int = 1) -> DataFrame:
+    aggs = [F.sum(F.lit(sign)).cast("long").alias("_mv_n")]
+    for c in sum_cols:
+        aggs.append((F.sum(F.col(c)) * sign).alias(f"{c}_sum"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def _merge_partials(stored: DataFrame, delta: DataFrame,
+                    group_cols: list[str], sum_cols: list[str]) -> DataFrame:
+    merged = stored.unionByName(delta)
+    aggs = [F.sum("_mv_n").cast("long").alias("_mv_n")]
+    for c in sum_cols:
+        aggs.append(F.sum(f"{c}_sum").alias(f"{c}_sum"))
+    return merged.groupBy(*group_cols).agg(*aggs).filter(F.col("_mv_n") > 0)
+
+
+def create_matview(
+    warehouse: ParquetWarehouse,
+    name: str,
+    base_table: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Materialize ``SELECT group_cols, count(*), sum(sum_cols…) FROM
+    base_table GROUP BY group_cols`` and record the base version it
+    reflects."""
+    base_version = warehouse.current_version_name(base_table)
+    if base_version is None:
+        raise FileNotFoundError(f"base table not found: {base_table}")
+    mv = _aggregate(warehouse.read(base_table), group_cols, sum_cols)
+    warehouse.write_version(name, mv)
+    warehouse.write_meta(
+        name,
+        {
+            "mv_base": base_table,
+            "mv_base_version": base_version,
+            "mv_group_cols": group_cols,
+            "mv_sum_cols": sum_cols,
+        },
+    )
+
+
+def is_stale(warehouse: ParquetWarehouse, name: str) -> bool:
+    meta = warehouse.read_meta(name)
+    return warehouse.current_version_name(meta["mv_base"]) != meta["mv_base_version"]
+
+
+def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
+    """Bring the MV up to the base's current version. Returns
+    ``"fresh"`` (no-op), ``"incremental"``, or ``"full"`` (fallback
+    when the recorded base version is no longer retained or the base
+    lacks the bucket layout)."""
+    import os
+
+    meta = warehouse.read_meta(name)
+    base = meta["mv_base"]
+    group_cols = list(meta["mv_group_cols"])
+    sum_cols = list(meta["mv_sum_cols"])
+    recorded = meta["mv_base_version"]
+    current = warehouse.current_version_name(base)
+    if current == recorded:
+        return "fresh"
+
+    old_dir = os.path.join(warehouse.table_dir(base), recorded)
+    changed = (
+        changed_partitions(warehouse, base, recorded)
+        if os.path.isdir(old_dir)
+        else None
+    )
+    if changed is None:
+        mv = _aggregate(warehouse.read(base), group_cols, sum_cols)
+        warehouse.write_version(name, mv)
+        warehouse.write_meta(name, {**meta, "mv_base_version": current})
+        return "full"
+
+    vals = [int(v) for v in changed]
+    old_rows = warehouse.read(base, version=recorded).filter(
+        F.col(BUCKET_COL).isin(vals)
+    )
+    new_rows = warehouse.read(base).filter(F.col(BUCKET_COL).isin(vals))
+    delta = _aggregate(new_rows, group_cols, sum_cols).unionByName(
+        _aggregate(old_rows, group_cols, sum_cols, sign=-1)
+    )
+    merged = _merge_partials(
+        warehouse.read(name), delta, group_cols, sum_cols
+    )
+    warehouse.write_version(name, merged)
+    warehouse.write_meta(name, {**meta, "mv_base_version": current})
+    return "incremental"

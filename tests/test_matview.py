@@ -1,0 +1,121 @@
+"""Materialized views: staleness from version names, incremental
+refresh limited to changed buckets, equivalence with full recompute,
+and the GC fallback."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.operators.matview import (
+    create_matview,
+    is_stale,
+    refresh_matview,
+)
+from qms_datawarehouse_spark.operators.merge import merge_upsert
+
+TS = dt.datetime(2024, 1, 1)
+TS2 = dt.datetime(2024, 1, 2)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "_id string, grp string, amount long, updated_at timestamp"
+    )
+
+
+def _seed(spark, warehouse):
+    merge_upsert(
+        warehouse,
+        "fact",
+        _batch(spark, [
+            ("a", "g1", 10, TS), ("b", "g1", 20, TS),
+            ("c", "g2", 5, TS), ("d", "g3", 7, TS),
+        ]),
+        n_buckets=8,
+    )
+
+
+def _mv_state(warehouse):
+    return {
+        r.grp: (r._mv_n, r.amount_sum)
+        for r in warehouse.read("mv_by_grp").collect()
+    }
+
+
+def test_create_and_freshness(spark, warehouse):
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    assert not is_stale(warehouse, "mv_by_grp")
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
+    assert _mv_state(warehouse) == {"g1": (2, 30), "g2": (1, 5), "g3": (1, 7)}
+
+
+def test_incremental_refresh_matches_full_recompute(spark, warehouse):
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    # update b (g1: 20→25), insert e (new group g4)
+    merge_upsert(
+        warehouse, "fact",
+        _batch(spark, [("b", "g1", 25, TS2), ("e", "g4", 3, TS2)]),
+        n_buckets=8,
+    )
+    assert is_stale(warehouse, "mv_by_grp")
+    mode = refresh_matview(warehouse, "mv_by_grp")
+    assert mode == "incremental"
+    assert _mv_state(warehouse) == {
+        "g1": (2, 35), "g2": (1, 5), "g3": (1, 7), "g4": (1, 3),
+    }
+    assert not is_stale(warehouse, "mv_by_grp")
+    # refreshing again is a no-op
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
+
+
+def test_group_disappears_when_count_hits_zero(spark, warehouse):
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    # move d from g3 to g1: g3's only member leaves
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("d", "g1", 7, TS2)]), n_buckets=8,
+    )
+    assert refresh_matview(warehouse, "mv_by_grp") == "incremental"
+    state = _mv_state(warehouse)
+    assert "g3" not in state
+    assert state["g1"] == (3, 37)
+
+
+def test_full_fallback_when_base_version_gone(spark, warehouse):
+    import shutil
+    import os
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    recorded = warehouse.read_meta("mv_by_grp")["mv_base_version"]
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("f", "g2", 100, TS2)]), n_buckets=8,
+    )
+    # simulate retention passing: the recorded base snapshot is gone
+    shutil.rmtree(os.path.join(warehouse.table_dir("fact"), recorded),
+                  ignore_errors=True)
+    assert refresh_matview(warehouse, "mv_by_grp") == "full"
+    assert _mv_state(warehouse)["g2"] == (2, 105)
+
+
+def test_changed_partitions_prunes_cdf(spark, warehouse):
+    """The inode detector: after a one-bucket merge, table_changes
+    scans only the touched bucket (the diff still being exact)."""
+    from qms_datawarehouse_spark.operators.changes import (
+        changed_partitions,
+        table_changes,
+    )
+
+    _seed(spark, warehouse)
+    v1 = warehouse.current_version_name("fact")
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("a", "g1", 11, TS2)]), n_buckets=8,
+    )
+    changed = changed_partitions(warehouse, "fact", v1)
+    assert changed is not None and 1 <= len(changed) <= 2  # a's bucket only
+    diff = table_changes(warehouse, "fact", "_id", v1).collect()
+    assert {(r._id, r._change_type) for r in diff} == {("a", "update")}
