@@ -70,3 +70,28 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert cur.select(F.md5(F.col("text").cast("binary"))).distinct().count() == n
     seqs = wh.read("curated_sequences")
     assert seqs.count() == n  # one row per surviving doc
+
+
+def test_curate_cli_ingest_gate(spark, tmp_path, capsys):
+    import tools.curate as curate
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    wh = str(tmp_path / "wh")
+    rc = curate.main(
+        ["--input", src, "--warehouse", wh, "--out", "corpus",
+         "--ingest-gate", "--master", "local[4]"]
+    )
+    assert rc == 0
+    first = capsys.readouterr().out
+    assert "ingest-gated corpus:" in first
+    # a second identical run re-admits by id (upsert), adding nothing
+    rc = curate.main(
+        ["--input", src, "--warehouse", wh, "--out", "corpus",
+         "--ingest-gate", "--master", "local[4]"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    import re
+    m = re.search(r"curated corpus: \d+ -> (\d+) rows", first)
+    m2 = re.search(r"curated corpus: \d+ -> (\d+) rows", out)
+    assert m and m2 and m.group(1) == m2.group(1)

@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dedup", action="store_true", help="exact dedup")
     ap.add_argument("--split", action="store_true", help="train/val/test")
     ap.add_argument("--pack-budget", type=int, default=None, metavar="TOKENS")
+    ap.add_argument(
+        "--ingest-gate",
+        action="store_true",
+        help="admit via the LSH near-dup gate against the warehouse "
+        "corpus (corpus_docs/corpus_lsh tables) instead of writing "
+        "the batch unconditionally",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -85,7 +92,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.split:
         df = assign_split(df)
 
-    wh.write_version(args.out, df)
+    if args.ingest_gate:
+        from qms_datawarehouse_spark.operators.incremental_dedup import (
+            ingest_dedup,
+        )
+
+        res = ingest_dedup(wh, df, corpus_table=args.out)
+        print(
+            f"ingest-gated {args.out}: {res.n_batch} in, "
+            f"{res.n_accepted} admitted, {res.n_rejected} near-dups"
+        )
+    else:
+        wh.write_version(args.out, df)
     n_out = wh.read(args.out).count()
     print(f"curated {args.out}: {n_in} -> {n_out} rows")
 

@@ -36,6 +36,8 @@ PROBE_OPS = [
     "dedup_minhash_lsh",
     "curation_contamination",
     "similarity_knn_join_lsh",
+    "text_repetition",
+    "curation_domain_mix",
 ]
 
 
