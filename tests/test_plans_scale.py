@@ -259,3 +259,25 @@ def test_dynamic_partition_pruning_on_time_partitioned_fact(spark, tmp_path, war
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.count() == 80  # 2 of 5 days survive
+
+
+def test_domain_mix_single_keyed_exchange(spark):
+    """One hash exchange on source (the window), nothing else."""
+    plan = _plan(spark, "curation_domain_mix")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_partial_aggregation_before_exchange(spark):
+    """The gram counts partial-aggregate map-side: HashAggregate
+    appears below the exchange on the (doc, n, gram) grain."""
+    plan = _plan(spark, "text_repetition")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    # three scan branches, one union — no re-scan explosion
+    assert plan.count("Scan parquet") == 3
+
+
+def test_calendar_join_broadcasts_tiny_side(spark):
+    plan = _plan(spark, "calendar_fill_gaps")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
