@@ -322,3 +322,99 @@ def test_curation_ops_are_streaming_compatible(spark, stream_dirs):
     # every kept row was scrubbed
     for r in streamed.values():
         assert r.n_emails == 1 and "<EMAIL>" in r.redacted
+
+
+def test_transform_with_state_processor_logic():
+    """The transformWithStateInPandas processor logic, driven against
+    fake typed-state primitives (the real wire protocol needs
+    protobuf, absent in this image — the streaming e2e below skips
+    there; the fold logic is fully testable without it)."""
+    import pandas as pd
+
+    from qms_datawarehouse_spark.streaming.stateful import DistinctTypeTotals
+
+    class FakeValue:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+
+    class FakeMap:
+        def __init__(self):
+            self.d = {}
+        def containsKey(self, k):
+            return k in self.d
+        def getValue(self, k):
+            return self.d[k]
+        def updateValue(self, k, v):
+            self.d[k] = v
+        def keys(self):
+            return iter(self.d)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValue())
+        def getMapState(self, name, ks, vs, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeMap())
+
+    proc = DistinctTypeTotals()
+    proc.init(FakeHandle())
+    b1 = pd.DataFrame({"event_type": ["click", "view", "click"]})
+    (out1,) = list(proc.handleInputRows((100,), iter([b1]), None))
+    assert out1.iloc[0]["n_events"] == 3
+    assert out1.iloc[0]["n_distinct_types"] == 2
+    # second batch: repeat + new type — state carries over
+    b2 = pd.DataFrame({"event_type": ["click", "purchase"]})
+    (out2,) = list(proc.handleInputRows((100,), iter([b2]), None))
+    assert out2.iloc[0]["n_events"] == 5
+    assert out2.iloc[0]["n_distinct_types"] == 3
+
+
+def test_transform_with_state_typed_primitives(spark, stream_dirs):
+    """transformWithStateInPandas: ValueState + MapState survive the
+    micro-batch boundary; distinct-type counts grow only on NEW
+    types. Skips where the protobuf wire dependency is absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from qms_datawarehouse_spark.streaming.stateful import distinct_type_totals
+
+    src, ckpt = stream_dirs
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    _events_df(spark, [
+        (1, t, 100, "click", 1.0, None),
+        (2, t, 100, "view", 2.0, None),
+        (3, t, 200, "click", 3.0, None),
+    ]).write.parquet(f"{src}/b1")
+
+    totals = distinct_type_totals(spark, f"{src}/*")
+    q = (
+        totals.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("tws_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a repeat type and a new type for user 100
+        _events_df(spark, [
+            (4, t, 100, "click", 4.0, None),
+            (5, t, 100, "purchase", 5.0, None),
+        ]).write.parquet(f"{src}/b2")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tws_out").collect()
+    finally:
+        q.stop()
+
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = r
+    assert latest[100]["n_events"] == 4
+    assert latest[100]["n_distinct_types"] == 3  # click, view, purchase
+    assert latest[200]["n_events"] == 1
+    assert latest[200]["n_distinct_types"] == 1
