@@ -95,9 +95,12 @@ def ingest_dedup(
         .select(F.col("b.doc_id").alias("new_id"), F.col("a.doc_id").alias("old_id"))
         .distinct()
     )
-    in_batch_dups = _verify_pairs(in_batch, sh, sh)
+    in_batch_dups = _verify_pairs(in_batch, sh, sh).persist()
+    # collected for the RESULT REPORT only (bounded by batch size);
+    # the admission filter below is an anti-join, never an isin list
     rejected += [tuple(r) for r in in_batch_dups.collect()]
     batch_dup_ids = {r[0] for r in rejected}
+    dup_ids = in_batch_dups.select(F.col("new_id").alias("doc_id"))
 
     # -- cross-corpus probe -------------------------------------------
     if warehouse.table_exists(index_table):
@@ -120,12 +123,15 @@ def ingest_dedup(
         old_docs = warehouse.read(corpus_table).join(
             cand_old_ids, "doc_id", "left_semi"
         )
-        cross_dups = _verify_pairs(cand, sh, _shingled(old_docs))
+        cross_dups = _verify_pairs(cand, sh, _shingled(old_docs)).persist()
         cross = [tuple(r) for r in cross_dups.collect()]
         rejected += [r for r in cross if r[0] not in batch_dup_ids]
+        dup_ids = dup_ids.unionByName(
+            cross_dups.select(F.col("new_id").alias("doc_id"))
+        )
 
     reject_ids = {r[0] for r in rejected}
-    accepted = batch.filter(~F.col("doc_id").isin(list(reject_ids)))
+    accepted = batch.join(dup_ids.distinct(), "doc_id", "left_anti")
 
     # -- commit: corpus rows + index entries, both keyed merges -------
     n_accepted = n_batch - len(reject_ids)
