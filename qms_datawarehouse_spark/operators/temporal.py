@@ -285,3 +285,78 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_to").alias("valid_to_us"),
         "is_current",
     )
+
+
+@query(
+    "asof_join_cogroup",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts,
+               max(event_id) AS p_event_id,
+               arg_max(value, event_id) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS ts_us,
+           p.p_event_id AS asof_p_event_id,
+           round(p.p_value, 2) AS asof_p_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as ``asof_join_last_purchase``, on the
+    cogrouped-pandas surface (§2.9): each user's clicks and purchases
+    arrive as two Arrow-batched frames and ``pandas.merge_asof`` does
+    the per-key backward match. One co-partitioned shuffle on the key;
+    per-group history must fit in task memory. The window-based
+    ``asof_join`` stays the preferred JVM path — this variant exists
+    to pin the cogroup API against the identical oracle, so both
+    execution strategies are value-checked to agree."""
+    import pandas as pd
+
+    purchases = (
+        _typed_events(spark, sf_dir, "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    clicks = _typed_events(spark, sf_dir, "click").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
+        out = pd.merge_asof(
+            left,
+            right[["ts", "p_event_id", "p_value"]],
+            on="ts",
+            direction="backward",  # latest purchase at/before the click
+        )
+        out["p_event_id"] = out["p_event_id"].astype("Int64")
+        return out[["event_id", "user_id", "ts", "p_event_id", "p_value"]]
+
+    matched = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, ts timestamp, "
+            "p_event_id long, p_value double",
+        )
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("p_event_id").alias("asof_p_event_id"),
+        F.round("p_value", 2).alias("asof_p_value"),
+    )
