@@ -7,11 +7,15 @@ near-dup of anything we already accepted?" — at cost proportional to
 the batch, not the corpus. The standard design, composed here from
 kernels this package already verifies:
 
-- a persistent **LSH band index** table ``(_id=doc:band, doc_id,
-  band_id, bv)``, maintained with the same O(touched-bucket)
-  ``merge_upsert`` as any data table (bucketed on the synthetic key);
-- candidates = batch band rows ⋈ index on ``(band_id, bv)`` — an
-  equi-join whose cost tracks collisions, never corpus size;
+- a persistent **LSH band index** table ``(doc_id, band_id, bv)``
+  physically partitioned by ``pmod(xxhash64(bv), B)`` — the column
+  the PROBE joins on. Index rows are immutable, so maintenance is a
+  dedup-append into the touched bv-partitions only (the same
+  O(touched-partition) partial write the data tables use);
+- candidates = the batch's band rows (broadcast) ⋈ the index
+  restricted to the batch's bv-partitions — partition-dir pruning
+  means the probe READS O(batch) index buckets, never the corpus,
+  and the index never shuffles;
 - exact verify recomputes shingles ONLY for the candidate stored
   docs (semi-join fetch from the corpus table), then Jaccard on
   shingle sets;
@@ -40,6 +44,8 @@ from qms_datawarehouse_spark.warehouse import ParquetWarehouse
 
 CORPUS_TABLE = "corpus_docs"
 INDEX_TABLE = "corpus_lsh"
+BVB_COL = "_bvb"
+INDEX_BV_BUCKETS = 64  # ≈ thousands at 100 TB (bounded probe fan-in)
 
 
 @dataclass
@@ -104,10 +110,22 @@ def ingest_dedup(
 
     # -- cross-corpus probe -------------------------------------------
     if warehouse.table_exists(index_table):
-        index = warehouse.read(index_table)
+        # The index is physically partitioned by a bv-derived bucket
+        # (see the maintenance step below): filtering on the partition
+        # column prunes whole directories, so the probe READS only the
+        # index buckets the batch's band values hash into — the step
+        # that keeps per-batch cost O(batch), not O(corpus). The batch
+        # side is tiny → broadcast; the index side never shuffles.
+        touched_bvb = [
+            r[0]
+            for r in bands.select(_bv_bucket().alias("b")).distinct().collect()
+        ]
+        index = warehouse.read(index_table).filter(
+            F.col(BVB_COL).isin(touched_bvb)
+        )
         cand = (
-            bands.join(
-                index,
+            index.join(
+                F.broadcast(bands),
                 (bands["band_id"] == index["band_id"])
                 & (bands["bv"] == index["bv"])
                 & (bands["doc_id"] != index["doc_id"]),
@@ -146,18 +164,40 @@ def ingest_dedup(
         )
         new_entries = bands.join(
             accepted.select("doc_id"), "doc_id", "left_semi"
-        ).withColumn(
-            "_id",
-            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("band_id")),
-        )
-        merge_upsert(
-            warehouse,
-            index_table,
-            new_entries,
-            key="_id",
-            order_col=None,
-            n_buckets=n_buckets,
-        )
+        ).withColumn(BVB_COL, _bv_bucket())
+        _index_append(warehouse, index_table, new_entries)
     sh.unpersist()
     bands.unpersist()
     return IngestResult(n_batch, n_accepted, len(reject_ids), sorted(rejected))
+
+
+def _bv_bucket(n: int = INDEX_BV_BUCKETS):
+    """Physical partition for an index row: hash bucket of its band
+    VALUE — the column the probe joins on, so probe reads prune to
+    the batch's buckets."""
+    return F.pmod(F.xxhash64(F.col("bv")), F.lit(n)).cast("int")
+
+
+def _index_append(
+    warehouse: ParquetWarehouse, index_table: str, new_entries: DataFrame
+) -> None:
+    """Append band rows to the bv-partitioned index. Index rows are
+    IMMUTABLE (a doc's band hashes never change), so maintenance is
+    dedup-union into the touched bv-buckets only, committed with the
+    same O(touched-partition) partial write the data tables use."""
+    if not warehouse.table_exists(index_table):
+        warehouse.write_version(index_table, new_entries, partition_by=[BVB_COL])
+        return
+    touched = [
+        r[0] for r in new_entries.select(BVB_COL).distinct().collect()
+    ]
+    existing = warehouse.read(index_table).filter(F.col(BVB_COL).isin(touched))
+    fresh = new_entries.join(
+        existing.select("doc_id", "band_id"), ["doc_id", "band_id"], "left_anti"
+    )
+    warehouse.write_version_partial(
+        index_table,
+        existing.unionByName(fresh),
+        touched,
+        partition_col=BVB_COL,
+    )

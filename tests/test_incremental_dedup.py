@@ -113,3 +113,19 @@ def test_streaming_ingestion_gate(spark, warehouse, tmp_path):
     run()
     ids = {r.doc_id for r in warehouse.read("corpus_docs").collect()}
     assert ids == {1, 2, 4}
+
+
+def test_index_is_bv_partitioned_and_probe_prunes(spark, warehouse):
+    """The index's physical layout is bv-bucket partition dirs, and a
+    probe plan carries the partition filter (the O(batch) read)."""
+    import os
+
+    from qms_datawarehouse_spark.operators.incremental_dedup import BVB_COL
+
+    ingest_dedup(warehouse, _docs(spark, [(1, BASE), (2, OTHER)]))
+    vdir = warehouse.current_version_dir(INDEX_TABLE)
+    assert any(e.startswith(f"{BVB_COL}=") for e in os.listdir(vdir))
+    # second ingest appends only into touched bv-buckets (partial write
+    # inherits the rest) and still gates near-dups correctly
+    res = ingest_dedup(warehouse, _docs(spark, [(10, NEAR), (11, THIRD)]))
+    assert res.n_rejected == 1 and res.rejected[0][:2] == (10, 1)
