@@ -40,6 +40,26 @@ def __getattr__(name: str):
             "register_views",
         ),
         "IntervalRunner": ("qms_datawarehouse_spark.scheduler", "IntervalRunner"),
+        "ingest_dedup": (
+            "qms_datawarehouse_spark.operators.incremental_dedup",
+            "ingest_dedup",
+        ),
+        "table_changes": (
+            "qms_datawarehouse_spark.operators.changes",
+            "table_changes",
+        ),
+        "create_matview": (
+            "qms_datawarehouse_spark.operators.matview",
+            "create_matview",
+        ),
+        "refresh_matview": (
+            "qms_datawarehouse_spark.operators.matview",
+            "refresh_matview",
+        ),
+        "register_docstore": (
+            "qms_datawarehouse_spark.sources.pyds",
+            "register_docstore",
+        ),
     }
     if name in lazy:
         import importlib
@@ -61,5 +81,10 @@ __all__ = [
     "oracle_sql_map",
     "register_views",
     "IntervalRunner",
+    "ingest_dedup",
+    "table_changes",
+    "create_matview",
+    "refresh_matview",
+    "register_docstore",
 ]
 __version__ = "0.1.0"
