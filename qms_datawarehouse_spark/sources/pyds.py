@@ -49,6 +49,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -250,6 +251,55 @@ class DocStoreWriter(DataSourceWriter):
                 pass
 
 
+class DocStoreStreamWriter(DataSourceStreamWriter):
+    """Streaming sink with per-epoch idempotent publication: tasks
+    stage shards privately; ``commit(messages, batchId)`` first clears
+    any files a previous attempt of the SAME epoch published, then
+    renames the staged set into ``epoch-{batchId}-{i}.jsonl`` — so a
+    replayed micro-batch (failure between sink commit and offset
+    commit) overwrites itself instead of duplicating, the
+    exactly-once-effective contract the warehouse merge gives keyed
+    tables, expressed file-level for an append log."""
+
+    def __init__(self, schema: StructType, options) -> None:
+        self.fields = [f.name for f in schema.fields]
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("docstore stream write requires option 'path'")
+
+    def write(self, iterator) -> _ShardCommit:
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path, f".stream-{uuid.uuid4().hex[:12]}.staging"
+        )
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                doc = {f: row[i] for i, f in enumerate(self.fields)}
+                fh.write(json.dumps(doc, separators=(",", ":")) + "\n")
+        return _ShardCommit(staged, "")
+
+    def commit(self, messages, batchId: int) -> None:
+        for n in os.listdir(self.path):
+            if n.startswith(f"epoch-{batchId}-"):
+                os.unlink(os.path.join(self.path, n))  # replayed epoch
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(
+                m.staged,
+                os.path.join(self.path, f"epoch-{batchId}-{i}.jsonl"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.unlink(m.staged)
+            except OSError:
+                pass
+
+
 class DocStoreDataSource(DataSource):
     """Format name ``docstore``; default schema matches the export's
     document shape, overridable via ``.schema(...)``."""
@@ -269,3 +319,6 @@ class DocStoreDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DocStoreWriter:
         return DocStoreWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DocStoreStreamWriter:
+        return DocStoreStreamWriter(schema, self.options)

@@ -164,3 +164,42 @@ def test_write_roundtrip_and_overwrite(spark, tmp_path):
     df2.write.format("docstore").mode("overwrite").option("path", out).save()
     back2 = spark.read.format("docstore").option("path", out).load()
     assert [(r._id) for r in back2.collect()] == ["z"]
+
+
+def test_stream_write_roundtrip_epoch_idempotent(spark, tmp_path):
+    """readStream → writeStream through the connector: epochs publish
+    atomically; a second availableNow run appends only the new delta
+    (offsets from the checkpoint) with no duplicate rows."""
+    register_docstore(spark)
+    src = str(tmp_path / "in.jsonl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("docstore").option("path", src).load()
+            .writeStream.format("docstore")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src, "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps({"_id": f"a{i}", "payload": "x",
+                                 "updated_at": "2024-01-01T00:00:00Z"}) + "\n")
+    run()
+    with open(src, "a") as fh:
+        fh.write(json.dumps({"_id": "a3", "payload": "y",
+                             "updated_at": "2024-01-02T00:00:00Z"}) + "\n")
+    run()
+
+    back = spark.read.format("docstore").option("path", out).load()
+    rows = [r._id for r in back.collect()]
+    assert sorted(rows) == ["a0", "a1", "a2", "a3"]  # no dups across epochs
+    import os
+    names = os.listdir(out)
+    assert all(n.startswith("epoch-") for n in names if n.endswith(".jsonl"))
+    assert not any(n.endswith(".staging") for n in names)
