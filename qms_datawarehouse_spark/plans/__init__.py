@@ -17,6 +17,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     curation,
     dedup,
     grouped_pandas,
+    incremental_dedup,
     multimodal,
     rollup_hypertable,
     similarity,

@@ -123,3 +123,48 @@ def test_repetition_matches_model(spark, docs, tmp_path_factory):
         assert got.dup_word_bp == exp["dup_word_bp"], (i, ws)
         assert got.top_bigram_bp == exp["top_bigram_bp"], (i, ws)
         assert got.dup_trigram_bp == exp["dup_trigram_bp"], (i, ws)
+
+
+# --------------------------------------------------------------------
+# domain_mix vs an independent Python model
+# --------------------------------------------------------------------
+
+
+def _mix_model(docs, budgets, default_budget):
+    """Greedy per-source admission in (md5-priority, doc_id) order."""
+    by_src = {}
+    for doc_id, n_toks, src in docs:
+        pri = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10000
+        by_src.setdefault(src, []).append((pri, doc_id, n_toks))
+    admitted = {}
+    for src, rows in by_src.items():
+        budget = budgets.get(src, default_budget)
+        cum = 0
+        for pri, doc_id, n_toks in sorted(rows):
+            cum += n_toks
+            if cum <= budget:
+                admitted[doc_id] = cum
+    return admitted
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=40),
+    budget=st.sampled_from([30, 100, 400]),
+)
+def test_domain_mix_matches_model(spark, sizes, budget):
+    from qms_datawarehouse_spark.operators.curation import domain_mix
+
+    docs = [(i, n, f"src{i % 3}") for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "en", s) for i, n, s in docs],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.doc_id: r.cum_toks for r in
+           domain_mix(df, {"src0": budget * 2}, default_budget=budget).collect()}
+    expect = _mix_model(docs, {"src0": budget * 2}, budget)
+    assert out == expect
