@@ -757,3 +757,79 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     nodes = documents.select(F.col("doc_id").alias("doc"))
     return connected_components(nodes, pairs, id_col="doc")
+
+
+# --------------------------------------------------------------------
+# Driver-verifiable form of the ingestion gate's candidate+verify math
+# (registered here, at the bottom of dedup, so every SQL fragment and
+# kernel above is fully defined — registering it from
+# incremental_dedup would re-enter this module mid-import whenever a
+# user imports operators.dedup directly)
+# --------------------------------------------------------------------
+
+_GATE_MOD = 7  # docs with doc_id % 7 == 0 play the incoming batch
+
+_GATE_BL_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band_id, b{j} AS bv FROM bands"
+    for j in range(N_BANDS)
+)
+
+
+@query(
+    "ingest_gate_probe",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM sx GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs),
+    bl AS ({_GATE_BL_UNION}),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bl n JOIN bl o
+          ON n.band_id = o.band_id AND n.bv = o.bv
+         AND n.doc_id % {_GATE_MOD} = 0 AND o.doc_id % {_GATE_MOD} <> 0
+    )
+    SELECT c.new_id, c.old_id,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 4)
+               AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.new_id
+    JOIN sh b ON b.doc_id = c.old_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def ingest_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion gate's candidate+verify math as a stateless,
+    driver-verifiable query: documents with ``doc_id % 7 == 0`` play
+    the incoming batch, the rest the stored corpus; output = the
+    (new, stored, jaccard) rejections the gate would issue. The
+    warehouse-index plumbing (bv-partitioned probe, partial-write
+    maintenance) is pytest-covered in test_incremental_dedup; this
+    query pins the MATH against the oracle end to end."""
+    from qms_datawarehouse_spark.operators.incremental_dedup import (
+        _verify_pairs,
+    )
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    sh = _shingled(documents).persist()
+    bands = minhash_bands(sh)
+    newb = bands.filter(F.col("doc_id") % _GATE_MOD == 0)
+    oldb = bands.filter(F.col("doc_id") % _GATE_MOD != 0)
+    cand = (
+        newb.alias("n")
+        .join(
+            oldb.alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.bv") == F.col("o.bv")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("o.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(cand, sh, sh)

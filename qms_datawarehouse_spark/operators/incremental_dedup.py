@@ -34,14 +34,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from qms_datawarehouse_spark.operators.dedup import (
-    JACCARD_THRESHOLD,
-    _shingled,
-    minhash_bands,
-)
 from qms_datawarehouse_spark.operators.merge import merge_upsert
-from qms_datawarehouse_spark.plans.registry import query
 from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+# NOTE: dedup kernels (_shingled, minhash_bands, JACCARD_THRESHOLD)
+# import lazily inside functions — a module-level import here forms a
+# cycle when a user imports operators.dedup directly (dedup → registry
+# → plans/__init__ → this module → dedup, partially initialized).
 
 CORPUS_TABLE = "corpus_docs"
 INDEX_TABLE = "corpus_lsh"
@@ -61,6 +60,8 @@ def _verify_pairs(
     cand: DataFrame, new_sh: DataFrame, old_sh: DataFrame
 ) -> DataFrame:
     """Exact Jaccard on shingle sets for candidate (new, old) pairs."""
+    from qms_datawarehouse_spark.operators.dedup import JACCARD_THRESHOLD
+
     a = new_sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sa"))
     b = old_sh.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sb"))
     withsets = cand.join(a, "new_id").join(b, "old_id")
@@ -81,6 +82,11 @@ def ingest_dedup(
     """Admit ``batch`` documents (``doc_id``, ``text``, …) that are
     not near-dups of the stored corpus or of an earlier batch doc;
     update the corpus and the band index with the admitted set."""
+    from qms_datawarehouse_spark.operators.dedup import (
+        _shingled,
+        minhash_bands,
+    )
+
     n_batch = batch.count()
     if n_batch == 0:
         return IngestResult(0, 0, 0, [])
@@ -202,86 +208,3 @@ def _index_append(
         touched,
         partition_col=BVB_COL,
     )
-
-
-# --------------------------------------------------------------------
-# Driver-verifiable form of the gate's candidate+verify math
-# --------------------------------------------------------------------
-
-_GATE_MOD = 7  # docs with doc_id % 7 == 0 play the incoming batch
-
-
-def _gate_sql() -> str:
-    from qms_datawarehouse_spark.operators.dedup import (
-        _BAND_EXPRS_SQL,
-        _MINHASH_COLS_SQL,
-        _SHINGLE_CTE,
-        N_BANDS,
-    )
-
-    bl_union = " UNION ALL ".join(
-        f"SELECT doc_id, {j} AS band_id, b{j} AS bv FROM bands"
-        for j in range(N_BANDS)
-    )
-    return f"""
-    WITH {_SHINGLE_CTE},
-    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM sx GROUP BY doc_id),
-    bands AS (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs),
-    bl AS ({bl_union}),
-    cand AS (
-        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-        FROM bl n JOIN bl o
-          ON n.band_id = o.band_id AND n.bv = o.bv
-         AND n.doc_id % {_GATE_MOD} = 0 AND o.doc_id % {_GATE_MOD} <> 0
-    )
-    SELECT c.new_id, c.old_id,
-           round(len(list_intersect(a.shingles, b.shingles)) * 1.0
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))), 4)
-               AS jaccard
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.new_id
-    JOIN sh b ON b.doc_id = c.old_id
-    WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles)))
-          >= {JACCARD_THRESHOLD}
-    """
-
-
-@query("ingest_gate_probe", _gate_sql())
-def ingest_gate_probe(spark, sf_dir: str) -> DataFrame:
-    """The ingestion gate's candidate+verify math as a stateless,
-    driver-verifiable query: documents with ``doc_id % 7 == 0`` play
-    the incoming batch, the rest the stored corpus; output = the
-    (new, stored, jaccard) rejections the gate would issue. The
-    warehouse-index plumbing (bv-partitioned probe, partial-write
-    maintenance) is pytest-covered in test_incremental_dedup; this
-    query pins the MATH against the oracle end to end."""
-    from pyspark.sql import functions as F2
-
-    from qms_datawarehouse_spark.operators.dedup import (
-        _shingled,
-        minhash_bands,
-    )
-    from qms_datawarehouse_spark.plans.registry import tables
-
-    (documents,) = tables(spark, sf_dir, "documents")
-    sh = _shingled(documents).persist()
-    bands = minhash_bands(sh)
-    newb = bands.filter(F2.col("doc_id") % _GATE_MOD == 0)
-    oldb = bands.filter(F2.col("doc_id") % _GATE_MOD != 0)
-    cand = (
-        newb.alias("n")
-        .join(
-            oldb.alias("o"),
-            (F2.col("n.band_id") == F2.col("o.band_id"))
-            & (F2.col("n.bv") == F2.col("o.bv")),
-        )
-        .select(
-            F2.col("n.doc_id").alias("new_id"),
-            F2.col("o.doc_id").alias("old_id"),
-        )
-        .distinct()
-    )
-    return _verify_pairs(cand, sh, sh)

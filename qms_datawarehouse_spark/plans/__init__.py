@@ -17,7 +17,6 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     curation,
     dedup,
     grouped_pandas,
-    incremental_dedup,
     multimodal,
     rollup_hypertable,
     similarity,
