@@ -1831,3 +1831,56 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem_nonpositive_qty", bad_qty))
         .unionByName(one("orders_bad_status", bad_status))
     )
+
+
+# --------------------------------------------------------------------
+# F: array-function surface (collect → sort → set ops → search)
+# --------------------------------------------------------------------
+
+
+@query(
+    "array_functions_suite",
+    """
+    WITH arrs AS (
+        SELECT l_orderkey AS orderkey,
+               list_sort(list_distinct(list(l_linenumber))) AS lines
+        FROM lineitem
+        WHERE l_orderkey <= 3000
+        GROUP BY 1
+    )
+    SELECT orderkey,
+           len(lines) AS n_lines,
+           array_to_string(lines, ',') AS lines_str,
+           lines[1] AS first_line,
+           CAST(list_contains(lines, 3) AS BIGINT) AS has_line_3,
+           len(list_intersect(lines, [1, 2, 3])) AS n_common_123,
+           CAST(coalesce(list_position(lines, 2), 0) AS BIGINT) AS pos_2
+    FROM arrs
+    """,
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.7 array surface in one deterministic pass: collect_set →
+    array_sort (canonical order — collect order is engine- and
+    partition-dependent, so EVERY downstream op runs on the sorted
+    array), element access, membership, set intersection, and
+    position search (Spark's array_position and DuckDB's
+    list_position agree once absent-as-0 is coalesced)."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    arrs = (
+        lineitem.filter(F.col("l_orderkey") <= 3000)
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.array_sort(F.collect_set("l_linenumber")).alias("lines"))
+    )
+    return arrs.select(
+        "orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.array_join(F.col("lines").cast("array<string>"), ",").alias(
+            "lines_str"
+        ),
+        F.element_at("lines", 1).alias("first_line"),
+        F.array_contains("lines", F.lit(3)).cast("long").alias("has_line_3"),
+        F.size(F.array_intersect("lines", F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .cast("long")
+        .alias("n_common_123"),
+        F.array_position("lines", 2).cast("long").alias("pos_2"),
+    )
