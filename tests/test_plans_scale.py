@@ -326,3 +326,33 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_unintended_cartesian_anywhere(spark):
+    """Global plan invariant over the ENTIRE registry: no query plans
+    a CartesianProduct or BroadcastNestedLoopJoin except the
+    explicitly-bounded cases (1-row scalar broadcasts, the K-row IVF
+    codebook, and the declared all-pairs baseline). A new query that
+    accidentally drops a join predicate fails here by name."""
+    allowed = {
+        # all-pairs baseline, labeled as such (LSH variant is the scale path)
+        "dedup_embedding_cosine",
+        # crossJoin(broadcast(single query vector))
+        "similarity_topk_cosine",
+        # broadcast codebook (K rows, bounded)
+        "similarity_ivf_probe",
+        # 1-row scalar subquery broadcasts
+        "q22_idle_customers",
+        "q11_important_parts",
+    }
+    offenders = {}
+    for name, qd in REGISTRY.items():
+        plan = _plan(spark, name)
+        bad = [
+            kind
+            for kind in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if kind in plan
+        ]
+        if bad and name not in allowed:
+            offenders[name] = bad
+    assert not offenders, offenders
