@@ -104,6 +104,15 @@ _DRIVER_WINDOW = [
     "q22_idle_customers",
 ]
 
+# Next-round allocation note: once CORRECTNESS_r02 lands green rows
+# for the §2 core above, those slots should rotate to the operators
+# added this round that have in-repo oracle evidence but no driver
+# row yet: q2_min_cost_supplier, q11_important_parts,
+# q20_heavy_shippers, text_repetition, curation_domain_mix,
+# variant_props_agg, udtf_json_pairs, dq_constraint_checks,
+# calendar_fill_gaps, asof_join_cogroup, ingest_gate_probe,
+# array_functions_suite.
+
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering
 # here would race the package's circular imports (an operators module
