@@ -1884,3 +1884,127 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_common_123"),
         F.array_position("lines", 2).cast("long").alias("pos_2"),
     )
+
+
+# --------------------------------------------------------------------
+# F: regex-function surface (shared RE2 ∩ java.util.regex dialect)
+# --------------------------------------------------------------------
+
+
+@query(
+    "regexp_functions_suite",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[0-9]-')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_numbered,
+           min(regexp_extract(o_orderpriority, '[0-9]+')) AS min_digit,
+           min(regexp_replace(o_orderpriority, '[^A-Z]', '', 'g')) AS letters
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def regexp_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface on the shared RE2 ∩ java.util.regex dialect (no
+    backrefs/lookaround): match test, first-group extraction, and
+    global character-class replacement. Spark's regexp_replace is
+    global by default; DuckDB needs the explicit 'g' flag — the one
+    dialect asymmetry worth pinning."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority").rlike("^[0-9]-"), 1).otherwise(0)
+        ).cast("long").alias("n_numbered"),
+        F.min(F.regexp_extract("o_orderpriority", "[0-9]+", 0)).alias(
+            "min_digit"
+        ),
+        F.min(F.regexp_replace("o_orderpriority", "[^A-Z]", "")).alias(
+            "letters"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# F: datetime-function surface (cross-engine day-numbering pinned)
+# --------------------------------------------------------------------
+
+
+@query(
+    "datetime_functions_suite",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS n,
+           CAST(min(date_part('day', o_orderdate)) AS BIGINT) AS min_dom,
+           CAST(max((date_part('dow', o_orderdate) + 6) % 7) AS BIGINT)
+               AS max_dow_mon0,
+           CAST(min(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE))) AS BIGINT)
+               AS min_days_since_95,
+           CAST(max(last_day(CAST(o_orderdate AS DATE))
+                    - CAST(date_trunc('month', o_orderdate) AS DATE) + 1)
+               AS BIGINT) AS days_in_month
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def datetime_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface with the cross-engine traps normalized:
+    day-of-week is re-based to Monday=0 on BOTH engines (Spark's
+    dayofweek is Sunday=1, DuckDB's dow is Sunday=0 — raw values can
+    never match); month length derives from last_day minus truncated
+    month start, exercising date arithmetic identically."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.groupBy(
+        F.date_trunc("month", d).cast("date").alias("month")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(F.dayofmonth(d)).cast("long").alias("min_dom"),
+        # Spark dayofweek: Sun=1..Sat=7 → Monday-0 basis: (dow + 5) % 7
+        F.max((F.dayofweek(d) + 5) % 7).cast("long").alias("max_dow_mon0"),
+        F.min(F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")))
+        .cast("long")
+        .alias("min_days_since_95"),
+        F.max(
+            F.datediff(F.last_day(d), F.date_trunc("month", d).cast("date")) + 1
+        ).cast("long").alias("days_in_month"),
+    )
+
+
+# --------------------------------------------------------------------
+# F: string-function surface (incl. levenshtein)
+# --------------------------------------------------------------------
+
+
+@query(
+    "string_functions_suite",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           min(upper(event_type)) AS upper_t,
+           min(lpad(event_type, 10, '.')) AS padded,
+           CAST(min(strlen(translate(event_type, 'aeiou', ''))) AS BIGINT)
+               AS n_consonants,
+           CAST(levenshtein(min(event_type), 'purchase') AS BIGINT)
+               AS lev_to_purchase
+    FROM events
+    GROUP BY 1
+    """,
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: case mapping, padding, vowel-stripping
+    translate, and Levenshtein distance — both engines implement the
+    same unit-cost edit distance, so the values match exactly."""
+    (events,) = tables(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(F.upper("event_type")).alias("upper_t"),
+        F.min(F.lpad("event_type", 10, ".")).alias("padded"),
+        F.min(F.length(F.translate("event_type", "aeiou", "")))
+        .cast("long")
+        .alias("n_consonants"),
+        F.levenshtein(F.min("event_type"), F.lit("purchase"))
+        .cast("long")
+        .alias("lev_to_purchase"),
+    )
