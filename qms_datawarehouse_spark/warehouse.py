@@ -494,6 +494,46 @@ class ParquetWarehouse:
 
     # -- maintenance ---------------------------------------------------
 
+    def table_stats(self, table: str, count_rows: bool = False) -> dict:
+        """Operational snapshot of a table's CURRENT version from
+        filesystem metadata alone: file/partition counts, total bytes,
+        retained-version count, and the version name — the numbers a
+        compaction or retention decision needs, gathered without
+        reading any data. ``count_rows=True`` adds an exact row count
+        (a full metadata-only parquet scan — cheap, but it does start
+        a job)."""
+        vdir = self.current_version_dir(table)
+        if vdir is None:
+            raise FileNotFoundError(f"warehouse table not found: {table}")
+        n_files = 0
+        n_bytes = 0
+        partitions = set()
+        for root, _dirs, files in os.walk(vdir):
+            rel = os.path.relpath(root, vdir)
+            if rel != "." and "=" in os.path.basename(root):
+                partitions.add(os.path.basename(root))
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, fn))
+        retained = sum(
+            1
+            for d in os.listdir(self.table_dir(table))
+            if d.startswith("v_")
+            and os.path.isdir(os.path.join(self.table_dir(table), d))
+        )
+        out = {
+            "table": table,
+            "version": os.path.basename(vdir),
+            "n_files": n_files,
+            "n_bytes": n_bytes,
+            "n_partitions": len(partitions),
+            "retained_versions": retained,
+        }
+        if count_rows:
+            out["n_rows"] = self.read(table).count()
+        return out
+
     def fragmented_partitions(
         self, table: str, partition_col: str = BUCKET_COL, max_files: int = 1
     ) -> list:

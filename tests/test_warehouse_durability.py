@@ -81,3 +81,21 @@ def test_time_travel_gc_marks_unavailable(spark, warehouse):
     # the retained previous version still reads
     prev = [h for h in hist if h["available"] and not h["is_current"]]
     assert prev and warehouse.read("t", version=prev[-1]["version"]).count() == 1
+
+
+def test_table_stats_metadata_only(spark, warehouse):
+    import datetime as dt
+
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+
+    df = spark.createDataFrame(
+        [(str(i), i, dt.datetime(2024, 1, 1)) for i in range(50)],
+        "_id string, v long, updated_at timestamp",
+    )
+    merge_upsert(warehouse, "t", df, n_buckets=8)
+    stats = warehouse.table_stats("t", count_rows=True)
+    assert stats["n_rows"] == 50
+    assert stats["n_files"] >= 1 and stats["n_bytes"] > 0
+    assert 1 <= stats["n_partitions"] <= 8  # _bucket= dirs
+    assert stats["retained_versions"] >= 1
+    assert stats["version"].startswith("v_")
