@@ -2008,3 +2008,48 @@ def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lev_to_purchase"),
     )
+
+
+# --------------------------------------------------------------------
+# Heavy hitters: exact per-group top-k by frequency (deterministic)
+# --------------------------------------------------------------------
+
+
+@query(
+    "heavy_hitters_exact",
+    """
+    WITH freq AS (
+        SELECT event_type, user_id, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, user_id, cnt,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY cnt DESC, user_id
+               ) AS rk
+        FROM freq
+    )
+    SELECT event_type, user_id, cnt, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: the 3 most frequent users per event type,
+    ties broken by the smaller id so the cut is deterministic. The
+    two-level shape — partial-aggregated frequency count, then a
+    per-group WindowGroupLimit top-k — is the exact dual of the
+    sketch path (approx heavy hitters) and shuffles only distinct
+    (group, value) pairs, never raw events."""
+    (events,) = tables(spark, sf_dir, "events")
+    freq = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id")
+    )
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "user_id", "cnt", "rk")
+    )
