@@ -2053,3 +2053,84 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("event_type", "user_id", "cnt", "rk")
     )
+
+
+# --------------------------------------------------------------------
+# NULL-semantics surface (synthesized nulls, deterministic)
+# --------------------------------------------------------------------
+
+
+@query(
+    "null_semantics_suite",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS val
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(val) AS n_nonnull,
+           CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           round(CAST(avg(val) AS DOUBLE), 4) AS avg_nonnull,
+           CAST(sum(CASE WHEN val IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null
+    FROM v GROUP BY 1
+    """,
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity, with nulls synthesized deterministically
+    (every 5th event id): count(*) vs count(col), avg ignoring nulls,
+    and null-safe equality (Spark ``<=>`` ↔ ANSI
+    ``IS NOT DISTINCT FROM``) — the semantics every aggregation in
+    the engine silently depends on, pinned once explicitly."""
+    (events,) = tables(spark, sf_dir, "events")
+    val = F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value"))
+    v = events.select("event_type", val.alias("val"))
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("val").alias("n_nonnull"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.round(F.avg("val").cast("double"), 4).alias("avg_nonnull"),
+        F.sum(F.when(F.col("val").eqNullSafe(F.lit(None)), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nullsafe_eq_null"),
+    )
+
+
+# --------------------------------------------------------------------
+# Exact decimal arithmetic (no float rounding tricks needed)
+# --------------------------------------------------------------------
+
+
+@query(
+    "decimal_arithmetic_suite",
+    """
+    SELECT l_returnflag AS returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
+               AS sum_price,
+           CAST(min(CAST(l_discount AS DECIMAL(8, 2))) AS DECIMAL(8, 2))
+               AS min_disc,
+           CAST(max(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
+               AS max_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def decimal_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math on DECIMAL instead of float-plus-rounding: both
+    engines implement exact decimal addition, so the sums match
+    bit-for-bit with NO round() anywhere — the type the int-cents
+    idiom emulates, exercised natively. (Result scales are pinned by
+    explicit casts; Spark widens sum(DECIMAL(18,2)) to (28,2),
+    DuckDB to (38,2) — the cast collapses both.)"""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return lineitem.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.sum(price).cast("decimal(18,2)").alias("sum_price"),
+        F.min(F.col("l_discount").cast("decimal(8,2)")).cast("decimal(8,2)").alias("min_disc"),
+        F.max(price).cast("decimal(18,2)").alias("max_price"),
+    )
