@@ -2134,3 +2134,50 @@ def decimal_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_discount").cast("decimal(8,2)")).cast("decimal(8,2)").alias("min_disc"),
         F.max(price).cast("decimal(18,2)").alias("max_price"),
     )
+
+
+# --------------------------------------------------------------------
+# W4: time-based RANGE frame (sliding 1-hour running aggregate)
+# --------------------------------------------------------------------
+
+
+@query(
+    "w4_range_interval",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) // 1000000 AS ts_s,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(CAST(sum(value) OVER w AS DOUBLE), 4) AS sum_last_hour
+    FROM events
+    WHERE user_id <= 40
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w4_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sliding one-hour running count/sum via a RANGE frame
+    over epoch seconds — the time-based frame ROWS can't express
+    (peers are picked by VALUE distance, so simultaneous events and
+    gaps behave correctly). Ordering on the numeric epoch keeps the
+    frame spec identical across engines; rows sharing a timestamp are
+    frame-peers, making the output order-independent within ties."""
+    (events,) = tables(spark, sf_dir, "events")
+    ts_s = F.expr("unix_micros(ts) div 1000000")  # FLOOR of seconds on
+    # both engines — DuckDB's epoch()::BIGINT rounds half-even on
+    # fractional seconds, silently shifting frame boundaries ±1 s
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_s)
+        .rangeBetween(-3600, 0)
+    )
+    return events.filter(F.col("user_id") <= 40).select(
+        "event_id",
+        "user_id",
+        ts_s.alias("ts_s"),
+        F.count("*").over(w).cast("long").alias("n_last_hour"),
+        F.round(F.sum("value").over(w).cast("double"), 4).alias(
+            "sum_last_hour"
+        ),
+    )
