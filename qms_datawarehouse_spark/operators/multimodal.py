@@ -286,3 +286,43 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("video").alias("modality"), "n_items", "payload")
     )
     return images.unionByName(audio).unionByName(video)
+
+
+def extract_features_arrow(batches):
+    """The same feature extraction at the RecordBatch level
+    (``mapInArrow``): no pandas materialization, no Series boxing —
+    the lowest-overhead Python hook Spark offers. Bytes come straight
+    out of Arrow buffers; arrays go straight back."""
+    import hashlib
+
+    import pyarrow as pa
+
+    for batch in batches:
+        content = batch.column(
+            batch.schema.get_field_index("content")
+        ).to_pylist()
+        dims = [fake_decode(b) for b in content]
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("doc_id")),
+                batch.column(batch.schema.get_field_index("format")),
+                pa.array([len(b) for b in content], type=pa.int64()),
+                pa.array([hashlib.md5(b).hexdigest() for b in content]),
+                pa.array([d[0] for d in dims], type=pa.int64()),
+                pa.array([d[1] for d in dims], type=pa.int64()),
+            ],
+            names=["doc_id", "format", "n_bytes", "checksum", "width",
+                   "height"],
+        )
+
+
+@query("multimodal_features_arrow", _FEATURES_SQL)
+def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multimodal_features`` on the ``mapInArrow`` surface — same
+    oracle, so both Python batch APIs are value-checked to agree.
+    Prefer this form when the decode library consumes raw buffers
+    (image codecs, audio resamplers): it skips the pandas round-trip
+    entirely."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    blobs = with_binary_content(documents).filter(F.length("content") > 0)
+    return blobs.mapInArrow(extract_features_arrow, schema=FEATURE_SCHEMA)
