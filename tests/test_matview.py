@@ -119,3 +119,55 @@ def test_changed_partitions_prunes_cdf(spark, warehouse):
     assert changed is not None and 1 <= len(changed) <= 2  # a's bucket only
     diff = table_changes(warehouse, "fact", "_id", v1).collect()
     assert {(r._id, r._change_type) for r in diff} == {("a", "update")}
+
+
+def test_matview_maintained_from_stream(spark, warehouse, tmp_path):
+    """Composition: a stream of batches merges into the fact via
+    foreachBatch, refreshing the MV after each commit — the MV tracks
+    the fact exactly, incrementally, across micro-batches."""
+    import json
+
+    from qms_datawarehouse_spark.sources.pyds import register_docstore
+
+    register_docstore(spark)
+    log = str(tmp_path / "mv_feed.jsonl")
+    ckpt = str(tmp_path / "mv_ckpt")
+
+    def append(rows):
+        with open(log, "a") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    def apply_batch(df, epoch):
+        batch = df.selectExpr(
+            "_id", "CAST(payload AS STRING) AS grp",
+            "CAST(updated_at AS TIMESTAMP) AS updated_at",
+        ).withColumn("amount", F.length("_id").cast("long"))
+        merge_upsert(warehouse, "fact_s", batch, n_buckets=4)
+        if warehouse.table_exists("mv_s"):
+            refresh_matview(warehouse, "mv_s")
+
+    def run():
+        q = (
+            spark.readStream.format("docstore").option("path", log).load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    append([{"_id": "aa", "payload": "g1", "updated_at": "2024-01-01T00:00:00Z"},
+            {"_id": "bbb", "payload": "g2", "updated_at": "2024-01-01T00:00:00Z"}])
+    run()
+    create_matview(warehouse, "mv_s", "fact_s", ["grp"], ["amount"])
+
+    append([{"_id": "cccc", "payload": "g1", "updated_at": "2024-01-02T00:00:00Z"},
+            {"_id": "bbb", "payload": "g3", "updated_at": "2024-01-03T00:00:00Z"}])
+    run()
+
+    mv = {r.grp: (r._mv_n, r.amount_sum)
+          for r in warehouse.read("mv_s").collect()}
+    # g1: aa(2) + cccc(4); g2 emptied by bbb's move to g3; g3: bbb(3)
+    assert mv == {"g1": (2, 6), "g3": (1, 3)}
+    assert not is_stale(warehouse, "mv_s")
