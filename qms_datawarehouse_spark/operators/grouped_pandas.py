@@ -72,3 +72,54 @@ def grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_zscore_group, schema=OUT_SCHEMA)
         .select("o_custkey", "o_orderkey", F.round("zscore", 4).alias("zscore"))
     )
+
+
+def _zscore_group_arrow(key, table):
+    """The same per-group computation on a raw ``pyarrow.Table``
+    (``applyInArrow``): numpy math over zero-copy Arrow buffers —
+    no pandas Series boxing. ddof=1 matches SQL stddev_samp."""
+    import numpy as np
+    import pyarrow as pa
+
+    v = table.column("o_totalprice").to_numpy(zero_copy_only=False)
+    sd = np.std(v, ddof=1) if len(v) > 1 else 0.0
+    z = (v - v.mean()) / sd if sd > 0 else np.zeros_like(v)
+    return pa.table(
+        {
+            "o_custkey": table.column("o_custkey"),
+            "o_orderkey": table.column("o_orderkey"),
+            "zscore": pa.array(z, type=pa.float64()),
+        }
+    )
+
+
+@query(
+    "grouped_arrow_zscore",
+    """
+    SELECT o_custkey, o_orderkey,
+           round((o_totalprice - avg(o_totalprice) OVER w)
+                 / stddev_samp(o_totalprice) OVER w, 4) AS zscore
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey)
+    QUALIFY count(*) OVER w > 1
+    """,
+)
+def grouped_arrow_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouped_pandas_zscore`` on the ``applyInArrow`` surface —
+    the same oracle, so both grouped-map APIs are value-checked to
+    agree; prefer this form when the group computation is pure numpy
+    (it skips the pandas conversion both ways)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    src = orders.filter(F.col("o_custkey") <= 200).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    multi = src.groupBy("o_custkey").count().filter(F.col("count") > 1).select(
+        "o_custkey"
+    )
+    return (
+        src.join(F.broadcast(multi), "o_custkey")
+        .groupBy("o_custkey")
+        .applyInArrow(_zscore_group_arrow, schema=OUT_SCHEMA)
+        .select("o_custkey", "o_orderkey", F.round("zscore", 4).alias("zscore"))
+    )
