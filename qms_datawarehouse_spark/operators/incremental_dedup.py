@@ -22,9 +22,10 @@ kernels this package already verifies:
 - in-batch near-dups resolve canonically (lowest doc_id wins) before
   the batch touches the corpus.
 
-At 100 TB the index is the only thing probed per batch, it is
-key-bucketed for the merge, and the band join benefits from
-partitioning the index by ``bv`` range if collisions concentrate.
+At 100 TB the index is the only thing probed per batch, and the probe
+reads exactly the bv-partitions the batch's bands hash into — raise
+``INDEX_BV_BUCKETS`` with corpus size to keep per-partition fan-in
+bounded.
 """
 
 from __future__ import annotations

@@ -23,6 +23,8 @@ PICKS = {
     "similarity_knn_join_lsh": "Per-vector top-k rides WindowGroupLimit (partial top-k BEFORE the exchange): at most k rows per query vector cross the shuffle.",
     "curation_stratified_sample": "Sampling is a map-side hash-threshold filter co-planned with the scan — no shuffle, no RNG state.",
     "q2_min_cost_supplier": "Correlated per-part min de-correlates into a window over the region-filtered supply list; every dim broadcasts; ordered LIMIT is a TakeOrderedAndProject.",
+    "heavy_hitters_exact": "Frequency counts partial-aggregate before the exchange; the per-group top-3 rides WindowGroupLimit, so at most k rows per group survive the sort.",
+    "w4_range_interval": "Time-based RANGE frame over epoch seconds: one keyed exchange + in-partition sort; the running aggregates never leave the window operator.",
     "text_repetition": "Three gram branches union before a two-level aggregation tree; partial aggregation collapses per-task gram counts before either exchange.",
     "dq_constraint_checks": "Each constraint is an independent aggregate branch; the orphan-FK check is a broadcast left-anti join on the fact.",
 }
