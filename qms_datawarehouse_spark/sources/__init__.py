@@ -1,3 +1,7 @@
+from qms_datawarehouse_spark.sources.bucketed import (
+    colocated_join,
+    write_bucketed_table,
+)
 from qms_datawarehouse_spark.sources.pyds import register_docstore
 from qms_datawarehouse_spark.sources.readers import (
     detect_json_format,
@@ -8,6 +12,8 @@ from qms_datawarehouse_spark.sources.readers import (
 )
 
 __all__ = [
+    "colocated_join",
+    "write_bucketed_table",
     "detect_json_format",
     "load_fixture",
     "load_fixtures",
