@@ -817,3 +817,78 @@ def scalar_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
         ).cast("long").alias("days_since_1995"),
     )
+
+
+# --------------------------------------------------------------------
+# Funnel analysis: strict-order conversion over the event stream
+# --------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY 1
+    )
+    SELECT s1.user_id,
+           epoch_us(s1.t1) AS t_view_us,
+           epoch_us(s2.t2) AS t_click_us,
+           epoch_us(s3.t3) AS t_purchase_us,
+           1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS funnel_depth
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel: first view, first click strictly AFTER
+    that view, first purchase strictly after that click — the standard
+    product-analytics conversion query (no reference counterpart; the
+    reference's event log stops at sessionization, SURVEY §2.8 T9).
+
+    Scale shape: each stage is filter → groupBy(user_id) → min, then a
+    user_id equi-join into the next stage — every exchange hashes the
+    SAME key, so AQE/co-partitioning reuses the layout, and the
+    per-stage state is one row per qualifying user (bounded by the
+    user dimension, not the event count). No windows over the full
+    event stream, no per-user event collection."""
+    (events,) = tables(spark, sf_dir, "events")
+
+    def stage(evt_type, prev, prev_t, out_t):
+        s = events.filter(F.col("event_type") == evt_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    s1 = stage("view", None, None, "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("t_view_us"),
+            F.unix_micros("t2").alias("t_click_us"),
+            F.unix_micros("t3").alias("t_purchase_us"),
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).cast("long").alias("funnel_depth"),
+        )
+    )
