@@ -892,3 +892,53 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("funnel_depth"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Cohort retention: weekly first-seen cohorts x activity-week offset
+# --------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention_weekly",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_trunc('week', CAST(f.first_ts AS DATE)) AS DATE)
+                   AS cohort_week,
+               datediff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE))
+                   // 7 AS week_offset
+        FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, count(*) AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen ISO week, counted
+    once per later activity-week offset — the companion staple to the
+    funnel (no reference counterpart). Scale shape: first-seen is one
+    groupBy(user_id) min; the join back hashes the same key; the
+    DISTINCT collapses per-user-week before the small final aggregate,
+    so state is O(users x active weeks), never O(events)."""
+    (events,) = tables(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    activity = (
+        events.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts").cast("date"))
+            .cast("date")
+            .alias("cohort_week"),
+            F.expr(
+                "datediff(cast(ts as date), cast(first_ts as date)) div 7"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("active_users")
+    )
