@@ -360,3 +360,59 @@ def asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_event_id").alias("asof_p_event_id"),
         F.round("p_value", 2).alias("asof_p_value"),
     )
+
+
+# --------------------------------------------------------------------
+# Time-weighted average: interval-weighted value per user
+# --------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_avg",
+    """
+    WITH seg AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           sum(value_cents * dt_us) AS twa_num_cents_us,
+           sum(dt_us) AS twa_den_us,
+           sum(value_cents * dt_us) // sum(dt_us) AS twa_cents
+    FROM seg WHERE dt_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user: each observation is
+    weighted by how long it was the current one (last-observation-
+    carried-forward until the next event). The hypertable-style
+    continuous-aggregate companion to the rollup operators (no
+    reference counterpart).
+
+    Determinism: the weighted sum is EXACT integer arithmetic —
+    value in cents (bigint) x interval in micros (bigint) — and the
+    average is integer division, so Spark and the oracle agree bit for
+    bit (float Σ(v·dt) would ulp-diverge between engines).
+
+    Scale shape: lead() needs one hash exchange on user_id; the
+    groupBy reuses the same partitioning (no second shuffle). State is
+    one running (num, den) pair per user."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = events.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("value_cents"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "dt_us"
+        ),
+    ).filter(F.col("dt_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.sum(F.col("value_cents") * F.col("dt_us")).alias("twa_num_cents_us"),
+        F.sum("dt_us").alias("twa_den_us"),
+        F.expr(
+            "sum(value_cents * dt_us) div sum(dt_us)"
+        ).alias("twa_cents"),
+    )
