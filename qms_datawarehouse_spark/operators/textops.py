@@ -467,3 +467,153 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_trigram_bp") < _REP_MAX_DUP_TRIGRAM_BP)
         ).cast("long"),
     )
+
+
+# --------------------------------------------------------------------
+# Inverted index + BM25 retrieval (exact integer scoring)
+# --------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+@query(
+    "text_inverted_index",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+    SELECT token,
+           count(*) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           (10000 * (2 * (SELECT n_docs FROM n) - 2 * count(*) + 1))
+               // (2 * count(*) + 1) AS idf_10k
+    FROM tf GROUP BY 1
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dictionary: per-token document frequency, total term
+    frequency, and a log-free BM25 idf ((N-df+0.5)/(df+0.5), scaled
+    x10000 and floor-divided — exact rational, no libm ln whose last
+    ulp differs across engines). The (doc_id, token, tf) posting rows
+    this aggregates ARE the inverted index; materialized per-token
+    posting *lists* are deliberately absent — at 100 TB stop-word rows
+    make collect_list state unbounded, while this dictionary stays
+    O(vocabulary) after one (doc_id, token) shuffle."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), " ", -1), lambda x: x != ""
+            )
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"), F.sum("tf").alias("total_tf"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "doc_freq",
+            F.col("total_tf").cast("long").alias("total_tf"),
+            F.expr(
+                "(10000 * (2 * n_docs - 2 * doc_freq + 1)) div"
+                " (2 * doc_freq + 1)"
+            ).alias("idf_10k"),
+        )
+    )
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok
+        WHERE token IN {_BM25_TERMS!r}
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           sum(
+               ((10000 * (2 * s.n_docs - 2 * df.df + 1)) // (2 * df.df + 1))
+               * (22 * s.total_len * tf.tf)
+               // (10 * s.total_len * tf.tf + 3 * s.total_len
+                   + 9 * dl.dl * s.n_docs)
+           ) AS bm25_score_10k
+    FROM tf
+    JOIN df ON tf.token = df.token
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY 1
+    ORDER BY bm25_score_10k DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the fixed query {_BM25_TERMS}: k1=1.2, b=0.75
+    expressed as rationals (11/5, 3/4) and multiplied through, so each
+    term's score is one bigint floor-division —
+    idf_10k * 22*L*tf // (10*L*tf + 3*L + 9*dl*N) with L=Σdl — and
+    the LIMIT boundary is decided on identical integers in both
+    engines (the registry ordering rule). Per-term division then SUM,
+    same associativity both sides.
+
+    Scale shape: the token filter lands BEFORE the (doc_id, token)
+    aggregation, so tf state is O(matching postings); df is per-term
+    counts (broadcast); dl is one groupBy(doc_id); stats broadcasts a
+    single row. int64 headroom: products stay < 2^63 while
+    n_docs * total_len * idf_10k < ~9e18 — at larger corpora promote
+    to DECIMAL(38,0) or downscale idf."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), " ", -1), lambda x: x != ""
+            )
+        ).alias("token"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "((10000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
+                " * (22 * total_len * tf)"
+                " div (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").alias("bm25_score_10k"))
+        .orderBy(F.desc("bm25_score_10k"), "doc_id")
+        .limit(20)
+    )
