@@ -942,3 +942,60 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("active_users")
     )
+
+
+# --------------------------------------------------------------------
+# Growth accounting: daily new users + cumulative acquired
+# --------------------------------------------------------------------
+
+
+@query(
+    "growth_daily_users",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT first_day AS day, count(*) AS new_users
+        FROM first_seen GROUP BY 1
+    ),
+    active AS (
+        SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+    )
+    SELECT a.day, a.dau,
+           coalesce(d.new_users, 0) AS new_users,
+           sum(coalesce(d.new_users, 0))
+               OVER (ORDER BY a.day) AS cumulative_users
+    FROM active a LEFT JOIN daily d ON a.day = d.day
+    """,
+)
+def growth_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per-day active users, newly-acquired users
+    (first-ever event that day), and the running cumulative total —
+    the DAU/acquisition staple next to cohort retention. Scale shape:
+    first-seen is one groupBy(user_id); both daily rollups are
+    O(days) rows, so the ordered window over days is a single tiny
+    partition by construction (days, not events) — the full event
+    stream is never windowed."""
+    (events,) = tables(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    active = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(daily, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+    )
