@@ -60,6 +60,11 @@ HEADLINE = [
     "text_repetition",
     "curation_domain_mix",
     "q2_min_cost_supplier",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "time_weighted_avg",
+    "bm25_topk",
+    "growth_daily_users",
 ]
 
 
