@@ -999,3 +999,83 @@ def growth_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cumulative_users", F.sum("new_users").over(w))
     )
+
+
+# --------------------------------------------------------------------
+# Robust outliers: median/MAD with exact integer arithmetic
+# --------------------------------------------------------------------
+
+
+@query(
+    "robust_outliers_mad",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+        FROM v GROUP BY 1
+    ),
+    dev AS (
+        SELECT v.event_type, abs(2 * v.cents - m.med2) AS dev2
+        FROM v JOIN med m ON v.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, m.med2, a.mad4,
+           count(*) AS n,
+           CAST(sum(CASE WHEN 4 * d.dev2 > 7 * a.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN med m ON d.event_type = m.event_type
+    JOIN mad a ON d.event_type = a.event_type
+    GROUP BY 1, 2, 3
+    """,
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event_type: |x − median| > 3.5 × MAD.
+
+    Mean/stddev outlier rules break under the very outliers they hunt;
+    median/MAD is the robust standard. Exactness across engines: with
+    values as integer cents, 2×median and 2×MAD-of-2×deviations are
+    exact BIGINTs (the interpolated middle of an even count is at
+    worst a .5), so the 3.5× threshold compares integers — the
+    float-boundary hash-fail class never appears.
+
+    Scale shape: two groupBy(event_type) percentile passes and a join
+    back — exact percentiles shuffle whole groups, the documented
+    trade (SCALING.md: 'Exact quantiles → sketches'); swap
+    quantile_cont for approx_percentile at 100 TB when cross-engine
+    exactness stops being the gate."""
+    (events,) = tables(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("cast(2 * percentile(cents, 0.5) as bigint)").alias("med2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("cast(2 * percentile(dev2, 0.5) as bigint)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med2", "mad4")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (4 * F.col("dev2") > 7 * F.col("mad4")).cast("int")
+            ).cast("long").alias("n_outliers"),
+        )
+    )
