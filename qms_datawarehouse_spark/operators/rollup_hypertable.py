@@ -215,3 +215,44 @@ def rollup_hierarchy_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cents",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Mergeable-sketch rollup: distinct users per grain via HLL partials
+# --------------------------------------------------------------------
+
+
+def hll_user_sketches(
+    events: DataFrame, grain: str = "hour", col: str = "user_id"
+) -> DataFrame:
+    """Per-``grain`` HLL sketches of distinct ``col`` — the mergeable
+    partial that makes distinct-count rollups incremental: a day (or
+    month) estimate is ``hll_union_agg`` over stored finer sketches,
+    never a re-scan of raw events. ``count(DISTINCT)`` partials don't
+    merge (distinct sets must be re-unioned from raw); HLL partials DO
+    (union is the sketch's native operation) — the same
+    additive-partials discipline the numeric rollup cascade uses,
+    extended to the one aggregate that isn't additive. Built on Spark
+    4's Apache DataSketches functions (hll_sketch_agg), so the merged
+    result is bit-identical to sketching raw events directly
+    (pinned in tests/test_hll_rollup.py)."""
+    return events.groupBy(
+        F.date_trunc(grain, "ts").alias("bucket_start")
+    ).agg(F.expr(f"hll_sketch_agg({col})").alias("user_sketch"))
+
+
+def hll_rollup_estimate(
+    sketches: DataFrame, grain: str = "day"
+) -> DataFrame:
+    """Coarser-grain distinct estimates by unioning stored sketches:
+    O(buckets) rows in, O(coarser buckets) out, no raw-event I/O."""
+    return (
+        sketches.groupBy(
+            F.date_trunc(grain, "bucket_start").alias("bucket_start")
+        )
+        .agg(
+            F.expr(
+                "hll_sketch_estimate(hll_union_agg(user_sketch))"
+            ).alias("n_distinct_est")
+        )
+    )
