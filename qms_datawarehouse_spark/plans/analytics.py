@@ -1079,3 +1079,79 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Last-touch attribution: credit each purchase to the latest prior
+# non-purchase touchpoint
+# --------------------------------------------------------------------
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS touch_type,
+               CASE WHEN event_type <> 'purchase' THEN event_id END
+                   AS touch_id
+        FROM events
+    ),
+    carried AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(touch_type IGNORE NULLS) OVER w AS last_touch_type,
+               last_value(touch_id IGNORE NULLS) OVER w AS last_touch_id
+        FROM marked
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT coalesce(last_touch_type, '(none)') AS channel,
+           count(*) AS purchases,
+           count(DISTINCT user_id) AS buyers
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent STRICTLY PRIOR non-purchase event (the frame excludes
+    the current row, so back-to-back purchases don't self-attribute) —
+    the standard marketing-attribution rollup (no reference
+    counterpart; event_type stands in for the channel dimension).
+
+    Scale shape: one hash exchange on user_id for the carry-forward
+    window (last_value IGNORE NULLS — the same LOCF kernel as the
+    as-of join), then a tiny groupBy(channel). Tie-broken by event_id
+    so equal-timestamp runs attribute identically in both engines."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "touch_type"
+        ),
+    )
+    carried = marked.withColumn(
+        "last_touch_type", F.last("touch_type", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("last_touch_type", F.lit("(none)")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("purchases"),
+            F.countDistinct("user_id").alias("buyers"),
+        )
+    )
