@@ -1155,3 +1155,83 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("buyers"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Market basket: event-type co-occurrence with exact-integer lift
+# --------------------------------------------------------------------
+
+
+@query(
+    "basket_type_lift",
+    """
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+    single AS (
+        SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1
+    ),
+    pair AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_ab
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           (10000 * p.n_ab) // sa.n_t AS conf_a_to_b_bp,
+           (10000 * p.n_ab * (SELECT n_users FROM n))
+               // (sa.n_t * sb.n_t) AS lift_bp
+    FROM pair p
+    JOIN single sa ON p.type_a = sa.event_type
+    JOIN single sb ON p.type_b = sb.event_type
+    """,
+)
+def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over event types: support, confidence
+    and lift per unordered type pair, in exact integer basis points
+    (lift = P(a∧b)/(P(a)P(b)) → 10000·n_ab·N // (n_a·n_b)).
+
+    Scale shape: the DISTINCT (user, type) projection collapses the
+    event stream to ≤ |users| × |types| rows FIRST; the pair self-join
+    then costs Σ_user C(types_u, 2) ≤ C(|types|,2) per user — bounded
+    by the tiny type dimension, never events². Aggregates and the
+    single-row N broadcast keep everything one user_id exchange."""
+    (events,) = tables(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    n = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    single = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = single.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    sb = single.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.expr("(10000 * n_ab) div n_a").alias("conf_a_to_b_bp"),
+            F.expr("(10000 * n_ab * n_users) div (n_a * n_b)").alias(
+                "lift_bp"
+            ),
+        )
+    )
