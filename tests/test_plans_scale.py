@@ -344,6 +344,10 @@ def test_no_unintended_cartesian_anywhere(spark):
         # 1-row scalar subquery broadcasts
         "q22_idle_customers",
         "q11_important_parts",
+        # 1-row corpus-stats broadcasts (n_docs / total_len / n_users)
+        "text_inverted_index",
+        "bm25_topk",
+        "basket_type_lift",
     }
     offenders = {}
     for name, qd in REGISTRY.items():
