@@ -27,6 +27,12 @@ PICKS = {
     "w4_range_interval": "Time-based RANGE frame over epoch seconds: one keyed exchange + in-partition sort; the running aggregates never leave the window operator.",
     "text_repetition": "Three gram branches union before a two-level aggregation tree; partial aggregation collapses per-task gram counts before either exchange.",
     "dq_constraint_checks": "Each constraint is an independent aggregate branch; the orphan-FK check is a broadcast left-anti join on the fact.",
+    "funnel_view_click_purchase": "Each funnel stage is filter -> groupBy(user_id) min -> same-key equi-join: every exchange hashes user_id, state is one row per qualifying user.",
+    "time_weighted_avg": "lead() and the groupBy share the user_id partitioning — ONE exchange total; the weighted sum is bigint cents x micros.",
+    "bm25_topk": "Token filter lands before the (doc,token) aggregation; df and the 1-row corpus stats broadcast; scoring is bigint floor-division.",
+    "attribution_last_touch": "LOCF credit via last_value IGNORE NULLS over rows-to-1-preceding: one user_id exchange, then a tiny channel rollup.",
+    "basket_type_lift": "DISTINCT (user,type) collapses the stream first; the pair self-join is bounded by the type dimension per user, never events squared.",
+    "robust_outliers_mad": "Two percentile passes + broadcast joins back; all thresholds integer (2x-median / 2x-MAD half-unit trick).",
 }
 
 HEADER = """# Physical plans (captured)
