@@ -1,0 +1,63 @@
+"""Footer-manifest file skipping: pruned reads match full-scan results
+while opening strictly fewer files on a z-ordered layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from qms_datawarehouse_spark.operators.zorder import zorder_write
+from qms_datawarehouse_spark.sources.fileskip import (
+    build_file_manifest,
+    prune_files,
+    read_pruned,
+)
+
+N_FILES = 16
+
+
+@pytest.fixture(scope="module")
+def zlayout(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("fileskip")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    path = str(root / "z")
+    zorder_write(events, path, ["user_id", "ts"], n_files=N_FILES, bits=6)
+    return path
+
+
+def test_manifest_covers_all_files_with_stats(zlayout):
+    manifest = build_file_manifest(zlayout, ["user_id", "ts"])
+    assert len(manifest) == N_FILES
+    for e in manifest:
+        assert e["user_id_min"] is not None
+        assert e["user_id_min"] <= e["user_id_max"]
+        assert e["ts_min"] <= e["ts_max"]
+
+
+def test_pruned_read_matches_full_filter(spark, zlayout):
+    manifest = build_file_manifest(zlayout, ["user_id"])
+    full = spark.read.parquet(zlayout)
+    lo, hi = full.select(
+        F.expr("approx_percentile(user_id, 0.40)"),
+        F.expr("approx_percentile(user_id, 0.45)"),
+    ).first()
+
+    files, total = prune_files(manifest, "user_id", lo, hi)
+    assert total == N_FILES
+    assert 0 < len(files) < total  # skipping actually happened
+
+    pruned = read_pruned(spark, manifest, "user_id", lo, hi)
+    expected = full.filter(
+        (F.col("user_id") >= lo) & (F.col("user_id") <= hi)
+    )
+    assert pruned.count() == expected.count()
+    a = sorted(r.event_id for r in pruned.select("event_id").collect())
+    b = sorted(r.event_id for r in expected.select("event_id").collect())
+    assert a == b
+
+
+def test_missing_stats_column_is_never_pruned(zlayout):
+    manifest = build_file_manifest(zlayout, ["nonexistent_col"])
+    files, total = prune_files(manifest, "nonexistent_col", 0, 1)
+    assert len(files) == total  # conservative: keep everything
