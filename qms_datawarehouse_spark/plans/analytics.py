@@ -1235,3 +1235,108 @@ def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Ratio-to-report + year-over-year growth (BI staples)
+# --------------------------------------------------------------------
+
+
+@query(
+    "revenue_share_by_nation",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS revenue_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    )
+    SELECT nation, revenue_cents,
+           (10000 * revenue_cents) // sum(revenue_cents) OVER () AS share_bp
+    FROM rev
+    """,
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total revenue in basis
+    points — the percent-of-total window staple. The unpartitioned
+    window runs over O(nations) aggregate rows (the heavy reduction
+    happened in the groupBy), so the single-partition window is
+    bounded by the dimension, never the fact. Integer cents keep the
+    shares exact."""
+    orders, customer, nation = tables(
+        spark, sf_dir, "orders", "customer", "nation"
+    )
+    rev = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("revenue_cents")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "nation",
+        "revenue_cents",
+        F.expr("revenue_cents * 10000").alias("_num"),
+        F.sum("revenue_cents").over(w).alias("_den"),
+    ).select(
+        "nation",
+        "revenue_cents",
+        F.expr("_num div _den").alias("share_bp"),
+    )
+
+
+@query(
+    "revenue_yoy_growth",
+    """
+    WITH yearly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS revenue_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT yr, revenue_cents,
+           lag(revenue_cents) OVER (ORDER BY yr) AS prev_cents,
+           CASE WHEN lag(revenue_cents) OVER (ORDER BY yr) IS NULL THEN NULL
+                ELSE ((revenue_cents - lag(revenue_cents) OVER (ORDER BY yr))
+                      * 10000) // lag(revenue_cents) OVER (ORDER BY yr)
+           END AS yoy_growth_bp
+    FROM yearly
+    """,
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth in basis points via lag() over the
+    O(years) yearly rollup — the trend staple. Window input is bounded
+    by the calendar, not the fact table; growth is exact integer
+    arithmetic on cents."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).alias("revenue_cents")
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue_cents").over(w)
+    return yearly.select(
+        "yr",
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        F.when(
+            prev.isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.expr(
+                "((revenue_cents - lag(revenue_cents) over (order by yr))"
+                " * 10000) div lag(revenue_cents) over (order by yr)"
+            )
+        ).alias("yoy_growth_bp"),
+    )
