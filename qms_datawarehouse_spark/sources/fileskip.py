@@ -105,3 +105,94 @@ def read_pruned(
         spark.read.parquet(*files)
         .filter((F.col(col) >= lo) & (F.col(col) <= hi))
     )
+
+
+def build_file_manifest_distributed(
+    spark: SparkSession, path: str, cols: list[str]
+) -> list[dict]:
+    """The 100 TB form of ``build_file_manifest``: the file list is
+    parallelized and each task opens ONLY the footers of its slice
+    (same few-KB metadata reads, now cluster-wide). Output is
+    identical to the driver-side harvest (pinned in
+    tests/test_fileskip.py); collect() returns O(files) stat rows —
+    manifest-sized, not data-sized. Persist the result as a warehouse
+    table when the file count itself is large."""
+    import pandas as pd
+
+    files = sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.endswith(".parquet")
+    )
+    cols_tuple = tuple(cols)
+
+    def harvest(batches):
+        import pyarrow.parquet as pq
+
+        def as_str(v):
+            # repr round-trips floats exactly; str covers int/timestamp
+            return repr(v) if isinstance(v, float) else str(v)
+
+        for pdf in batches:
+            rows = []
+            for fpath in pdf["file"]:
+                md = pq.ParquetFile(fpath).metadata
+                names = md.schema.names
+                entry = {"file": fpath}
+                for col in cols_tuple:
+                    mins, maxs = [], []
+                    if col in names:
+                        ci = names.index(col)
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(ci).statistics
+                            if st is None or not st.has_min_max:
+                                mins, maxs = [], []
+                                break
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                    entry[f"{col}_min"] = as_str(min(mins)) if mins else None
+                    entry[f"{col}_max"] = as_str(max(maxs)) if maxs else None
+                rows.append(entry)
+            yield pd.DataFrame(
+                rows,
+                columns=["file"]
+                + [f"{c}_{s}" for c in cols_tuple for s in ("min", "max")],
+                dtype=object,
+            )
+
+    file_df = spark.createDataFrame([(f,) for f in files], "file string")
+    stat_fields = ", ".join(
+        f"`{c}_min` string, `{c}_max` string" for c in cols
+    )
+    # stats travel as strings (Arrow's int/double/timestamp -> string
+    # casts are round-trippable), so one schema serves every stat
+    # column type; native python values are restored below from the
+    # parquet schema
+    out_df = file_df.repartition(min(len(files), 64)).mapInPandas(
+        harvest, schema=f"file string, {stat_fields}"
+    )
+    collected = [r.asDict() for r in out_df.collect()]
+    # restore native types from the parquet schema (strings came back
+    # from the Arrow transport); driver-side, O(1) footers
+    if collected and cols:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(collected[0]["file"])
+        sch = md.schema_arrow
+        for e in collected:
+            for c in cols:
+                if c in sch.names and e[f"{c}_min"] is not None:
+                    import pyarrow as pa
+
+                    typ = sch.field(c).type
+                    for k in (f"{c}_min", f"{c}_max"):
+                        v = e[k]
+                        if pa.types.is_integer(typ):
+                            e[k] = int(v)
+                        elif pa.types.is_floating(typ):
+                            e[k] = float(v)
+                        elif pa.types.is_timestamp(typ):
+                            import pandas as pd2
+
+                            e[k] = pd2.Timestamp(v).to_pydatetime()
+    return sorted(collected, key=lambda e: e["file"])

@@ -61,3 +61,19 @@ def test_missing_stats_column_is_never_pruned(zlayout):
     manifest = build_file_manifest(zlayout, ["nonexistent_col"])
     files, total = prune_files(manifest, "nonexistent_col", 0, 1)
     assert len(files) == total  # conservative: keep everything
+
+
+def test_distributed_manifest_matches_driver_side(spark, zlayout):
+    from qms_datawarehouse_spark.sources.fileskip import (
+        build_file_manifest_distributed,
+    )
+
+    driver = build_file_manifest(zlayout, ["user_id", "ts"])
+    dist = build_file_manifest_distributed(spark, zlayout, ["user_id", "ts"])
+    assert len(dist) == len(driver)
+    for a, b in zip(driver, dist):
+        assert a["file"] == b["file"]
+        assert a["user_id_min"] == b["user_id_min"]
+        assert a["user_id_max"] == b["user_id_max"]
+        assert a["ts_min"] == b["ts_min"]
+        assert a["ts_max"] == b["ts_max"]
