@@ -107,7 +107,11 @@ _DRIVER_WINDOW = [
 # Next-round allocation note: once CORRECTNESS_r02 lands green rows
 # for the §2 core above, those slots should rotate to the operators
 # added this round that have in-repo oracle evidence but no driver
-# row yet: q2_min_cost_supplier, q11_important_parts,
+# row yet — in priority order: funnel_view_click_purchase,
+# cohort_retention_weekly, time_weighted_avg, bm25_topk,
+# text_inverted_index, attribution_last_touch, robust_outliers_mad,
+# basket_type_lift, growth_daily_users, revenue_share_by_nation,
+# revenue_yoy_growth, then q2_min_cost_supplier, q11_important_parts,
 # q20_heavy_shippers, text_repetition, curation_domain_mix,
 # variant_props_agg, udtf_json_pairs, dq_constraint_checks,
 # calendar_fill_gaps, asof_join_cogroup, ingest_gate_probe,
