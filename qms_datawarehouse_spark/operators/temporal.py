@@ -378,9 +378,10 @@ def asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id,
-           sum(value_cents * dt_us) AS twa_num_cents_us,
-           sum(dt_us) AS twa_den_us,
-           sum(value_cents * dt_us) // sum(dt_us) AS twa_cents
+           CAST(sum(value_cents * dt_us) AS BIGINT) AS twa_num_cents_us,
+           CAST(sum(dt_us) AS BIGINT) AS twa_den_us,
+           CAST(sum(value_cents * dt_us) // sum(dt_us) AS BIGINT)
+               AS twa_cents
     FROM seg WHERE dt_us IS NOT NULL
     GROUP BY 1
     """,

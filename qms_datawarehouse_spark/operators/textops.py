@@ -549,12 +549,12 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
     SELECT tf.doc_id,
-           sum(
+           CAST(sum(
                ((10000 * (2 * s.n_docs - 2 * df.df + 1)) // (2 * df.df + 1))
                * (22 * s.total_len * tf.tf)
                // (10 * s.total_len * tf.tf + 3 * s.total_len
                    + 9 * dl.dl * s.n_docs)
-           ) AS bm25_score_10k
+           ) AS BIGINT) AS bm25_score_10k
     FROM tf
     JOIN df ON tf.token = df.token
     JOIN dl ON tf.doc_id = dl.doc_id

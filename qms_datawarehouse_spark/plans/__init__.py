@@ -33,89 +33,87 @@ from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 
-# SURVEY §2 core + this round's determinism fixes, in driver-check
-# priority order. Exactly the first 50 get a driver correctness row.
+# Round-3 rotation: CORRECTNESS_r02 greened the §2 core, so those
+# slots rotate to the 40 registered queries that have NEVER had a
+# driver row (cumulative driver-checked coverage 84/124 -> 124/124
+# attempted), plus: the four HUGEINT-fixed oracles (driver-red in
+# r02, re-checked for green), multimodal_pipeline (rows-only in r01,
+# now value-checked), the flagship anchor, and four anchors over the
+# merge/dedup code paths rewritten this round (ADVICE CAS/lock/index
+# fixes). sketch_aggregates (rows-only by design) yields its slot to
+# the value-checked sketch_kmv_distinct per VERDICT r02 item 2.
+# Exactly the first 50 get a driver correctness row.
 _DRIVER_WINDOW = [
-    # flagship (reference staff_reports.json reproduction)
+    # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
-    # §2.4 aggregations
-    "a5_per_staff_totals",
-    "a6_daily_rate_stats",
-    "a7_service_duration",
-    "a8_company_sets",
-    "a9_rating_agg",
-    "a1_high_water_mark",
-    # §2.1/2.2 scan + predicates
-    "s1_incremental_scan",
-    # §2.5 windows
-    "w2_recent_topn",
-    "w3_sequential_number",
-    # §2.6 dedup / set ops
-    "d1_dedup_last_write",
-    "d3_union_by_name",
-    # §2.7 functions
-    "f_scalar_suite",
-    "f3_json_extract",
-    "f7_iso_format",
-    "user_activity_report",
-    # §2.3 joins
-    "j2_orders_customer",
-    "j3_lineitem_orders",
-    "j4_part_supplier",
-    "j5_denormalized_orders",
-    "s8_point_lookup",
-    "p4_projection",
-    "q1_pricing_summary",
-    "q6_revenue_filter",
-    "topk_per_group",
-    # §2.8 streaming windows (batch-equivalent checks)
-    "t9_tumbling_hourly",
-    "t9_sliding_daily",
-    "t9_sessionization",
-    # LLM-pipeline operators. Swapped OUT in r3 (slots are scarce):
-    # dedup_exact, dedup_embedding_cosine, a2_row_counts,
-    # f_scalar_suite2, agg_rollup, semi_anti_join — all driver-green
-    # in CORRECTNESS_r01 and untouched since; their slots go to the
-    # round-3 curation/knn/scd2 operators, which have no driver row
-    # yet. The shingle-dependent dedup queries stay (the r2 short-doc
-    # guard changed their values).
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "rollup_hierarchy_1d",
-    "similarity_topk_cosine",
-    "similarity_ivf_probe",
-    "similarity_ann_lsh",
-    "multimodal_features",
-    "curation_stratified_sample",
-    "curation_pack_sequences",
-    "curation_contamination",
-    "text_pii_redact",
-    "similarity_knn_join_lsh",
-    "scd2_user_event_type",
-    # r1 hash-fail / vacuous-pass reworks
-    "w4_window_frames",
-    "quantile_order_value",
-    "sketch_aggregates",
-    "map_functions_props",
+    # r02 hash-fails, oracle HUGEINT casts fixed this round
     "q7_nation_trade",
     "q9_product_profit",
     "q22_idle_customers",
+    "map_functions_props",
+    # rows-only in r01, oracle added since — first value-checked row
+    "multimodal_pipeline",
+    # rows-only slot traded for the value-checked KMV sketch
+    "sketch_kmv_distinct",
+    # anchors over the merge/dedup code rewritten this round
+    "d1_dedup_last_write",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "t9_sessionization",
+    # ---- never-driver-checked queries (cumulative coverage push) ----
+    # funnel/retention/growth analytics
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "growth_daily_users",
+    "attribution_last_touch",
+    "basket_type_lift",
+    "revenue_share_by_nation",
+    "revenue_yoy_growth",
+    "robust_outliers_mad",
+    "time_weighted_avg",
+    # text / retrieval
+    "text_repetition",
+    "text_inverted_index",
+    "bm25_topk",
+    # TPC-H-shape additions
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_heavy_shippers",
+    # curation / dedup / similarity never checked at the driver
+    "curation_domain_mix",
+    "curation_split_summary",
+    "corpus_curation",
+    "dedup_embedding_lsh",
+    "ingest_gate_probe",
+    # grouped/arrow python surfaces
+    "grouped_arrow_zscore",
+    "multimodal_features_arrow",
+    "asof_join_cogroup",
+    "udtf_json_pairs",
+    # function suites + semantics probes
+    "array_functions_suite",
+    "regexp_functions_suite",
+    "datetime_functions_suite",
+    "string_functions_suite",
+    "null_semantics_suite",
+    "decimal_arithmetic_suite",
+    "variant_props_agg",
+    "dq_constraint_checks",
+    "calendar_fill_gaps",
+    "w4_range_interval",
+    "heavy_hitters_exact",
+    # §2 rows green in r01 under other names but never re-rowed
+    "a2_row_counts",
+    "f_scalar_suite2",
+    "agg_rollup",
+    "semi_anti_join",
 ]
 
-# Next-round allocation note: once CORRECTNESS_r02 lands green rows
-# for the §2 core above, those slots should rotate to the operators
-# added this round that have in-repo oracle evidence but no driver
-# row yet — in priority order: funnel_view_click_purchase,
-# cohort_retention_weekly, time_weighted_avg, bm25_topk,
-# text_inverted_index, attribution_last_touch, robust_outliers_mad,
-# basket_type_lift, growth_daily_users, revenue_share_by_nation,
-# revenue_yoy_growth, then q2_min_cost_supplier, q11_important_parts,
-# q20_heavy_shippers, text_repetition, curation_domain_mix,
-# variant_props_agg, udtf_json_pairs, dq_constraint_checks,
-# calendar_fill_gaps, asof_join_cogroup, ingest_gate_probe,
-# array_functions_suite.
+# Next-round allocation note: every registered query will have had a
+# driver row after this window lands (40 never-checked + 4 re-checks
+# + multimodal_pipeline). Round-4 slots should go to (a) any red rows
+# from CORRECTNESS_r03, (b) operators added in round 3, (c) §2 core
+# re-confirmation on a sampled basis.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

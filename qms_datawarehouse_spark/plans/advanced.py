@@ -862,7 +862,8 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_mktsegment AS segment,
            count(*) AS n_customers,
-           sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS total_balance_cents
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_balance_cents
     FROM customer c
     WHERE c.c_acctbal > (
             SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
@@ -952,9 +953,9 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l.l_shipdate)::BIGINT AS ship_year,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-               AS revenue_e4
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1115,9 +1116,9 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     """
     SELECT sn.n_name AS nation, year(o.o_orderdate)::BIGINT AS order_year,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-               AS profit_e4,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS profit_e4,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -1228,7 +1229,8 @@ def first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
                AS n_distinct_k
     FROM events
@@ -1658,8 +1660,9 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH natl AS (
         SELECT l.l_partkey AS partkey,
-               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
-                              + 0.5) AS BIGINT)) AS value_cents
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_cents
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -2110,12 +2113,12 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_arithmetic_suite",
     """
     SELECT l_returnflag AS returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
-               AS sum_price,
-           CAST(min(CAST(l_discount AS DECIMAL(8, 2))) AS DECIMAL(8, 2))
-               AS min_disc,
-           CAST(max(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
-               AS max_price
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                     AS DECIMAL(18, 2)) AS VARCHAR) AS sum_price,
+           CAST(CAST(min(CAST(l_discount AS DECIMAL(8, 2)))
+                     AS DECIMAL(8, 2)) AS VARCHAR) AS min_disc,
+           CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                     AS DECIMAL(18, 2)) AS VARCHAR) AS max_price
     FROM lineitem
     GROUP BY 1
     """,
@@ -2126,13 +2129,18 @@ def decimal_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit with NO round() anywhere — the type the int-cents
     idiom emulates, exercised natively. (Result scales are pinned by
     explicit casts; Spark widens sum(DECIMAL(18,2)) to (28,2),
-    DuckDB to (38,2) — the cast collapses both.)"""
+    DuckDB to (38,2) — the cast collapses both.) The exact decimals
+    are RENDERED as strings: pandas has no decimal dtype, so
+    DuckDB's ``.df()`` would coerce to float64 while Spark keeps
+    ``Decimal`` objects — a guaranteed driver hash mismatch caught
+    by the harness's pandas path."""
     (lineitem,) = tables(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     return lineitem.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.sum(price).cast("decimal(18,2)").alias("sum_price"),
-        F.min(F.col("l_discount").cast("decimal(8,2)")).cast("decimal(8,2)").alias("min_disc"),
-        F.max(price).cast("decimal(18,2)").alias("max_price"),
+        F.sum(price).cast("decimal(18,2)").cast("string").alias("sum_price"),
+        F.min(F.col("l_discount").cast("decimal(8,2)")).cast("decimal(8,2)")
+        .cast("string").alias("min_disc"),
+        F.max(price).cast("decimal(18,2)").cast("string").alias("max_price"),
     )
 
 

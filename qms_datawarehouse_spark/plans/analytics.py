@@ -966,8 +966,8 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.day, a.dau,
            coalesce(d.new_users, 0) AS new_users,
-           sum(coalesce(d.new_users, 0))
-               OVER (ORDER BY a.day) AS cumulative_users
+           CAST(sum(coalesce(d.new_users, 0))
+                OVER (ORDER BY a.day) AS BIGINT) AS cumulative_users
     FROM active a LEFT JOIN daily d ON a.day = d.day
     """,
 )
@@ -1247,15 +1247,17 @@ def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT n.n_name AS nation,
-               sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
-                   AS revenue_cents
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY 1
     )
     SELECT nation, revenue_cents,
-           (10000 * revenue_cents) // sum(revenue_cents) OVER () AS share_bp
+           CAST((10000 * revenue_cents)
+                // CAST(sum(revenue_cents) OVER () AS BIGINT)
+                AS BIGINT) AS share_bp
     FROM rev
     """,
 )
@@ -1299,16 +1301,17 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH yearly AS (
         SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                   AS revenue_cents
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
         FROM orders GROUP BY 1
     )
     SELECT yr, revenue_cents,
            lag(revenue_cents) OVER (ORDER BY yr) AS prev_cents,
-           CASE WHEN lag(revenue_cents) OVER (ORDER BY yr) IS NULL THEN NULL
+           CAST(CASE WHEN lag(revenue_cents) OVER (ORDER BY yr) IS NULL
+                     THEN NULL
                 ELSE ((revenue_cents - lag(revenue_cents) OVER (ORDER BY yr))
                       * 10000) // lag(revenue_cents) OVER (ORDER BY yr)
-           END AS yoy_growth_bp
+           END AS BIGINT) AS yoy_growth_bp
     FROM yearly
     """,
 )

@@ -6,6 +6,20 @@ compares: row count, sorted column names, and an order-insensitive
 value multiset (floats rounded to 6 significant-ish decimals,
 timestamps/dates normalized to ISO strings).
 
+Two comparison paths run per query:
+
+1. **Exact path** — ``collect()`` vs ``fetchall()``: exact Python
+   values, the strictest value equality available.
+2. **Pandas path** — ``toPandas()`` vs DuckDB ``.df()``: the
+   DRIVER's actual canonicalization route. This is where dtype
+   coercion bites: DuckDB returns ``sum(BIGINT)`` as HUGEINT, which
+   ``.df()`` converts to float64 (lossy above 2^53 and — decisive
+   for the driver's hash — a different dtype than Spark's exact
+   int64 even below it). CORRECTNESS_r02 failed four queries this
+   way while the fetchall path passed locally, so the pandas path
+   now FAILS any query whose aggregate dtypes diverge in kind
+   (int-family vs float) between the two engines.
+
 Stricter-is-safer: if this passes, the driver's hash compare should
 too — which is why query outputs avoid raw floats/timestamps where
 possible (rounded/ formatted columns aliased identically on both
@@ -62,6 +76,70 @@ def _rows_multiset(columns, rows):
     return Counter(tuple(_norm_value(row[i]) for i in order) for row in rows)
 
 
+def _pandas_norm_value(v):
+    """Normalize a pandas cell for the driver-path multiset.
+
+    Midnight timestamps normalize to the bare date: DuckDB ``.df()``
+    widens DATE to datetime64 while Spark's ``toPandas`` keeps
+    ``datetime.date`` objects — the driver's canonicalizer tolerates
+    that pairing (DATE-returning queries are driver-green), so the
+    harness must too.
+    """
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return "null"
+    if isinstance(v, dt.datetime):
+        if v.time() == dt.time(0, 0) and (v.tzinfo is None):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    return _norm_value(v)
+
+
+def _pandas_multiset(pdf):
+    cols = sorted(pdf.columns)
+    return Counter(
+        tuple(_pandas_norm_value(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    )
+
+
+_NUMERIC_KINDS = {"i": "int", "u": "int", "f": "float"}
+
+
+def compare_pandas_path(sdf, con, sql):
+    """The driver's route: Spark ``toPandas()`` vs DuckDB ``.df()``.
+
+    Fails on (a) numeric dtype-KIND divergence per column — e.g.
+    Spark int64 vs DuckDB float64-from-HUGEINT, which hash-mismatch
+    at the driver even when every value is exactly representable —
+    and (b) value-multiset divergence after pandas coercion.
+    """
+    spark_pdf = sdf.toPandas()
+    duck_pdf = con.execute(sql).df()
+
+    problems = []
+    for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        sk = _NUMERIC_KINDS.get(spark_pdf[c].dtype.kind)
+        dk = _NUMERIC_KINDS.get(duck_pdf[c].dtype.kind)
+        if sk and dk and sk != dk:
+            problems.append(
+                f"pandas dtype coercion on {c!r}: spark={spark_pdf[c].dtype}"
+                f" duck={duck_pdf[c].dtype} — driver hashes these differently"
+                " (DuckDB HUGEINT/DECIMAL -> float64? cast the oracle"
+                " aggregate to BIGINT)"
+            )
+    if not problems:
+        ms, md = _pandas_multiset(spark_pdf), _pandas_multiset(duck_pdf)
+        if ms != md:
+            only_s = list((ms - md).items())[:3]
+            only_d = list((md - ms).items())[:3]
+            problems.append(
+                f"pandas-path values differ; spark-only={only_s} duck-only={only_d}"
+            )
+    return problems
+
+
 def compare_one(spark, con, name, fn, sql, sf_dir):
     sdf = fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
@@ -82,6 +160,8 @@ def compare_one(spark, con, name, fn, sql, sf_dir):
             only_s = list((ms - md).items())[:3]
             only_d = list((md - ms).items())[:3]
             problems.append(f"values differ; spark-only={only_s} duck-only={only_d}")
+    if not problems:
+        problems = compare_pandas_path(sdf, con, sql)
     return problems
 
 

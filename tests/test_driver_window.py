@@ -1,36 +1,46 @@
 """Pin the driver-correctness window.
 
-The driver verifies the FIRST 50 entries of ``queries()``. These tests
-keep the SURVEY §2 core (flagship + A/J/S/W/D/F + streaming windows +
-the operator suite) inside that window — an ordering regression would
-silently drop the core surface out of per-round verification.
+The driver verifies the FIRST 50 entries of ``queries()``. Rotation
+policy (round 3+): a query may leave the window only if a past
+CORRECTNESS_r*.json shows it fully green (rows+schema+hash) AND its
+code/oracle is unchanged since; freed slots go to queries with no
+driver row yet. These tests pin that invariant — every window entry
+is either never-driver-checked, previously red (being re-checked), or
+an explicitly-listed anchor over code changed this round.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 from qms_datawarehouse_spark.plans import _DRIVER_WINDOW, REGISTRY, queries_map
 
-CORE = [
+# r3 anchors: flagship + queries covering the merge/dedup code paths
+# rewritten for the ADVICE fixes this round.
+ANCHORS = [
     "flagship_staff_report",
-    "a5_per_staff_totals",
-    "a6_daily_rate_stats",
-    "a7_service_duration",
-    "a8_company_sets",
-    "a9_rating_agg",
-    "j2_orders_customer",
-    "j3_lineitem_orders",
-    "j4_part_supplier",
-    "j5_denormalized_orders",
-    "s1_incremental_scan",
-    "w2_recent_topn",
-    "w3_sequential_number",
-    "q1_pricing_summary",
-    "q6_revenue_filter",
     "d1_dedup_last_write",
-    "t9_tumbling_hourly",
-    "t9_sliding_daily",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
     "t9_sessionization",
 ]
+
+
+def _ever_green():
+    green = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname in sorted(os.listdir(root)):
+        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            with open(os.path.join(root, fname)) as fh:
+                for name, row in json.load(fh).items():
+                    if (
+                        row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match")
+                    ):
+                        green.add(name)
+    return green
 
 
 def test_window_is_exactly_first_50():
@@ -38,10 +48,23 @@ def test_window_is_exactly_first_50():
     assert list(queries_map())[:50] == _DRIVER_WINDOW
 
 
-def test_core_surface_inside_window():
+def test_anchors_inside_window():
     first50 = set(list(queries_map())[:50])
-    missing = [n for n in CORE if n not in first50]
-    assert not missing, f"core queries outside driver window: {missing}"
+    missing = [n for n in ANCHORS if n not in first50]
+    assert not missing, f"anchor queries outside driver window: {missing}"
+
+
+def test_rotated_out_queries_were_driver_green():
+    # nothing may leave the window without a fully-green driver row
+    green = _ever_green()
+    out = set(queries_map()) - set(_DRIVER_WINDOW)
+    never_checked_out = [
+        n for n in sorted(out)
+        if n not in green and n != "sketch_aggregates"  # rows-only by design
+    ]
+    assert not never_checked_out, (
+        f"queries outside window with no green driver row: {never_checked_out}"
+    )
 
 
 def test_ordering_is_a_permutation():
