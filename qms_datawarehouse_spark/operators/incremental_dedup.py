@@ -161,7 +161,48 @@ def ingest_dedup(
 
     # -- commit: corpus rows + index entries, both keyed merges -------
     n_accepted = n_batch - len(reject_ids)
+    stale_bands = None
     if n_accepted:
+        # Re-ingestion: an accepted doc_id already in the corpus
+        # UPSERTS its row (merge_upsert on _id), so its index entries
+        # — derived from the OLD text — must be rebuilt, or future
+        # near-dups of the new text probe stale bands (and near-dups
+        # of the old, replaced text keep matching it). The old band
+        # values are recomputed from the pre-upsert corpus rows
+        # (banding kernels are deterministic), which pins exactly
+        # which bv-partitions hold the stale rows. The corpus read is
+        # bucket-pruned to the accepted ids' buckets — O(batch), not
+        # O(corpus); when nothing is re-ingested this yields zero rows
+        # and the rebuild is a no-op.
+        if warehouse.table_exists(corpus_table):
+            from qms_datawarehouse_spark.warehouse import BUCKET_COL
+
+            meta_buckets = int(
+                warehouse.read_meta(corpus_table).get("n_buckets", n_buckets)
+            )
+            acc_buckets = [
+                r[0]
+                for r in accepted.select(
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id").cast("string")),
+                        F.lit(meta_buckets),
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            prior = (
+                warehouse.read(corpus_table)
+                .filter(F.col(BUCKET_COL).isin(acc_buckets))
+                .join(accepted.select("doc_id"), "doc_id", "left_semi")
+            )
+            if prior.take(1):
+                stale_bands = (
+                    minhash_bands(_shingled(prior))
+                    .withColumn(BVB_COL, _bv_bucket())
+                    .persist()
+                )
+                stale_bands.count()  # pin before the corpus version swaps
         merge_upsert(
             warehouse,
             corpus_table,
@@ -173,7 +214,9 @@ def ingest_dedup(
         new_entries = bands.join(
             accepted.select("doc_id"), "doc_id", "left_semi"
         ).withColumn(BVB_COL, _bv_bucket())
-        _index_append(warehouse, index_table, new_entries)
+        _index_append(warehouse, index_table, new_entries, stale_bands)
+        if stale_bands is not None:
+            stale_bands.unpersist()
     sh.unpersist()
     bands.unpersist()
     return IngestResult(n_batch, n_accepted, len(reject_ids), sorted(rejected))
@@ -187,21 +230,39 @@ def _bv_bucket(n: int = INDEX_BV_BUCKETS):
 
 
 def _index_append(
-    warehouse: ParquetWarehouse, index_table: str, new_entries: DataFrame
+    warehouse: ParquetWarehouse,
+    index_table: str,
+    new_entries: DataFrame,
+    stale_entries: DataFrame | None = None,
 ) -> None:
-    """Append band rows to the bv-partitioned index. Index rows are
-    IMMUTABLE (a doc's band hashes never change), so maintenance is
+    """Append band rows to the bv-partitioned index. A doc's band
+    hashes never change WHILE ITS TEXT doesn't — re-ingestion of an
+    existing doc_id with new text is the exception, and its old rows
+    arrive as ``stale_entries`` (the old text's recomputed band rows):
+    their bv-partitions join the touched set and every row of those
+    doc_ids is dropped before the fresh rows land, keeping the index
+    exactly in sync with the upserted corpus row. Maintenance stays a
     dedup-union into the touched bv-buckets only, committed with the
     same O(touched-partition) partial write the data tables use."""
     if not warehouse.table_exists(index_table):
         warehouse.write_version(index_table, new_entries, partition_by=[BVB_COL])
         return
-    touched = [
-        r[0] for r in new_entries.select(BVB_COL).distinct().collect()
-    ]
+    touched_df = new_entries.select(BVB_COL)
+    if stale_entries is not None:
+        touched_df = touched_df.unionByName(stale_entries.select(BVB_COL))
+    touched = [r[0] for r in touched_df.distinct().collect()]
     existing = warehouse.read(index_table).filter(F.col(BVB_COL).isin(touched))
+    if stale_entries is not None:
+        # remove ALL rows of re-ingested doc_ids: stale_entries' bv
+        # values pin every partition their old rows can live in, so
+        # the doc_id anti-join within the touched set removes them all
+        existing = existing.join(
+            stale_entries.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
     fresh = new_entries.join(
-        existing.select("doc_id", "band_id"), ["doc_id", "band_id"], "left_anti"
+        existing.select("doc_id", "band_id", "bv"),
+        ["doc_id", "band_id", "bv"],
+        "left_anti",
     )
     warehouse.write_version_partial(
         index_table,

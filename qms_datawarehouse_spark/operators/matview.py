@@ -70,7 +70,13 @@ def create_matview(
     base_version = warehouse.current_version_name(base_table)
     if base_version is None:
         raise FileNotFoundError(f"base table not found: {base_table}")
-    mv = _aggregate(warehouse.read(base_table), group_cols, sum_cols)
+    # read the PINNED snapshot, not current: a sync committing between
+    # the version capture above and this read would make the stored
+    # aggregates newer than mv_base_version records, and the next
+    # incremental refresh would double-count that window's buckets
+    mv = _aggregate(
+        warehouse.read(base_table, version=base_version), group_cols, sum_cols
+    )
     warehouse.write_version(name, mv)
     warehouse.write_meta(
         name,
@@ -105,13 +111,20 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
         return "fresh"
 
     old_dir = os.path.join(warehouse.table_dir(base), recorded)
+    # to_version pins the diff to the `current` captured above — a
+    # sync landing mid-refresh must not widen the changed set past
+    # the version the meta will record
     changed = (
-        changed_partitions(warehouse, base, recorded)
+        changed_partitions(warehouse, base, recorded, to_version=current)
         if os.path.isdir(old_dir)
         else None
     )
     if changed is None:
-        mv = _aggregate(warehouse.read(base), group_cols, sum_cols)
+        # pinned to `current` captured above — meta and data must name
+        # the same version even if a sync lands mid-refresh
+        mv = _aggregate(
+            warehouse.read(base, version=current), group_cols, sum_cols
+        )
         warehouse.write_version(name, mv)
         warehouse.write_meta(name, {**meta, "mv_base_version": current})
         return "full"
@@ -120,7 +133,9 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     old_rows = warehouse.read(base, version=recorded).filter(
         F.col(BUCKET_COL).isin(vals)
     )
-    new_rows = warehouse.read(base).filter(F.col(BUCKET_COL).isin(vals))
+    new_rows = warehouse.read(base, version=current).filter(
+        F.col(BUCKET_COL).isin(vals)
+    )
     delta = _aggregate(new_rows, group_cols, sum_cols).unionByName(
         _aggregate(old_rows, group_cols, sum_cols, sign=-1)
     )

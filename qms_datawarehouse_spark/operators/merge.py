@@ -176,69 +176,81 @@ def _merge_upsert_once(
     batch = dedup_last_write_wins(updates, key, order_col)
     # Persist BEFORE any action: the dedup window + bucket hash compute
     # once; the touched-bucket scan, the stats agg, and the version
-    # write all read the cache.
+    # write all read the cache. try/finally: a ConcurrentWriteError
+    # commit would otherwise leak one cached DataFrame per retry.
     batch = with_bucket(batch, key, buckets).persist()
+    try:
+        aggs = [F.count(F.lit(1)).alias("n")]
+        has_cursor = order_col is not None and order_col in batch.columns
+        if has_cursor:
+            aggs.append(F.max(order_col).alias("hwm"))
+        row = batch.agg(*aggs).first()
+        n, hwm = int(row["n"]), (row["hwm"] if has_cursor else None)
 
-    aggs = [F.count(F.lit(1)).alias("n")]
-    has_cursor = order_col is not None and order_col in batch.columns
-    if has_cursor:
-        aggs.append(F.max(order_col).alias("hwm"))
-    row = batch.agg(*aggs).first()
-    n, hwm = int(row["n"]), (row["hwm"] if has_cursor else None)
+        # Capture the base BEFORE reading: the read below is pinned to
+        # this exact version and the commit CASes against it, so a
+        # writer landing anywhere in between flips the CAS instead of
+        # being silently resolved away in the touched buckets (the
+        # read-current/commit-against-newer TOCTOU).
+        base = warehouse.current_version_name(table)
+        if base is None:
+            # Create-on-first-write (S11); bucket count becomes a table
+            # fact, not a per-call opinion. expect_base=None: if a racing
+            # writer creates the table first, CAS fails and the retry
+            # takes the merge path instead of clobbering their version.
+            warehouse.write_version(
+                table, batch, partition_by=[BUCKET_COL], expect_base=None
+            )
+            warehouse.write_meta(
+                table,
+                {"n_buckets": buckets, "key": key, "order_col": order_col},
+            )
+            return n, hwm
 
-    if not warehouse.table_exists(table):
-        # Create-on-first-write (S11); bucket count becomes a table
-        # fact, not a per-call opinion. expect_base=None: if a racing
-        # writer creates the table first, CAS fails and the retry
-        # takes the merge path instead of clobbering their version.
-        warehouse.write_version(
-            table, batch, partition_by=[BUCKET_COL], expect_base=None
+        target = warehouse.read(table, version=base)
+
+        # Bucket pruning: list of touched buckets is tiny (≤ #distinct
+        # keys in the batch); collecting it to the driver is
+        # O(n_buckets) max.
+        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+
+        contested = target.filter(F.col(BUCKET_COL).isin(touched))
+
+        if has_cursor:
+            # Order-aware resolution: the newest row by cursor wins
+            # across target ∪ updates, so an at-least-once replay (or an
+            # out-of-order late batch) can never regress newer state —
+            # the T3 effectively-once contract. Ties prefer the update.
+            combined = contested.withColumn("__prec", F.lit(0)).unionByName(
+                batch.withColumn("__prec", F.lit(1)), allowMissingColumns=True
+            )
+            w = Window.partitionBy(key).orderBy(
+                F.col(order_col).desc_nulls_last(), F.col("__prec").desc()
+            )
+            resolved = (
+                combined.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__prec")
+            )
+        else:
+            # No cursor column: updates win unconditionally (the
+            # reference's ON CONFLICT DO UPDATE — last statement wins).
+            # Updates side of an incremental batch is small → broadcast.
+            survivors = contested.join(
+                F.broadcast(batch.select(key)), on=key, how="left_anti"
+            )
+            resolved = survivors.unionByName(batch, allowMissingColumns=True)
+
+        # Only the touched buckets are materialized; untouched bucket
+        # dirs are hardlink-inherited from the PINNED base version —
+        # the step that makes incremental cost O(touched), not
+        # O(table) — and the commit CASes against that same base.
+        warehouse.write_version_partial(
+            table, resolved, touched, base_version=base
         )
-        warehouse.write_meta(
-            table, {"n_buckets": buckets, "key": key, "order_col": order_col}
-        )
-        batch.unpersist()
         return n, hwm
-
-    target = warehouse.read(table)
-
-    # Bucket pruning: list of touched buckets is tiny (≤ #distinct keys
-    # in the batch); collecting it to the driver is O(n_buckets) max.
-    touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
-
-    contested = target.filter(F.col(BUCKET_COL).isin(touched))
-
-    if has_cursor:
-        # Order-aware resolution: the newest row by cursor wins across
-        # target ∪ updates, so an at-least-once replay (or an
-        # out-of-order late batch) can never regress newer state —
-        # the T3 effectively-once contract. Ties prefer the update.
-        combined = contested.withColumn("__prec", F.lit(0)).unionByName(
-            batch.withColumn("__prec", F.lit(1)), allowMissingColumns=True
-        )
-        w = Window.partitionBy(key).orderBy(
-            F.col(order_col).desc_nulls_last(), F.col("__prec").desc()
-        )
-        resolved = (
-            combined.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__prec")
-        )
-    else:
-        # No cursor column: updates win unconditionally (the
-        # reference's ON CONFLICT DO UPDATE — last statement wins).
-        # Updates side of an incremental batch is small → broadcast.
-        survivors = contested.join(
-            F.broadcast(batch.select(key)), on=key, how="left_anti"
-        )
-        resolved = survivors.unionByName(batch, allowMissingColumns=True)
-
-    # Only the touched buckets are materialized; untouched bucket dirs
-    # are hardlink-inherited from the previous version — the step that
-    # makes incremental cost O(touched), not O(table).
-    warehouse.write_version_partial(table, resolved, touched)
-    batch.unpersist()
-    return n, hwm
+    finally:
+        batch.unpersist()
 
 
 def merge_dataframes(

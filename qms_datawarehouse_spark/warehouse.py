@@ -230,28 +230,33 @@ class ParquetWarehouse:
         with open(os.path.join(vdir, SCHEMA_FILE), "w") as f:
             json.dump(schema.jsonValue(), f)
 
-    def _acquire_lock(self, table: str, timeout: float = 5.0) -> str:
+    def _acquire_lock(self, table: str, timeout: float = 5.0) -> tuple[str, str]:
         """Tiny mutual-exclusion window around the compare-and-swap:
-        atomic O_CREAT|O_EXCL on ``_LOCK``. Stale locks (a writer that
-        died inside the window) are broken after ``_LOCK_STALE_SEC``."""
+        atomic O_CREAT|O_EXCL on ``_LOCK``. Returns ``(path, token)``;
+        the unique token makes release ownership-checked. Stale locks
+        (a writer that died inside the window) are broken after
+        ``_LOCK_STALE_SEC`` via an atomic rename, so among N waiters
+        exactly ONE breaks the lock — a blind ``unlink`` here would
+        let a second waiter's pending unlink remove the first waiter's
+        FRESH lock and admit two writers to the critical section."""
         lock = os.path.join(self.table_dir(table), LOCK_FILE)
+        token = uuid.uuid4().hex
         deadline = time.monotonic() + timeout
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.write(fd, f"{os.getpid()} {time.time()} {token}".encode())
                 os.close(fd)
-                return lock
+                return lock, token
             except FileExistsError:
                 try:
+                    with open(lock) as f:
+                        observed = f.read()
                     age = time.time() - os.path.getmtime(lock)
                 except OSError:
                     continue  # released between exists-check and stat
                 if age > _LOCK_STALE_SEC:
-                    try:
-                        os.unlink(lock)  # break the abandoned lock
-                    except OSError:
-                        pass
+                    self._break_stale_lock(lock, observed)
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -259,6 +264,49 @@ class ParquetWarehouse:
                         f"within {timeout}s"
                     )
                 time.sleep(0.01)
+
+    @staticmethod
+    def _break_stale_lock(lock: str, observed: str) -> None:
+        """Break an abandoned lock such that exactly one breaker
+        succeeds: rename to a unique tombstone (atomic — losers get
+        ENOENT and re-enter the acquire loop). The tombstone's content
+        is then verified against what was observed stale; if it
+        differs, the stale holder released and a LIVE writer acquired
+        between our stat and rename — hand the lock back via link
+        (no-op if the slot was re-taken; the live writer's token check
+        at release keeps any residue harmless)."""
+        tomb = lock + f".tomb.{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(lock, tomb)
+        except OSError:
+            return  # another breaker (or the owner's release) won
+        try:
+            with open(tomb) as f:
+                content = f.read()
+        except OSError:
+            content = observed
+        if content != observed:
+            try:
+                os.link(tomb, lock)
+            except OSError:
+                pass
+        try:
+            os.unlink(tomb)
+        except OSError:
+            pass
+
+    @staticmethod
+    def _release_lock(lock: str, token: str) -> None:
+        """Unlink only OUR lock: after a stale-break race the path may
+        hold another writer's fresh lock, which a blind unlink would
+        cascade-break."""
+        try:
+            with open(lock) as f:
+                if token not in f.read():
+                    return
+            os.unlink(lock)
+        except OSError:
+            pass
 
     def _swap_pointer(
         self,
@@ -270,7 +318,7 @@ class ParquetWarehouse:
         tmp_ptr = self._pointer_path(table) + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp_ptr, "w") as f:
             f.write(version)
-        lock = self._acquire_lock(table)
+        lock, lock_token = self._acquire_lock(table)
         try:
             if expect_base is not _UNCHECKED:
                 cur = self.current_version_name(table)
@@ -300,10 +348,7 @@ class ParquetWarehouse:
                     + "\n"
                 )
         finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            self._release_lock(lock, lock_token)
         self._gc_versions(table, keep=keep_versions)
 
     # -- time travel ---------------------------------------------------
@@ -371,6 +416,7 @@ class ParquetWarehouse:
         touched: list,
         partition_col: str = BUCKET_COL,
         keep_versions: int = 2,
+        base_version: str | None = None,
     ) -> str:
         """Incremental version: write ONLY the ``touched`` partition
         values of ``partition_col`` from ``df``; inherit every other
@@ -392,8 +438,27 @@ class ParquetWarehouse:
         the hardlinked "untouched" dirs are stale and committing them
         would resurrect overwritten rows — ``ConcurrentWriteError``
         tells the caller to recompute from the new current version.
+
+        ``base_version`` pins WHICH version is inherited and CASed
+        against: read-modify-write callers MUST pass the version they
+        read (merge.py does). Without it, prev resolves to current at
+        THIS call — a writer committing between the caller's read and
+        this call would advance current, this write would inherit the
+        newer version's untouched buckets, and the CAS would pass
+        while the caller's resolution of the TOUCHED buckets silently
+        dropped that writer's rows (the lost-update TOCTOU).
         """
-        prev = self.current_version_dir(table)
+        if base_version is not None:
+            prev = os.path.join(self.table_dir(table), base_version)
+            if not os.path.isdir(prev):
+                cur = self.current_version_name(table)
+                raise ConcurrentWriteError(
+                    f"table {table!r}: pinned base {base_version!r} is no "
+                    f"longer available (current is {cur!r}) — recompute "
+                    "against the current version and retry"
+                )
+        else:
+            prev = self.current_version_dir(table)
         if prev is None:
             raise FileNotFoundError(f"partial write needs an existing table: {table}")
         if not any(

@@ -183,3 +183,118 @@ def test_table_changes_between_versions(spark, warehouse):
     rows = {r._id: r.v for r in table_changes(
         warehouse, "t", "_id", v1).collect()}
     assert rows["a"] == 2 and rows["d"] == 1 and rows["c"] == 1
+
+
+def test_merge_same_bucket_interleave_not_lost(spark, warehouse):
+    """The lost-update TOCTOU: with n_buckets=1 every key shares one
+    bucket, so an interleaved commit lands in a bucket our merge is
+    about to rewrite. Before the pinned-base CAS, the interleaved
+    row vanished silently (our resolution never saw it, the CAS
+    compared against the NEWER current and passed); now the CAS flips
+    and the retry re-resolves over the winner's version."""
+    merge_upsert(warehouse, "t1b", _df(spark, [("a", 1, TS)]), n_buckets=1)
+
+    real_partial = ParquetWarehouse.write_version_partial
+    fired = {"n": 0}
+
+    def racing_partial(self, table, df, touched, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # interleaved writer commits key 'b' into the SAME bucket
+            other = with_bucket(
+                _df(spark, [("a", 1, TS), ("b", 7, TS2)]), "_id", 1
+            )
+            ParquetWarehouse.write_version(
+                self, table, other, partition_by=[BUCKET_COL]
+            )
+        return real_partial(self, table, df, touched, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        ParquetWarehouse, "write_version_partial", racing_partial
+    ):
+        merge_upsert(warehouse, "t1b", _df(spark, [("a", 5, TS2)]),
+                     n_buckets=1)
+    assert fired["n"] == 1
+    out = {r._id: r.v for r in warehouse.read("t1b").collect()}
+    assert out == {"a": 5, "b": 7}  # the interleaved row survived
+
+
+def test_release_lock_is_ownership_checked(spark, warehouse):
+    """A pending release must not unlink a DIFFERENT writer's fresh
+    lock (the stale-break cascade: two breakers, one unlinks the
+    other's new lock and two writers enter the critical section)."""
+    import os
+
+    warehouse.write_meta("tl", {})  # materialize the table dir
+    lock, token = warehouse._acquire_lock("tl")
+    # simulate: our lock was broken as stale and another writer
+    # acquired a fresh one at the same path
+    os.unlink(lock)
+    with open(lock, "w") as f:
+        f.write("99999 0.0 someoneelsestoken")
+    warehouse._release_lock(lock, token)
+    assert os.path.exists(lock), "release removed a lock it did not own"
+    os.unlink(lock)
+
+
+def test_stale_lock_is_broken_and_acquired(spark, warehouse):
+    import os
+    import time as _time
+
+    warehouse.write_meta("tl2", {})
+    lock = warehouse.table_dir("tl2") + "/_LOCK"
+    with open(lock, "w") as f:
+        f.write("12345 0.0 deadwritertoken")
+    old = _time.time() - 3600
+    os.utime(lock, (old, old))
+    got, token = warehouse._acquire_lock("tl2", timeout=2.0)
+    with open(got) as f:
+        assert token in f.read()  # the broken lock was replaced by ours
+    warehouse._release_lock(got, token)
+
+
+def test_break_stale_lock_restores_fresh_lock_on_content_mismatch(
+    spark, warehouse
+):
+    """If the lock content changed between the staleness observation
+    and the rename (stale holder released; live writer acquired), the
+    breaker must hand the lock back, not destroy it."""
+    import os
+
+    warehouse.write_meta("tl3", {})
+    lock = warehouse.table_dir("tl3") + "/_LOCK"
+    with open(lock, "w") as f:
+        f.write("777 123.0 livewritertoken")
+    ParquetWarehouse._break_stale_lock(lock, "999 0.0 whatweobservedstale")
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert "livewritertoken" in f.read()
+    os.unlink(lock)
+
+
+def test_persist_not_leaked_across_conflict_retries(spark, warehouse):
+    """Every retry of merge_upsert_stats used to leak one cached
+    DataFrame (persist() without finally); the cache count must be
+    flat after a merge that exhausts its retries."""
+    from qms_datawarehouse_spark.operators.merge import merge_upsert_stats
+
+    merge_upsert(warehouse, "tp", _df(spark, [("a", 1, TS)]), n_buckets=2)
+
+    def always_conflict(self, table, df, touched, **kw):
+        raise ConcurrentWriteError("injected")
+
+    import unittest.mock as mock
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with mock.patch.object(
+        ParquetWarehouse, "write_version_partial", always_conflict
+    ):
+        with pytest.raises(ConcurrentWriteError):
+            merge_upsert_stats(
+                warehouse, "tp", _df(spark, [("a", 2, TS2)]),
+                n_buckets=2, max_retries=3,
+            )
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before

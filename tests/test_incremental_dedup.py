@@ -129,3 +129,44 @@ def test_index_is_bv_partitioned_and_probe_prunes(spark, warehouse):
     # inherits the rest) and still gates near-dups correctly
     res = ingest_dedup(warehouse, _docs(spark, [(10, NEAR), (11, THIRD)]))
     assert res.n_rejected == 1 and res.rejected[0][:2] == (10, 1)
+
+
+def test_reingest_changed_text_rebuilds_index(spark, warehouse):
+    """Re-ingesting a doc_id with NEW text upserts the corpus row; the
+    LSH index must follow. Stale index rows caused two failures: a
+    near-dup of the REPLACED text kept matching (candidate pairs
+    against text the corpus no longer holds), and — worse — a
+    near-dup of the CURRENT text found no candidates at all and was
+    silently admitted."""
+    ingest_dedup(warehouse, _docs(spark, [(1, BASE)]))
+    # same id, completely different text → idempotent-upsert path
+    res = ingest_dedup(warehouse, _docs(spark, [(1, OTHER)]))
+    assert res.n_accepted == 1 and res.n_rejected == 0
+    assert warehouse.read("corpus_docs").count() == 1
+
+    # index reflects ONLY the new text's bands for doc 1
+    from qms_datawarehouse_spark.operators.dedup import (
+        _shingled,
+        minhash_bands,
+    )
+
+    idx = {
+        (r.band_id, r.bv)
+        for r in warehouse.read(INDEX_TABLE)
+        .filter("doc_id = 1").collect()
+    }
+    want = {
+        (r.band_id, r.bv)
+        for r in minhash_bands(
+            _shingled(_docs(spark, [(1, OTHER)]))
+        ).collect()
+    }
+    assert idx == want
+
+    # near-dup of the CURRENT text is caught (missed with stale index)
+    res = ingest_dedup(warehouse, _docs(spark, [(3, OTHER)]))
+    assert res.n_rejected == 1 and res.rejected[0][:2] == (3, 1)
+
+    # near-dup of the REPLACED text is admitted (doc 1 moved on)
+    res = ingest_dedup(warehouse, _docs(spark, [(2, BASE)]))
+    assert res.n_accepted == 1 and res.n_rejected == 0

@@ -171,3 +171,45 @@ def test_matview_maintained_from_stream(spark, warehouse, tmp_path):
     # g1: aa(2) + cccc(4); g2 emptied by bbb's move to g3; g3: bbb(3)
     assert mv == {"g1": (2, 6), "g3": (1, 3)}
     assert not is_stale(warehouse, "mv_s")
+
+
+def test_create_matview_reads_pinned_snapshot(spark, warehouse):
+    """A sync landing between the version capture and the base read
+    must NOT leak into the stored aggregates — meta and data always
+    name the same version, or the next incremental refresh
+    double-counts the interleaved buckets."""
+    import unittest.mock as mock
+
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    _seed(spark, warehouse)
+
+    real_read = ParquetWarehouse.read
+    fired = {"n": 0}
+
+    def racy_read(self, table, version=None):
+        if fired["n"] == 0 and table == "fact":
+            fired["n"] += 1
+            # interleaved sync commits a new g1 row mid-create
+            merge_upsert(
+                self, "fact",
+                _batch(spark, [("e", "g1", 100, TS2)]), n_buckets=8,
+            )
+        return real_read(self, table, version)
+
+    with mock.patch.object(ParquetWarehouse, "read", racy_read):
+        create_matview(warehouse, "mv_pin", "fact", ["grp"], ["amount"])
+    assert fired["n"] == 1
+
+    # stored aggregates reflect the RECORDED version (no 'e' row)
+    state = {r.grp: (r._mv_n, r.amount_sum)
+             for r in warehouse.read("mv_pin").collect()}
+    assert state["g1"] == (2, 30)
+
+    # the interleaved sync is visible as staleness; refresh folds it
+    # in exactly once (no double count)
+    assert is_stale(warehouse, "mv_pin")
+    assert refresh_matview(warehouse, "mv_pin") == "incremental"
+    state = {r.grp: (r._mv_n, r.amount_sum)
+             for r in warehouse.read("mv_pin").collect()}
+    assert state["g1"] == (3, 130)
