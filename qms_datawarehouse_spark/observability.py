@@ -125,27 +125,74 @@ def log_event(event: str, **fields) -> str:
 class TaskStatusStore:
     """S14 task-status hashes (reference src/api/routes.py:21-29:
     ``redis_client.hset(task_id, source_uri, status)``): per-task
-    field→status maps with the same hset/hget/hgetall surface.
+    field→status maps with the same hset/hget/hgetall/expire surface.
+
+    ``expire(task_id, ttl)`` mirrors routes.py:93 (``expire(task_id,
+    3600)``): the whole hash lapses ``ttl`` seconds later. Expiry is
+    enforced lazily on access plus an explicit ``sweep()`` — the same
+    observable semantics as Redis's background eviction without a
+    reaper thread. ``clock`` is injectable for tests.
 
     In-memory by default — a Redis deployment swaps in by subclassing
-    with the redis client's own hset/hget/hgetall, nothing else
-    changes (the seam is the three methods, not this class)."""
+    with the redis client's own methods, nothing else changes (the
+    seam is the four methods, not this class)."""
 
-    def __init__(self):
+    DEFAULT_TTL_SEC = 3600  # reference routes.py:93
+
+    def __init__(self, clock=time.monotonic):
         self._h: dict[str, dict[str, str]] = {}
+        self._deadline: dict[str, float] = {}
+        self._clock = clock
         self._lock = threading.Lock()
+
+    def _evict_if_expired(self, task_id: str) -> None:
+        dl = self._deadline.get(task_id)
+        if dl is not None and self._clock() >= dl:
+            self._h.pop(task_id, None)
+            self._deadline.pop(task_id, None)
 
     def hset(self, task_id: str, field: str, value: str) -> None:
         with self._lock:
+            self._evict_if_expired(task_id)
             self._h.setdefault(task_id, {})[field] = value
 
     def hget(self, task_id: str, field: str) -> str | None:
         with self._lock:
+            self._evict_if_expired(task_id)
             return self._h.get(task_id, {}).get(field)
 
     def hgetall(self, task_id: str) -> dict[str, str]:
         with self._lock:
+            self._evict_if_expired(task_id)
             return dict(self._h.get(task_id, {}))
+
+    def expire(self, task_id: str, ttl_sec: float = DEFAULT_TTL_SEC) -> bool:
+        """Arm (or re-arm) the task's TTL. Returns False when the task
+        id holds no fields (Redis EXPIRE on a missing key)."""
+        with self._lock:
+            self._evict_if_expired(task_id)
+            if task_id not in self._h:
+                return False
+            self._deadline[task_id] = self._clock() + ttl_sec
+            return True
+
+    def ttl(self, task_id: str) -> float | None:
+        """Seconds until expiry, or None when no TTL is armed."""
+        with self._lock:
+            self._evict_if_expired(task_id)
+            dl = self._deadline.get(task_id)
+            return None if dl is None else max(0.0, dl - self._clock())
+
+    def sweep(self) -> int:
+        """Evict every lapsed task now; returns the count evicted."""
+        with self._lock:
+            lapsed = [
+                t for t, dl in self._deadline.items() if self._clock() >= dl
+            ]
+            for t in lapsed:
+                self._h.pop(t, None)
+                self._deadline.pop(t, None)
+            return len(lapsed)
 
 
 #: process-wide default status store
@@ -155,7 +202,10 @@ STATUS = TaskStatusStore()
 def run_tracked(task_id: str, source: str, fn, status: TaskStatusStore | None = None):
     """The reference's background-task lifecycle (routes.py:18-28):
     mark running → run → mark ``success: <result>`` or
-    ``failed: <error>``; failures re-raise after being recorded."""
+    ``failed: <error>``; failures re-raise after being recorded. The
+    terminal status arms the task's TTL (routes.py:93 ``expire(
+    task_id, 3600)``) so finished task hashes lapse instead of
+    accreting forever."""
     store = status or STATUS
     store.hset(task_id, source, "running")
     try:
@@ -165,6 +215,8 @@ def run_tracked(task_id: str, source: str, fn, status: TaskStatusStore | None = 
     except Exception as exc:
         store.hset(task_id, source, f"failed: {exc!s}"[:500])
         raise
+    finally:
+        store.expire(task_id)
 
 
 def record_sync_metrics(

@@ -32,6 +32,57 @@ Fetcher = Callable[[str], tuple[int, str | None]]
 
 RESPONSE_SCHEMA = "username string, status int, payload string"
 
+#: reference scraper.py:47 — aiohttp.ClientTimeout(total=15)
+DEFAULT_TIMEOUT_SEC = 15.0
+
+
+def with_retry_policy(
+    fetcher: Fetcher,
+    retries: int = 2,
+    timeout_sec: float = DEFAULT_TIMEOUT_SEC,
+    backoff_sec: float = 0.2,
+    clock=None,
+    sleep=None,
+) -> Fetcher:
+    """Wrap a fetcher with the reference's failure semantics
+    (scraper.py:47): a total time budget of ``timeout_sec`` per
+    username and up to ``retries`` re-attempts on transport errors or
+    5xx responses, exponential backoff between attempts. On
+    exhaustion the username is NOT dropped — it yields the last
+    status (599 for transport errors, the aiohttp-less stand-in for
+    "connection failed") with a NULL payload, so the S7 audit/retry
+    queries still see it; filter ``status == 200`` for the
+    reference's exact survivors-only behavior.
+
+    The budget gates BETWEEN attempts (a wrapped synchronous call
+    can't be interrupted mid-flight — a real session enforces its own
+    per-request timeout; pass it ``timeout_sec`` too). ``clock`` and
+    ``sleep`` are injectable for deterministic tests.
+    """
+    import time as _time
+
+    clock = clock or _time.monotonic
+    sleep = sleep or _time.sleep
+
+    def fetch(username: str) -> tuple[int, str | None]:
+        deadline = clock() + timeout_sec
+        status: int = 599
+        for attempt in range(retries + 1):
+            try:
+                status, payload = fetcher(username)
+            except Exception:
+                status, payload = 599, None
+            if status < 500:
+                return status, payload
+            if attempt < retries:
+                pause = backoff_sec * (2 ** attempt)
+                if clock() + pause >= deadline:
+                    break  # budget exhausted: report the failure
+                sleep(pause)
+        return status, None
+
+    return fetch
+
 
 def fake_fetcher(username: str) -> tuple[int, str | None]:
     """Deterministic stand-in transport: 'fetches' a staff-report-

@@ -87,3 +87,94 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     SinkSpec(format="csv", path=out_dir, options={"header": "true"}).write(df)
     back = spark.read.option("header", "true").csv(out_dir)
     assert {(r["id"], r["s"]) for r in back.collect()} == {("1", "a,b"), ("2", "c")}
+
+
+def test_sqlite_roundtrip_through_spec_seam(spark, tmp_path):
+    """S1/S12 against a REAL second system (stdlib sqlite3): DataFrame
+    → SinkSpec(sqlitedb) → SourceSpec(sqlitedb) → sync_dataframe into
+    the warehouse — the full reference hop (db.py:28-32 read,
+    dump.py:22-31 batched insert) with no network and no jars."""
+    import sqlite3
+
+    from qms_datawarehouse_spark.engine import sync_dataframe
+    from qms_datawarehouse_spark.sources.sqlite_connector import (
+        register_sqlite,
+        sqlite_sink,
+        sqlite_source,
+    )
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    register_sqlite(spark)
+    db = str(tmp_path / "ext.db")
+
+    df = spark.createDataFrame(
+        [
+            ("1", "alice", 10, "2024-01-01T00:00:00"),
+            ("2", "bob", 20, "2024-01-02T00:00:00"),
+            ("3", "carol", 30, "2024-01-03T00:00:00"),
+        ],
+        "_id string, name string, score long, updated_at string",
+    )
+    sqlite_sink(db, "people", mode="overwrite").write(df)
+
+    # the external system really holds the rows
+    with sqlite3.connect(db) as con:
+        n, total = con.execute(
+            "SELECT count(*), sum(score) FROM people"
+        ).fetchone()
+    assert (n, total) == (3, 60)
+
+    back = sqlite_source(db, "people", num_partitions=2).load(spark)
+    assert back.rdd.getNumPartitions() == 2  # rowid-range fan-out
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    res = sync_dataframe(wh, back, "sqlite://ext", "people")
+    assert res.records_synced == 3
+    assert wh.read("people").count() == 3
+
+
+def test_sqlite_filter_pushdown_reaches_the_database(spark, tmp_path):
+    """A cursor predicate on the scan must become SQL WHERE inside the
+    connector — no post-scan Filter node left for Spark (the S1
+    incremental-sync O(delta) contract at the source)."""
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.sources.sqlite_connector import (
+        register_sqlite,
+        sqlite_sink,
+        sqlite_source,
+    )
+
+    register_sqlite(spark)
+    db = str(tmp_path / "pd.db")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{i:02d}T00:00:00") for i in range(1, 21)],
+        "id long, updated_at string",
+    )
+    sqlite_sink(db, "t", mode="overwrite").write(df)
+
+    scan = sqlite_source(db, "t").load(spark).filter(
+        F.col("updated_at") > "2024-01-15T00:00:00"
+    )
+    assert scan.count() == 5
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # pushed into the connector's SQL: no post-scan Filter node
+    assert "Filter" not in plan.replace("RuntimeFilters: []", ""), plan
+
+
+def test_sqlite_overwrite_vs_append_modes(spark, tmp_path):
+    from qms_datawarehouse_spark.sources.sqlite_connector import (
+        register_sqlite,
+        sqlite_sink,
+        sqlite_source,
+    )
+
+    register_sqlite(spark)
+    db = str(tmp_path / "m.db")
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    sqlite_sink(db, "t", mode="overwrite").write(df)
+    sqlite_sink(db, "t", mode="append").write(df)
+    assert sqlite_source(db, "t").load(spark).count() == 4
+    sqlite_sink(db, "t", mode="overwrite").write(df)
+    assert sqlite_source(db, "t").load(spark).count() == 2

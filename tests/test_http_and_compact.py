@@ -74,3 +74,71 @@ def test_register_views_sql_front_door(spark):
     ).collect()
     assert len(out) == 5
     assert sum(r["n"] for r in out) == spark.table("orders").count()
+
+
+def test_fetcher_retry_policy_recovers_and_reports(spark):
+    """S7 timeout/retry parity (reference scraper.py:47: 15s budget,
+    failures dropped): transient 5xx recovers within the budget; a
+    persistent failure is reported as a non-200 row (kept, not
+    dropped); the time budget stops retries mid-sequence."""
+    from qms_datawarehouse_spark.sources.http_source import (
+        fetch_reports,
+        with_retry_policy,
+    )
+
+    calls = {"flaky": 0, "dead": 0, "slow": 0}
+
+    def flaky_transport(u):
+        calls[u] += 1
+        if u == "flaky":
+            return (503, None) if calls[u] < 3 else (200, '{"ok":1}')
+        if u == "dead":
+            raise ConnectionError("boom")
+        return (200, '{"ok":1}')
+
+    naps = []
+    fetch = with_retry_policy(
+        flaky_transport, retries=3, timeout_sec=15.0,
+        backoff_sec=0.1, clock=lambda: 0.0, sleep=naps.append,
+    )
+    assert fetch("flaky") == (200, '{"ok":1}')
+    assert calls["flaky"] == 3 and naps == [0.1, 0.2]
+    assert fetch("dead") == (599, None)  # kept with NULL payload
+    assert calls["dead"] == 4  # 1 + 3 retries
+
+    # budget exhaustion: a clock past the deadline stops retrying
+    t = {"now": 0.0}
+
+    def ticking():
+        t["now"] += 10.0
+        return t["now"]
+
+    calls["slow"] = 0
+
+    def always_503(u):
+        calls[u] += 1
+        return (503, None)
+
+    fetch2 = with_retry_policy(
+        always_503, retries=5, timeout_sec=15.0,
+        backoff_sec=0.1, clock=ticking, sleep=lambda s: None,
+    )
+    assert fetch2("slow") == (503, None)
+    # deadline = t10 + 15 = 25: attempts at t10 and t20 fit, the third
+    # (t30) would blow the budget — 2 calls, not retries+1 = 6
+    assert calls["slow"] == 2
+
+    # the wrapped fetcher slots into the distributed fan-out unchanged
+    # (stateless transport: the closure ships to executors by pickle)
+    def stateless(u):
+        return (200, '{"ok":1}') if u == "ok" else (503, None)
+
+    users = spark.createDataFrame([("down",), ("ok",)], "username string")
+    out = {
+        r.username: r.status
+        for r in fetch_reports(
+            users,
+            fetcher=with_retry_policy(stateless, retries=1, backoff_sec=0.0),
+        ).collect()
+    }
+    assert out == {"ok": 200, "down": 503}

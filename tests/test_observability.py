@@ -91,3 +91,50 @@ def test_task_status_store_lifecycle():
         run_tracked("t1", "src_b", boom, status=store)
     assert store.hget("t1", "src_b").startswith("failed: nope")
     assert set(store.hgetall("t1")) == {"src_a", "src_b"}
+
+
+def test_task_status_ttl_expires_whole_hash():
+    """S14 TTL parity (reference routes.py:93 expire(task_id, 3600)):
+    an armed task hash lapses after its TTL; unexpired tasks are
+    untouched; expire() on a missing id reports False like Redis."""
+    from qms_datawarehouse_spark.observability import TaskStatusStore
+
+    now = {"t": 0.0}
+    store = TaskStatusStore(clock=lambda: now["t"])
+    store.hset("task1", "src_a", "running")
+    store.hset("task2", "src_a", "running")
+    assert store.expire("task1", 3600) is True
+    assert store.expire("ghost") is False
+
+    now["t"] = 3599.0
+    assert store.hget("task1", "src_a") == "running"
+    assert store.ttl("task1") == 1.0
+
+    now["t"] = 3600.0
+    assert store.hget("task1", "src_a") is None
+    assert store.hgetall("task1") == {}
+    assert store.ttl("task1") is None
+    # no TTL armed on task2 → it persists
+    assert store.hget("task2", "src_a") == "running"
+
+    # sweep() evicts without an access touching the key
+    store.hset("task3", "f", "v")
+    store.expire("task3", 10)
+    now["t"] = 3611.0
+    assert store.sweep() == 1
+    assert store.hgetall("task3") == {}
+
+
+def test_run_tracked_arms_ttl():
+    from qms_datawarehouse_spark.observability import (
+        TaskStatusStore,
+        run_tracked,
+    )
+
+    now = {"t": 0.0}
+    store = TaskStatusStore(clock=lambda: now["t"])
+    run_tracked("t1", "s", lambda: 42, status=store)
+    assert store.hget("t1", "s") == "success: 42"
+    assert store.ttl("t1") == TaskStatusStore.DEFAULT_TTL_SEC
+    now["t"] = TaskStatusStore.DEFAULT_TTL_SEC + 1
+    assert store.hgetall("t1") == {}
