@@ -27,6 +27,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# The round-1 22-query set, frozen: every later round reports its
+# total over EXACTLY these queries as ``common22_value`` so
+# round-over-round regression detection survives headline-set growth
+# (r2's 34-query total was incomparable to r1's 22-query total).
+COMMON_22 = [
+    "flagship_staff_report",
+    "q1_pricing_summary",
+    "q6_revenue_filter",
+    "j3_lineitem_orders",
+    "j2_orders_customer",
+    "topk_per_group",
+    "d1_dedup_last_write",
+    "a6_daily_rate_stats",
+    "w2_recent_topn",
+    "s1_incremental_scan",
+    "t9_sessionization",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "similarity_ivf_probe",
+    "text_quality",
+    "asof_join_last_purchase",
+    "range_join_purchases_1h",
+    "q5_region_revenue",
+    "q13_order_distribution",
+    "quantile_order_value",
+    "rollup_hierarchy_1d",
+    "dedup_clusters",
+]
+
 # Headline set: the flagship + one representative per operator family
 # (scan-heavy agg, selective filter, fact-fact join, broadcast-dim
 # join, window/top-K, keyed dedup, two-level agg).
@@ -113,6 +142,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "common22_value": round(
+                    sum(timings.get(n, 0.0) for n in COMMON_22), 3
+                ),
                 "cold_value": round(cold_total, 3),
                 "runs_per_query": 4,
                 "protocol": "warm = min of 3 runs after 1 cold run",

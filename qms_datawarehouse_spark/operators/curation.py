@@ -523,3 +523,81 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted domain mixture over the corpus sources."""
     (documents,) = tables(spark, sf_dir, "documents")
     return domain_mix(documents, MIX_BUDGETS)
+
+
+# --------------------------------------------------------------------
+# Entity resolution: blocked fuzzy self-match (edit distance)
+# --------------------------------------------------------------------
+
+
+@query(
+    "entity_match_blocked",
+    """
+    WITH names AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS n,
+               min(p_partkey) AS canon_key
+        FROM part GROUP BY 1
+    ),
+    b AS (
+        SELECT p_name, n, canon_key,
+               string_split(p_name, ' ')[2] AS block
+        FROM names
+    )
+    SELECT x.p_name AS name_a, y.p_name AS name_b,
+           CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS edit_dist,
+           x.n AS n_a, y.n AS n_b,
+           x.canon_key AS canon_a, y.canon_key AS canon_b
+    FROM b x JOIN b y
+      ON x.block = y.block AND x.p_name < y.p_name
+    WHERE levenshtein(x.p_name, y.p_name) BETWEEN 1 AND 4
+    """,
+)
+def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by BLOCKED fuzzy matching — the classic
+    record-linkage pattern (dedupe candidate names that differ by a
+    few edits, e.g. crawl-source author/product strings).
+
+    Scale shape, in order of importance:
+
+    1. records collapse to DISTINCT entity strings first (groupBy
+       p_name with counts) — the match runs at entity grain, never
+       record grain, so a name occurring 10⁶ times costs one row;
+    2. candidate pairs come from an EQUI-join on a blocking key (the
+       name's second token — a stable word, the classic "block on a
+       reliable field" linkage move) — Σ(block²) over entity-grain
+       blocks, never entities², same discipline as the MinHash band
+       join (operators/dedup.py). A skewed vocabulary would swap in a
+       tighter key (token + length band) exactly like adding LSH
+       bands;
+    3. ``levenshtein`` (classic edit distance, identical definition
+       in Spark and DuckDB) runs only inside blocks.
+
+    Both engines compute exact integer distances, so the match set is
+    engine-stable with no float thresholds anywhere."""
+    (part,) = tables(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("p_partkey").alias("canon_key"),
+    )
+    blocked = names.withColumn(
+        "block", F.split("p_name", " ").getItem(1)
+    )
+    x, y = blocked.alias("x"), blocked.alias("y")
+    dist = F.levenshtein(F.col("x.p_name"), F.col("y.p_name"))
+    return (
+        x.join(
+            y,
+            (F.col("x.block") == F.col("y.block"))
+            & (F.col("x.p_name") < F.col("y.p_name")),
+        )
+        .filter(dist.between(1, 4))
+        .select(
+            F.col("x.p_name").alias("name_a"),
+            F.col("y.p_name").alias("name_b"),
+            dist.cast("long").alias("edit_dist"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+            F.col("x.canon_key").alias("canon_a"),
+            F.col("y.canon_key").alias("canon_b"),
+        )
+    )

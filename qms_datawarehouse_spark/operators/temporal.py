@@ -417,3 +417,60 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(value_cents * dt_us) div sum(dt_us)"
         ).alias("twa_cents"),
     )
+
+
+# --------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------
+
+
+@query(
+    "event_transitions",
+    """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    t AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST((n * 10000)
+                // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+                AS BIGINT) AS prob_bp
+    FROM t
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (from_type → to_type) step, the observed count
+    and transition probability in basis points — session-model /
+    next-action analytics.
+
+    Scale shape: lead() shuffles once on user_id; the pair count then
+    reduces |types|² rows, and the probability window runs over that
+    O(|types|²) aggregate, never the event stream. Probabilities are
+    exact integer basis points (n·10⁴ div Σn), so rows hash
+    identically across engines."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(
+            "CAST((n * 10000) div sum(n) over"
+            " (partition by from_type) AS BIGINT)"
+        ).alias("prob_bp"),
+    )

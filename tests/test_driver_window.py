@@ -54,13 +54,24 @@ def test_anchors_inside_window():
     assert not missing, f"anchor queries outside driver window: {missing}"
 
 
+# queries ADDED this round (no driver row possible yet): first in line
+# for the round-4 window, tracked here so nothing falls through
+QUEUED_NEXT_WINDOW = [
+    "entity_match_blocked",
+    "event_transitions",
+]
+
+
 def test_rotated_out_queries_were_driver_green():
-    # nothing may leave the window without a fully-green driver row
+    # nothing may leave the window without a fully-green driver row;
+    # brand-new queries must be explicitly queued for the next window
     green = _ever_green()
     out = set(queries_map()) - set(_DRIVER_WINDOW)
     never_checked_out = [
         n for n in sorted(out)
-        if n not in green and n != "sketch_aggregates"  # rows-only by design
+        if n not in green
+        and n not in QUEUED_NEXT_WINDOW
+        and n != "sketch_aggregates"  # rows-only by design
     ]
     assert not never_checked_out, (
         f"queries outside window with no green driver row: {never_checked_out}"
