@@ -833,3 +833,92 @@ def ingest_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _verify_pairs(cand, sh, sh)
+
+
+# --------------------------------------------------------------------
+# Passage-level dedup: duplicated-chunk fraction per document
+# --------------------------------------------------------------------
+
+
+@query(
+    "dedup_passages",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    p AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(w, i*10+1, i*10+10), ' '))
+                   AS h
+        FROM t, UNNEST(range(CAST(len(w) // 10 AS BIGINT))) AS u(i)
+    ),
+    hdocs AS (
+        SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM p GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_passages,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS dup_bp
+    FROM p JOIN hdocs USING (h)
+    GROUP BY doc_id
+    """,
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (sub-document) dedup: chunk every document into
+    consecutive 10-word passages, fingerprint each (md5), and report
+    per document how many of its passages also occur in at least one
+    OTHER document — the gate modern corpus pipelines apply BELOW
+    doc-level dedup (doc-level exact/MinHash misses a copied paragraph
+    inside an otherwise-novel page). Complements dedup_exact /
+    dedup_minhash_lsh (SURVEY §2.12); no reference counterpart.
+
+    Determinism: passages are full 10-word chunks only (trailing
+    partial chunks dropped — both engines compute ⌊n/10⌋ chunks);
+    md5 text fingerprints and integer basis points hash identically
+    cross-engine.
+
+    Scale shape: chunking is MAP-SIDE — a sequence() of chunk indexes
+    transformed over the word array, then one explode; no shuffle to
+    form passages. Exchanges: (1) groupBy(h) for the distinct-doc
+    count per fingerprint, (2) the h-join back to passages, (3) the
+    final groupBy(doc_id). Each is key-partitioned on a high-card
+    column; per-hash state is one bigint — the same Σ(bucket) shape
+    as the MinHash band join, never corpus²."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.select("doc_id", F.split("text", " ", -1).alias("w"))
+    p = t.select(
+        "doc_id",
+        F.explode(
+            # sequence(0, -1) counts DOWN in Spark ([0, -1]); a doc
+            # under 10 words must yield zero chunks, as DuckDB's
+            # range(0) does — guard explicitly.
+            F.when(
+                F.size("w") >= 10,
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.floor(F.size("w") / 10).cast("int") - 1
+                    ),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("w", i * 10 + 1, 10))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    hdocs = p.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    dup = F.sum((F.col("n_docs") >= 2).cast("long"))
+    return (
+        p.join(hdocs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_passages"),
+            dup.alias("n_dup_passages"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 10000"
+                " div count(*) AS BIGINT)"
+            ).alias("dup_bp"),
+        )
+    )

@@ -1,0 +1,351 @@
+"""Product quantization (PQ) — the memory-side scale path for ANN.
+
+IVF (similarity.py) prunes which vectors a query READS; PQ compresses
+what each vector COSTS: split the d-dim embedding into M subspaces,
+k-means each subspace to K codewords, store every vector as M small
+codes (here 8 bytes instead of 512), and answer queries with
+asymmetric distance computation (ADC) — one M·K lookup table per
+query, then a table-lookup sum per candidate. FAISS's IVFPQ is this
+composition; at 100 TB the corpus holds in RAM as codes while the
+float vectors stay on disk.
+
+Two layers, mirroring the IVF split that is already driver-green:
+
+- ``similarity_pq_adc`` (registered, oracle-checked): the full search
+  path — codebook build → per-subspace assignment → ADC top-k — over
+  DETERMINISTIC seed codewords (subvectors of ``vec_id < K``) standing
+  in for an offline-trained codebook, on fixed-point integer vectors
+  (``floor(x·1000)``), so every distance is an exact BIGINT and both
+  engines rank identically (no float-associativity hazard; the same
+  trick the exact-integer BM25/TWA oracles use).
+- ``train_pq_codebooks`` / ``pq_encode`` / ``pq_adc_topk``: the real
+  thing — per-subspace Lloyd's k-means in pure DataFrame ops (same
+  shape as similarity.train_codebook, generalized over sub_id),
+  map-side encoding, and LUT-based ADC where the per-query table is
+  built once and broadcast. pytest-verified (tests/test_pq.py):
+  encode is the true argmin, ADC equals the reconstructed distance,
+  quantization error descends over Lloyd's iterations, and trained
+  recall@10 beats the seed codebook's.
+
+No reference counterpart (the reference has no vector search; SURVEY
+§2.12 extension set). Scale shape: training touches the corpus only
+through (sub_id, code_id, dim) means — at 100 TB you train on a
+sample and encode the corpus in one map-side pass (no shuffle of the
+embedding table); ADC scoring is map-side too, ending in a global
+top-k (TakeOrdered, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.plans.registry import query, tables
+
+M_SUBSPACES = 8
+K_CODES = 16
+SUB_DIM = 8  # 64-dim embeddings / 8 subspaces
+PQ_TOP_K = 10
+PQ_QUERY_VEC_ID = 0
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact squared L2 between two equal-length arrays (left-to-right
+    fold — the same evaluation order DuckDB's list_sum uses)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_vec(col: Column) -> Column:
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * 1000).cast("long"),
+    )
+
+
+_PQ_ADC_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x*1000) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT list(struct_pack(sub_id := sub_id, code_id := code_id,
+                              cv := cv)) AS cl
+      FROM (
+        SELECT s.i AS sub_id, vec_id AS code_id,
+               list_slice(iv, CAST(s.i*{SUB_DIM}+1 AS BIGINT),
+                              CAST(s.i*{SUB_DIM}+{SUB_DIM} AS BIGINT)) AS cv
+        FROM e, UNNEST(range({M_SUBSPACES})) AS s(i)
+        WHERE vec_id < {K_CODES}
+      )
+    ),
+    q AS (SELECT iv AS qv FROM e WHERE vec_id = {PQ_QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+        list_transform(range(0, {M_SUBSPACES}), s ->
+          list_sort(list_transform(
+            list_filter(cb.cl, c -> c.sub_id = s),
+            c -> struct_pack(
+              dvc := list_sum(list_transform(range(1, {SUB_DIM}+1),
+                       i -> (e.iv[CAST(s*{SUB_DIM}+i AS BIGINT)] - c.cv[i])
+                            * (e.iv[CAST(s*{SUB_DIM}+i AS BIGINT)] - c.cv[i]))),
+              code_id := c.code_id,
+              dq := list_sum(list_transform(range(1, {SUB_DIM}+1),
+                       i -> (q.qv[CAST(s*{SUB_DIM}+i AS BIGINT)] - c.cv[i])
+                            * (q.qv[CAST(s*{SUB_DIM}+i AS BIGINT)] - c.cv[i])))
+            )))[1]
+        ) AS bests
+      FROM e, cb, q
+      WHERE e.vec_id <> {PQ_QUERY_VEC_ID}
+    )
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(bests, b -> b.dq)) AS BIGINT) AS adc,
+           array_to_string(list_transform(bests,
+               b -> CAST(b.code_id AS VARCHAR)), ',') AS codes
+    FROM scored
+    ORDER BY adc, vec_id
+    LIMIT {PQ_TOP_K}
+"""
+
+
+@query("similarity_pq_adc", _PQ_ADC_SQL)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-{PQ_TOP_K}: encode every vector to its per-subspace
+    nearest seed codeword (exact integer argmin, tie-break on
+    code_id), then rank by the ADC approximation Σ_s ‖q_s − cw_s‖² —
+    the distance to the query computed from the CODES alone. The
+    ``codes`` column exposes the full encoding, so the oracle verifies
+    assignment, not just the final ordering.
+
+    Scale shape: codebook (M·K subvectors) and query are two bounded
+    broadcasts; assignment + ADC are one codegen stage per row — the
+    embedding table is never shuffled; the only cross-row op is the
+    {PQ_TOP_K}-row TakeOrdered. Exact bigint distances decide the
+    LIMIT boundary identically in both engines."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", "label", _int_vec(F.col("embedding")).alias("iv")
+    )
+    cents = (
+        e.filter(F.col("vec_id") < K_CODES)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1))).alias(
+                "sub_id"
+            ),
+            F.col("vec_id").alias("code_id"),
+            "iv",
+        )
+        .select(
+            "sub_id",
+            "code_id",
+            F.slice(
+                "iv", F.col("sub_id") * SUB_DIM + 1, SUB_DIM
+            ).alias("cv"),
+        )
+        .agg(
+            F.collect_list(F.struct("sub_id", "code_id", "cv")).alias("cl")
+        )
+    )
+    q = e.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).select(
+        F.col("iv").alias("qv")
+    )
+
+    def best(s: Column) -> Column:
+        sv = F.slice("iv", s * SUB_DIM + 1, SUB_DIM)
+        qsv = F.slice("qv", s * SUB_DIM + 1, SUB_DIM)
+        return F.array_min(
+            F.transform(
+                F.filter("cl", lambda c: c["sub_id"] == s),
+                lambda c: F.struct(
+                    _sq_l2(sv, c["cv"]).alias("dvc"),
+                    c["code_id"].alias("code_id"),
+                    _sq_l2(qsv, c["cv"]).alias("dq"),
+                ),
+            )
+        )
+
+    scored = (
+        e.filter(F.col("vec_id") != PQ_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "bests",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1)), best
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                "bests",
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + b["dq"],
+            ).alias("adc"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "bests", lambda b: b["code_id"].cast("string")
+                ),
+            ).alias("codes"),
+        )
+        .orderBy("adc", "vec_id")
+        .limit(PQ_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------
+# Trained PQ: per-subspace Lloyd's k-means, encode, LUT-based ADC
+# --------------------------------------------------------------------
+
+
+def _subvectors(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, sv) float subvector frame — built map-side."""
+    return embeddings.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1))).alias(
+            "sub_id"
+        ),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select(
+        "vec_id",
+        "sub_id",
+        F.slice("v", F.col("sub_id") * SUB_DIM + 1, SUB_DIM).alias("sv"),
+    )
+
+
+def _fsq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_codes(sub: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest-codeword per (vec_id, sub_id) — broadcast argmin, no
+    shuffle of the subvector frame."""
+    cl = codebooks.agg(
+        F.collect_list(F.struct("sub_id", "code_id", "cv")).alias("cl")
+    )
+    scored = F.transform(
+        F.filter("cl", lambda c: c["sub_id"] == F.col("sub_id")),
+        lambda c: F.struct(
+            _fsq_l2(F.col("sv"), c["cv"]).alias("d"),
+            c["code_id"].alias("code_id"),
+        ),
+    )
+    return (
+        sub.crossJoin(F.broadcast(cl))
+        .withColumn("best", F.array_min(scored))
+        .select(
+            "vec_id",
+            "sub_id",
+            "sv",
+            F.col("best")["code_id"].alias("code_id"),
+            F.col("best")["d"].alias("d"),
+        )
+    )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    k: int = K_CODES,
+    iterations: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means independently per subspace, all M subspaces in
+    ONE DataFrame program (no per-subspace driver loop): init from
+    deterministic seed subvectors (vec_id < k), then
+    assign (broadcast argmin, map-side) → update (posexplode →
+    mean per (sub_id, code_id, dim) → re-assemble). Returns
+    (sub_id, code_id, cv). Empty codewords keep their previous
+    centroid, as in similarity.train_codebook."""
+    sub = _subvectors(embeddings)
+    codebooks = sub.filter(F.col("vec_id") < k).select(
+        "sub_id", F.col("vec_id").alias("code_id"), F.col("sv").alias("cv")
+    )
+    for _ in range(iterations):
+        assigned = _assign_codes(sub, codebooks)
+        means = (
+            assigned.select(
+                "sub_id", "code_id", F.posexplode("sv").alias("dim", "x")
+            )
+            .groupBy("sub_id", "code_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub_id", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        kept = codebooks.join(
+            means.select("sub_id", "code_id"), ["sub_id", "code_id"], "left_anti"
+        )
+        codebooks = means.unionByName(kept)
+    return codebooks
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, codes array<int>) — one map-side pass over the corpus;
+    codes[s] is the nearest codeword of subspace s."""
+    assigned = _assign_codes(_subvectors(embeddings), codebooks)
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sub_id", "code_id"))
+            ),
+            lambda s: s["code_id"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    top_k: int = PQ_TOP_K,
+) -> DataFrame:
+    """ADC search over the ENCODED corpus: build the per-query
+    M·K lookup table once (d(q_s, codeword) for every codeword),
+    broadcast it as an array indexed [sub_id·K + code_id], and score
+    each candidate as Σ_s lut[s·K + codes[s]] — no float vector is
+    touched per candidate, which is the whole point of PQ at scale."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    lut = codebooks.select(
+        "sub_id",
+        "code_id",
+        _fsq_l2(
+            F.slice(qlit, F.col("sub_id") * SUB_DIM + 1, SUB_DIM),
+            F.col("cv"),
+        ).alias("d"),
+    ).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sub_id", "code_id", "d"))
+            ),
+            lambda s: s["d"],
+        ).alias("lut")
+    )
+    scores = encoded.crossJoin(F.broadcast(lut)).select(
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                "lut", (s * K_CODES + F.element_at("codes", s + 1) + 1).cast("int")
+            ),
+        ).alias("adc"),
+    )
+    return scores.orderBy("adc", "vec_id").limit(top_k)

@@ -617,3 +617,135 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_score_10k"), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# --------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf_topk",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    cnt AS (
+        SELECT doc_id, term,
+               CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf
+        FROM (SELECT doc_id, w, unnest(list_distinct(w)) AS term FROM t)
+    ),
+    scored AS (
+        SELECT doc_id, term, tf,
+               CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+               CAST((tf * 1000000)
+                    // count(*) OVER (PARTITION BY term) AS BIGINT)
+                   AS score_ppm
+        FROM cnt
+    )
+    SELECT doc_id, term, tf, df, score_ppm, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score_ppm DESC, term
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by an exact-rational
+    tf-idf surrogate: score = tf/df scaled to ppm with integer floor
+    division (a log(N/df) idf would ulp-diverge across engines; the
+    RANKING is identical because tf/df and tf·log(N/df) are both
+    monotone decreasing in df at fixed tf). Keyword extraction for
+    corpus triage — no reference counterpart (reference has no text
+    analytics; the corpus ops extend SURVEY §2.12's pipeline set).
+
+    Scale shape: term frequencies are computed MAP-SIDE with
+    higher-order array functions (explode the per-doc distinct-term
+    list, count via list_filter) — no (doc_id, term) groupBy shuffle.
+    The plan then shuffles twice: once on term for document frequency
+    (a window COUNT over the posting list), once on doc_id for the
+    top-k row_number. Ties at the cut rank break on the term string in
+    both engines."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    cnt = t.select(
+        "doc_id",
+        F.explode(F.array_distinct("w")).alias("term"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "term",
+        F.size(
+            F.filter("w", lambda x: x == F.col("term"))
+        ).cast("long").alias("tf"),
+    )
+    wt = Window.partitionBy("term")
+    scored = cnt.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.count("*").over(wt).cast("long").alias("df"),
+        F.expr("CAST((tf * 1000000) div count(*) over (partition by term) AS BIGINT)").alias(
+            "score_ppm"
+        ),
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+# --------------------------------------------------------------------
+# Corpus-wide top bigrams
+# --------------------------------------------------------------------
+
+
+@query(
+    "text_top_bigrams",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (
+        SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS pr
+        FROM t
+    )
+    SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams with occurrence and document
+    counts — collocation mining / boilerplate detection over the
+    training corpus (SURVEY §2.12 pipeline set; the per-doc
+    top-bigram share in text_repetition is the companion gate).
+
+    Scale shape: bigram pairs are built MAP-SIDE by zipping the word
+    array with its own tail (arrays_zip of two slices) — no window
+    function, no shuffle to form pairs. The only exchange is the
+    (w1, w2) aggregation (partial count + distinct-doc merge), then a
+    20-row total-ordered take. The LIMIT boundary is decided on
+    (n DESC, w1, w2) — a total order, so both engines cut the same
+    set."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    b = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+    return (
+        b.groupBy("w1", "w2")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(20)
+    )

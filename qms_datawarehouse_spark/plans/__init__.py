@@ -18,6 +18,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     dedup,
     grouped_pandas,
     multimodal,
+    pq,
     rollup_hypertable,
     similarity,
     temporal,

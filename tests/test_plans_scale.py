@@ -341,6 +341,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "similarity_topk_cosine",
         # broadcast codebook (K rows, bounded)
         "similarity_ivf_probe",
+        # broadcast M·K codebook list + 1-row query vector
+        "similarity_pq_adc",
         # 1-row scalar subquery broadcasts
         "q22_idle_customers",
         "q11_important_parts",
