@@ -33,6 +33,9 @@ PICKS = {
     "attribution_last_touch": "LOCF credit via last_value IGNORE NULLS over rows-to-1-preceding: one user_id exchange, then a tiny channel rollup.",
     "basket_type_lift": "DISTINCT (user,type) collapses the stream first; the pair self-join is bounded by the type dimension per user, never events squared.",
     "robust_outliers_mad": "Two percentile passes + broadcast joins back; all thresholds integer (2x-median / 2x-MAD half-unit trick).",
+    "dedup_passages": "Chunking is a per-row transform over the word array (no shuffle to form passages); exchanges only on the passage hash and the final doc rollup.",
+    "text_top_bigrams": "Pairs come from arrays_zip of the word array with its own tail inside one codegen stage; the two exchanges are the standard two-phase distinct-aggregate (partial counts collapse per task before either).",
+    "similarity_pq_adc": "Codebook (M*K subvectors) and query are two bounded broadcasts; assignment + ADC are one codegen stage per row; TakeOrderedAndProject ends it — the embedding table is never shuffled.",
 }
 
 HEADER = """# Physical plans (captured)
