@@ -94,6 +94,8 @@ HEADLINE = [
     "time_weighted_avg",
     "bm25_topk",
     "growth_daily_users",
+    "dedup_passages",
+    "similarity_pq_adc",
 ]
 
 

@@ -110,11 +110,13 @@ _DRIVER_WINDOW = [
     "semi_anti_join",
 ]
 
-# Next-round allocation note: every registered query will have had a
-# driver row after this window lands (40 never-checked + 4 re-checks
-# + multimodal_pipeline). Round-4 slots should go to (a) any red rows
-# from CORRECTNESS_r03, (b) operators added in round 3, (c) §2 core
-# re-confirmation on a sampled basis.
+# Next-round allocation note: after this window lands, the only
+# registered queries with NO driver row ever are the round-3
+# additions — entity_match_blocked, event_transitions,
+# dedup_passages, text_tfidf_topk, text_top_bigrams,
+# similarity_pq_adc. Round-4 slots: (a) any red rows from
+# CORRECTNESS_r03, (b) those six, (c) §2 core re-confirmation on a
+# sampled basis.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

@@ -59,6 +59,10 @@ def test_anchors_inside_window():
 QUEUED_NEXT_WINDOW = [
     "entity_match_blocked",
     "event_transitions",
+    "dedup_passages",
+    "text_tfidf_topk",
+    "text_top_bigrams",
+    "similarity_pq_adc",
 ]
 
 
