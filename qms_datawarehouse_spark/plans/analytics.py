@@ -1343,3 +1343,193 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("yoy_growth_bp"),
     )
+
+
+# --------------------------------------------------------------------
+# Fixed-width histogram (width_bucket-style binning)
+# --------------------------------------------------------------------
+
+
+@query(
+    "histogram_order_value",
+    """
+    WITH v AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT cents // 2500000 AS bucket, CAST(count(*) AS BIGINT) AS n
+        FROM v GROUP BY 1
+    )
+    SELECT bucket, bucket * 25000 AS lo_dollars, n,
+           CAST(n * 10000 // sum(n) OVER () AS BIGINT) AS pct_bp
+    FROM b
+    """,
+)
+def histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution histogram of order totals in fixed $25k
+    buckets with exact basis-point shares — the width_bucket binning
+    every BI layer puts behind a bar chart (reference analog: rate
+    distribution over ticket stats, routes.py report family).
+
+    Scale shape: the bucket id is computed map-side (one integer
+    division on the scanned column), so the only exchange carries
+    O(buckets) partial counts; the share window runs over that tiny
+    aggregate. Bucket edges are integer cents — no float binning
+    drift between engines."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    b = (
+        orders.select(
+            (
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                / F.lit(2500000)
+            ).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return b.select(
+        "bucket",
+        (F.col("bucket") * 25000).alias("lo_dollars"),
+        "n",
+        F.expr("CAST(n * 10000 div sum(n) over () AS BIGINT)").alias(
+            "pct_bp"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# RFM customer segmentation
+# --------------------------------------------------------------------
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH m AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    c AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), (SELECT maxd FROM m))
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    q AS (
+        SELECT *,
+            ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_q,
+            ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+            ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_q
+        FROM c
+    )
+    SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers
+    FROM q GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile every customer by recency (days
+    since last order, vs the corpus max date), frequency (order
+    count), and monetary value (exact cents), then count customers per
+    (R,F,M) cell — the marketing-analytics staple. Ties break on
+    o_custkey, giving ntile a total order, so both engines assign
+    identical quintiles (standard SQL ntile: first n%5 buckets take
+    the extra row).
+
+    Scale shape: orders reduce to one row per customer FIRST (the
+    ~1000x cardinality drop), and the global ntile runs over that
+    aggregate. The oracle-exact global sort is the honest cost of
+    exact quintiles; at 100 TB you swap ntile for precomputed
+    approx-quantile boundaries (one pass + broadcast thresholds) and
+    accept boundary fuzz — same downstream schema."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    m = orders.agg(F.max("o_orderdate").alias("maxd"))
+    c = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "lastd").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    q = c.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m_q"),
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+# --------------------------------------------------------------------
+# Sufficient statistics (distributed moments)
+# --------------------------------------------------------------------
+
+
+@query(
+    "stats_sufficient_moments",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+               CAST(hour(ts) AS BIGINT) AS y
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(x*x) AS BIGINT) AS sxx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(y*y) AS BIGINT) AS syy,
+           CAST(sum(x*y) AS BIGINT) AS sxy
+    FROM v GROUP BY 1
+    """,
+)
+def stats_sufficient_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type sufficient statistics (n, Σx, Σx², Σy, Σy², Σxy)
+    for value-vs-hour-of-day — the mergeable moment vectors from which
+    mean/variance/covariance/correlation/OLS all derive. This is how
+    distributed ML preprocessing actually computes second-order stats:
+    one pass emitting associative integer partials, merged anywhere,
+    finished driver- or SQL-side (Welford/bulk formulas).
+
+    Determinism: x is exact cents, y exact hours — every sum is a
+    bigint, so the partials hash identically across engines (a float
+    corr() would ulp-diverge; deriving it FROM these bigints is exact
+    until the final division, which the consumer owns).
+
+    Scale shape: one scan, map-side partial aggregation, one exchange
+    of |event_type| x 7 bigints. Σx² of cents stays under 2^63 up to
+    ~10^9 rows per group at these magnitudes; beyond that promote to
+    DECIMAL(38,0) partials."""
+    (events,) = tables(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )

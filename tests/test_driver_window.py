@@ -63,6 +63,9 @@ QUEUED_NEXT_WINDOW = [
     "text_tfidf_topk",
     "text_top_bigrams",
     "similarity_pq_adc",
+    "histogram_order_value",
+    "rfm_segments",
+    "stats_sufficient_moments",
 ]
 
 

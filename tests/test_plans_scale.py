@@ -347,6 +347,7 @@ def test_no_unintended_cartesian_anywhere(spark):
         "q22_idle_customers",
         "q11_important_parts",
         # 1-row corpus-stats broadcasts (n_docs / total_len / n_users)
+        "rfm_segments",
         "text_inverted_index",
         "bm25_topk",
         "basket_type_lift",
