@@ -335,21 +335,33 @@ class ParquetWarehouse:
                         f"{expect_base!r} to {cur!r} during the write"
                     )
             os.replace(tmp_ptr, self._pointer_path(table))  # atomic repoint
-            # version log gives time travel a commit ORDER (dir names
-            # are uuids); appended inside the lock and after the swap,
-            # so entries are totally ordered and each was live once
-            with open(
-                os.path.join(self.table_dir(table), VERSIONS_LOG), "a"
-            ) as f:
-                f.write(
-                    json.dumps(
-                        {"version": version, "committed_at": time.time()}
-                    )
-                    + "\n"
-                )
+            self._append_version_log(table, version)
         finally:
             self._release_lock(lock, lock_token)
         self._gc_versions(table, keep=keep_versions)
+
+    def _append_version_log(self, table: str, version: str) -> None:
+        # version log gives time travel a commit ORDER (dir names
+        # are uuids); appended under the table lock and after the
+        # swap, so entries are totally ordered and each was live once
+        with open(
+            os.path.join(self.table_dir(table), VERSIONS_LOG), "a"
+        ) as f:
+            f.write(
+                json.dumps(
+                    {"version": version, "committed_at": time.time()}
+                )
+                + "\n"
+            )
+
+    def _repoint(self, table: str, version: str) -> None:
+        """Pointer swap + log append WITHOUT taking the table lock —
+        caller (multi-table transaction commit) already holds it."""
+        tmp_ptr = self._pointer_path(table) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp_ptr, "w") as f:
+            f.write(version)
+        os.replace(tmp_ptr, self._pointer_path(table))
+        self._append_version_log(table, version)
 
     # -- time travel ---------------------------------------------------
 

@@ -1,0 +1,114 @@
+"""Multi-table atomic commit: happy path, conflict abort, crash
+roll-forward, snapshot consistency, orphan vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from qms_datawarehouse_spark.operators.transaction import (
+    MultiTableTransaction,
+    SimulatedCrash,
+    recover_transactions,
+    snapshot_versions,
+    vacuum_orphans,
+)
+from qms_datawarehouse_spark.warehouse import ConcurrentWriteError
+
+
+def _df(spark, n, tag):
+    return spark.range(n).selectExpr("id", f"'{tag}' AS tag")
+
+
+def test_commit_flips_all_tables(spark, warehouse):
+    warehouse.write_version("a", _df(spark, 3, "old"))
+    warehouse.write_version("b", _df(spark, 4, "old"))
+    txn = MultiTableTransaction(warehouse)
+    txn.stage_write("a", _df(spark, 5, "new"))
+    txn.stage_write("b", _df(spark, 6, "new"))
+    # staged ⇒ still invisible
+    assert warehouse.read("a").count() == 3
+    committed = txn.commit()
+    assert set(committed) == {"a", "b"}
+    assert warehouse.read("a").count() == 5
+    assert warehouse.read("b").count() == 6
+    # journal cleared
+    assert snapshot_versions(warehouse, ["a", "b"]) == {
+        "a": committed["a"],
+        "b": committed["b"],
+    }
+
+
+def test_conflict_aborts_everything(spark, warehouse):
+    warehouse.write_version("a", _df(spark, 3, "old"))
+    warehouse.write_version("b", _df(spark, 3, "old"))
+    txn = MultiTableTransaction(warehouse)
+    txn.stage_write("a", _df(spark, 5, "new"))
+    txn.stage_write("b", _df(spark, 5, "new"))
+    # interleaved writer advances b
+    warehouse.write_version("b", _df(spark, 9, "interleaved"))
+    with pytest.raises(ConcurrentWriteError):
+        txn.commit()
+    # NOTHING committed — a untouched, b shows the interleaved write
+    assert warehouse.read("a").count() == 3
+    assert warehouse.read("b").count() == 9
+    # staged dirs were removed
+    a_versions = [v for v in os.listdir(warehouse.table_dir("a")) if v.startswith("v_")]
+    assert len(a_versions) == 1
+    # locks released: a fresh writer succeeds
+    warehouse.write_version("a", _df(spark, 7, "after"))
+    assert warehouse.read("a").count() == 7
+
+
+def test_crash_mid_commit_rolls_forward(spark, warehouse):
+    warehouse.write_version("a", _df(spark, 3, "old"))
+    warehouse.write_version("b", _df(spark, 3, "old"))
+    txn = MultiTableTransaction(warehouse)
+    txn.stage_write("a", _df(spark, 5, "new"))
+    txn.stage_write("b", _df(spark, 6, "new"))
+    with pytest.raises(SimulatedCrash):
+        txn.commit(_crash_after_repoints=1)
+    # torn state: a flipped, b not yet
+    assert warehouse.read("a").count() == 5
+    assert warehouse.read("b").count() == 3
+    recovered = recover_transactions(warehouse)
+    assert len(recovered) == 1 and recovered[0]["txn_id"] == txn.txn_id
+    assert warehouse.read("b").count() == 6
+    # idempotent
+    assert recover_transactions(warehouse) == []
+
+
+def test_snapshot_waits_out_committing_window(spark, warehouse):
+    warehouse.write_version("a", _df(spark, 3, "old"))
+    txn = MultiTableTransaction(warehouse)
+    txn.stage_write("a", _df(spark, 5, "new"))
+    with pytest.raises(SimulatedCrash):
+        txn.commit(_crash_after_repoints=1)
+    # journal still present ⇒ snapshot refuses rather than mixing
+    with pytest.raises(TimeoutError):
+        snapshot_versions(warehouse, ["a"], timeout=0.2)
+    recover_transactions(warehouse)
+    snap = snapshot_versions(warehouse, ["a"])
+    assert warehouse.read("a", version=snap["a"]).count() == 5
+
+
+def test_vacuum_orphans_removes_abandoned_staging(spark, warehouse):
+    warehouse.write_version("a", _df(spark, 3, "old"))
+    txn = MultiTableTransaction(warehouse)
+    txn.stage_write("a", _df(spark, 5, "new"))
+    # abandoned (crash before journal): dir exists, never committed
+    assert len([v for v in os.listdir(warehouse.table_dir("a")) if v.startswith("v_")]) == 2
+    assert vacuum_orphans(warehouse, min_age_sec=3600) == []  # age guard
+    removed = vacuum_orphans(warehouse, min_age_sec=0.0)
+    assert removed == [f"a/{txn.staged['a']['version']}"]
+    assert warehouse.read("a").count() == 3
+
+
+def test_abort_cleans_up(spark, warehouse):
+    warehouse.write_version("a", _df(spark, 3, "old"))
+    txn = MultiTableTransaction(warehouse)
+    txn.stage_write("a", _df(spark, 5, "new"))
+    txn.abort()
+    assert warehouse.read("a").count() == 3
+    assert len([v for v in os.listdir(warehouse.table_dir("a")) if v.startswith("v_")]) == 1
