@@ -184,3 +184,69 @@ def sync_all(
                 )
             )
     return results
+
+
+def reload_all_atomic(
+    warehouse: ParquetWarehouse,
+    frames: dict[str, DataFrame],
+    source_name: str,
+) -> list[SyncResult]:
+    """D2 destructive reload across SEVERAL collections as ONE atomic
+    unit: every table's fresh snapshot is staged invisibly, then all
+    ``_CURRENT`` pointers flip together (operators/transaction.py).
+
+    The reference reloads collections one Postgres table at a time
+    (etl.py loops collections; dump.py:22-31 per-table if_exists=
+    'replace'), so a crash mid-run serves reports that join a fresh
+    tickets table against last night's staff table. Here that torn
+    state is impossible: readers see all old tables or all new ones —
+    and if a concurrent writer advanced any table mid-reload, the
+    whole batch aborts with ``ConcurrentWriteError`` and NOTHING is
+    replaced (the per-source isolation of ``sync_all`` is exactly
+    wrong for reloads: half-applied is the failure mode, not the
+    fallback).
+
+    History rows land after the commit (one SUCCESS per table, or one
+    FAILED per table on abort), keeping the audit trail consistent
+    with what is actually visible."""
+    from qms_datawarehouse_spark.operators.transaction import (
+        MultiTableTransaction,
+    )
+
+    started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    t0 = time.monotonic()
+    txn = MultiTableTransaction(warehouse)
+    counts: dict[str, int] = {}
+    try:
+        for table, df in sorted(frames.items()):
+            counts[table] = df.count()
+            txn.stage_write(table, df)
+        txn.commit()
+    except Exception as exc:  # noqa: BLE001 — abort is all-or-nothing
+        txn.abort()
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        for table in frames:
+            history.record(
+                warehouse, source_name, table, "FAILED", started,
+                completed_at=now, message=str(exc)[:500],
+            )
+        raise
+    duration = time.monotonic() - t0
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    results = []
+    for table in sorted(frames):
+        history.record(
+            warehouse, source_name, table, "SUCCESS", started,
+            completed_at=now, records_synced=counts[table],
+            message=f"Atomically reloaded {counts[table]} rows",
+        )
+        results.append(
+            SyncResult(
+                source=source_name,
+                collection=table,
+                records_synced=counts[table],
+                duration_sec=duration,
+                message=f"Atomically reloaded {counts[table]} rows",
+            )
+        )
+    return results
