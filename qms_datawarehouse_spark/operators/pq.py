@@ -349,3 +349,237 @@ def pq_adc_topk(
         ).alias("adc"),
     )
     return scores.orderBy("adc", "vec_id").limit(top_k)
+
+
+# --------------------------------------------------------------------
+# IVF-PQ composition: coarse cells → probe pruning → residual PQ → ADC
+# --------------------------------------------------------------------
+
+IVFPQ_N_CELLS = 16
+IVFPQ_N_PROBE = 4
+DIM = M_SUBSPACES * SUB_DIM
+
+_IVFPQ_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x*1000) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, iv AS cv FROM e
+              WHERE vec_id < {IVFPQ_N_CELLS}),
+    centl AS (SELECT list(struct_pack(cent_id := cent_id, cv := cv)) AS cl
+              FROM cents),
+    asg AS (
+      SELECT e.vec_id, e.label, e.iv,
+        (list_sort(list_transform(centl.cl, c -> struct_pack(
+            d := list_sum(list_transform(range(1,{DIM}+1),
+                   i -> (e.iv[CAST(i AS BIGINT)]-c.cv[CAST(i AS BIGINT)])
+                      * (e.iv[CAST(i AS BIGINT)]-c.cv[CAST(i AS BIGINT)]))),
+            cent_id := c.cent_id)))[1]).cent_id AS cell_id
+      FROM e, centl
+    ),
+    res AS (
+      SELECT a.vec_id, a.label, a.cell_id,
+             list_transform(range(1,{DIM}+1),
+                 i -> a.iv[CAST(i AS BIGINT)] - c.cv[CAST(i AS BIGINT)]) AS rv
+      FROM asg a JOIN cents c ON a.cell_id = c.cent_id
+    ),
+    cwl AS (
+      SELECT list(struct_pack(sub_id := sub_id, code_id := code_id,
+                              cv := cv)) AS wl
+      FROM (
+        SELECT s.i AS sub_id, vec_id - {IVFPQ_N_CELLS} AS code_id,
+               list_slice(rv, CAST(s.i*{SUB_DIM}+1 AS BIGINT),
+                              CAST(s.i*{SUB_DIM}+{SUB_DIM} AS BIGINT)) AS cv
+        FROM res, UNNEST(range({M_SUBSPACES})) AS s(i)
+        WHERE vec_id >= {IVFPQ_N_CELLS}
+          AND vec_id < {IVFPQ_N_CELLS} + {K_CODES}
+      )
+    ),
+    q AS (SELECT iv AS qv FROM e WHERE vec_id = {PQ_QUERY_VEC_ID}),
+    probes AS (
+      SELECT list_transform(list_slice(list_sort(list_transform(centl.cl,
+               c -> struct_pack(
+                 d := list_sum(list_transform(range(1,{DIM}+1),
+                        i -> (q.qv[CAST(i AS BIGINT)]-c.cv[CAST(i AS BIGINT)])
+                           * (q.qv[CAST(i AS BIGINT)]-c.cv[CAST(i AS BIGINT)]))),
+                 cent_id := c.cent_id))), 1, {IVFPQ_N_PROBE}),
+             x -> x.cent_id) AS pcells
+      FROM q, centl
+    ),
+    cand AS (
+      SELECT r.vec_id, r.label, r.cell_id, r.rv,
+             list_transform(range(1,{DIM}+1),
+                 i -> q.qv[CAST(i AS BIGINT)] - c.cv[CAST(i AS BIGINT)]) AS qr
+      FROM res r JOIN cents c ON r.cell_id = c.cent_id, q, probes
+      WHERE r.vec_id <> {PQ_QUERY_VEC_ID}
+        AND list_contains(probes.pcells, r.cell_id)
+    ),
+    scored AS (
+      SELECT vec_id, label, cell_id,
+        list_transform(range(0,{M_SUBSPACES}), s ->
+          list_sort(list_transform(list_filter(cwl.wl, w -> w.sub_id = s),
+            w -> struct_pack(
+              dvc := list_sum(list_transform(range(1,{SUB_DIM}+1),
+                       i -> (rv[CAST(s*{SUB_DIM}+i AS BIGINT)] - w.cv[i])
+                          * (rv[CAST(s*{SUB_DIM}+i AS BIGINT)] - w.cv[i]))),
+              code_id := w.code_id,
+              dq := list_sum(list_transform(range(1,{SUB_DIM}+1),
+                       i -> (qr[CAST(s*{SUB_DIM}+i AS BIGINT)] - w.cv[i])
+                          * (qr[CAST(s*{SUB_DIM}+i AS BIGINT)] - w.cv[i])))
+            )))[1]) AS bests
+      FROM cand, cwl
+    )
+    SELECT vec_id, label, cell_id,
+           CAST(list_sum(list_transform(bests, b -> b.dq)) AS BIGINT) AS adc,
+           array_to_string(list_transform(bests,
+               b -> CAST(b.code_id AS VARCHAR)), ',') AS codes
+    FROM scored ORDER BY adc, vec_id LIMIT {PQ_TOP_K}
+"""
+
+
+@query("similarity_ivfpq", _IVFPQ_SQL)
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-IVFPQ search path as ONE oracle-checked query:
+    coarse-quantize every vector to its nearest cell (IVF), PQ-encode
+    its RESIDUAL (v − centroid, the part coarse quantization missed —
+    residual codebooks carry far more precision than raw-vector
+    codebooks at the same bits), probe only the query's
+    {IVFPQ_N_PROBE} nearest cells, and ADC-rank the surviving
+    candidates with per-cell query residuals. Coarse centroids are
+    seed vectors (< {IVFPQ_N_CELLS}), codewords are the residuals of
+    the next {K_CODES} seeds — deterministic stand-ins for trained
+    codebooks, as in similarity_ivf_probe / similarity_pq_adc, which
+    is what makes the WHOLE path value-verifiable. All arithmetic is
+    fixed-point integer, so assignment, probe cut, codes, and the ADC
+    LIMIT boundary agree bit-for-bit across engines.
+
+    Scale shape: three bounded broadcasts (centroid list, residual
+    codeword list, query+probe set). Everything per-corpus-row —
+    assignment, residual, probe FILTER (before any PQ work), encode,
+    ADC — is one map-side stage; at 100 TB the corpus is stored
+    partitioned by cell_id (build_ivf_index) and the probe filter
+    becomes partition pruning, so ~nprobe/K of the data is read and
+    the rest never leaves disk. Ends in a {PQ_TOP_K}-row TakeOrdered."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", "label", _int_vec(F.col("embedding")).alias("iv")
+    )
+    cents_tbl = e.filter(F.col("vec_id") < IVFPQ_N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("iv").alias("cv")
+    )
+    centl = cents_tbl.agg(
+        F.collect_list(
+            F.struct(F.col("cell_id").alias("cent_id"), "cv")
+        ).alias("cl")
+    )
+
+    def nearest_cell(vec: Column) -> Column:
+        return F.array_min(
+            F.transform(
+                "cl",
+                lambda c: F.struct(
+                    _sq_l2(vec, c["cv"]).alias("d"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            )
+        )["cent_id"]
+
+    asg = (
+        e.crossJoin(F.broadcast(centl))
+        .withColumn("cell_id", nearest_cell(F.col("iv")))
+        .drop("cl")
+    )
+    res = (
+        asg.join(F.broadcast(cents_tbl), "cell_id")
+        .withColumn("rv", F.zip_with("iv", "cv", lambda a, b: a - b))
+    )
+    cwl = (
+        res.filter(
+            (F.col("vec_id") >= IVFPQ_N_CELLS)
+            & (F.col("vec_id") < IVFPQ_N_CELLS + K_CODES)
+        )
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1))).alias(
+                "sub_id"
+            ),
+            (F.col("vec_id") - IVFPQ_N_CELLS).alias("code_id"),
+            "rv",
+        )
+        .select(
+            "sub_id",
+            "code_id",
+            F.slice("rv", F.col("sub_id") * SUB_DIM + 1, SUB_DIM).alias(
+                "cv"
+            ),
+        )
+        .agg(
+            F.collect_list(F.struct("sub_id", "code_id", "cv")).alias("wl")
+        )
+    )
+    probes = (
+        e.filter(F.col("vec_id") == PQ_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(centl))
+        .select(
+            F.col("iv").alias("qv"),
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cl",
+                            lambda c: F.struct(
+                                _sq_l2(F.col("iv"), c["cv"]).alias("d"),
+                                c["cent_id"].alias("cent_id"),
+                            ),
+                        )
+                    ),
+                    1,
+                    IVFPQ_N_PROBE,
+                ),
+                lambda x: x["cent_id"],
+            ).alias("pcells"),
+        )
+    )
+    cand = (
+        res.filter(F.col("vec_id") != PQ_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(probes))
+        # probe pruning BEFORE any PQ work — the partition-prune analog
+        .filter(F.array_contains("pcells", F.col("cell_id")))
+        .withColumn("qr", F.zip_with("qv", "cv", lambda a, b: a - b))
+    )
+
+    def best(s: Column) -> Column:
+        rsv = F.slice("rv", s * SUB_DIM + 1, SUB_DIM)
+        qsv = F.slice("qr", s * SUB_DIM + 1, SUB_DIM)
+        return F.array_min(
+            F.transform(
+                F.filter("wl", lambda w: w["sub_id"] == s),
+                lambda w: F.struct(
+                    _sq_l2(rsv, w["cv"]).alias("dvc"),
+                    w["code_id"].alias("code_id"),
+                    _sq_l2(qsv, w["cv"]).alias("dq"),
+                ),
+            )
+        )
+
+    scored = cand.crossJoin(F.broadcast(cwl)).withColumn(
+        "bests",
+        F.transform(F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1)), best),
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            "cell_id",
+            F.aggregate(
+                "bests", F.lit(0).cast("long"), lambda acc, b: acc + b["dq"]
+            ).alias("adc"),
+            F.concat_ws(
+                ",",
+                F.transform("bests", lambda b: b["code_id"].cast("string")),
+            ).alias("codes"),
+        )
+        .orderBy("adc", "vec_id")
+        .limit(PQ_TOP_K)
+    )

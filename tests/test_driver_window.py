@@ -66,6 +66,7 @@ QUEUED_NEXT_WINDOW = [
     "histogram_order_value",
     "rfm_segments",
     "stats_sufficient_moments",
+    "similarity_ivfpq",
 ]
 
 

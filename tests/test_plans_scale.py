@@ -343,6 +343,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "similarity_ivf_probe",
         # broadcast M·K codebook list + 1-row query vector
         "similarity_pq_adc",
+        # broadcast centroid/codeword lists + 1-row query+probe set
+        "similarity_ivfpq",
         # 1-row scalar subquery broadcasts
         "q22_idle_customers",
         "q11_important_parts",
