@@ -102,14 +102,32 @@ def main(argv: list[str] | None = None) -> int:
             f"ingest-gated {args.out}: {res.n_batch} in, "
             f"{res.n_accepted} admitted, {res.n_rejected} near-dups"
         )
+    elif args.pack_budget:
+        # corpus + its packed sequences publish as ONE atomic unit —
+        # a crash between the two writes must not serve a fresh
+        # corpus with last run's sequences (or vice versa)
+        from qms_datawarehouse_spark.operators.transaction import (
+            MultiTableTransaction,
+        )
+
+        txn = MultiTableTransaction(wh)
+        txn.stage_write(args.out, df)
+        txn.stage_write(
+            f"{args.out}_sequences",
+            pack_sequences(df, budget=args.pack_budget),
+        )
+        txn.commit()
     else:
         wh.write_version(args.out, df)
     n_out = wh.read(args.out).count()
     print(f"curated {args.out}: {n_in} -> {n_out} rows")
 
     if args.pack_budget:
-        seqs = pack_sequences(df, budget=args.pack_budget)
-        wh.write_version(f"{args.out}_sequences", seqs)
+        if args.ingest_gate:
+            wh.write_version(
+                f"{args.out}_sequences",
+                pack_sequences(df, budget=args.pack_budget),
+            )
         n_seq = (
             wh.read(f"{args.out}_sequences")
             .select("shard", "seq_id")
