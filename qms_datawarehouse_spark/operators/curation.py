@@ -601,3 +601,137 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.canon_key").alias("canon_b"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic pre-training shuffle → fixed shard layout
+# --------------------------------------------------------------------
+
+_SHUFFLE_SEED = "shuffle-seed-42"
+N_SHARDS = 8
+
+
+@query(
+    "curation_shuffle_shards",
+    f"""
+    WITH h AS (
+        SELECT doc_id, source,
+               md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}') AS hv
+        FROM documents
+    ),
+    a AS (
+        SELECT doc_id, source, hv,
+               CAST(('0x' || substr(hv, 1, 8))::BIGINT % {N_SHARDS}
+                    AS BIGINT) AS shard,
+               row_number() OVER (
+                   PARTITION BY
+                       CAST(('0x' || substr(hv, 1, 8))::BIGINT % {N_SHARDS}
+                            AS BIGINT)
+                   ORDER BY hv, doc_id
+               ) AS pos
+        FROM h
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           min(hv) AS first_hv,
+           CAST(min(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT)
+               AS first_doc
+    FROM a GROUP BY 1
+    """,
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into {N_SHARDS} export shards —
+    the final step of every pre-training pipeline: training order must
+    be random-LOOKING but exactly reproducible (restart a crashed
+    export, get byte-identical shards). Shard = seeded md5 prefix mod
+    N; within-shard order = the full digest. The registered output is
+    the per-shard audit view (sizes, source spread, and the FIRST
+    element of each shard's order — which pins the permutation, since
+    any ordering change moves some shard's head).
+
+    Scale shape: shard assignment is a map-side hash; the within-shard
+    sort is per-shard (rangeless — each shard sorts independently at
+    export, no global sort). Source mixing is a PROPERTY of hashing on
+    doc_id: every shard sees every source in expectation — n_sources
+    per shard is the verified evidence."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    h = documents.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(f":{_SHUFFLE_SEED}")
+            )
+        ).alias("hv"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("hv", 1, 8), 16, 10).cast("long") % N_SHARDS),
+    )
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    a = h.withColumn("pos", F.row_number().over(w))
+    return a.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.min("hv").alias("first_hv"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("first_doc"),
+    )
+
+
+# --------------------------------------------------------------------
+# Repeat-upsampling (per-source epoch weighting)
+# --------------------------------------------------------------------
+
+
+@query(
+    "curation_repeat_upsample",
+    """
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+                           ELSE 1 END AS n_rep
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, CAST(u.i AS BIGINT) AS epoch
+        FROM w, UNNEST(range(n_rep)) AS u(i)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(max(epoch) AS BIGINT) AS max_epoch
+    FROM r GROUP BY 1
+    """,
+)
+def repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repeat-upsampling: high-value sources contribute
+    multiple epochs of their documents to the training mix (the
+    data-mixing lever behind quality-weighted corpora — up-weight
+    curated sources, single-pass the crawl). Each row explodes into
+    (doc, epoch 0..n_rep-1); downstream the epoch feeds the shuffle
+    hash so repeats land far apart in training order.
+
+    Scale shape: the replication is a map-side explode of a
+    sequence(n_rep) — output size is exactly the weighted token
+    budget, no shuffle until the audit aggregation. Weights here are
+    a fixed CASE map; production wires the domain_mix weight table
+    through a broadcast join instead."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = documents.select(
+        "doc_id",
+        "source",
+        F.when(F.col("source") == "src0", 3)
+        .when(F.col("source") == "src1", 2)
+        .otherwise(1)
+        .alias("n_rep"),
+    )
+    r = w.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.col("n_rep") - 1)).alias("_e"),
+    ).select("doc_id", "source", F.col("_e").cast("long").alias("epoch"))
+    return r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+    )

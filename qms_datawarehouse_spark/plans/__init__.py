@@ -115,8 +115,10 @@ _DRIVER_WINDOW = [
 # additions — entity_match_blocked, event_transitions,
 # dedup_passages, text_tfidf_topk, text_top_bigrams,
 # similarity_pq_adc, histogram_order_value, rfm_segments,
-# stats_sufficient_moments, similarity_ivfpq. Round-4 slots: (a) any red rows from
-# CORRECTNESS_r03, (b) those ten, (c) §2 core re-confirmation on a
+# stats_sufficient_moments, similarity_ivfpq,
+# curation_shuffle_shards, curation_repeat_upsample. Round-4
+# slots: (a) any red rows from
+# CORRECTNESS_r03, (b) those twelve, (c) §2 core re-confirmation on a
 # sampled basis.
 
 

@@ -67,6 +67,8 @@ QUEUED_NEXT_WINDOW = [
     "rfm_segments",
     "stats_sufficient_moments",
     "similarity_ivfpq",
+    "curation_shuffle_shards",
+    "curation_repeat_upsample",
 ]
 
 
