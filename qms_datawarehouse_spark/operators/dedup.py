@@ -922,3 +922,86 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Canonical selection: one survivor per near-dup cluster
+# --------------------------------------------------------------------
+
+
+@query(
+    "dedup_canonical",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM sx GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs),
+    bl AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, b{j} AS bv FROM bands" for j in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bl a JOIN bl b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b
+        WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS doc, doc_id AS peer FROM documents
+        UNION
+        SELECT r.doc, s.b FROM reach r JOIN sym s ON r.peer = s.a
+    ),
+    clusters AS (SELECT doc, min(peer) AS cluster_id FROM reach GROUP BY doc),
+    ranked AS (
+        SELECT c.cluster_id, c.doc, d.n_chars
+        FROM clusters c JOIN documents d ON c.doc = d.doc_id
+    )
+    SELECT cluster_id,
+           CAST((min(struct_pack(neg_chars := -n_chars, doc := doc))).doc
+                AS BIGINT) AS canonical_doc,
+           CAST(max(n_chars) AS BIGINT) AS canonical_chars,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one decision near-dup dedup exists to make: for every
+    cluster, select the canonical survivor — the LONGEST member
+    (near-dups are usually truncations/boilerplate-wrapped copies of
+    the fullest version), ties to the smallest doc_id. Composes the
+    whole pipeline end to end: shingle → MinHash → LSH bands → exact
+    Jaccard verify → connected components → per-cluster argmax —
+    every stage cross-engine value-checked in one query.
+
+    Scale shape: adds exactly one key-partitioned aggregate
+    (min over (−n_chars, doc_id) structs, partially aggregated
+    map-side) on top of dedup_clusters; the argmax never materializes
+    per-cluster member lists. Dropping the non-canonical members is
+    then an equi-join of the corpus against this (cluster, canonical)
+    table."""
+    clusters = dedup_clusters(spark, sf_dir)
+    (documents,) = tables(spark, sf_dir, "documents")
+    ranked = clusters.join(
+        documents.select(F.col("doc_id").alias("doc"), "n_chars"), "doc"
+    )
+    best = F.min(
+        F.struct(
+            (-F.col("n_chars")).alias("neg_chars"), F.col("doc").alias("doc")
+        )
+    )
+    return ranked.groupBy("cluster_id").agg(
+        best["doc"].cast("long").alias("canonical_doc"),
+        F.max("n_chars").cast("long").alias("canonical_chars"),
+        F.count("*").cast("long").alias("n_members"),
+    )

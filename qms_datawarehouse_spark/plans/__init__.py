@@ -116,9 +116,10 @@ _DRIVER_WINDOW = [
 # dedup_passages, text_tfidf_topk, text_top_bigrams,
 # similarity_pq_adc, histogram_order_value, rfm_segments,
 # stats_sufficient_moments, similarity_ivfpq,
-# curation_shuffle_shards, curation_repeat_upsample. Round-4
+# curation_shuffle_shards, curation_repeat_upsample,
+# dedup_canonical. Round-4
 # slots: (a) any red rows from
-# CORRECTNESS_r03, (b) those twelve, (c) §2 core re-confirmation on a
+# CORRECTNESS_r03, (b) those thirteen, (c) §2 core re-confirmation on a
 # sampled basis.
 
 

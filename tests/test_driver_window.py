@@ -69,6 +69,7 @@ QUEUED_NEXT_WINDOW = [
     "similarity_ivfpq",
     "curation_shuffle_shards",
     "curation_repeat_upsample",
+    "dedup_canonical",
 ]
 
 
