@@ -219,10 +219,13 @@ def recover_transactions(wh: ParquetWarehouse) -> list[dict]:
         if not fname.endswith(".json"):
             continue
         path = os.path.join(d, fname)
-        with open(path) as f:
-            payload = json.load(f)
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+        except FileNotFoundError:
+            continue  # a concurrent recoverer finished this journal
         if payload.get("state") != "committing":
-            os.unlink(path)
+            _unlink_quiet(path)
             continue
         for t, version in sorted(payload["tables"].items()):
             lock, token = wh._acquire_lock(t)
@@ -237,9 +240,16 @@ def recover_transactions(wh: ParquetWarehouse) -> list[dict]:
                     wh._repoint(t, version)
             finally:
                 wh._release_lock(lock, token)
-        os.unlink(path)
+        _unlink_quiet(path)
         recovered.append(payload)
     return recovered
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass  # concurrent recoverer won the race — outcome identical
 
 
 def snapshot_versions(

@@ -152,3 +152,36 @@ def test_reload_all_atomic_conflict_reloads_nothing(spark, warehouse):
         txn.commit()
     assert warehouse.read("t1").count() == 3
     assert warehouse.read("t2").count() == 6
+
+
+def test_concurrent_recoverers_converge(spark, warehouse):
+    """Two recover_transactions racing on the same crashed journal:
+    both must finish without error, the flip happens exactly once."""
+    import threading
+
+    warehouse.write_version("a", _df(spark, 3, "old"))
+    warehouse.write_version("b", _df(spark, 3, "old"))
+    txn = MultiTableTransaction(warehouse)
+    txn.stage_write("a", _df(spark, 5, "new"))
+    txn.stage_write("b", _df(spark, 6, "new"))
+    with pytest.raises(SimulatedCrash):
+        txn.commit(_crash_after_repoints=1)
+
+    errors = []
+
+    def run():
+        try:
+            recover_transactions(warehouse)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert warehouse.read("a").count() == 5
+    assert warehouse.read("b").count() == 6
+    # each table got AT MOST one extra log entry from recovery
+    assert len(warehouse.list_versions("b")) <= 3
