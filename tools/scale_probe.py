@@ -38,6 +38,10 @@ PROBE_OPS = [
     "similarity_knn_join_lsh",
     "text_repetition",
     "curation_domain_mix",
+    "dedup_passages",
+    "similarity_pq_adc",
+    "similarity_ivfpq",
+    "curation_shuffle_shards",
 ]
 
 
