@@ -124,3 +124,74 @@ def windowed_counts_stream(
             "total_value",
         )
     )
+
+
+def stream_split_sync(
+    spark: SparkSession,
+    source_dir: str,
+    warehouse: ParquetWarehouse,
+    accept_table: str,
+    quarantine_table: str,
+    accept_predicate: str,
+    source_name: str = "stream",
+    key: str = "event_id",
+    cursor_col: str = "ts",
+    checkpoint_dir: str | None = None,
+    schema: T.StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Expectations-style split sync: every micro-batch routes rows
+    passing ``accept_predicate`` (a SQL boolean expression) into
+    ``accept_table`` and the rest into ``quarantine_table`` — and
+    PUBLISHES BOTH ATOMICALLY via a multi-table transaction, so a
+    monitor joining accept-vs-quarantine counts never sees a batch
+    half-applied (the DLT expectations pattern, with the cross-table
+    torn-commit window closed).
+
+    Each epoch stages the two keyed merges' RESULTS as full versions
+    inside one transaction: the merge resolution (last-write-wins
+    against current state) runs first, producing the would-be new
+    tables; the pointer flips are the joint commit. A replayed epoch
+    re-merges idempotently (T3), same as stream_sync. Offsets commit
+    only after the transaction, so a crash replays into idempotent
+    state.
+
+    Scale note: full-version staging rewrites both tables per epoch —
+    right for the audit/quarantine pattern where the quarantine side
+    is small and the accept side compacts anyway; for huge accept
+    tables prefer stream_sync per table and accept the torn window,
+    or partial-staged transactions (future work)."""
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.merge import merge_dataframes
+    from qms_datawarehouse_spark.operators.transaction import (
+        MultiTableTransaction,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cleaned = clean_records(batch_df, source_name=source_name)
+        ok = cleaned.filter(F.expr(accept_predicate))
+        bad = cleaned.filter(~F.expr(accept_predicate))
+        txn = MultiTableTransaction(warehouse)
+        for table, part in ((accept_table, ok), (quarantine_table, bad)):
+            target = (
+                warehouse.read(table)
+                if warehouse.table_exists(table)
+                else part.limit(0)
+            )
+            txn.stage_write(
+                table,
+                merge_dataframes(target, part, key=key, order_col=cursor_col),
+            )
+        txn.commit()
+
+    writer = stream.writeStream.foreachBatch(process_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -418,3 +418,49 @@ def test_transform_with_state_typed_primitives(spark, stream_dirs):
     assert latest[100]["n_distinct_types"] == 3  # click, view, purchase
     assert latest[200]["n_events"] == 1
     assert latest[200]["n_distinct_types"] == 1
+
+
+def test_stream_split_sync_atomic_quarantine(spark, warehouse, stream_dirs):
+    """Expectations-style split: valid rows upsert into the accept
+    table, invalid into quarantine — published atomically per epoch
+    (snapshot_versions resolves immediately ⇒ no torn window left)."""
+    from qms_datawarehouse_spark.operators.transaction import snapshot_versions
+    from qms_datawarehouse_spark.streaming.sync import stream_split_sync
+
+    src, ckpt = stream_dirs
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    batch1 = [
+        (1, t, 100, "click", 1.0, None),
+        (2, t, 101, "view", -5.0, None),      # negative → quarantine
+        (3, t, 102, "click", 2.0, None),
+    ]
+    _events_df(spark, batch1).write.parquet(f"{src}/b1")
+
+    q = stream_split_sync(
+        spark, f"{src}/*", warehouse, "ev_ok", "ev_bad",
+        accept_predicate="value >= 0", checkpoint_dir=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        assert warehouse.read("ev_ok").count() == 2
+        assert warehouse.read("ev_bad").count() == 1
+
+        # epoch 2: fix event 2 (re-emitted positive) + one new bad row
+        batch2 = [
+            (2, t + dt.timedelta(hours=1), 101, "view", 5.0, None),
+            (4, t + dt.timedelta(hours=1), 103, "click", -1.0, None),
+        ]
+        _events_df(spark, batch2).write.parquet(f"{src}/b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ok = {r["event_id"] for r in warehouse.read("ev_ok").collect()}
+    bad = {r["event_id"] for r in warehouse.read("ev_bad").collect()}
+    assert ok == {1, 2, 3}
+    # event 2's old bad row remains in quarantine history; event 4 joined it
+    assert bad == {2, 4}
+    # both tables committed through transactions: journal dir is clean
+    snap = snapshot_versions(warehouse, ["ev_ok", "ev_bad"], timeout=1.0)
+    assert set(snap) == {"ev_ok", "ev_bad"}
