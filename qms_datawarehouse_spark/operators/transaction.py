@@ -111,6 +111,34 @@ class MultiTableTransaction:
         self.staged[table] = {"version": version, "base": base}
         return version
 
+    def stage_write_partial(
+        self,
+        table: str,
+        df: DataFrame,
+        touched: list,
+        partition_col: str = "_bucket",
+        base_version: str | None = None,
+    ) -> str:
+        """Stage an O(touched-bucket) incremental version: write only
+        the ``touched`` partition values, hardlink-inherit the rest
+        from the base (``warehouse.write_version_partial``'s staging
+        half). The transaction's CAS then protects the inherited dirs
+        exactly as the single-table partial write does — if any table's
+        base advanced, the WHOLE transaction aborts before visibility.
+
+        This is what makes cross-table transactional MERGE viable at
+        100 TB: a multi-table batch touches a few dozen buckets per
+        table; everything else is filesystem-metadata time."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        if table in self.staged:
+            raise ValueError(f"table {table!r} already staged in {self.txn_id}")
+        version, base = self.wh._stage_version_partial(
+            table, df, touched, partition_col, base_version
+        )
+        self.staged[table] = {"version": version, "base": base}
+        return version
+
     # -- journal -------------------------------------------------------
 
     def _journal_path(self) -> str:

@@ -460,6 +460,26 @@ class ParquetWarehouse:
         while the caller's resolution of the TOUCHED buckets silently
         dropped that writer's rows (the lost-update TOCTOU).
         """
+        version, base = self._stage_version_partial(
+            table, df, touched, partition_col, base_version
+        )
+        self._swap_pointer(table, version, keep_versions, expect_base=base)
+        return os.path.join(self.table_dir(table), version)
+
+    def _stage_version_partial(
+        self,
+        table: str,
+        df: DataFrame,
+        touched: list,
+        partition_col: str = BUCKET_COL,
+        base_version: str | None = None,
+    ) -> tuple[str, str]:
+        """The staging half of ``write_version_partial`` — write the
+        touched partitions, hardlink-inherit the rest, write the
+        merged schema — WITHOUT the pointer swap. Returns
+        ``(version, base_version_name)`` for the caller's own CAS
+        commit (multi-table transactions stage several of these and
+        flip all pointers together)."""
         if base_version is not None:
             prev = os.path.join(self.table_dir(table), base_version)
             if not os.path.isdir(prev):
@@ -520,11 +540,7 @@ class ParquetWarehouse:
         else:
             prev_schema = self.spark.read.parquet(prev).schema
         self._write_schema_file(vdir, _merge_schemas(prev_schema, df.schema))
-
-        self._swap_pointer(
-            table, version, keep_versions, expect_base=os.path.basename(prev)
-        )
-        return vdir
+        return version, os.path.basename(prev)
 
     def _gc_versions(self, table: str, keep: int) -> None:
         tdir = self.table_dir(table)

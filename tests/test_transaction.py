@@ -185,3 +185,59 @@ def test_concurrent_recoverers_converge(spark, warehouse):
     assert warehouse.read("b").count() == 6
     # each table got AT MOST one extra log entry from recovery
     assert len(warehouse.list_versions("b")) <= 3
+
+
+def _bucketed_df(spark, ids, tag):
+    return spark.createDataFrame(
+        [(i, tag, i % 4) for i in ids], "k long, tag string, _bucket int"
+    )
+
+
+def test_stage_write_partial_inherits_untouched_buckets(spark, warehouse):
+    import glob
+    import os
+
+    base1 = _bucketed_df(spark, range(40), "old")
+    base2 = _bucketed_df(spark, range(40), "old")
+    warehouse.write_version("p1", base1, partition_by=["_bucket"])
+    warehouse.write_version("p2", base2, partition_by=["_bucket"])
+
+    # batch touches only bucket 0; per the partial-write contract the
+    # staged frame is the RESOLVED content of that bucket (survivors +
+    # updates — what the merge resolution produces)
+    bucket0 = [i for i in range(40) if i % 4 == 0]
+    def resolved(updated):
+        return _bucketed_df(spark, updated, "new").unionByName(
+            _bucketed_df(spark, [i for i in bucket0 if i not in updated], "old")
+        )
+    txn = MultiTableTransaction(warehouse)
+    txn.stage_write_partial("p1", resolved([0, 4]), [0])
+    txn.stage_write_partial("p2", resolved([8, 12]), [0])
+    committed = txn.commit()
+
+    for t in ("p1", "p2"):
+        rows = {r.k: r.tag for r in warehouse.read(t).collect()}
+        assert len(rows) == 40  # untouched buckets inherited, nothing lost
+        vdir = os.path.join(warehouse.table_dir(t), committed[t])
+        # untouched bucket files are HARDLINKS of the base (same inode)
+        linked = glob.glob(os.path.join(vdir, "_bucket=1", "*.parquet"))
+        assert linked and all(os.stat(f).st_nlink >= 2 for f in linked)
+    assert {r.tag for r in warehouse.read("p1").filter("k in (0,4)").collect()} == {"new"}
+    assert {r.tag for r in warehouse.read("p1").filter("k = 8").collect()} == {"old"}
+
+
+def test_stage_write_partial_conflict_aborts_both(spark, warehouse):
+    warehouse.write_version("p1", _bucketed_df(spark, range(8), "old"),
+                            partition_by=["_bucket"])
+    warehouse.write_version("p2", _bucketed_df(spark, range(8), "old"),
+                            partition_by=["_bucket"])
+    txn = MultiTableTransaction(warehouse)
+    txn.stage_write_partial("p1", _bucketed_df(spark, [0], "new"), [0])
+    txn.stage_write_partial("p2", _bucketed_df(spark, [1], "new"), [1])
+    # interleaved writer advances p2 → its inherited dirs are stale
+    warehouse.write_version("p2", _bucketed_df(spark, range(8), "interleaved"),
+                            partition_by=["_bucket"])
+    with pytest.raises(ConcurrentWriteError):
+        txn.commit()
+    assert {r.tag for r in warehouse.read("p1").collect()} == {"old"}
+    assert {r.tag for r in warehouse.read("p2").collect()} == {"interleaved"}
