@@ -163,6 +163,7 @@ def _merge_upsert_once(
     key: str,
     order_col: str | None,
     n_buckets: int | None,
+    txn=None,
 ) -> tuple[int, object]:
     # Empty guard via take(1), not isEmpty(): isEmpty() prunes the
     # required schema to zero data columns, which Spark rejects on raw
@@ -194,6 +195,14 @@ def _merge_upsert_once(
         # read-current/commit-against-newer TOCTOU).
         base = warehouse.current_version_name(table)
         if base is None:
+            if txn is not None:
+                # create-on-first-write inside a multi-table txn would
+                # leave meta for a table that may never commit; create
+                # tables first, then merge atomically
+                raise ValueError(
+                    f"atomic merge requires existing table {table!r} "
+                    "(create-on-first-write is single-table only)"
+                )
             # Create-on-first-write (S11); bucket count becomes a table
             # fact, not a per-call opinion. expect_base=None: if a racing
             # writer creates the table first, CAS fails and the retry
@@ -245,9 +254,16 @@ def _merge_upsert_once(
         # dirs are hardlink-inherited from the PINNED base version —
         # the step that makes incremental cost O(touched), not
         # O(table) — and the commit CASes against that same base.
-        warehouse.write_version_partial(
-            table, resolved, touched, base_version=base
-        )
+        if txn is not None:
+            # stage only — the caller's transaction owns the joint
+            # CAS commit across every table in the batch
+            txn.stage_write_partial(
+                table, resolved, touched, base_version=base
+            )
+        else:
+            warehouse.write_version_partial(
+                table, resolved, touched, base_version=base
+            )
         return n, hwm
     finally:
         batch.unpersist()
@@ -268,3 +284,54 @@ def merge_dataframes(
     batch = dedup_last_write_wins(updates, key, order_col)
     survivors = target.join(batch.select(key), on=key, how="left_anti")
     return survivors.unionByName(batch, allowMissingColumns=True)
+
+
+def merge_upsert_atomic(
+    warehouse: ParquetWarehouse,
+    batches: dict[str, DataFrame],
+    key: str = "_id",
+    order_col: str | None = "updated_at",
+    n_buckets: int | None = None,
+    max_retries: int = 2,
+) -> dict[str, tuple[int, object]]:
+    """Keyed upsert into SEVERAL tables as one atomic commit: each
+    table's merge resolution stages an O(touched-bucket) incremental
+    version (hardlink-inherited remainder), then every pointer flips
+    together through the intent-journal transaction. Readers joining
+    the tables never see one table's batch without the others' — the
+    cross-collection analog of the reference's per-collection upsert
+    loop (etl.py), minus its torn window.
+
+    Conflict behaviour: if ANY table's base advances mid-transaction,
+    the whole batch aborts (nothing visible) and is recomputed against
+    the winners — the same retry-by-recompute as merge_upsert_stats,
+    but all-or-nothing per attempt. Tables must exist (create them
+    with write_version first); returns {table: (rows, hwm)}.
+    """
+    from qms_datawarehouse_spark.operators.transaction import (
+        MultiTableTransaction,
+    )
+    from qms_datawarehouse_spark.warehouse import ConcurrentWriteError
+
+    last_exc: Exception | None = None
+    for _ in range(max_retries + 1):
+        txn = MultiTableTransaction(warehouse)
+        stats: dict[str, tuple[int, object]] = {}
+        try:
+            for table, updates in sorted(batches.items()):
+                stats[table] = _merge_upsert_once(
+                    warehouse, table, updates, key, order_col, n_buckets,
+                    txn=txn,
+                )
+            if txn.staged:
+                txn.commit()
+            else:  # every batch empty — nothing to flip
+                txn.abort()
+            return stats
+        except ConcurrentWriteError as exc:
+            txn.abort()
+            last_exc = exc
+        except Exception:
+            txn.abort()
+            raise
+    raise last_exc

@@ -241,3 +241,77 @@ def test_stage_write_partial_conflict_aborts_both(spark, warehouse):
         txn.commit()
     assert {r.tag for r in warehouse.read("p1").collect()} == {"old"}
     assert {r.tag for r in warehouse.read("p2").collect()} == {"interleaved"}
+
+
+def test_merge_upsert_atomic_cross_table(spark, warehouse):
+    from qms_datawarehouse_spark.operators.merge import merge_upsert, merge_upsert_atomic
+
+    def mk(ids, tag, ts):
+        return spark.createDataFrame(
+            [(str(i), tag, ts) for i in ids],
+            "_id string, tag string, updated_at timestamp",
+        )
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    merge_upsert(warehouse, "tickets", mk(range(10), "old", t0))
+    merge_upsert(warehouse, "ratings", mk(range(5), "old", t0))
+
+    stats = merge_upsert_atomic(
+        warehouse,
+        {"tickets": mk([0, 1, 10], "new", t1), "ratings": mk([0, 9], "new", t1)},
+    )
+    assert stats["tickets"][0] == 3 and stats["ratings"][0] == 2
+    tickets = {r._id: r.tag for r in warehouse.read("tickets").collect()}
+    ratings = {r._id: r.tag for r in warehouse.read("ratings").collect()}
+    assert len(tickets) == 11 and tickets["0"] == "new" and tickets["5"] == "old"
+    assert len(ratings) == 6 and ratings["9"] == "new"
+
+    # empty batches: no-op, no dangling journal
+    stats2 = merge_upsert_atomic(
+        warehouse, {"tickets": mk([], "x", t1), "ratings": mk([], "x", t1)}
+    )
+    assert stats2 == {"tickets": (0, None), "ratings": (0, None)}
+
+
+def test_merge_upsert_atomic_retries_conflict(spark, warehouse):
+    """An interleaved single-table writer flips the CAS; the atomic
+    merge recomputes against the winner and converges."""
+    import datetime as dt
+
+    from qms_datawarehouse_spark.operators.merge import merge_upsert, merge_upsert_atomic
+    from qms_datawarehouse_spark.operators import transaction as txn_mod
+
+    def mk(ids, tag, ts):
+        return spark.createDataFrame(
+            [(str(i), tag, ts) for i in ids],
+            "_id string, tag string, updated_at timestamp",
+        )
+
+    t0, t1, t2 = (dt.datetime(2024, m, 1) for m in (1, 2, 3))
+    merge_upsert(warehouse, "a1", mk(range(6), "old", t0))
+    merge_upsert(warehouse, "b1", mk(range(6), "old", t0))
+
+    orig_commit = txn_mod.MultiTableTransaction.commit
+    fired = {"n": 0}
+
+    def racing_commit(self, *a, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            merge_upsert(warehouse, "b1", mk([5], "interloper", t1))
+        return orig_commit(self, *a, **kw)
+
+    txn_mod.MultiTableTransaction.commit = racing_commit
+    try:
+        stats = merge_upsert_atomic(
+            warehouse, {"a1": mk([0], "new", t2), "b1": mk([1], "new", t2)}
+        )
+    finally:
+        txn_mod.MultiTableTransaction.commit = orig_commit
+
+    assert stats["a1"][0] == 1
+    b = {r._id: r.tag for r in warehouse.read("b1").collect()}
+    assert b["5"] == "interloper" and b["1"] == "new"  # both writes survive
+    a = {r._id: r.tag for r in warehouse.read("a1").collect()}
+    assert a["0"] == "new"
