@@ -250,3 +250,77 @@ def reload_all_atomic(
             )
         )
     return results
+
+
+def sync_collections_atomic(
+    warehouse: ParquetWarehouse,
+    frames: dict[str, DataFrame],
+    source_name: str,
+    key: str = "_id",
+    cursor_col: str = "updated_at",
+    settings: Settings | None = None,
+) -> list[SyncResult]:
+    """The reference's whole multi-collection run (etl.py loops
+    collections, each upserting independently) as ONE atomic unit:
+    per-collection checkpoint read → delta filter → normalize, then a
+    cross-table transactional merge (merge_upsert_atomic) — every
+    collection's batch becomes visible together. Checkpoints and
+    history advance only AFTER the joint commit, so a crash replays
+    all collections from their previous cursors into idempotent
+    merges; a conflict aborts all collections unapplied.
+
+    Use when downstream queries JOIN the synced collections (tickets ⋈
+    staff ⋈ ratings — the flagship) and a half-applied run would serve
+    cross-table nonsense; keep ``sync_all``'s per-source isolation for
+    independent tables."""
+    from qms_datawarehouse_spark.operators.merge import merge_upsert_atomic
+
+    settings = settings or Settings()
+    started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    t0 = time.monotonic()
+    from pyspark.sql import types as T
+
+    batches: dict[str, DataFrame] = {}
+    for table, source_df in sorted(frames.items()):
+        history.record(warehouse, source_name, table, "STARTED", started)
+        last = checkpoint.get_last_synced(warehouse, source_name, table)
+        delta = delta_filter(source_df, cursor_col, last, settings.delta_mode)
+        cleaned = clean_records(delta, source_name=source_name)
+        if cursor_col not in cleaned.columns:
+            raise ValueError(
+                f"cursor column {cursor_col!r} missing from delta for "
+                f"{source_name}.{table}"
+            )
+        if isinstance(cleaned.schema[cursor_col].dataType, T.StringType):
+            cleaned = cleaned.withColumn(
+                cursor_col, F.col(cursor_col).cast("timestamp")
+            )
+        batches[table] = cleaned
+
+    try:
+        stats = merge_upsert_atomic(
+            warehouse, batches, key=key, order_col=cursor_col
+        )
+    except Exception as exc:  # all-or-nothing: every table FAILED
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        for table in frames:
+            history.record(
+                warehouse, source_name, table, "FAILED", started,
+                completed_at=now, message=str(exc)[:500],
+            )
+        raise
+
+    duration = time.monotonic() - t0
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    results = []
+    for table in sorted(frames):
+        n, hwm = stats[table]
+        if hwm is not None:
+            checkpoint.set_last_synced(warehouse, source_name, table, hwm)
+        msg = f"Atomically synced {n} rows from {source_name}.{table}"
+        history.record(
+            warehouse, source_name, table, "SUCCESS", started,
+            completed_at=now, records_synced=n, message=msg,
+        )
+        results.append(SyncResult(source_name, table, n, duration, msg))
+    return results

@@ -315,3 +315,34 @@ def test_merge_upsert_atomic_retries_conflict(spark, warehouse):
     assert b["5"] == "interloper" and b["1"] == "new"  # both writes survive
     a = {r._id: r.tag for r in warehouse.read("a1").collect()}
     assert a["0"] == "new"
+
+
+def test_sync_collections_atomic_lifecycle(spark, warehouse):
+    """Checkpoints advance only after the joint commit; a re-sync of
+    the same frames is a zero-row no-op per collection."""
+    import datetime as dt
+
+    from qms_datawarehouse_spark.engine import sync_collections_atomic
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "_id string, v string, updated_at timestamp"
+        )
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    merge_upsert(warehouse, "tix", mk([("1", "seed", t0)]))
+    merge_upsert(warehouse, "usr", mk([("u1", "seed", t0)]))
+
+    frames = {
+        "tix": mk([("1", "v2", t1), ("2", "new", t1)]),
+        "usr": mk([("u2", "new", t1)]),
+    }
+    res = sync_collections_atomic(warehouse, frames, "prod")
+    assert {r.collection: r.records_synced for r in res} == {"tix": 2, "usr": 1}
+    assert warehouse.read("tix").count() == 2
+    assert {r._id for r in warehouse.read("usr").collect()} == {"u1", "u2"}
+
+    # second run: checkpoints filter everything out
+    res2 = sync_collections_atomic(warehouse, frames, "prod")
+    assert all(r.records_synced == 0 for r in res2)
