@@ -1005,3 +1005,117 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("canonical_chars"),
         F.count("*").cast("long").alias("n_members"),
     )
+
+
+# --------------------------------------------------------------------
+# Split-leakage audit: near-dup clusters spanning train/val/test
+# --------------------------------------------------------------------
+
+
+def split_leakage(clusters: DataFrame, splits: DataFrame) -> DataFrame:
+    """Clusters whose members land in MORE THAN ONE split — the
+    eval-contamination failure mode hash-splitting alone cannot
+    prevent: the split is a pure function of doc_id, so two NEAR-dup
+    documents (different ids, same content) can straddle train and
+    val, leaking eval answers into training data. The fix is to split
+    by CLUSTER, not by document; this audit finds every violation.
+
+    ``clusters``: (doc, cluster_id) — e.g. ``connected_components``
+    output; ``splits``: (doc_id, split). One equi-join + one keyed
+    aggregate — both partitioned on the cluster key, partial-agg
+    map-side; no driver state, no collected member lists (the split
+    set per cluster is ≤3 labels)."""
+    joined = clusters.join(
+        splits.select(F.col("doc_id").alias("doc"), "split"), "doc"
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias(
+                "splits"
+            ),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
+def _split_leakage_sql() -> str:
+    # curation owns the hash-split constants; imported here (not at
+    # module top) to stay outside the package's circular-import window
+    from qms_datawarehouse_spark.operators.curation import (
+        SPLIT_TEST_BP,
+        SPLIT_VAL_BP,
+        _sql_hash_bp,
+    )
+
+    bl_union = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, b{j} AS bv FROM bands"
+        for j in range(N_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM sx GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs),
+    bl AS ({bl_union}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bl a JOIN bl b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b
+        WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))
+              >= {JACCARD_THRESHOLD}
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach AS (
+        SELECT doc_id AS doc, doc_id AS peer FROM documents
+        UNION
+        SELECT r.doc, s.b FROM reach r JOIN sym s ON r.peer = s.a
+    ),
+    clusters AS (SELECT doc, min(peer) AS cluster_id FROM reach GROUP BY doc),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN {_sql_hash_bp('doc_id')} < {SPLIT_VAL_BP} THEN 'train'
+                    WHEN {_sql_hash_bp('doc_id')} < {SPLIT_TEST_BP} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT c.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s.split) AS BIGINT) AS n_splits,
+           array_to_string(list_sort(list(DISTINCT s.split)), ',') AS splits
+    FROM clusters c JOIN s ON s.doc_id = c.doc
+    GROUP BY c.cluster_id
+    HAVING count(DISTINCT s.split) > 1
+    """
+
+
+@query("dedup_split_leakage", None)  # oracle attached below (lazy build)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit over the corpus: run the full near-dup
+    cluster pipeline (shingle → MinHash → LSH → verify → connected
+    components), assign every document its deterministic hash split
+    (curation.assign_split), and report clusters that STRADDLE splits
+    — near-dup pairs where one copy trains and the other evaluates.
+    Oracle = the recursive-CTE closure over the same verified edges
+    joined to the same md5 split expression, so the audit itself is
+    cross-engine value-checked end to end."""
+    from qms_datawarehouse_spark.operators.curation import assign_split
+
+    clusters = dedup_clusters(spark, sf_dir)
+    (documents,) = tables(spark, sf_dir, "documents")
+    return split_leakage(clusters, assign_split(documents).select("doc_id", "split"))
+
+
+REGISTRY["dedup_split_leakage"].sql = _split_leakage_sql()

@@ -749,3 +749,89 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "w1", "w2")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# Unicode normalization (ingest-side text canonicalization)
+# --------------------------------------------------------------------
+
+# Control characters stripped before training: C0 controls except
+# \t \n \r (which the whitespace collapse then folds), plus DEL.
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# Explicit whitespace class on BOTH engines: Java's \s and RE2's \s
+# disagree on \x0B, so neither side uses the shorthand.
+_WS_CLASS = r"[ \t\n\r\f]+"
+
+
+def nfc_text(col: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-vectorized pandas UDF —
+    the ONE text operator here that leaves the JVM, because Spark has
+    no Unicode-normalization built-in (composed vs decomposed accents
+    — 'é' as U+00E9 vs 'e'+U+0301 — hash differently, so exact dedup
+    and fingerprinting silently miss equal-looking duplicates without
+    this). stdlib ``unicodedata`` implements the same Unicode NFC as
+    DuckDB's ``nfc_normalize``, which is what makes the operator
+    oracle-checkable."""
+    import pandas as pd  # noqa: F401 (typing of the UDF)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: t if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    return _nfc(col)
+
+
+def normalize_text(col: Column) -> Column:
+    """NFC → strip control chars → collapse whitespace runs → trim.
+    The canonicalization every corpus pipeline runs before hashing,
+    shingling, or tokenizing; regex stages are JVM built-ins, NFC is
+    the single Arrow-batched hop."""
+    out = nfc_text(col)
+    out = F.regexp_replace(out, _CTRL_CLASS, "")
+    out = F.regexp_replace(out, _WS_CLASS, " ")
+    return F.trim(out)
+
+
+@query(
+    "text_normalize",
+    f"""
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '{_CTRL_CLASS}', '', 'g'), '{_WS_CLASS}', ' ', 'g'))
+                   AS text_norm
+        FROM documents
+    )
+    SELECT doc_id, text_norm,
+           CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+           (text_norm <> text) AS changed
+    FROM n
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text canonicalization: Unicode NFC + control-char strip
+    + whitespace collapse + trim, with per-doc changed flags. Runs
+    BEFORE dedup/fingerprint/tokenize stages so equal-looking text is
+    byte-equal (composed accents, stray controls, ragged whitespace
+    all collapse).
+
+    Scale shape: embarrassingly parallel map-only pass — one scan,
+    zero shuffles; the NFC hop is one Arrow-vectorized pandas UDF
+    (string in/out, batch transfer), everything else whole-stage
+    codegen. ``length`` (code points, not bytes) on both engines."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    # materialize the normalized column ONCE (a repeated expression
+    # would re-run the Arrow hop per reference)
+    return documents.withColumn(
+        "text_norm", normalize_text(F.col("text"))
+    ).select(
+        "doc_id",
+        "text_norm",
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+        (F.col("text_norm") != F.col("text")).alias("changed"),
+    )

@@ -19,6 +19,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     grouped_pandas,
     multimodal,
     pq,
+    profile,
     rollup_hypertable,
     similarity,
     temporal,
@@ -117,9 +118,10 @@ _DRIVER_WINDOW = [
 # similarity_pq_adc, histogram_order_value, rfm_segments,
 # stats_sufficient_moments, similarity_ivfpq,
 # curation_shuffle_shards, curation_repeat_upsample,
-# dedup_canonical. Round-4
-# slots: (a) any red rows from
-# CORRECTNESS_r03, (b) those thirteen, (c) §2 core re-confirmation on a
+# dedup_canonical, and the late-round-3 trio dedup_split_leakage,
+# text_normalize, profile_orders (all sixteen in-repo oracle-green).
+# Round-4 slots: (a) any red rows from
+# CORRECTNESS_r03, (b) those sixteen, (c) §2 core re-confirmation on a
 # sampled basis.
 
 

@@ -126,6 +126,64 @@ def windowed_counts_stream(
     )
 
 
+def stream_ingest_dedup(
+    stream_df: DataFrame,
+    warehouse: ParquetWarehouse,
+    corpus_table: str | None = None,
+    index_table: str | None = None,
+    checkpoint_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = False,
+    on_result=None,
+) -> StreamingQuery:
+    """Streaming corpus ingestion through the LSH near-dup admission
+    gate: every micro-batch probes the persistent band index
+    (O(batch) partition-pruned reads, never the corpus), admits only
+    non-near-dups, and commits corpus upsert + index append.
+
+    ``stream_df`` is ANY streaming DataFrame carrying ``id_col`` +
+    ``text_col`` (file source, docstore connector, rate-shaped test
+    feed) — the gate doesn't care where documents come from.
+
+    Delivery: at-least-once replay into convergent state. A replayed
+    batch's docs are already corpus rows; the gate's band join skips
+    self-pairs, the keyed merge upserts the identical row, and the
+    index rebuild is deterministic — so replays collapse
+    (effectively-once, T3) exactly like the batch engine's sync.
+
+    ``on_result(epoch_id, IngestResult)`` observes per-epoch
+    admission stats (accepted/rejected/pairs) for monitoring without
+    a second scan of anything.
+    """
+    from qms_datawarehouse_spark.operators import incremental_dedup as inc
+
+    corpus_table = corpus_table or inc.CORPUS_TABLE
+    index_table = index_table or inc.INDEX_TABLE
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        docs = batch_df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        res = inc.ingest_dedup(
+            warehouse, docs, corpus_table=corpus_table, index_table=index_table
+        )
+        if on_result is not None:
+            on_result(epoch_id, res)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_split_sync(
     spark: SparkSession,
     source_dir: str,

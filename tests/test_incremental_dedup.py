@@ -72,11 +72,13 @@ def test_short_doc_without_shingles_is_admitted(spark, warehouse):
 
 def test_streaming_ingestion_gate(spark, warehouse, tmp_path):
     """Composition: a docstore stream feeds the ingestion gate per
-    micro-batch — the live-pipeline form (connector → foreachBatch →
-    LSH-gated corpus)."""
+    micro-batch — the live-pipeline form (connector →
+    stream_ingest_dedup → LSH-gated corpus), with per-epoch admission
+    stats observed through the on_result hook."""
     import json
 
     from qms_datawarehouse_spark.sources.pyds import register_docstore
+    from qms_datawarehouse_spark.streaming.sync import stream_ingest_dedup
 
     register_docstore(spark)
     log = str(tmp_path / "feed.jsonl")
@@ -88,19 +90,17 @@ def test_streaming_ingestion_gate(spark, warehouse, tmp_path):
                 {"_id": str(doc_id), "payload": text,
                  "updated_at": "2024-01-01T00:00:00Z"}) + "\n")
 
+    results = []
+
     def run():
-        q = (
-            spark.readStream.format("docstore").option("path", log).load()
-            .writeStream.foreachBatch(
-                lambda df, epoch: ingest_dedup(
-                    warehouse,
-                    df.selectExpr("CAST(_id AS LONG) AS doc_id",
-                                  "payload AS text"),
-                )
-            )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        q = stream_ingest_dedup(
+            spark.readStream.format("docstore").option("path", log).load(),
+            warehouse,
+            checkpoint_dir=ckpt,
+            id_col="_id",
+            text_col="payload",
+            available_now=True,
+            on_result=lambda epoch, res: results.append(res),
         )
         q.awaitTermination(120)
 
@@ -113,6 +113,14 @@ def test_streaming_ingestion_gate(spark, warehouse, tmp_path):
     run()
     ids = {r.doc_id for r in warehouse.read("corpus_docs").collect()}
     assert ids == {1, 2, 4}
+    # per-epoch admission stats surfaced without extra scans
+    totals = (
+        sum(r.n_accepted for r in results),
+        sum(r.n_rejected for r in results),
+    )
+    assert totals == (3, 1)
+    rejected = [p for r in results for p in r.rejected]
+    assert rejected and rejected[0][:2] == (3, 1)
 
 
 def test_index_is_bv_partitioned_and_probe_prunes(spark, warehouse):

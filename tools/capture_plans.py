@@ -36,6 +36,12 @@ PICKS = {
     "dedup_passages": "Chunking is a per-row transform over the word array (no shuffle to form passages); exchanges only on the passage hash and the final doc rollup.",
     "text_top_bigrams": "Pairs come from arrays_zip of the word array with its own tail inside one codegen stage; the two exchanges are the standard two-phase distinct-aggregate (partial counts collapse per task before either).",
     "similarity_pq_adc": "Codebook (M*K subvectors) and query are two bounded broadcasts; assignment + ADC are one codegen stage per row; TakeOrderedAndProject ends it — the embedding table is never shuffled.",
+    "profile_orders": "Six columns profiled from ONE scan: every statistic partial-aggregates; the Expand is the exact-distinct price (exact=False drops it for HLL++ sketches at 100 TB).",
+    "text_normalize": "Map-only canonicalization: regex stages in whole-stage codegen around a single ArrowEvalPython hop (the NFC UDF) — zero exchanges.",
+    # dedup_split_leakage is intentionally NOT captured: its plan
+    # embeds the CC loop's full iterative lineage (thousands of lines,
+    # like dedup_clusters) — the audit's own cost is one join + one
+    # keyed aggregate on cluster_id on top of it.
 }
 
 HEADER = """# Physical plans (captured)
