@@ -444,6 +444,65 @@ def curation_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Exact-k deterministic per-group sampling
+# --------------------------------------------------------------------
+
+SAMPLE_EXACT_K = 20
+_EXACT_K_SEED = "exk1:"
+
+
+def sample_exact_k(
+    df: DataFrame, group_col: str, key: str = "doc_id", k: int = SAMPLE_EXACT_K
+) -> DataFrame:
+    """EXACTLY ``k`` rows per group, deterministically: rank rows by
+    md5 of (seed || key) and keep the k smallest. The hash-threshold
+    sampler keeps a target RATE (count varies with group size ±
+    binomial noise); audits, eval sets, and per-stratum quotas need
+    an exact count — this is the reservoir-sample analog without
+    reservoir state: the hash IS the sample, stable across runs,
+    engines, and input order.
+
+    Scale: one keyed window; the rank-limit rides WindowGroupLimit,
+    so each task forwards at most k rows per group BEFORE the
+    exchange — the shuffle carries O(groups × k), not the corpus."""
+    h = F.md5(
+        F.concat(F.lit(_EXACT_K_SEED), F.col(key).cast("string")).cast(
+            "binary"
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("sample_rank")
+    )
+
+
+@query(
+    "curation_sample_exact_k",
+    f"""
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('{_EXACT_K_SEED}' || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {SAMPLE_EXACT_K}
+    """,
+)
+def curation_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {k} documents per language by deterministic md5 rank —
+    the quota-sampling companion to the rate-based stratified sampler
+    (same hash family, exact counts instead of expected rates)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    return sample_exact_k(
+        documents.select("lang", "doc_id", "n_chars"), group_col="lang"
+    )
+
+
+# --------------------------------------------------------------------
 # Domain mixing: token-budgeted per-source sampling
 # --------------------------------------------------------------------
 

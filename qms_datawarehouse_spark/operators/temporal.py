@@ -288,6 +288,95 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_asof_lookup",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    changed AS (
+        SELECT user_id, event_type AS state, ts AS valid_from, event_id
+        FROM ordered WHERE prev IS NULL OR prev <> event_type
+    ),
+    states AS (
+        SELECT user_id, state, valid_from FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, valid_from ORDER BY event_id DESC
+            ) AS rn FROM changed
+        ) WHERE rn = 1
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           s.state, epoch_us(s.valid_from) AS state_from_us
+    FROM purchases p
+    ASOF LEFT JOIN states s
+      ON p.user_id = s.user_id AND p.ts >= s.valid_from
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query SCD2 history exists
+    to answer: enrich each fact row (purchases) with the dimension
+    state (the user's event_type run) valid AT the fact's timestamp,
+    not the current one. Composes scd2_from_stream (interval
+    reconstruction) with the distributed as-of join: intervals are
+    consecutive, so matching the latest ``valid_from <= ts`` IS the
+    interval-containment lookup — no valid_to predicate, no range
+    explosion. Same-instant transitions collapse to the final state
+    (event_id tiebreak) so the dim side is unique per (key, ts); a
+    state starting exactly at the fact's ts applies to it (both
+    engines: right-before-left tie order ⇔ ``>=`` as-of).
+
+    Scale: two keyed windows (SCD2) + the tagged-union as-of pass —
+    every exchange hashes user_id; feature-store point-in-time joins
+    at 100 TB are exactly this plan."""
+    (events,) = tables(spark, sf_dir, "events")
+    dim = scd2_from_stream(
+        events.select("user_id", "event_type", "ts", "event_id"),
+        key="user_id",
+        attr="event_type",
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    wdup = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.desc("event_id")
+    )
+    states = (
+        dim.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "valid_from",
+            F.unix_micros("valid_from").alias("state_from_us"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        states,
+        key="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=["state", "state_from_us"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_state").alias("state"),
+        F.col("asof_state_from_us").alias("state_from_us"),
+    )
+
+
+@query(
     "asof_join_cogroup",
     """
     WITH purchases AS (

@@ -118,11 +118,12 @@ _DRIVER_WINDOW = [
 # similarity_pq_adc, histogram_order_value, rfm_segments,
 # stats_sufficient_moments, similarity_ivfpq,
 # curation_shuffle_shards, curation_repeat_upsample,
-# dedup_canonical, and the late-round-3 trio dedup_split_leakage,
-# text_normalize, profile_orders (all sixteen in-repo oracle-green).
+# dedup_canonical, and the late-round-3 five: dedup_split_leakage,
+# text_normalize, profile_orders, scd2_asof_lookup,
+# curation_sample_exact_k (all eighteen in-repo oracle-green).
 # Round-4 slots: (a) any red rows from
-# CORRECTNESS_r03, (b) those sixteen, (c) §2 core re-confirmation on a
-# sampled basis.
+# CORRECTNESS_r03, (b) those eighteen, (c) §2 core re-confirmation on
+# a sampled basis.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

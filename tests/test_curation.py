@@ -183,3 +183,30 @@ def test_text_repetition_flags_degenerate_docs(spark):
     assert out[2].dup_word_bp == 0 and out[2].dup_trigram_bp == 0
     assert out[3].n_words == 1 and out[3].top_bigram_bp == 0   # no bigrams
     assert out[4].dup_trigram_bp == 0                           # no trigrams
+
+
+def test_sample_exact_k_counts_and_determinism(spark):
+    from qms_datawarehouse_spark.operators.curation import sample_exact_k
+
+    rows = [(g, i) for g in ("a", "b") for i in range(50)] + [("tiny", 0)]
+    df = spark.createDataFrame(
+        [(g, g + str(i)) for g, i in rows], "grp string, doc_id string"
+    )
+    s1 = sample_exact_k(df, "grp", key="doc_id", k=5)
+    counts = {r.grp: r.n for r in s1.groupBy("grp").count().withColumnRenamed("count", "n").collect()}
+    # exactly k where the group has >= k rows; whole group otherwise
+    assert counts == {"a": 5, "b": 5, "tiny": 1}
+    # the hash IS the sample: a second run picks identical rows
+    s2 = sample_exact_k(df, "grp", key="doc_id", k=5)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    # and membership is per-row stable under corpus growth: the k=5
+    # sample of a SUBSET that still contains the winners is the same
+    winners_a = {r.doc_id for r in s1.filter("grp = 'a'").collect()}
+    subset = df.filter(~df.doc_id.isin(["a49", "a48"]) | ~(df.grp == "a"))
+    s3 = {
+        r.doc_id
+        for r in sample_exact_k(subset, "grp", key="doc_id", k=5)
+        .filter("grp = 'a'").collect()
+    }
+    if "a49" not in winners_a and "a48" not in winners_a:
+        assert s3 == winners_a

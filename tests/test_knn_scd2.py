@@ -107,3 +107,48 @@ def test_scd2_equal_ts_tiebreak_is_deterministic(spark):
         r.state: r for r in scd2_from_stream(df, "user_id", "state", "ts", "event_id").collect()
     }
     assert out["b"].is_current and not out["a"].is_current
+
+
+def test_scd2_asof_lookup_state_at_transition_instant(spark):
+    """A fact row whose ts EQUALS a state's valid_from gets that state
+    (>= as-of semantics), and earlier facts get the prior state."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from qms_datawarehouse_spark.operators.temporal import (
+        asof_join,
+        scd2_from_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    events = spark.createDataFrame(
+        [
+            (1, 7, "view", ts(0)),
+            (2, 7, "view", ts(5)),     # consecutive dup collapses
+            (3, 7, "click", ts(10)),   # state change
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    dim = scd2_from_stream(
+        events, key="user_id", attr="event_type", ts_col="ts",
+        tiebreak="event_id",
+    ).select(
+        "user_id", F.col("event_type").alias("state"), "valid_from"
+    )
+    facts = spark.createDataFrame(
+        [(100, 7, ts(10)), (101, 7, ts(9)), (102, 7, ts(30))],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r.fact_id: r.asof_state
+        for r in asof_join(
+            facts, dim, key="user_id", left_ts="ts",
+            right_ts="valid_from", right_cols=["state"],
+        ).collect()
+    }
+    assert out == {100: "click", 101: "view", 102: "click"}
