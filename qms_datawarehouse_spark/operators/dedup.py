@@ -1119,3 +1119,51 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["dedup_split_leakage"].sql = _split_leakage_sql()
+
+
+def _split_by_cluster_sql() -> str:
+    from qms_datawarehouse_spark.operators.curation import (
+        SPLIT_TEST_BP,
+        SPLIT_VAL_BP,
+        _sql_hash_bp,
+    )
+
+    # identical pipeline to the leakage audit, but the split CASE
+    # hashes cluster_id — leakage is impossible by construction
+    closure = _split_leakage_sql().split("clusters AS")[0]
+    return f"""{closure}clusters AS (
+        SELECT doc, min(peer) AS cluster_id FROM reach GROUP BY doc
+    )
+    SELECT CASE WHEN {_sql_hash_bp('cluster_id')} < {SPLIT_VAL_BP} THEN 'train'
+                WHEN {_sql_hash_bp('cluster_id')} < {SPLIT_TEST_BP} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM clusters
+    GROUP BY 1
+    """
+
+
+@query("curation_split_by_cluster", None)  # oracle attached below
+def curation_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage REMEDY: assign train/val/test by hashing the
+    near-dup CLUSTER id instead of the doc id, so every member of a
+    cluster lands in the same split by construction — near-dups can
+    never straddle train and eval (``dedup_split_leakage`` on this
+    assignment is empty, pinned in tests). Costs nothing beyond the
+    cluster job the dedup pipeline already runs: the split is the
+    same md5 expression applied to cluster_id, and the summary is one
+    small aggregate."""
+    from qms_datawarehouse_spark.operators.curation import assign_split
+
+    clusters = dedup_clusters(spark, sf_dir)
+    assigned = assign_split(
+        clusters.withColumnRenamed("cluster_id", "_cid"), key="_cid"
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("_cid").cast("long").alias("n_clusters"),
+    )
+
+
+REGISTRY["curation_split_by_cluster"].sql = _split_by_cluster_sql()

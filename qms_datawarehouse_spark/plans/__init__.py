@@ -118,11 +118,11 @@ _DRIVER_WINDOW = [
 # similarity_pq_adc, histogram_order_value, rfm_segments,
 # stats_sufficient_moments, similarity_ivfpq,
 # curation_shuffle_shards, curation_repeat_upsample,
-# dedup_canonical, and the late-round-3 five: dedup_split_leakage,
-# text_normalize, profile_orders, scd2_asof_lookup,
-# curation_sample_exact_k (all eighteen in-repo oracle-green).
-# Round-4 slots: (a) any red rows from
-# CORRECTNESS_r03, (b) those eighteen, (c) §2 core re-confirmation on
+# dedup_canonical, and the late-round-3 six: dedup_split_leakage,
+# curation_split_by_cluster, text_normalize, profile_orders,
+# scd2_asof_lookup, curation_sample_exact_k (all nineteen in-repo
+# oracle-green). Round-4 slots: (a) any red rows from
+# CORRECTNESS_r03, (b) those nineteen, (c) §2 core re-confirmation on
 # a sampled basis.
 
 

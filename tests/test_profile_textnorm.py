@@ -149,3 +149,19 @@ def test_split_leakage_flags_only_straddling_clusters(spark):
     assert set(out) == {1}
     assert out[1].n_docs == 2 and out[1].n_splits == 2
     assert out[1].splits == "train,val"
+
+
+def test_split_by_cluster_eliminates_leakage(spark):
+    """The remedy query's invariant: when splits hash cluster_id,
+    split_leakage over the same clusters is EMPTY by construction."""
+    from qms_datawarehouse_spark.operators.curation import assign_split
+    from qms_datawarehouse_spark.operators.dedup import split_leakage
+
+    clusters = spark.createDataFrame(
+        [(d, d // 3) for d in range(60)], "doc long, cluster_id long"
+    )
+    per_cluster = assign_split(
+        clusters.withColumnRenamed("cluster_id", "_cid"), key="_cid"
+    )
+    splits = per_cluster.select(F.col("doc").alias("doc_id"), "split")
+    assert split_leakage(clusters, splits).count() == 0
