@@ -96,6 +96,9 @@ HEADLINE = [
     "growth_daily_users",
     "dedup_passages",
     "similarity_pq_adc",
+    "profile_orders",
+    "text_normalize",
+    "scd2_asof_lookup",
 ]
 
 

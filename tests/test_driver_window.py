@@ -70,6 +70,13 @@ QUEUED_NEXT_WINDOW = [
     "curation_shuffle_shards",
     "curation_repeat_upsample",
     "dedup_canonical",
+    # late-round-3 corpus-governance additions
+    "text_normalize",
+    "dedup_split_leakage",
+    "curation_split_by_cluster",
+    "profile_orders",
+    "scd2_asof_lookup",
+    "curation_sample_exact_k",
 ]
 
 

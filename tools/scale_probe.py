@@ -42,6 +42,10 @@ PROBE_OPS = [
     "similarity_pq_adc",
     "similarity_ivfpq",
     "curation_shuffle_shards",
+    "text_normalize",
+    "curation_sample_exact_k",
+    # profile_orders probes the orders table, which the scaled dir
+    # (documents/embeddings only) does not replicate — not probed here
 ]
 
 
