@@ -43,19 +43,15 @@ from qms_datawarehouse_spark.plans.registry import query, tables
 # --------------------------------------------------------------------
 
 
-def hash_bp(key: Column) -> Column:
-    """Uniform [0, 10000) bucket from a key — Spark side."""
-    h = F.md5(key.cast("string").cast("binary")).substr(1, 8)
-    return F.conv(h, 16, 10).cast("long") % 10000
-
-
-def _sql_hash_bp(key_expr: str) -> str:
-    """Same uniform bucket — DuckDB side. BIGINT, not UBIGINT: the
-    driver hashes pandas values, and uint64 vs int64 dtypes diverge."""
-    return (
-        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))::UBIGINT"
-        f" % 10000 AS BIGINT)"
-    )
+# Shared with dedup's split-leakage audit via the hashsplit LEAF
+# module (safe to import during the package's circular-import
+# window); re-exported here for the established call sites.
+from qms_datawarehouse_spark.operators.hashsplit import (  # noqa: E402
+    SPLIT_TEST_BP,
+    SPLIT_VAL_BP,
+    _sql_hash_bp,
+    hash_bp,
+)
 
 
 # --------------------------------------------------------------------
@@ -388,12 +384,8 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# Train/validation/test split
+# Train/validation/test split (boundaries live in hashsplit)
 # --------------------------------------------------------------------
-
-# Hash-range boundaries in basis points: 90 / 5 / 5.
-SPLIT_VAL_BP = 9000
-SPLIT_TEST_BP = 9500
 
 
 def assign_split(df: DataFrame, key: str = "doc_id") -> DataFrame:

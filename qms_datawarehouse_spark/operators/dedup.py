@@ -1044,7 +1044,7 @@ def split_leakage(clusters: DataFrame, splits: DataFrame) -> DataFrame:
 def _split_leakage_sql() -> str:
     # curation owns the hash-split constants; imported here (not at
     # module top) to stay outside the package's circular-import window
-    from qms_datawarehouse_spark.operators.curation import (
+    from qms_datawarehouse_spark.operators.hashsplit import (
         SPLIT_TEST_BP,
         SPLIT_VAL_BP,
         _sql_hash_bp,
@@ -1122,7 +1122,7 @@ REGISTRY["dedup_split_leakage"].sql = _split_leakage_sql()
 
 
 def _split_by_cluster_sql() -> str:
-    from qms_datawarehouse_spark.operators.curation import (
+    from qms_datawarehouse_spark.operators.hashsplit import (
         SPLIT_TEST_BP,
         SPLIT_VAL_BP,
         _sql_hash_bp,

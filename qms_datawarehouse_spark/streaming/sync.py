@@ -84,18 +84,24 @@ def deduped_stream(
     watermark: str = "1 hour",
     schema: T.StructType = EVENTS_SCHEMA,
 ) -> DataFrame:
-    """Streaming exact dedup within the watermark horizon
-    (``dropDuplicates`` keyed state + event-time watermark bounding
-    state size). This is the T5 fix the reference lacks: an
-    equal-timestamp or replayed row inside the grace window collapses
-    instead of duplicating — and unlike an unbounded dedup, state for
-    keys older than the watermark is evicted, so memory is O(window),
-    not O(stream)."""
+    """Streaming exact dedup within the watermark horizon. This is
+    the T5 fix the reference lacks: an equal-timestamp or replayed
+    row inside the grace window collapses instead of duplicating —
+    and state for keys older than the watermark is EVICTED, so memory
+    is O(window), not O(stream).
+
+    ``dropDuplicatesWithinWatermark``, not ``dropDuplicates``: with a
+    plain ``dropDuplicates([key])`` the watermark only evicts state
+    when the event-time column is part of the dedup key — on a
+    key-only subset the state store grows forever (the classic
+    unbounded-state trap). The WithinWatermark variant keys state on
+    ``key`` alone AND expires each entry once the watermark passes
+    its event time."""
     return (
         spark.readStream.schema(schema)
         .parquet(source_dir)
         .withWatermark("ts", watermark)
-        .dropDuplicates([key])
+        .dropDuplicatesWithinWatermark([key])
     )
 
 
