@@ -96,7 +96,11 @@ HEADLINE = [
     "growth_daily_users",
     "dedup_passages",
     "similarity_pq_adc",
-    "profile_orders",
+    # profile_orders is NOT benched: its exact mode is
+    # planning-latency-dominated (~2.7 s of Catalyst multi-distinct
+    # rewrite per plan build vs 0.1 s execution at sf0.1 — a fixed
+    # driver-side cost, irrelevant at 100 TB but 30× the runtime
+    # here); the audit-mode timings live in tests/oracle coverage.
     "text_normalize",
     "scd2_asof_lookup",
 ]

@@ -16,7 +16,12 @@ makes Catalyst expand the input ×n_cols — the right default at audit
 scale and for the cross-engine oracle; at 100 TB pass
 ``exact=False`` and the distinct counts become HLL++ sketches
 (``approx_count_distinct``), collapsing the plan back to plain
-single-pass partial aggregation with fixed-size state. min/max are
+single-pass partial aggregation with fixed-size state. Note the
+exact mode's LATENCY profile: the multi-distinct rewrite (Expand +
+per-group FILTER aggregates over n_cols distinct groups) costs
+~seconds of driver-side PLANNING per build — execution itself is
+sub-second at test SF and scan-bound at scale. Interactive/repeated
+profiling should use ``exact=False`` (also ~5× cheaper to plan). min/max are
 serialized to strings per-type (ints/dates exactly; floats via
 DECIMAL(18,2) so both engines print identical text; timestamps as
 epoch micros per the registry's determinism rules).
