@@ -47,14 +47,17 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
             "--warehouse", wh_dir,
             "--out", "curated",
             "--rates", "en=8000,de=5000,es=2500,fr=2500,zh=1000",
-            "--redact", "--dedup", "--split",
-            "--pack-budget", "2048",
+            "--normalize", "--redact", "--dedup", "--split",
+            "--pack-budget", "2048", "--profile",
             "--master", "local[4]",
         ]
     )
     assert rc == 0
     out = capsys.readouterr().out
     assert "curated curated:" in out and "sequences" in out
+    # the profile report printed one line per published column
+    assert "profile curated.doc_id:" in out
+    assert "profile curated.split:" in out
 
     from qms_datawarehouse_spark.warehouse import ParquetWarehouse
 

@@ -5,12 +5,17 @@ to the warehouse as versioned tables.
 Stages (each optional, all map-side or single-shuffle — see
 docs/SCALING.md "Curation layer"):
 
+0. text normalization (``--normalize``; Unicode NFC + control strip +
+   whitespace collapse — BEFORE anything hashes text, so
+   equal-looking documents are byte-equal for the dedup stage)
 1. stratified sample  (``--rates en=8000,de=5000``)
 2. PII redaction      (``--redact``; text column replaced by the scrub)
 3. exact dedup        (``--dedup``; lowest doc_id per content hash)
 4. split assignment   (``--split``; deterministic 90/5/5)
 5. sequence packing   (``--pack-budget 2048``; writes a second table
    ``{out}_sequences`` with the (shard, seq) → docs layout)
+6. profile report     (``--profile``; one-scan column statistics of
+   the published table, printed per column)
 
 Usage:
     python tools/curate.py --input /root/testdata/sf0.01/documents.parquet \
@@ -45,7 +50,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warehouse", required=True, help="warehouse root dir")
     ap.add_argument("--out", default="curated", help="output table name")
     ap.add_argument("--rates", default=None, help="lang=bp,... sample rates")
+    ap.add_argument(
+        "--normalize",
+        action="store_true",
+        help="Unicode NFC + control strip + whitespace collapse on text",
+    )
     ap.add_argument("--redact", action="store_true", help="scrub PII")
+    ap.add_argument(
+        "--profile",
+        action="store_true",
+        help="print one-scan column statistics of the published table",
+    )
     ap.add_argument("--dedup", action="store_true", help="exact dedup")
     ap.add_argument("--split", action="store_true", help="train/val/test")
     ap.add_argument("--pack-budget", type=int, default=None, metavar="TOKENS")
@@ -64,6 +79,11 @@ def main(argv: list[str] | None = None) -> int:
 
     df = spark.read.parquet(args.input)
     n_in = df.count()
+
+    if args.normalize:
+        from qms_datawarehouse_spark.operators.textops import normalize_text
+
+        df = df.withColumn("text", normalize_text(F.col("text")))
 
     if args.rates:
         rates = {}
@@ -135,6 +155,21 @@ def main(argv: list[str] | None = None) -> int:
             .count()
         )
         print(f"packed {args.out}_sequences: {n_seq} sequences")
+
+    if args.profile:
+        from qms_datawarehouse_spark.operators.profile import profile_table
+
+        # exact=False: interactive report path (no multi-distinct
+        # planning cost; HLL++ distincts)
+        def _clip(v, n=40):
+            return v if v is None or len(v) <= n else v[:n] + "…"
+
+        for r in profile_table(wh.read(args.out), exact=False).collect():
+            print(
+                f"profile {args.out}.{r.col_name}: rows={r.n_rows} "
+                f"nulls={r.n_nulls} distinct~{r.n_distinct} "
+                f"min={_clip(r.min_value)} max={_clip(r.max_value)}"
+            )
 
     return 0
 
