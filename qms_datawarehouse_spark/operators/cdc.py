@@ -1,0 +1,287 @@
+"""CDC apply: keyed change feeds with DELETES, sequenced and
+out-of-order safe.
+
+The reference's merge is upsert-only (``INSERT ... ON CONFLICT DO
+UPDATE``, src/services/etl.py:17-87) — a document deleted at the
+source lives in the warehouse forever. ``apply_changes`` is the
+missing half: a change feed of ``(key, seq, op ∈ {upsert, delete},
+payload…)`` rows applied so that, per key, the HIGHEST-sequence
+operation wins — regardless of the order batches arrive in.
+
+Out-of-order correctness needs memory of deletes: without it, a late
+upsert (seq 3, delayed in transit) arriving after the delete that
+superseded it (seq 5, already applied) would resurrect the row. So
+every applied delete records ``(key, seq)`` in a TOMBSTONE table —
+bucketed exactly like the main table — and an incoming upsert is
+suppressed when a tombstone with an equal-or-higher sequence exists.
+Tombstones are monotone (only the max delete-seq per key is kept, via
+the standard keyed merge) and never block a genuine reinsert, because
+the check is a sequence comparison, not key existence. They accrete
+with deletes; vacuum by retention once every producer is past the
+horizon (same policy discussion as version retention).
+
+Cost shape = the merge's: winners resolve in one key-partitioned
+window; the main table is read AND written only in the buckets the
+batch's keys hash into (hardlink-inherited elsewhere); the tombstone
+probe is pruned to the same buckets (same key, same bucket count ⇒
+same dirs). Main + tombstone versions commit atomically through the
+multi-table transaction, so a reader never sees a delete applied but
+its tombstone missing (a crash between the two would silently
+re-admit the late upsert).
+
+Sequence ties are deterministic: delete beats upsert, then a stable
+row hash — replaying a batch converges (T3), like every write path
+here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.operators.merge import (
+    _resolve_buckets,
+    merge_upsert,
+    with_bucket,
+)
+from qms_datawarehouse_spark.warehouse import (
+    BUCKET_COL,
+    ConcurrentWriteError,
+    ParquetWarehouse,
+)
+
+OP_UPSERT = "upsert"
+OP_DELETE = "delete"
+
+
+def tombstone_table(table: str) -> str:
+    return f"{table}__tombstones"
+
+
+@dataclass
+class ApplyChangesStats:
+    n_changes: int
+    n_upserts: int  # upsert winners applied (incl. reinserts)
+    n_deletes: int  # delete winners applied (incl. already-absent keys)
+    n_suppressed: int  # late upserts blocked by a newer tombstone
+
+
+def _winners(changes: DataFrame, key: str, seq_col: str, op_col: str) -> DataFrame:
+    """One winning operation per key: highest sequence; ties prefer
+    delete, then a stable whole-row hash (deterministic replay)."""
+    row_hash = F.xxhash64(F.struct(*[F.col(c) for c in changes.columns]))
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc_nulls_last(),
+        (F.col(op_col) == OP_DELETE).desc(),
+        row_hash.asc(),
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    warehouse: ParquetWarehouse,
+    table: str,
+    changes: DataFrame,
+    key: str = "_id",
+    seq_col: str = "_seq",
+    op_col: str = "_op",
+    n_buckets: int | None = None,
+    max_retries: int = 2,
+) -> ApplyChangesStats:
+    """Apply a sequenced change feed (upserts + deletes) to ``table``.
+
+    The payload schema is ``changes`` minus ``op_col``; ``seq_col`` is
+    stored with each row (it is the merge order column for every
+    future comparison). Returns per-batch apply statistics.
+    """
+    last_exc: Exception | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return _apply_changes_once(
+                warehouse, table, changes, key, seq_col, op_col, n_buckets
+            )
+        except ConcurrentWriteError as exc:
+            last_exc = exc
+    raise last_exc
+
+
+def _apply_changes_once(
+    warehouse: ParquetWarehouse,
+    table: str,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    n_buckets: int | None,
+) -> ApplyChangesStats:
+    from qms_datawarehouse_spark.operators.transaction import (
+        MultiTableTransaction,
+    )
+
+    if not changes.take(1):
+        return ApplyChangesStats(0, 0, 0, 0)
+    bad = changes.filter(~F.col(op_col).isin(OP_UPSERT, OP_DELETE))
+    if bad.take(1):
+        raise ValueError(
+            f"{op_col!r} must be '{OP_UPSERT}' or '{OP_DELETE}'; got "
+            f"{bad.select(op_col).first()[0]!r}"
+        )
+
+    buckets = _resolve_buckets(warehouse, table, n_buckets)
+    tomb = tombstone_table(table)
+
+    win = with_bucket(_winners(changes, key, seq_col, op_col), key, buckets)
+    win = win.persist()
+    live = None
+    try:
+        # ---- tombstone suppression of late upserts --------------------
+        if warehouse.table_exists(tomb):
+            touched_t = [
+                r[0] for r in win.select(BUCKET_COL).distinct().collect()
+            ]
+            tombs = (
+                warehouse.read(tomb)
+                .filter(F.col(BUCKET_COL).isin(touched_t))
+                .select(F.col(key), F.col(seq_col).alias("__tomb_seq"))
+            )
+            win_t = win.join(F.broadcast(tombs), key, "left")
+        else:
+            win_t = win.withColumn("__tomb_seq", F.lit(None).cast("long"))
+        suppressed = (F.col(op_col) == OP_UPSERT) & F.col(
+            "__tomb_seq"
+        ).isNotNull() & (F.col("__tomb_seq") >= F.col(seq_col))
+        live = win_t.filter(~suppressed).drop("__tomb_seq").persist()
+
+        counts = {
+            r[0]: r[1]
+            for r in live.groupBy(op_col).count().collect()
+        }
+        n_up = int(counts.get(OP_UPSERT, 0))
+        n_del = int(counts.get(OP_DELETE, 0))
+        n_win = win.count()
+        n_suppressed = n_win - n_up - n_del
+
+        deletes = live.filter(F.col(op_col) == OP_DELETE)
+        upserts = live.filter(F.col(op_col) == OP_UPSERT).drop(op_col)
+
+        # ---- first write: nothing to resolve against ------------------
+        if not warehouse.table_exists(table):
+            # tombstones FIRST: a crash in between leaves suppression
+            # without the (empty) apply — the safe direction
+            if n_del:
+                merge_upsert(
+                    warehouse, tomb,
+                    deletes.select(key, seq_col),
+                    key=key, order_col=seq_col, n_buckets=buckets,
+                )
+            if n_up:
+                merge_upsert(
+                    warehouse, table, upserts, key=key, order_col=seq_col,
+                    n_buckets=buckets,
+                )
+            return ApplyChangesStats(n_win, n_up, n_del, n_suppressed)
+
+        # ---- resolve main table in its touched buckets ----------------
+        base = warehouse.current_version_name(table)
+        target = warehouse.read(table, version=base)
+        # a table previously emptied by deletes has a version with no
+        # bucket dirs to inherit — partial writes refuse (loudly, to
+        # protect untouched data); a full write of the batch is O(batch)
+        # here anyway
+        target_empty = not target.take(1)
+        touched = [r[0] for r in live.select(BUCKET_COL).distinct().collect()]
+        contested = target.filter(F.col(BUCKET_COL).isin(touched))
+        if seq_col not in contested.columns:
+            # legacy rows without a sequence lose to any change
+            contested = contested.withColumn(seq_col, F.lit(None).cast("long"))
+        combined = contested.withColumn(op_col, F.lit(OP_UPSERT)).withColumn(
+            "__prec", F.lit(0)
+        ).unionByName(
+            live.withColumn("__prec", F.lit(1)), allowMissingColumns=True
+        )
+        w = Window.partitionBy(key).orderBy(
+            F.col(seq_col).desc_nulls_last(), F.col("__prec").desc()
+        )
+        resolved = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(F.col(op_col) != OP_DELETE)  # winning delete ⇒ row gone
+            .drop("__rn", "__prec", op_col)
+        )
+
+        if not n_del:
+            if target_empty:
+                warehouse.write_version(
+                    table, resolved, partition_by=[BUCKET_COL],
+                    expect_base=base,
+                )
+            else:
+                warehouse.write_version_partial(
+                    table, resolved, touched, base_version=base
+                )
+            return ApplyChangesStats(n_win, n_up, n_del, n_suppressed)
+
+        # ---- deletes present: main + tombstones flip together ---------
+        from qms_datawarehouse_spark.operators.merge import merge_dataframes
+
+        if warehouse.table_exists(tomb):
+            tomb_base = warehouse.current_version_name(tomb)
+            touched_tb = [
+                r[0]
+                for r in deletes.select(BUCKET_COL).distinct().collect()
+            ]
+            contested_tomb = (
+                warehouse.read(tomb, version=tomb_base)
+                .filter(F.col(BUCKET_COL).isin(touched_tb))
+            )
+            new_tomb = with_bucket(
+                merge_dataframes(
+                    contested_tomb.drop(BUCKET_COL),
+                    deletes.select(key, seq_col),
+                    key=key,
+                    order_col=seq_col,
+                ),
+                key,
+                buckets,
+            )
+            txn = MultiTableTransaction(warehouse)
+            if target_empty:
+                txn.stage_write(table, resolved, partition_by=[BUCKET_COL])
+            else:
+                txn.stage_write_partial(
+                    table, resolved, touched, base_version=base
+                )
+            txn.stage_write_partial(
+                tomb, new_tomb, touched_tb, base_version=tomb_base
+            )
+            txn.commit()
+        else:
+            # no tombstone table yet: create it inside the txn window
+            # is not supported (create-on-first-write is single-table),
+            # so create it FIRST — worst case a crash leaves tombstones
+            # for deletes not yet applied, which only suppresses what
+            # the replayed batch will delete again (safe direction).
+            merge_upsert(
+                warehouse, tomb, deletes.select(key, seq_col),
+                key=key, order_col=seq_col, n_buckets=buckets,
+            )
+            if target_empty:
+                warehouse.write_version(
+                    table, resolved, partition_by=[BUCKET_COL],
+                    expect_base=base,
+                )
+            else:
+                warehouse.write_version_partial(
+                    table, resolved, touched, base_version=base
+                )
+        return ApplyChangesStats(n_win, n_up, n_del, n_suppressed)
+    finally:
+        if live is not None:
+            live.unpersist()
+        win.unpersist()

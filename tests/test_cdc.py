@@ -1,0 +1,138 @@
+"""CDC apply: sequenced upsert/delete feeds with tombstone-backed
+out-of-order safety and atomic main+tombstone commits."""
+
+from __future__ import annotations
+
+import pytest
+
+from qms_datawarehouse_spark.operators.cdc import (
+    apply_changes,
+    tombstone_table,
+)
+
+SCHEMA = "_id string, _seq long, _op string, v string"
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(wh, table="t"):
+    return {r._id: (r._seq, r.v) for r in wh.read(table).collect()}
+
+
+def test_mixed_batch_applies_upserts_and_deletes(spark, warehouse):
+    apply_changes(
+        warehouse, "t",
+        _ch(spark, [("a", 1, "upsert", "a1"), ("b", 1, "upsert", "b1")]),
+    )
+    stats = apply_changes(
+        warehouse, "t",
+        _ch(spark, [("a", 2, "delete", None), ("c", 2, "upsert", "c1")]),
+    )
+    assert (stats.n_upserts, stats.n_deletes, stats.n_suppressed) == (1, 1, 0)
+    assert _state(warehouse) == {"b": (1, "b1"), "c": (2, "c1")}
+
+
+def test_in_batch_sequencing_delete_wins_when_newest(spark, warehouse):
+    apply_changes(
+        warehouse, "t",
+        _ch(spark, [
+            ("a", 1, "upsert", "a1"),
+            ("a", 2, "delete", None),   # newest op for a → deleted
+            ("b", 2, "delete", None),
+            ("b", 3, "upsert", "b3"),   # newest op for b → lives
+        ]),
+    )
+    assert _state(warehouse) == {"b": (3, "b3")}
+
+
+def test_late_upsert_after_delete_is_suppressed(spark, warehouse):
+    apply_changes(warehouse, "t", _ch(spark, [("a", 1, "upsert", "a1")]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 5, "delete", None)]))
+    # the delayed seq-3 update arrives AFTER the seq-5 delete
+    stats = apply_changes(
+        warehouse, "t", _ch(spark, [("a", 3, "upsert", "a3-late")])
+    )
+    assert stats.n_suppressed == 1 and stats.n_upserts == 0
+    assert _state(warehouse) == {}
+
+
+def test_reinsert_after_delete_applies(spark, warehouse):
+    apply_changes(warehouse, "t", _ch(spark, [("a", 1, "upsert", "a1")]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 5, "delete", None)]))
+    stats = apply_changes(
+        warehouse, "t", _ch(spark, [("a", 7, "upsert", "a7")])
+    )
+    assert stats.n_upserts == 1 and stats.n_suppressed == 0
+    assert _state(warehouse) == {"a": (7, "a7")}
+
+
+def test_late_delete_loses_to_newer_stored_row(spark, warehouse):
+    apply_changes(warehouse, "t", _ch(spark, [("a", 5, "upsert", "a5")]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 3, "delete", None)]))
+    # the stored row is newer than the delete → survives; but the
+    # tombstone still suppresses anything older than seq 3
+    assert _state(warehouse) == {"a": (5, "a5")}
+    apply_changes(warehouse, "t", _ch(spark, [("a", 2, "upsert", "a2-late")]))
+    assert _state(warehouse) == {"a": (5, "a5")}
+
+
+def test_delete_of_absent_key_is_noop_but_remembered(spark, warehouse):
+    apply_changes(warehouse, "t", _ch(spark, [("x", 1, "upsert", "x1")]))
+    apply_changes(warehouse, "t", _ch(spark, [("ghost", 9, "delete", None)]))
+    assert _state(warehouse) == {"x": (1, "x1")}
+    # a late upsert of the pre-deleted key stays dead
+    apply_changes(warehouse, "t", _ch(spark, [("ghost", 4, "upsert", "g4")]))
+    assert _state(warehouse) == {"x": (1, "x1")}
+
+
+def test_replay_converges(spark, warehouse):
+    batch = _ch(spark, [
+        ("a", 1, "upsert", "a1"),
+        ("b", 2, "delete", None),
+        ("b", 1, "upsert", "b1"),
+    ])
+    s1 = apply_changes(warehouse, "t", batch)
+    before = _state(warehouse)
+    s2 = apply_changes(warehouse, "t", batch)  # at-least-once replay
+    assert before == _state(warehouse) == {"a": (1, "a1")}
+    assert (s1.n_upserts, s1.n_deletes) == (1, 1)
+    # the replayed delete re-applies harmlessly; the upsert ties with
+    # the stored seq and the resolution keeps one row either way
+    assert s2.n_deletes == 1
+
+
+def test_tombstones_bucketed_and_monotone(spark, warehouse):
+    apply_changes(warehouse, "t", _ch(spark, [("a", 1, "upsert", "a1")]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 4, "delete", None)]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 6, "upsert", "a6")]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 8, "delete", None)]))
+    tombs = {
+        r._id: r._seq for r in warehouse.read(tombstone_table("t")).collect()
+    }
+    assert tombs == {"a": 8}  # max delete-seq per key, one row
+    meta = warehouse.read_meta(tombstone_table("t"))
+    assert int(meta["n_buckets"]) == int(warehouse.read_meta("t")["n_buckets"])
+
+
+def test_invalid_op_rejected(spark, warehouse):
+    with pytest.raises(ValueError, match="_op"):
+        apply_changes(
+            warehouse, "t", _ch(spark, [("a", 1, "replace", "a1")])
+        )
+
+
+def test_main_and_tombstones_commit_atomically(spark, warehouse):
+    """Deletes against an existing tombstone table go through the
+    multi-table transaction: both pointers advance, and the journal
+    leaves no stranded staging on success."""
+    apply_changes(warehouse, "t", _ch(spark, [("a", 1, "upsert", "a1"),
+                                              ("b", 1, "upsert", "b1")]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 2, "delete", None)]))
+    v_t = warehouse.current_version_name("t")
+    v_tomb = warehouse.current_version_name(tombstone_table("t"))
+    apply_changes(warehouse, "t", _ch(spark, [("b", 3, "delete", None)]))
+    assert warehouse.current_version_name("t") != v_t
+    assert warehouse.current_version_name(tombstone_table("t")) != v_tomb
+    assert _state(warehouse) == {}
