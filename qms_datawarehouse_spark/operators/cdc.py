@@ -84,6 +84,28 @@ def _winners(changes: DataFrame, key: str, seq_col: str, op_col: str) -> DataFra
     )
 
 
+def changes_as_feed(diff: DataFrame, seq: int) -> DataFrame:
+    """Bridge a ``table_changes`` row-level diff (CDF produce) into an
+    ``apply_changes`` feed (CDC apply): insert/update → upsert, delete
+    → delete, all stamped with one monotone ``_seq`` per replication
+    step (diffs are applied in version order, so a per-step sequence
+    is a correct total order). Compose the two and a follower table
+    replays a leader's history — the replication loop:
+
+        diff = table_changes(wh, src, key, from_version=last_seen)
+        apply_changes(wh, dst, changes_as_feed(diff, step), key=key)
+    """
+    return (
+        diff.withColumn(
+            "_op",
+            F.when(F.col("_change_type") == "delete", F.lit(OP_DELETE))
+            .otherwise(F.lit(OP_UPSERT)),
+        )
+        .withColumn("_seq", F.lit(int(seq)).cast("long"))
+        .drop("_change_type")
+    )
+
+
 def apply_changes(
     warehouse: ParquetWarehouse,
     table: str,

@@ -3,6 +3,7 @@ out-of-order safety and atomic main+tombstone commits."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from qms_datawarehouse_spark.operators.cdc import (
@@ -136,3 +137,75 @@ def test_main_and_tombstones_commit_atomically(spark, warehouse):
     assert warehouse.current_version_name("t") != v_t
     assert warehouse.current_version_name(tombstone_table("t")) != v_tomb
     assert _state(warehouse) == {}
+
+
+def test_cdf_to_cdc_replication_round_trip(spark, warehouse):
+    """The produce and apply halves compose: replaying a leader
+    table's row-level diffs (table_changes) through changes_as_feed →
+    apply_changes keeps a follower table identical through inserts,
+    updates, AND deletes."""
+    from qms_datawarehouse_spark.operators.cdc import changes_as_feed
+    from qms_datawarehouse_spark.operators.changes import table_changes
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+
+    def src_rows():
+        return {
+            r._id: r.v
+            for r in warehouse.read("leader").select("_id", "v").collect()
+        }
+
+    def dst_rows():
+        return {
+            r._id: r.v
+            for r in warehouse.read("follower").select("_id", "v").collect()
+        }
+
+    def replicate(from_version, step):
+        diff = table_changes(warehouse, "leader", "_id", from_version)
+        apply_changes(
+            warehouse, "follower", changes_as_feed(diff, step), key="_id"
+        )
+
+    up = "_id string, v string, updated_at string"
+    merge_upsert(
+        warehouse, "leader",
+        spark.createDataFrame(
+            [("a", "a1", "t1"), ("b", "b1", "t1")], up
+        ),
+    )
+    v1 = warehouse.current_version_name("leader")
+    # bootstrap the follower from the full first state (step 0):
+    # every row is an insert relative to the empty set
+    apply_changes(
+        warehouse, "follower",
+        changes_as_feed(
+            warehouse.read("leader").drop("_bucket")
+            .withColumn("_change_type", F.lit("insert")),
+            0,
+        ),
+        key="_id",
+    )
+    assert dst_rows() == src_rows() == {"a": "a1", "b": "b1"}
+
+    # step 1: update + insert on the leader
+    merge_upsert(
+        warehouse, "leader",
+        spark.createDataFrame(
+            [("a", "a2", "t2"), ("c", "c1", "t2")], up
+        ),
+    )
+    replicate(v1, 1)
+    v2 = warehouse.current_version_name("leader")
+    assert dst_rows() == src_rows() == {"a": "a2", "b": "b1", "c": "c1"}
+
+    # step 2: delete on the leader (via CDC apply on the leader side)
+    apply_changes(
+        warehouse, "leader",
+        spark.createDataFrame(
+            [("b", 10, "delete", None, None)],
+            "_id string, _seq long, _op string, v string, updated_at string",
+        ),
+        key="_id",
+    )
+    replicate(v2, 2)
+    assert dst_rows() == src_rows() == {"a": "a2", "c": "c1"}
