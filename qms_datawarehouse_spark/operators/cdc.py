@@ -46,6 +46,7 @@ from qms_datawarehouse_spark.operators.merge import (
     merge_upsert,
     with_bucket,
 )
+from qms_datawarehouse_spark.plans.registry import query, tables
 from qms_datawarehouse_spark.warehouse import (
     BUCKET_COL,
     ConcurrentWriteError,
@@ -103,6 +104,64 @@ def changes_as_feed(diff: DataFrame, seq: int) -> DataFrame:
         )
         .withColumn("_seq", F.lit(int(seq)).cast("long"))
         .drop("_change_type")
+    )
+
+
+# --------------------------------------------------------------------
+# Driver-verifiable form of the resolution math (stateless — the
+# warehouse plumbing is pytest-covered in test_cdc.py, same pattern
+# as dedup's ingest_gate_probe)
+# --------------------------------------------------------------------
+
+_PROBE_SQL = """
+    WITH feed AS (
+        SELECT user_id AS key, epoch_us(ts) AS seq_us,
+               CASE WHEN event_type = 'purchase' THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY key
+            ORDER BY seq_us DESC,
+                     (op = 'delete') DESC,
+                     event_id DESC
+        ) AS rn
+        FROM feed
+    )
+    SELECT key, op AS final_op, seq_us, event_id
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("cdc_resolution_probe", _PROBE_SQL)
+def cdc_resolution_probe(spark, sf_dir: str) -> DataFrame:
+    """The CDC winner-resolution math as a stateless, driver-verifiable
+    query: events replayed as a change feed (purchases play deletes,
+    everything else upserts; the timestamp is the sequence), resolved
+    highest-seq-wins per user with the delete-beats-upsert /
+    unique-id tie order. Output = each key's final operation — the
+    per-key decision ``apply_changes`` commits. One keyed window, the
+    same single-shuffle shape as the warehouse path."""
+    (events,) = tables(spark, sf_dir, "events")
+    feed = events.select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("seq_us"),
+        F.when(F.col("event_type") == "purchase", F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPSERT))
+        .alias("op"),
+        "event_id",
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("seq_us").desc(),
+        (F.col("op") == OP_DELETE).desc(),
+        F.col("event_id").desc(),
+    )
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", F.col("op").alias("final_op"), "seq_us", "event_id")
     )
 
 

@@ -14,6 +14,7 @@ and oracle-checked by the in-repo suite (tests/test_queries_oracle.py
 parametrizes all of them)."""
 
 from qms_datawarehouse_spark.operators import (  # noqa: F401
+    cdc,
     curation,
     dedup,
     grouped_pandas,
@@ -118,12 +119,12 @@ _DRIVER_WINDOW = [
 # similarity_pq_adc, histogram_order_value, rfm_segments,
 # stats_sufficient_moments, similarity_ivfpq,
 # curation_shuffle_shards, curation_repeat_upsample,
-# dedup_canonical, and the late-round-3 six: dedup_split_leakage,
+# dedup_canonical, and the late-round-3 seven: dedup_split_leakage,
 # curation_split_by_cluster, text_normalize, profile_orders,
-# scd2_asof_lookup, curation_sample_exact_k (all nineteen in-repo
-# oracle-green). Round-4 slots: (a) any red rows from
-# CORRECTNESS_r03, (b) those nineteen, (c) §2 core re-confirmation on
-# a sampled basis.
+# scd2_asof_lookup, curation_sample_exact_k, cdc_resolution_probe
+# (all twenty in-repo oracle-green). Round-4 slots: (a) any red rows
+# from CORRECTNESS_r03, (b) those twenty, (c) §2 core re-confirmation
+# on a sampled basis.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

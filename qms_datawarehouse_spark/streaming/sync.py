@@ -190,6 +190,47 @@ def stream_ingest_dedup(
     return writer.start()
 
 
+def stream_apply_changes(
+    stream_df: DataFrame,
+    warehouse: ParquetWarehouse,
+    table: str,
+    key: str = "_id",
+    seq_col: str = "_seq",
+    op_col: str = "_op",
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    on_stats=None,
+) -> StreamingQuery:
+    """Streaming CDC apply: every micro-batch of a sequenced change
+    feed (upserts + deletes) resolves and commits through
+    ``operators.cdc.apply_changes``. The T-contract carries over from
+    stream_sync: offsets commit after the apply, and a replayed epoch
+    converges (sequence comparison + tombstones make the apply
+    idempotent AND out-of-order safe — a late epoch re-delivered
+    around a delete cannot resurrect the row).
+
+    ``on_stats(epoch_id, ApplyChangesStats)`` observes per-epoch
+    apply counts (upserts/deletes/suppressed)."""
+    from qms_datawarehouse_spark.operators.cdc import apply_changes
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        stats = apply_changes(
+            warehouse, table, batch_df, key=key, seq_col=seq_col,
+            op_col=op_col,
+        )
+        if on_stats is not None:
+            on_stats(epoch_id, stats)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_split_sync(
     spark: SparkSession,
     source_dir: str,

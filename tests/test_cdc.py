@@ -209,3 +209,42 @@ def test_cdf_to_cdc_replication_round_trip(spark, warehouse):
     )
     replicate(v2, 2)
     assert dst_rows() == src_rows() == {"a": "a2", "c": "c1"}
+
+
+def test_stream_apply_changes_end_to_end(spark, warehouse, tmp_path):
+    """Streaming CDC: file-source change feed → foreachBatch apply;
+    a later epoch's delete removes the row, per-epoch stats surface
+    through the hook, and restart-with-checkpoint reads only new
+    files."""
+    from pyspark.sql import types as T
+
+    from qms_datawarehouse_spark.streaming.sync import stream_apply_changes
+
+    schema = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("_seq", T.LongType()),
+        T.StructField("_op", T.StringType()),
+        T.StructField("v", T.StringType()),
+    ])
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    stats = []
+
+    def run():
+        q = stream_apply_changes(
+            spark.readStream.schema(schema).parquet(f"{src}/*"),
+            warehouse, "t",
+            checkpoint_dir=ck, available_now=True,
+            on_stats=lambda e, s: stats.append(s),
+        )
+        q.awaitTermination(120)
+
+    _ch(spark, [("a", 1, "upsert", "a1"), ("b", 1, "upsert", "b1")]) \
+        .write.parquet(f"{src}/b1")
+    run()
+    assert _state(warehouse) == {"a": (1, "a1"), "b": (1, "b1")}
+    _ch(spark, [("a", 2, "delete", None), ("c", 2, "upsert", "c1")]) \
+        .write.parquet(f"{src}/b2")
+    run()
+    assert _state(warehouse) == {"b": (1, "b1"), "c": (2, "c1")}
+    assert sum(s.n_deletes for s in stats) == 1
+    assert sum(s.n_upserts for s in stats) == 3

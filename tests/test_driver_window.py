@@ -77,6 +77,7 @@ QUEUED_NEXT_WINDOW = [
     "profile_orders",
     "scd2_asof_lookup",
     "curation_sample_exact_k",
+    "cdc_resolution_probe",
 ]
 
 
