@@ -85,6 +85,34 @@ def _winners(changes: DataFrame, key: str, seq_col: str, op_col: str) -> DataFra
     )
 
 
+def vacuum_tombstones(
+    warehouse: ParquetWarehouse, table: str, min_seq: int
+) -> int:
+    """Drop tombstones with ``seq < min_seq`` — safe once every
+    producer's sequence horizon has passed ``min_seq``, because a
+    tombstone only exists to suppress upserts OLDER than it, and no
+    such upsert can still arrive. Returns tombstones removed.
+
+    Full rewrite of the (small — rows ∝ deletes) tombstone table
+    behind the usual atomic swap; run it on the same retention clock
+    as version GC (maintenance runbook cadence)."""
+    tomb = tombstone_table(table)
+    if not warehouse.table_exists(tomb):
+        return 0
+    cur = warehouse.read(tomb)
+    meta = warehouse.read_meta(tomb)
+    seq_col = meta.get("order_col") or "_seq"
+    expired = cur.filter(F.col(seq_col) < min_seq).count()
+    if not expired:
+        return 0
+    warehouse.write_version(
+        tomb,
+        cur.filter(F.col(seq_col) >= min_seq),
+        partition_by=[BUCKET_COL],
+    )
+    return int(expired)
+
+
 def changes_as_feed(diff: DataFrame, seq: int) -> DataFrame:
     """Bridge a ``table_changes`` row-level diff (CDF produce) into an
     ``apply_changes`` feed (CDC apply): insert/update → upsert, delete

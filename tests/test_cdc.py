@@ -248,3 +248,26 @@ def test_stream_apply_changes_end_to_end(spark, warehouse, tmp_path):
     assert _state(warehouse) == {"b": (1, "b1"), "c": (2, "c1")}
     assert sum(s.n_deletes for s in stats) == 1
     assert sum(s.n_upserts for s in stats) == 3
+
+
+def test_vacuum_tombstones_respects_horizon(spark, warehouse):
+    from qms_datawarehouse_spark.operators.cdc import vacuum_tombstones
+
+    apply_changes(warehouse, "t", _ch(spark, [
+        ("a", 1, "upsert", "a1"), ("b", 1, "upsert", "b1"),
+        ("c", 1, "upsert", "c1")]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 3, "delete", None)]))
+    apply_changes(warehouse, "t", _ch(spark, [("b", 9, "delete", None)]))
+    # horizon 5: a's tombstone (seq 3) expires, b's (seq 9) stays
+    assert vacuum_tombstones(warehouse, "t", min_seq=5) == 1
+    tombs = {
+        r._id: r._seq for r in warehouse.read(tombstone_table("t")).collect()
+    }
+    assert tombs == {"b": 9}
+    # suppression still works past the vacuum for the kept tombstone
+    apply_changes(warehouse, "t", _ch(spark, [("b", 7, "upsert", "late")]))
+    assert "b" not in _state(warehouse)
+    # nothing expired → no new version written
+    v = warehouse.current_version_name(tombstone_table("t"))
+    assert vacuum_tombstones(warehouse, "t", min_seq=5) == 0
+    assert warehouse.current_version_name(tombstone_table("t")) == v
