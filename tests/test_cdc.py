@@ -271,3 +271,49 @@ def test_vacuum_tombstones_respects_horizon(spark, warehouse):
     v = warehouse.current_version_name(tombstone_table("t"))
     assert vacuum_tombstones(warehouse, "t", min_seq=5) == 0
     assert warehouse.current_version_name(tombstone_table("t")) == v
+
+
+def test_apply_changes_retries_after_interleaved_commit(spark, warehouse):
+    """An apply_changes losing the CAS race recomputes against the
+    winner's version: both writers' effects land (no lost update in
+    either direction), same contract as the merge."""
+    import unittest.mock as mock
+
+    from qms_datawarehouse_spark.operators.merge import with_bucket
+    from qms_datawarehouse_spark.warehouse import BUCKET_COL, ParquetWarehouse
+
+    apply_changes(
+        warehouse, "t",
+        _ch(spark, [("a", 1, "upsert", "a1"), ("b", 1, "upsert", "b1")]),
+        n_buckets=4,
+    )
+
+    real_partial = ParquetWarehouse.write_version_partial
+    fired = {"n": 0}
+
+    def racing_partial(self, table, df, touched, **kw):
+        if table == "t" and fired["n"] == 0:
+            fired["n"] += 1
+            # interleave: another writer advances 'b' before our commit
+            other = with_bucket(
+                spark.createDataFrame(
+                    [("a", 1, "a1"), ("b", 7, "b7")],
+                    "_id string, _seq long, v string",
+                ),
+                "_id", 4,
+            )
+            ParquetWarehouse.write_version(
+                self, table, other, partition_by=[BUCKET_COL]
+            )
+        return real_partial(self, table, df, touched, **kw)
+
+    with mock.patch.object(
+        ParquetWarehouse, "write_version_partial", racing_partial
+    ):
+        stats = apply_changes(
+            warehouse, "t", _ch(spark, [("a", 5, "upsert", "a5")]),
+            n_buckets=4,
+        )
+    assert fired["n"] == 1  # the race actually happened
+    assert stats.n_upserts == 1
+    assert _state(warehouse) == {"a": (5, "a5"), "b": (7, "b7")}

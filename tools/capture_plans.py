@@ -38,6 +38,7 @@ PICKS = {
     "similarity_pq_adc": "Codebook (M*K subvectors) and query are two bounded broadcasts; assignment + ADC are one codegen stage per row; TakeOrderedAndProject ends it — the embedding table is never shuffled.",
     "profile_orders": "Six columns profiled from ONE scan: every statistic partial-aggregates; the Expand is the exact-distinct price (exact=False drops it for HLL++ sketches at 100 TB).",
     "text_normalize": "Map-only canonicalization: regex stages in whole-stage codegen around a single ArrowEvalPython hop (the NFC UDF) — zero exchanges.",
+    "cdc_resolution_probe": "The CDC winner decision is ONE keyed window (seq desc, delete-beats-upsert, unique-id tiebreak) — a single user_id exchange, the same shape the warehouse apply commits.",
     # dedup_split_leakage is intentionally NOT captured: its plan
     # embeds the CC loop's full iterative lineage (thousands of lines,
     # like dedup_clusters) — the audit's own cost is one join + one
