@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.operators.merge import (
     _resolve_buckets,
+    dedup_last_write_wins,
     merge_upsert,
     with_bucket,
 )
@@ -71,17 +72,13 @@ class ApplyChangesStats:
 
 def _winners(changes: DataFrame, key: str, seq_col: str, op_col: str) -> DataFrame:
     """One winning operation per key: highest sequence; ties prefer
-    delete, then a stable whole-row hash (deterministic replay)."""
-    row_hash = F.xxhash64(F.struct(*[F.col(c) for c in changes.columns]))
-    w = Window.partitionBy(key).orderBy(
-        F.col(seq_col).desc_nulls_last(),
-        (F.col(op_col) == OP_DELETE).desc(),
-        row_hash.asc(),
-    )
-    return (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    delete, then the shared last-write-wins resolution (stable row
+    hash — deterministic replay). Delegates to merge's
+    ``dedup_last_write_wins`` so the D1 determinism contract has ONE
+    implementation."""
+    return dedup_last_write_wins(
+        changes, key, seq_col,
+        tie_cols=[(F.col(op_col) == OP_DELETE).desc()],
     )
 
 
@@ -99,18 +96,29 @@ def vacuum_tombstones(
     tomb = tombstone_table(table)
     if not warehouse.table_exists(tomb):
         return 0
-    cur = warehouse.read(tomb)
     meta = warehouse.read_meta(tomb)
     seq_col = meta.get("order_col") or "_seq"
-    expired = cur.filter(F.col(seq_col) < min_seq).count()
-    if not expired:
-        return 0
-    warehouse.write_version(
-        tomb,
-        cur.filter(F.col(seq_col) >= min_seq),
-        partition_by=[BUCKET_COL],
-    )
-    return int(expired)
+    # CAS against the version the filter was computed from: a
+    # tombstone committed by a concurrent apply between this read and
+    # the swap must fail the swap, not silently vanish
+    last_exc: Exception | None = None
+    for _ in range(3):
+        base = warehouse.current_version_name(tomb)
+        cur = warehouse.read(tomb, version=base)
+        expired = cur.filter(F.col(seq_col) < min_seq).count()
+        if not expired:
+            return 0
+        try:
+            warehouse.write_version(
+                tomb,
+                cur.filter(F.col(seq_col) >= min_seq),
+                partition_by=[BUCKET_COL],
+                expect_base=base,
+            )
+            return int(expired)
+        except ConcurrentWriteError as exc:
+            last_exc = exc
+    raise last_exc
 
 
 def changes_as_feed(diff: DataFrame, seq: int) -> DataFrame:
@@ -250,15 +258,19 @@ def _apply_changes_once(
     live = None
     try:
         # ---- tombstone suppression of late upserts --------------------
+        tomb_base = None
+        tomb_empty = True
         if warehouse.table_exists(tomb):
+            tomb_base = warehouse.current_version_name(tomb)
+            tomb_target = warehouse.read(tomb, version=tomb_base)
+            tomb_empty = not tomb_target.take(1)
+        if tomb_base is not None and not tomb_empty:
             touched_t = [
                 r[0] for r in win.select(BUCKET_COL).distinct().collect()
             ]
-            tombs = (
-                warehouse.read(tomb)
-                .filter(F.col(BUCKET_COL).isin(touched_t))
-                .select(F.col(key), F.col(seq_col).alias("__tomb_seq"))
-            )
+            tombs = tomb_target.filter(
+                F.col(BUCKET_COL).isin(touched_t)
+            ).select(F.col(key), F.col(seq_col).alias("__tomb_seq"))
             win_t = win.join(F.broadcast(tombs), key, "left")
         else:
             win_t = win.withColumn("__tomb_seq", F.lit(None).cast("long"))
@@ -267,14 +279,30 @@ def _apply_changes_once(
         ).isNotNull() & (F.col("__tomb_seq") >= F.col(seq_col))
         live = win_t.filter(~suppressed).drop("__tomb_seq").persist()
 
-        counts = {
-            r[0]: r[1]
-            for r in live.groupBy(op_col).count().collect()
-        }
-        n_up = int(counts.get(OP_UPSERT, 0))
-        n_del = int(counts.get(OP_DELETE, 0))
-        n_win = win.count()
-        n_suppressed = n_win - n_up - n_del
+        # ONE driver action for every per-batch statistic AND the
+        # touched-bucket list (a streaming epoch otherwise pays a job
+        # launch per lookup)
+        stat_rows = (
+            win_t.withColumn("__supp", suppressed)
+            .groupBy(BUCKET_COL, op_col, "__supp")
+            .count()
+            .collect()
+        )
+        n_win = int(sum(r["count"] for r in stat_rows))
+        n_suppressed = int(sum(r["count"] for r in stat_rows if r["__supp"]))
+        n_up = int(
+            sum(
+                r["count"]
+                for r in stat_rows
+                if not r["__supp"] and r[op_col] == OP_UPSERT
+            )
+        )
+        n_del = int(
+            sum(r["count"] for r in stat_rows if r[op_col] == OP_DELETE)
+        )
+        live_buckets = sorted(
+            {r[BUCKET_COL] for r in stat_rows if not r["__supp"]}
+        )
 
         deletes = live.filter(F.col(op_col) == OP_DELETE)
         upserts = live.filter(F.col(op_col) == OP_UPSERT).drop(op_col)
@@ -304,7 +332,7 @@ def _apply_changes_once(
         # protect untouched data); a full write of the batch is O(batch)
         # here anyway
         target_empty = not target.take(1)
-        touched = [r[0] for r in live.select(BUCKET_COL).distinct().collect()]
+        touched = live_buckets
         contested = target.filter(F.col(BUCKET_COL).isin(touched))
         if seq_col not in contested.columns:
             # legacy rows without a sequence lose to any change
@@ -337,38 +365,51 @@ def _apply_changes_once(
             return ApplyChangesStats(n_win, n_up, n_del, n_suppressed)
 
         # ---- deletes present: main + tombstones flip together ---------
-        from qms_datawarehouse_spark.operators.merge import merge_dataframes
-
-        if warehouse.table_exists(tomb):
-            tomb_base = warehouse.current_version_name(tomb)
-            touched_tb = [
-                r[0]
-                for r in deletes.select(BUCKET_COL).distinct().collect()
-            ]
+        if tomb_base is not None:
+            touched_tb = sorted(
+                {r[BUCKET_COL] for r in stat_rows if r[op_col] == OP_DELETE}
+            )
             contested_tomb = (
                 warehouse.read(tomb, version=tomb_base)
                 .filter(F.col(BUCKET_COL).isin(touched_tb))
             )
+            # tombstones are MONOTONE: per key keep the max delete
+            # sequence across stored ∪ batch — an order-blind
+            # updates-win merge here would let a redelivered OLDER
+            # delete regress the tombstone and re-admit a superseded
+            # upsert
             new_tomb = with_bucket(
-                merge_dataframes(
-                    contested_tomb.drop(BUCKET_COL),
-                    deletes.select(key, seq_col),
-                    key=key,
-                    order_col=seq_col,
-                ),
+                contested_tomb.select(key, seq_col)
+                .unionByName(deletes.select(key, seq_col))
+                .groupBy(key)
+                .agg(F.max(seq_col).alias(seq_col)),
                 key,
                 buckets,
             )
             txn = MultiTableTransaction(warehouse)
             if target_empty:
-                txn.stage_write(table, resolved, partition_by=[BUCKET_COL])
+                # full write, CAS pinned to the version the resolution
+                # was computed against (stage-time re-resolution would
+                # silently clobber an interleaved commit)
+                txn.stage_write(
+                    table, resolved, partition_by=[BUCKET_COL],
+                    expect_base=base,
+                )
             else:
                 txn.stage_write_partial(
                     table, resolved, touched, base_version=base
                 )
-            txn.stage_write_partial(
-                tomb, new_tomb, touched_tb, base_version=tomb_base
-            )
+            if tomb_empty:
+                # an emptied (post-vacuum) tombstone version has no
+                # bucket dirs to inherit — stage a full version
+                txn.stage_write(
+                    tomb, new_tomb, partition_by=[BUCKET_COL],
+                    expect_base=tomb_base,
+                )
+            else:
+                txn.stage_write_partial(
+                    tomb, new_tomb, touched_tb, base_version=tomb_base
+                )
             txn.commit()
         else:
             # no tombstone table yet: create it inside the txn window

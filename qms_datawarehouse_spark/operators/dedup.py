@@ -1129,8 +1129,16 @@ def _split_by_cluster_sql() -> str:
     )
 
     # identical pipeline to the leakage audit, but the split CASE
-    # hashes cluster_id — leakage is impossible by construction
-    closure = _split_leakage_sql().split("clusters AS")[0]
+    # hashes cluster_id — leakage is impossible by construction.
+    # Textual reuse of the generated SQL is guarded: exactly one cut
+    # point may exist, or this silently truncates at the wrong place.
+    leakage_sql = _split_leakage_sql()
+    if leakage_sql.count("clusters AS") != 1:
+        raise AssertionError(
+            "_split_leakage_sql changed shape: expected exactly one "
+            "'clusters AS' CTE to cut the shared closure prefix at"
+        )
+    closure = leakage_sql.split("clusters AS")[0]
     return f"""{closure}clusters AS (
         SELECT doc, min(peer) AS cluster_id FROM reach GROUP BY doc
     )

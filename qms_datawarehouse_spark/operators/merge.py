@@ -50,13 +50,17 @@ DEFAULT_BUCKETS = 32  # local[32] testing; set ~8192 for a 100 TB table
 
 
 def dedup_last_write_wins(
-    updates: DataFrame, key: str, order_col: str | None
+    updates: DataFrame, key: str, order_col: str | None, tie_cols=None
 ) -> DataFrame:
     """Keep one row per key: newest by ``order_col``; full ties (same
     key, same cursor, different payload) are broken by a stable hash of
     the whole row, so the winner is deterministic (D1) — replaying the
     same batch always collapses to the same row, never to whichever row
     a shuffle happened to order first.
+
+    ``tie_cols``: optional ordering Columns inserted between the cursor
+    and the row hash (e.g. CDC's delete-beats-upsert rule) — callers
+    with domain tie rules extend THIS resolution instead of forking it.
 
     One shuffle on ``key`` — the same shuffle the merge join needs, so
     Catalyst/AQE reuses the partitioning downstream.
@@ -65,7 +69,7 @@ def dedup_last_write_wins(
         return updates.dropDuplicates([key])
     row_hash = F.xxhash64(F.struct(*[F.col(c) for c in updates.columns]))
     w = Window.partitionBy(key).orderBy(
-        F.col(order_col).desc_nulls_last(), row_hash.asc()
+        F.col(order_col).desc_nulls_last(), *(tie_cols or []), row_hash.asc()
     )
     return (
         updates.withColumn("__rn", F.row_number().over(w))

@@ -88,20 +88,35 @@ class MultiTableTransaction:
 
     # -- staging -------------------------------------------------------
 
+    _BASE_AT_STAGE = object()  # sentinel: resolve the CAS base at stage time
+
     def stage_write(
         self,
         table: str,
         df: DataFrame,
         partition_by: list[str] | None = None,
+        expect_base=_BASE_AT_STAGE,
     ) -> str:
-        """Write ``df`` as a staged (invisible) version of ``table``;
-        captures the CAS base at stage time. One staged write per
-        table per transaction."""
+        """Write ``df`` as a staged (invisible) version of ``table``.
+        One staged write per table per transaction.
+
+        ``expect_base`` pins the CAS base. Callers whose ``df`` was
+        COMPUTED from a specific version must pass that version (or
+        None for expected-absent) — the default resolves the base at
+        stage time, which is only sound when the staged content does
+        not depend on prior table state (a commit landing between the
+        caller's read and this call would otherwise be silently
+        overwritten: the read-compute/stage TOCTOU the partial path
+        closes with ``base_version``)."""
         if self._done:
             raise RuntimeError("transaction already finished")
         if table in self.staged:
             raise ValueError(f"table {table!r} already staged in {self.txn_id}")
-        base = self.wh.current_version_name(table)
+        base = (
+            self.wh.current_version_name(table)
+            if expect_base is MultiTableTransaction._BASE_AT_STAGE
+            else expect_base
+        )
         version, vdir = self.wh._new_version_dir(table)
         writer = df.write.mode("overwrite")
         if partition_by:

@@ -317,3 +317,43 @@ def test_apply_changes_retries_after_interleaved_commit(spark, warehouse):
     assert fired["n"] == 1  # the race actually happened
     assert stats.n_upserts == 1
     assert _state(warehouse) == {"a": (5, "a5"), "b": (7, "b7")}
+
+
+def test_redelivered_older_delete_cannot_regress_tombstone(spark, warehouse):
+    """A tombstone is monotone: replaying an OLDER delete after a newer
+    one must not lower the recorded sequence (an order-blind merge
+    here would re-admit a superseded upsert)."""
+    apply_changes(warehouse, "t", _ch(spark, [("a", 1, "upsert", "a1"),
+                                              ("z", 1, "upsert", "z1")]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 10, "delete", None)]))
+    # at-least-once redelivery of an older, superseded delete
+    apply_changes(warehouse, "t", _ch(spark, [("a", 3, "delete", None)]))
+    tombs = {
+        r._id: r._seq for r in warehouse.read(tombstone_table("t")).collect()
+    }
+    assert tombs["a"] == 10  # not regressed to 3
+    # the upsert the seq-10 delete superseded stays suppressed
+    apply_changes(warehouse, "t", _ch(spark, [("a", 5, "upsert", "a5-late")]))
+    assert "a" not in _state(warehouse)
+
+
+def test_deletes_after_full_tombstone_vacuum(spark, warehouse):
+    """A vacuum that empties the tombstone table leaves a version with
+    no bucket dirs; the next delete-carrying apply must still work
+    (full stage, not a partial that cannot inherit)."""
+    from qms_datawarehouse_spark.operators.cdc import vacuum_tombstones
+
+    apply_changes(warehouse, "t", _ch(spark, [("a", 1, "upsert", "a1"),
+                                              ("b", 1, "upsert", "b1")]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 2, "delete", None)]))
+    assert vacuum_tombstones(warehouse, "t", min_seq=100) == 1  # emptied
+    # delete against the emptied tombstone table: must not raise
+    stats = apply_changes(
+        warehouse, "t", _ch(spark, [("b", 3, "delete", None)])
+    )
+    assert stats.n_deletes == 1
+    assert _state(warehouse) == {}
+    tombs = {
+        r._id: r._seq for r in warehouse.read(tombstone_table("t")).collect()
+    }
+    assert tombs == {"b": 3}
