@@ -98,3 +98,33 @@ def test_curate_cli_ingest_gate(spark, tmp_path, capsys):
     m = re.search(r"curated corpus: \d+ -> (\d+) rows", first)
     m2 = re.search(r"curated corpus: \d+ -> (\d+) rows", out)
     assert m and m2 and m.group(1) == m2.group(1)
+
+
+def test_apply_cdc_cli_end_to_end(spark, tmp_path, capsys):
+    import tools.apply_cdc as apply_cdc
+
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    wh_dir = str(tmp_path / "wh")
+    f1 = str(tmp_path / "feed1.parquet")
+    f2 = str(tmp_path / "feed2.parquet")
+    S = "_id string, _seq long, _op string, v string"
+    spark.createDataFrame(
+        [("a", 1, "upsert", "a1"), ("b", 1, "upsert", "b1")], S
+    ).write.parquet(f1)
+    spark.createDataFrame(
+        [("a", 5, "delete", None), ("c", 5, "upsert", "c1")], S
+    ).write.parquet(f2)
+
+    for feed in (f1, f2):
+        rc = apply_cdc.main([
+            "--warehouse", wh_dir, "--table", "docs", feed,
+            "--master", "local[4]",
+        ])
+        assert rc == 0
+    out = capsys.readouterr().out
+    assert "1 deletes" in out
+    wh = ParquetWarehouse(spark, wh_dir)
+    assert {r._id: r.v for r in wh.read("docs").collect()} == {
+        "b": "b1", "c": "c1",
+    }
