@@ -787,12 +787,22 @@ def nfc_text(col: Column) -> Column:
 
 
 def normalize_text(col: Column) -> Column:
-    """NFC → strip control chars → collapse whitespace runs → trim.
+    """Strip control chars → NFC → collapse whitespace runs → trim.
     The canonicalization every corpus pipeline runs before hashing,
     shingling, or tokenizing; regex stages are JVM built-ins, NFC is
-    the single Arrow-batched hop."""
-    out = nfc_text(col)
-    out = F.regexp_replace(out, _CTRL_CLASS, "")
+    the single Arrow-batched hop.
+
+    Controls strip BEFORE NFC — the order is load-bearing for
+    idempotence: a control sandwiched between a base letter and its
+    combining mark ('a', U+001F, U+0300) blocks composition, so
+    NFC-then-strip emits the decomposed pair ('a'+◌̀) — visually 'à'
+    but NOT byte-equal to it, which is exactly the dup-detection miss
+    this operator exists to prevent (found by the hypothesis
+    idempotence property). Whitespace collapse after NFC cannot
+    un-normalize: it only rewrites whitespace to ' ', and no
+    precomposed space+mark forms exist."""
+    out = F.regexp_replace(col, _CTRL_CLASS, "")
+    out = nfc_text(out)
     out = F.regexp_replace(out, _WS_CLASS, " ")
     return F.trim(out)
 
@@ -802,8 +812,8 @@ def normalize_text(col: Column) -> Column:
     f"""
     WITH n AS (
         SELECT doc_id, text,
-               trim(regexp_replace(regexp_replace(nfc_normalize(text),
-                    '{_CTRL_CLASS}', '', 'g'), '{_WS_CLASS}', ' ', 'g'))
+               trim(regexp_replace(nfc_normalize(regexp_replace(text,
+                    '{_CTRL_CLASS}', '', 'g')), '{_WS_CLASS}', ' ', 'g'))
                    AS text_norm
         FROM documents
     )

@@ -165,3 +165,17 @@ def test_split_by_cluster_eliminates_leakage(spark):
     )
     splits = per_cluster.select(F.col("doc").alias("doc_id"), "split")
     assert split_leakage(clusters, splits).count() == 0
+
+
+def test_normalize_control_between_base_and_combining_mark(spark):
+    """Regression (hypothesis-found): a control char between a base
+    letter and its combining mark must not block NFC composition —
+    controls strip FIRST, so the output is composed and idempotent."""
+    import unicodedata
+
+    from qms_datawarehouse_spark.operators.textops import normalize_text
+
+    df = spark.createDataFrame([(1, "a\x1f̀")], "doc_id long, text string")
+    got = df.select(normalize_text(F.col("text")).alias("n")).first().n
+    assert got == "à"  # composed à, single code point
+    assert unicodedata.normalize("NFC", got) == got  # a fixed point

@@ -18,12 +18,15 @@ _WS = re.compile(r"[ \t\n\r\f]+")
 
 
 def _model_normalize(t: str | None) -> str | None:
-    """Independent reimplementation: NFC → control strip → whitespace
-    collapse → trim (spaces only, matching F.trim)."""
+    """Independent reimplementation: control strip → NFC → whitespace
+    collapse → trim (spaces only, matching F.trim). Controls first —
+    NFC-then-strip leaves decomposed pairs when a control separated a
+    base from its combining mark (the original falsifying example:
+    'a\\x1f\\u0300')."""
     if t is None:
         return None
-    out = unicodedata.normalize("NFC", t)
-    out = _CTRL.sub("", out)
+    out = _CTRL.sub("", t)
+    out = unicodedata.normalize("NFC", out)
     out = _WS.sub(" ", out)
     return out.strip(" ")
 
