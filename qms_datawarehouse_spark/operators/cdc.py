@@ -243,7 +243,13 @@ def _apply_changes_once(
 
     if not changes.take(1):
         return ApplyChangesStats(0, 0, 0, 0)
-    bad = changes.filter(~F.col(op_col).isin(OP_UPSERT, OP_DELETE))
+    # NULL-safe: `~isin(...)` is NULL for a null op (three-valued
+    # logic), which would slip past the filter, win its key's window,
+    # and then be dropped by the `!= delete` filter — silently deleting
+    # the stored row. Nulls must fail validation loudly.
+    bad = changes.filter(
+        ~F.col(op_col).isin(OP_UPSERT, OP_DELETE) | F.col(op_col).isNull()
+    )
     if bad.take(1):
         raise ValueError(
             f"{op_col!r} must be '{OP_UPSERT}' or '{OP_DELETE}'; got "

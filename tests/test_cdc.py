@@ -357,3 +357,12 @@ def test_deletes_after_full_tombstone_vacuum(spark, warehouse):
         r._id: r._seq for r in warehouse.read(tombstone_table("t")).collect()
     }
     assert tombs == {"b": 3}
+
+
+def test_null_op_rejected_not_silent_delete(spark, warehouse):
+    """Three-valued-logic regression: a NULL op must fail validation,
+    not slip past `~isin(...)` and silently delete the stored row."""
+    apply_changes(warehouse, "t", _ch(spark, [("a", 1, "upsert", "a1")]))
+    with pytest.raises(ValueError, match="_op"):
+        apply_changes(warehouse, "t", _ch(spark, [("a", 5, None, "x")]))
+    assert _state(warehouse) == {"a": (1, "a1")}  # untouched

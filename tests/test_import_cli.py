@@ -128,3 +128,37 @@ def test_apply_cdc_cli_end_to_end(spark, tmp_path, capsys):
     assert {r._id: r.v for r in wh.read("docs").collect()} == {
         "b": "b1", "c": "c1",
     }
+
+
+def test_apply_cdc_cli_fresh_warehouse_edge_feeds(spark, tmp_path, capsys):
+    """Empty and deletes-only first feeds against a fresh warehouse
+    must report cleanly, not crash on the final row count; NDJSON
+    feeds go through the sniffing reader with malformed-line skips."""
+    import json
+
+    import tools.apply_cdc as apply_cdc
+
+    wh_dir = str(tmp_path / "wh")
+    empty = str(tmp_path / "empty.parquet")
+    S = "_id string, _seq long, _op string, v string"
+    spark.createDataFrame([], S).write.parquet(empty)
+    rc = apply_cdc.main([
+        "--warehouse", wh_dir, "--table", "docs", empty,
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    assert "docs: 0 rows" in capsys.readouterr().out
+
+    feed = str(tmp_path / "feed.ndjson")
+    with open(feed, "w") as fh:
+        fh.write(json.dumps(
+            {"_id": "g", "_seq": 9, "_op": "delete", "v": None}) + "\n")
+        fh.write("{not json\n")  # malformed line: skipped + counted
+    rc = apply_cdc.main([
+        "--warehouse", wh_dir, "--table", "docs", feed,
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "skipped 1 malformed feed lines" in out
+    assert "1 deletes" in out and "docs: 0 rows" in out

@@ -50,7 +50,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.feed.endswith(".parquet"):
         feed = spark.read.parquet(args.feed)
     else:
-        feed = spark.read.json(args.feed)
+        # same ingestion path as tools/import_json.py: array-vs-NDJSON
+        # sniffing, malformed lines skipped AND reported (a corrupt
+        # line read naively becomes a null-op row, which the operator
+        # rejects loudly — better to skip + count it here)
+        from qms_datawarehouse_spark.sources.readers import (
+            corrupt_count,
+            read_json_auto,
+            valid_records,
+        )
+
+        raw = read_json_auto(spark, args.feed)
+        n_bad = corrupt_count(raw)
+        if n_bad:
+            print(f"skipped {n_bad} malformed feed lines")
+        feed = valid_records(raw)
 
     stats = apply_changes(
         wh, args.table, feed,
@@ -64,7 +78,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.vacuum_below is not None:
         n = vacuum_tombstones(wh, args.table, args.vacuum_below)
         print(f"vacuumed {n} tombstones below seq {args.vacuum_below}")
-    print(f"{args.table}: {wh.read(args.table).count()} rows")
+    # an empty or deletes-only first feed legitimately leaves no table
+    n_rows = wh.read(args.table).count() if wh.table_exists(args.table) else 0
+    print(f"{args.table}: {n_rows} rows")
     return 0
 
 
