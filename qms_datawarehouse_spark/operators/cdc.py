@@ -82,6 +82,17 @@ def _winners(changes: DataFrame, key: str, seq_col: str, op_col: str) -> DataFra
     )
 
 
+def _probe_tombstones(win: DataFrame, tombs: DataFrame, key: str) -> DataFrame:
+    """Left-join the batch winners against the (bucket-pruned)
+    tombstone probe. Deliberately NO join-strategy hint: the probe is
+    usually vacuum-bounded and AQE will broadcast it from its runtime
+    size, but a bulk-delete feed (compliance purge touching every
+    bucket inside one retention window) can make it arbitrarily large
+    — a forced broadcast would OOM exactly when CDC matters most.
+    Pinned by test_tombstone_probe_not_force_broadcast."""
+    return win.join(tombs, key, "left")
+
+
 def vacuum_tombstones(
     warehouse: ParquetWarehouse, table: str, min_seq: int
 ) -> int:
@@ -246,14 +257,23 @@ def _apply_changes_once(
     # NULL-safe: `~isin(...)` is NULL for a null op (three-valued
     # logic), which would slip past the filter, win its key's window,
     # and then be dropped by the `!= delete` filter — silently deleting
-    # the stored row. Nulls must fail validation loudly.
+    # the stored row. A NULL sequence is equally poisonous downstream:
+    # `__tomb_seq >= NULL` is NULL, so a null-seq upsert silently
+    # vanishes at the suppression filter while the stats call it
+    # applied, and a null-seq delete writes a tombstone that
+    # `vacuum_tombstones` can never expire (`seq < min_seq` is NULL).
+    # Both must fail validation loudly.
     bad = changes.filter(
-        ~F.col(op_col).isin(OP_UPSERT, OP_DELETE) | F.col(op_col).isNull()
+        ~F.col(op_col).isin(OP_UPSERT, OP_DELETE)
+        | F.col(op_col).isNull()
+        | F.col(seq_col).isNull()
     )
-    if bad.take(1):
+    bad_row = bad.select(op_col, seq_col).take(1)
+    if bad_row:
         raise ValueError(
-            f"{op_col!r} must be '{OP_UPSERT}' or '{OP_DELETE}'; got "
-            f"{bad.select(op_col).first()[0]!r}"
+            f"{op_col!r} must be '{OP_UPSERT}' or '{OP_DELETE}' and "
+            f"{seq_col!r} must be non-null; got "
+            f"(op={bad_row[0][0]!r}, seq={bad_row[0][1]!r})"
         )
 
     buckets = _resolve_buckets(warehouse, table, n_buckets)
@@ -263,6 +283,25 @@ def _apply_changes_once(
     win = win.persist()
     live = None
     try:
+        # ONE driver action (pre-suppression) for the per-batch winner
+        # stats AND every bucket list the rest of the apply needs —
+        # the tombstone probe's pruning, the delete-touched tombstone
+        # buckets, and the main-table touched set all derive from this
+        # collect (a streaming epoch otherwise pays a job launch per
+        # lookup). Suppression counts need the tombstone join, so the
+        # tombstone path pays exactly one more action below.
+        stat_rows = win.groupBy(BUCKET_COL, op_col).count().collect()
+        n_win = int(sum(r["count"] for r in stat_rows))
+        n_del = int(
+            sum(r["count"] for r in stat_rows if r[op_col] == OP_DELETE)
+        )
+        total_by_bucket: dict = {}
+        for r in stat_rows:
+            total_by_bucket[r[BUCKET_COL]] = (
+                total_by_bucket.get(r[BUCKET_COL], 0) + r["count"]
+            )
+        touched_all = sorted(total_by_bucket)
+
         # ---- tombstone suppression of late upserts --------------------
         tomb_base = None
         tomb_empty = True
@@ -270,14 +309,19 @@ def _apply_changes_once(
             tomb_base = warehouse.current_version_name(tomb)
             tomb_target = warehouse.read(tomb, version=tomb_base)
             tomb_empty = not tomb_target.take(1)
+        supp_by_bucket: dict = {}
         if tomb_base is not None and not tomb_empty:
-            touched_t = [
-                r[0] for r in win.select(BUCKET_COL).distinct().collect()
-            ]
+            # probe pruned to the batch's buckets (partition pruning at
+            # the tombstone scan). NO forced broadcast: the probe side
+            # is usually vacuum-bounded and tiny, but a bulk-delete
+            # feed (compliance purge) can make it arbitrarily large
+            # inside one retention window — let AQE pick the join
+            # strategy from the runtime size instead of OOMing the
+            # exact batch where CDC matters most.
             tombs = tomb_target.filter(
-                F.col(BUCKET_COL).isin(touched_t)
+                F.col(BUCKET_COL).isin(touched_all)
             ).select(F.col(key), F.col(seq_col).alias("__tomb_seq"))
-            win_t = win.join(F.broadcast(tombs), key, "left")
+            win_t = _probe_tombstones(win, tombs, key)
         else:
             win_t = win.withColumn("__tomb_seq", F.lit(None).cast("long"))
         suppressed = (F.col(op_col) == OP_UPSERT) & F.col(
@@ -285,29 +329,19 @@ def _apply_changes_once(
         ).isNotNull() & (F.col("__tomb_seq") >= F.col(seq_col))
         live = win_t.filter(~suppressed).drop("__tomb_seq").persist()
 
-        # ONE driver action for every per-batch statistic AND the
-        # touched-bucket list (a streaming epoch otherwise pays a job
-        # launch per lookup)
-        stat_rows = (
-            win_t.withColumn("__supp", suppressed)
-            .groupBy(BUCKET_COL, op_col, "__supp")
-            .count()
-            .collect()
-        )
-        n_win = int(sum(r["count"] for r in stat_rows))
-        n_suppressed = int(sum(r["count"] for r in stat_rows if r["__supp"]))
-        n_up = int(
-            sum(
-                r["count"]
-                for r in stat_rows
-                if not r["__supp"] and r[op_col] == OP_UPSERT
-            )
-        )
-        n_del = int(
-            sum(r["count"] for r in stat_rows if r[op_col] == OP_DELETE)
-        )
+        if tomb_base is not None and not tomb_empty:
+            # the tombstone path's one extra action: per-bucket
+            # suppressed counts (deletes are never suppressed)
+            for r in (
+                win_t.filter(suppressed).groupBy(BUCKET_COL).count().collect()
+            ):
+                supp_by_bucket[r[BUCKET_COL]] = r["count"]
+        n_suppressed = int(sum(supp_by_bucket.values()))
+        n_up = n_win - n_del - n_suppressed
         live_buckets = sorted(
-            {r[BUCKET_COL] for r in stat_rows if not r["__supp"]}
+            b
+            for b, total in total_by_bucket.items()
+            if total - supp_by_bucket.get(b, 0) > 0
         )
 
         deletes = live.filter(F.col(op_col) == OP_DELETE)

@@ -107,16 +107,19 @@ def read_pruned(
     )
 
 
-def build_file_manifest_distributed(
+def file_manifest_df(
     spark: SparkSession, path: str, cols: list[str]
-) -> list[dict]:
+) -> DataFrame:
     """The 100 TB form of ``build_file_manifest``: the file list is
     parallelized and each task opens ONLY the footers of its slice
-    (same few-KB metadata reads, now cluster-wide). Output is
-    identical to the driver-side harvest (pinned in
-    tests/test_fileskip.py); collect() returns O(files) stat rows —
-    manifest-sized, not data-sized. Persist the result as a warehouse
-    table when the file count itself is large."""
+    (same few-KB metadata reads, now cluster-wide). Returns the
+    manifest AS A DATAFRAME with stat columns cast to their native
+    parquet types (one O(1) driver-side footer read supplies the
+    types) — so pruning stays a DataFrame ``filter`` and only the
+    SURVIVING file paths are ever collected (``prune_files_df``).
+    At O(10⁶) files the full manifest never rides to the driver;
+    persist this DataFrame as a warehouse table and re-filter per
+    query, exactly like a table format's manifest."""
     import pandas as pd
 
     files = sorted(
@@ -171,28 +174,87 @@ def build_file_manifest_distributed(
     out_df = file_df.repartition(min(len(files), 64)).mapInPandas(
         harvest, schema=f"file string, {stat_fields}"
     )
-    collected = [r.asDict() for r in out_df.collect()]
     # restore native types from the parquet schema (strings came back
-    # from the Arrow transport); driver-side, O(1) footers
-    if collected and cols:
+    # from the Arrow transport) as DataFrame casts; one O(1) footer
+    # read on the driver supplies the types
+    if files and cols:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(collected[0]["file"])
-        sch = md.schema_arrow
-        for e in collected:
-            for c in cols:
-                if c in sch.names and e[f"{c}_min"] is not None:
-                    import pyarrow as pa
+        from pyspark.sql import functions as F
 
-                    typ = sch.field(c).type
-                    for k in (f"{c}_min", f"{c}_max"):
-                        v = e[k]
-                        if pa.types.is_integer(typ):
-                            e[k] = int(v)
-                        elif pa.types.is_floating(typ):
-                            e[k] = float(v)
-                        elif pa.types.is_timestamp(typ):
-                            import pandas as pd2
+        sch = pq.ParquetFile(files[0]).schema_arrow
+        casts = []
+        for c in cols:
+            spark_t = None
+            if c in sch.names:
+                typ = sch.field(c).type
+                if pa.types.is_integer(typ):
+                    spark_t = "long"
+                elif pa.types.is_floating(typ):
+                    spark_t = "double"
+                elif pa.types.is_timestamp(typ):
+                    spark_t = "timestamp"
+            for k in (f"{c}_min", f"{c}_max"):
+                casts.append(
+                    F.col(k).cast(spark_t).alias(k) if spark_t else F.col(k)
+                )
+        out_df = out_df.select("file", *casts)
+    return out_df
 
-                            e[k] = pd2.Timestamp(v).to_pydatetime()
-    return sorted(collected, key=lambda e: e["file"])
+
+def prune_files_df(
+    manifest_df: DataFrame, col: str, lo, hi
+) -> list[str]:
+    """DataFrame-native prune over a ``file_manifest_df`` manifest:
+    the overlap predicate runs as a ``filter`` wherever the manifest
+    lives (executor memory, a warehouse table, a parquet scan) and
+    ONLY the surviving file paths are collected — the driver budget
+    is O(files that will be read), never O(all files). Files without
+    stats are conservatively kept, matching ``prune_files``."""
+    from pyspark.sql import functions as F
+
+    mn, mx = F.col(f"{col}_min"), F.col(f"{col}_max")
+    kept = manifest_df.filter(
+        mn.isNull() | mx.isNull() | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+    )
+    return sorted(r[0] for r in kept.select("file").collect())
+
+
+def read_pruned_distributed(
+    spark: SparkSession, manifest_df: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """``read_pruned`` over a DataFrame manifest: prune executor-side,
+    collect only surviving paths, re-apply the exact predicate."""
+    from pyspark.sql import functions as F
+
+    files = prune_files_df(manifest_df, col, lo, hi)
+    if not files:
+        raise ValueError(
+            "no files overlap the range — check column and bounds"
+        )
+    return (
+        spark.read.parquet(*files)
+        .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    )
+
+
+def build_file_manifest_distributed(
+    spark: SparkSession, path: str, cols: list[str]
+) -> list[dict]:
+    """Collected form of ``file_manifest_df`` (one dict per file,
+    native-typed stats — identical to the driver-side harvest, pinned
+    in tests/test_fileskip.py). The collect here is O(ALL files) by
+    construction: use it when the file count is manifest-sized; at
+    large file counts keep the DataFrame form and prune with
+    ``prune_files_df`` instead."""
+    rows = file_manifest_df(spark, path, cols).collect()
+    out = []
+    for r in rows:
+        e = r.asDict()
+        for c in cols:
+            for k in (f"{c}_min", f"{c}_max"):
+                if hasattr(e.get(k), "to_pydatetime"):
+                    e[k] = e[k].to_pydatetime()
+        out.append(e)
+    return sorted(out, key=lambda e: e["file"])

@@ -150,7 +150,9 @@ def stream_ingest_dedup(
 
     ``stream_df`` is ANY streaming DataFrame carrying ``id_col`` +
     ``text_col`` (file source, docstore connector, rate-shaped test
-    feed) — the gate doesn't care where documents come from.
+    feed) — the gate doesn't care where documents come from, but
+    ``id_col`` must be castable to long (the corpus key); an epoch
+    carrying a non-numeric id fails loudly before any write.
 
     Delivery: at-least-once replay into convergent state. A replayed
     batch's docs are already corpus rows; the gate's band join skips
@@ -170,8 +172,24 @@ def stream_ingest_dedup(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        # the corpus key is a numeric doc_id; a non-numeric source id
+        # ('doc-1') would either throw an opaque executor-side
+        # CAST_INVALID_INPUT (ANSI mode) or cast to NULL and collapse
+        # every such row onto ONE NULL key in the corpus merge
+        # (non-ANSI). Probe with try_cast and fail the epoch with a
+        # clear error instead (offsets don't commit, nothing is lost).
+        bad = batch_df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(id_col).try_cast("long").isNull()
+        )
+        bad_row = bad.select(id_col).take(1)
+        if bad_row:
+            raise ValueError(
+                f"stream_ingest_dedup requires numeric {id_col!r} values; "
+                f"got {bad_row[0][0]!r} (epoch {epoch_id})"
+            )
         docs = batch_df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(id_col).try_cast("long").alias("doc_id"),
             F.col(text_col).alias("text"),
         )
         res = inc.ingest_dedup(

@@ -366,3 +366,62 @@ def test_null_op_rejected_not_silent_delete(spark, warehouse):
     with pytest.raises(ValueError, match="_op"):
         apply_changes(warehouse, "t", _ch(spark, [("a", 5, None, "x")]))
     assert _state(warehouse) == {"a": (1, "a1")}  # untouched
+
+
+def test_null_seq_rejected_not_silent_drop(spark, warehouse):
+    """A NULL sequence must fail validation loudly. Before the fix, a
+    null-seq upsert for a tombstoned key hit `__tomb_seq >= NULL` =
+    NULL, so the row silently vanished at the suppression filter while
+    stats reported it applied; a null-seq delete wrote a (key, NULL)
+    tombstone that vacuum could never expire."""
+    apply_changes(warehouse, "t", _ch(spark, [("a", 1, "upsert", "a1")]))
+    apply_changes(warehouse, "t", _ch(spark, [("a", 5, "delete", None)]))
+    with pytest.raises(ValueError, match="_seq"):
+        apply_changes(warehouse, "t", _ch(spark, [("a", None, "upsert", "x")]))
+    with pytest.raises(ValueError, match="_seq"):
+        apply_changes(warehouse, "t", _ch(spark, [("b", None, "delete", None)]))
+    assert _state(warehouse) == {}  # untouched; no poison tombstone
+    tombs = {
+        r._id: r._seq for r in warehouse.read(tombstone_table("t")).collect()
+    }
+    assert tombs == {"a": 5}
+
+
+def test_tombstone_probe_not_force_broadcast(spark, warehouse):
+    """The tombstone probe must not carry a forced broadcast hint: a
+    bulk-delete feed can make the probe side arbitrarily large inside
+    one retention window. With autoBroadcastJoinThreshold=-1 the probe
+    join must plan (and run) WITHOUT a broadcast exchange — proving
+    the strategy is AQE's size-based choice, not a hardcoded hint —
+    and the apply must stay correct on that plan."""
+    from qms_datawarehouse_spark.operators.cdc import _probe_tombstones
+
+    apply_changes(warehouse, "t", _ch(spark, [("a", 1, "upsert", "a1")]))
+    apply_changes(
+        warehouse, "t",
+        _ch(spark, [("a", 5, "delete", None), ("b", 5, "delete", None)]),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # plan-level pin on the extracted probe join
+        win = _ch(
+            spark, [("a", 3, "upsert", "late"), ("c", 6, "upsert", "c6")]
+        )
+        tombs = warehouse.read(tombstone_table("t")).select(
+            "_id", F.col("_seq").alias("__tomb_seq")
+        )
+        plan = (
+            _probe_tombstones(win, tombs, "_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+        # end-to-end: the full apply stays correct on the no-broadcast plan
+        stats = apply_changes(
+            warehouse, "t",
+            _ch(spark, [("a", 3, "upsert", "late"), ("c", 6, "upsert", "c6")]),
+        )
+        assert (stats.n_upserts, stats.n_suppressed) == (1, 1)
+        assert _state(warehouse) == {"c": (6, "c6")}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

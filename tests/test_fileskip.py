@@ -77,3 +77,35 @@ def test_distributed_manifest_matches_driver_side(spark, zlayout):
         assert a["user_id_max"] == b["user_id_max"]
         assert a["ts_min"] == b["ts_min"]
         assert a["ts_max"] == b["ts_max"]
+
+
+def test_dataframe_prune_collects_only_survivors(spark, zlayout):
+    """The 100 TB prune path: the overlap predicate runs as a
+    DataFrame filter over the manifest and only surviving paths reach
+    the driver — results identical to the driver-side prune, and the
+    pruned read matches the full-scan filter."""
+    from qms_datawarehouse_spark.sources.fileskip import (
+        file_manifest_df,
+        prune_files_df,
+        read_pruned_distributed,
+    )
+
+    full = spark.read.parquet(zlayout)
+    lo, hi = full.select(
+        F.expr("approx_percentile(user_id, 0.40)"),
+        F.expr("approx_percentile(user_id, 0.45)"),
+    ).first()
+
+    mdf = file_manifest_df(spark, zlayout, ["user_id"])
+    survivors = prune_files_df(mdf, "user_id", lo, hi)
+    driver_files, total = prune_files(
+        build_file_manifest(zlayout, ["user_id"]), "user_id", lo, hi
+    )
+    assert survivors == sorted(driver_files)
+    assert 0 < len(survivors) < total  # skipping actually happened
+
+    pruned = read_pruned_distributed(spark, mdf, "user_id", lo, hi)
+    expected = full.filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi))
+    a = sorted(r.event_id for r in pruned.select("event_id").collect())
+    b = sorted(r.event_id for r in expected.select("event_id").collect())
+    assert a == b

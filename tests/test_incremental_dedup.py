@@ -178,3 +178,38 @@ def test_reingest_changed_text_rebuilds_index(spark, warehouse):
     # near-dup of the REPLACED text is admitted (doc 1 moved on)
     res = ingest_dedup(warehouse, _docs(spark, [(2, BASE)]))
     assert res.n_accepted == 1 and res.n_rejected == 0
+
+
+def test_streaming_gate_rejects_non_numeric_ids(spark, warehouse, tmp_path):
+    """A non-numeric source id casts to NULL long; before the fix all
+    such rows silently collapsed onto one NULL doc_id corpus key. The
+    epoch must fail loudly instead, before any write."""
+    import json
+
+    import pytest
+
+    from qms_datawarehouse_spark.sources.pyds import register_docstore
+    from qms_datawarehouse_spark.streaming.sync import stream_ingest_dedup
+
+    register_docstore(spark)
+    log = str(tmp_path / "feed.jsonl")
+    with open(log, "a") as fh:
+        for doc_id, text in [("doc-1", BASE), ("doc-2", OTHER)]:
+            fh.write(json.dumps(
+                {"_id": doc_id, "payload": text,
+                 "updated_at": "2024-01-01T00:00:00Z"}) + "\n")
+
+    q = stream_ingest_dedup(
+        spark.readStream.format("docstore").option("path", log).load(),
+        warehouse,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        id_col="_id",
+        text_col="payload",
+        available_now=True,
+    )
+    with pytest.raises(Exception, match="numeric"):
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+    assert not warehouse.table_exists("corpus_docs")  # nothing written
