@@ -425,3 +425,43 @@ def test_tombstone_probe_not_force_broadcast(spark, warehouse):
         assert _state(warehouse) == {"c": (6, "c6")}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_replay_query_matches_real_apply(spark, warehouse):
+    """cdc_replay_two_epochs (the driver-verifiable feed→apply→read
+    program) must equal what TWO real apply_changes commits through a
+    warehouse produce from the same split feed — the stateless driver
+    row and the stateful operator are the same math."""
+    from qms_datawarehouse_spark.operators.cdc import cdc_replay_two_epochs
+
+    sf = "/root/testdata/sf0.001"
+    from qms_datawarehouse_spark.plans.registry import tables
+
+    (events,) = tables(spark, sf, "events")
+
+    def as_feed(df):
+        return df.select(
+            F.col("user_id").cast("string").alias("_id"),
+            F.unix_micros("ts").alias("_seq"),
+            F.when(F.col("event_type") == "purchase", "delete")
+            .otherwise("upsert").alias("_op"),
+            "event_id",
+        )
+
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    epoch1 = as_feed(events.filter(F.col("ts") >= cutoff))
+    epoch2 = as_feed(events.filter(F.col("ts") < cutoff))
+    apply_changes(warehouse, "replay", epoch1)
+    apply_changes(warehouse, "replay", epoch2)
+    stored = {
+        (int(r._id), r._seq, r.event_id)
+        for r in warehouse.read("replay").select(
+            "_id", "_seq", "event_id"
+        ).collect()
+    }
+    q = {
+        (r.key, r.seq_us, r.final_event_id)
+        for r in cdc_replay_two_epochs(spark, sf).collect()
+        if r.final_event_id is not None
+    }
+    assert stored == q and len(stored) > 0

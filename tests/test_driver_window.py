@@ -16,14 +16,12 @@ import os
 
 from qms_datawarehouse_spark.plans import _DRIVER_WINDOW, REGISTRY, queries_map
 
-# r3 anchors: flagship + queries covering the merge/dedup code paths
-# rewritten for the ADVICE fixes this round.
+# r4 anchors: flagship + the merge resolution path shared by the CDC
+# apply rework this round, + the CDC resolution math itself.
 ANCHORS = [
     "flagship_staff_report",
     "d1_dedup_last_write",
-    "dedup_minhash_lsh",
-    "similarity_topk_cosine",
-    "t9_sessionization",
+    "cdc_resolution_probe",
 ]
 
 
@@ -54,31 +52,12 @@ def test_anchors_inside_window():
     assert not missing, f"anchor queries outside driver window: {missing}"
 
 
-# queries ADDED this round (no driver row possible yet): first in line
-# for the round-4 window, tracked here so nothing falls through
-QUEUED_NEXT_WINDOW = [
-    "entity_match_blocked",
-    "event_transitions",
-    "dedup_passages",
-    "text_tfidf_topk",
-    "text_top_bigrams",
-    "similarity_pq_adc",
-    "histogram_order_value",
-    "rfm_segments",
-    "stats_sufficient_moments",
-    "similarity_ivfpq",
-    "curation_shuffle_shards",
-    "curation_repeat_upsample",
-    "dedup_canonical",
-    # late-round-3 corpus-governance additions
-    "text_normalize",
-    "dedup_split_leakage",
-    "curation_split_by_cluster",
-    "profile_orders",
-    "scd2_asof_lookup",
-    "curation_sample_exact_k",
-    "cdc_resolution_probe",
-]
+# queries ADDED this round (no driver row possible yet): either
+# already swapped into the window's re-confirmation slots, or first
+# in line for the round-5 window — tracked here so nothing falls
+# through. (All twenty round-3 queued queries rotated INTO the r4
+# window; this list restarts empty and accretes with r4 additions.)
+QUEUED_NEXT_WINDOW: list[str] = []
 
 
 def test_rotated_out_queries_were_driver_green():
