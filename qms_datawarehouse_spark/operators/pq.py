@@ -37,6 +37,8 @@ top-k (TakeOrdered, no full sort).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -113,6 +115,23 @@ _PQ_ADC_SQL = f"""
 """
 
 
+def _collect_seed_matrix(e: DataFrame, lo: int, hi: int):
+    """Seed vectors ``lo <= vec_id < hi`` as an int64 matrix sorted by
+    vec_id — a BOUNDED driver-side collect (≤ hi−lo rows; the filter
+    pushes to the parquet scan). This is FAISS's own model: the
+    codebook lives in memory, the corpus never does."""
+    rows = sorted(
+        e.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select("vec_id", "iv").collect(),
+        key=lambda r: r.vec_id,
+    )
+    return (
+        np.array([r.iv for r in rows], dtype="int64"),
+        np.array([r.vec_id for r in rows], dtype="int64"),
+    )
+
+
 @query("similarity_pq_adc", _PQ_ADC_SQL)
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-{PQ_TOP_K}: encode every vector to its per-subspace
@@ -122,79 +141,69 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``codes`` column exposes the full encoding, so the oracle verifies
     assignment, not just the final ordering.
 
-    Scale shape: codebook (M·K subvectors) and query are two bounded
-    broadcasts; assignment + ADC are one codegen stage per row — the
+    Scale shape: the codebook (M·K subvectors) and query are BOUNDED
+    collects shipped to executors in the UDF closure (Arrow-batched);
+    encode + ADC run as one vectorized numpy kernel per batch — the
     embedding table is never shuffled; the only cross-row op is the
-    {PQ_TOP_K}-row TakeOrdered. Exact bigint distances decide the
-    LIMIT boundary identically in both engines."""
+    {PQ_TOP_K}-row TakeOrdered. Exact int64 distances decide the
+    LIMIT boundary identically in both engines.
+
+    Formulation measured at sf0.1 (VERDICT r3 item 3, warm min-of-3):
+    interpreted nested-HOF lambdas 1.52s, compile-time-unrolled
+    element_at expressions 3.18s (expression-tree blowup — worse),
+    vectorized Arrow kernel 0.50s (3.0×, identical rows). The Arrow
+    kernel wins because the per-row work (M·K·2·SUB_DIM ≈ 2k
+    multiply-adds) is exactly the dense-numeric shape HOF expression
+    interpretation is worst at and BLAS-style batching is best at."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select(
         "vec_id", "label", _int_vec(F.col("embedding")).alias("iv")
     )
-    cents = (
-        e.filter(F.col("vec_id") < K_CODES)
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1))).alias(
-                "sub_id"
-            ),
-            F.col("vec_id").alias("code_id"),
-            "iv",
-        )
-        .select(
-            "sub_id",
-            "code_id",
-            F.slice(
-                "iv", F.col("sub_id") * SUB_DIM + 1, SUB_DIM
-            ).alias("cv"),
-        )
-        .agg(
-            F.collect_list(F.struct("sub_id", "code_id", "cv")).alias("cl")
-        )
+    CB, code_ids = _collect_seed_matrix(e, 0, K_CODES)
+    # (M, K, SUB_DIM): codeword s of code c = CBs[s, c]
+    CBs = CB.reshape(K_CODES, M_SUBSPACES, SUB_DIM).transpose(1, 0, 2)
+    qv = np.array(
+        e.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).first().iv,
+        dtype="int64",
     )
-    q = e.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).select(
-        F.col("iv").alias("qv")
+    Qs = qv.reshape(M_SUBSPACES, SUB_DIM)
+    dq_lut = ((Qs[:, None, :] - CBs) ** 2).sum(-1)  # (M, K)
+
+    schema = StructType(
+        [StructField("adc", LongType()), StructField("codes", StringType())]
     )
 
-    def best(s: Column) -> Column:
-        sv = F.slice("iv", s * SUB_DIM + 1, SUB_DIM)
-        qsv = F.slice("qv", s * SUB_DIM + 1, SUB_DIM)
-        return F.array_min(
-            F.transform(
-                F.filter("cl", lambda c: c["sub_id"] == s),
-                lambda c: F.struct(
-                    _sq_l2(sv, c["cv"]).alias("dvc"),
-                    c["code_id"].alias("code_id"),
-                    _sq_l2(qsv, c["cv"]).alias("dq"),
-                ),
-            )
-        )
+    @F.pandas_udf(schema)
+    def score(iv: pd.Series) -> pd.DataFrame:
+        if not len(iv):
+            return pd.DataFrame({"adc": [], "codes": []})
+        X = np.stack(iv.values).astype("int64")
+        Xs = X.reshape(len(X), M_SUBSPACES, SUB_DIM)
+        d = ((Xs[:, :, None, :] - CBs[None]) ** 2).sum(-1)  # (n, M, K)
+        # argmin's first-occurrence tie-break == array_min on
+        # struct(d, code_id): code_ids are sorted ascending
+        codes = d.argmin(-1)
+        adc = dq_lut[np.arange(M_SUBSPACES)[None, :], codes].sum(-1)
+        cstr = [
+            ",".join(str(code_ids[c]) for c in row) for row in codes
+        ]
+        return pd.DataFrame({"adc": adc, "codes": cstr})
 
-    scored = (
-        e.filter(F.col("vec_id") != PQ_QUERY_VEC_ID)
-        .crossJoin(F.broadcast(cents))
-        .crossJoin(F.broadcast(q))
-        .withColumn(
-            "bests",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1)), best
-            ),
-        )
-    )
     return (
-        scored.select(
+        e.filter(F.col("vec_id") != PQ_QUERY_VEC_ID)
+        .withColumn("r", score("iv"))
+        .select(
             "vec_id",
             "label",
-            F.aggregate(
-                "bests",
-                F.lit(0).cast("long"),
-                lambda acc, b: acc + b["dq"],
-            ).alias("adc"),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    "bests", lambda b: b["code_id"].cast("string")
-                ),
-            ).alias("codes"),
+            F.col("r.adc").alias("adc"),
+            F.col("r.codes").alias("codes"),
         )
         .orderBy("adc", "vec_id")
         .limit(PQ_TOP_K)
@@ -455,130 +464,103 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point integer, so assignment, probe cut, codes, and the ADC
     LIMIT boundary agree bit-for-bit across engines.
 
-    Scale shape: three bounded broadcasts (centroid list, residual
-    codeword list, query+probe set). Everything per-corpus-row —
-    assignment, residual, probe FILTER (before any PQ work), encode,
-    ADC — is one map-side stage; at 100 TB the corpus is stored
-    partitioned by cell_id (build_ivf_index) and the probe filter
-    becomes partition pruning, so ~nprobe/K of the data is read and
-    the rest never leaves disk. Ends in a {PQ_TOP_K}-row TakeOrdered."""
+    Scale shape: three BOUNDED collects (centroids, residual
+    codewords, query+probe LUTs) ship in the Arrow-UDF closure.
+    Everything per-corpus-row — assignment, residual, probe FILTER
+    (before any PQ work), encode, ADC — is one vectorized map-side
+    stage; at 100 TB the corpus is stored partitioned by cell_id
+    (build_ivf_index) and the probe filter becomes partition pruning,
+    so ~nprobe/K of the data is read and the rest never leaves disk.
+    Ends in a {PQ_TOP_K}-row TakeOrdered. Same Arrow-kernel
+    formulation as similarity_pq_adc (3.0× over interpreted HOFs at
+    sf0.1 — see that docstring for the measured comparison)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select(
         "vec_id", "label", _int_vec(F.col("embedding")).alias("iv")
     )
-    cents_tbl = e.filter(F.col("vec_id") < IVFPQ_N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("iv").alias("cv")
+    # bounded collects: N_CELLS centroids + K_CODES codeword seeds
+    CENT, cent_ids = _collect_seed_matrix(e, 0, IVFPQ_N_CELLS)
+    SEED, seed_ids = _collect_seed_matrix(
+        e, IVFPQ_N_CELLS, IVFPQ_N_CELLS + K_CODES
     )
-    centl = cents_tbl.agg(
-        F.collect_list(
-            F.struct(F.col("cell_id").alias("cent_id"), "cv")
-        ).alias("cl")
+    # residual codewords: each seed's residual against ITS nearest
+    # cell (argmin first-occurrence == struct(d, cent_id) array_min)
+    seed_cells = ((SEED[:, None, :] - CENT[None]) ** 2).sum(-1).argmin(1)
+    RES = SEED - CENT[seed_cells]
+    CWs = RES.reshape(K_CODES, M_SUBSPACES, SUB_DIM).transpose(1, 0, 2)
+    code_ids = seed_ids - IVFPQ_N_CELLS
+    # query, probe set, and one per-probed-cell query-residual LUT
+    qv = np.array(
+        e.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).first().iv,
+        dtype="int64",
+    )
+    qd = ((qv[None] - CENT) ** 2).sum(-1)
+    probe_cells = np.argsort(qd, kind="stable")[:IVFPQ_N_PROBE]
+    lut = np.zeros((IVFPQ_N_CELLS, M_SUBSPACES, K_CODES), dtype="int64")
+    for c in probe_cells:
+        QR = (qv - CENT[c]).reshape(M_SUBSPACES, SUB_DIM)
+        lut[c] = ((QR[:, None, :] - CWs) ** 2).sum(-1)
+    probe_set = set(int(c) for c in probe_cells)
+
+    schema = StructType(
+        [
+            StructField("cell_id", LongType()),
+            StructField("adc", LongType()),
+            StructField("codes", StringType()),
+        ]
     )
 
-    def nearest_cell(vec: Column) -> Column:
-        return F.array_min(
-            F.transform(
-                "cl",
-                lambda c: F.struct(
-                    _sq_l2(vec, c["cv"]).alias("d"),
-                    c["cent_id"].alias("cent_id"),
-                ),
-            )
-        )["cent_id"]
-
-    asg = (
-        e.crossJoin(F.broadcast(centl))
-        .withColumn("cell_id", nearest_cell(F.col("iv")))
-        .drop("cl")
-    )
-    res = (
-        asg.join(F.broadcast(cents_tbl), "cell_id")
-        .withColumn("rv", F.zip_with("iv", "cv", lambda a, b: a - b))
-    )
-    cwl = (
-        res.filter(
-            (F.col("vec_id") >= IVFPQ_N_CELLS)
-            & (F.col("vec_id") < IVFPQ_N_CELLS + K_CODES)
-        )
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1))).alias(
-                "sub_id"
-            ),
-            (F.col("vec_id") - IVFPQ_N_CELLS).alias("code_id"),
-            "rv",
-        )
-        .select(
-            "sub_id",
-            "code_id",
-            F.slice("rv", F.col("sub_id") * SUB_DIM + 1, SUB_DIM).alias(
-                "cv"
-            ),
-        )
-        .agg(
-            F.collect_list(F.struct("sub_id", "code_id", "cv")).alias("wl")
-        )
-    )
-    probes = (
-        e.filter(F.col("vec_id") == PQ_QUERY_VEC_ID)
-        .crossJoin(F.broadcast(centl))
-        .select(
-            F.col("iv").alias("qv"),
-            F.transform(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            "cl",
-                            lambda c: F.struct(
-                                _sq_l2(F.col("iv"), c["cv"]).alias("d"),
-                                c["cent_id"].alias("cent_id"),
-                            ),
-                        )
-                    ),
-                    1,
-                    IVFPQ_N_PROBE,
-                ),
-                lambda x: x["cent_id"],
-            ).alias("pcells"),
-        )
-    )
-    cand = (
-        res.filter(F.col("vec_id") != PQ_QUERY_VEC_ID)
-        .crossJoin(F.broadcast(probes))
-        # probe pruning BEFORE any PQ work — the partition-prune analog
-        .filter(F.array_contains("pcells", F.col("cell_id")))
-        .withColumn("qr", F.zip_with("qv", "cv", lambda a, b: a - b))
-    )
-
-    def best(s: Column) -> Column:
-        rsv = F.slice("rv", s * SUB_DIM + 1, SUB_DIM)
-        qsv = F.slice("qr", s * SUB_DIM + 1, SUB_DIM)
-        return F.array_min(
-            F.transform(
-                F.filter("wl", lambda w: w["sub_id"] == s),
-                lambda w: F.struct(
-                    _sq_l2(rsv, w["cv"]).alias("dvc"),
-                    w["code_id"].alias("code_id"),
-                    _sq_l2(qsv, w["cv"]).alias("dq"),
-                ),
-            )
+    @F.pandas_udf(schema)
+    def score(iv: pd.Series) -> pd.DataFrame:
+        if not len(iv):
+            return pd.DataFrame({"cell_id": [], "adc": [], "codes": []})
+        X = np.stack(iv.values).astype("int64")
+        cells = ((X[:, None, :] - CENT[None]) ** 2).sum(-1).argmin(1)
+        # probe pruning BEFORE any PQ work — the partition-prune
+        # analog (at 100 TB the corpus is stored partitioned by
+        # cell_id and this mask is partition pruning at the scan)
+        keep = np.isin(cells, probe_cells)
+        adc = np.full(len(X), -1, dtype="int64")
+        codes_str = np.empty(len(X), dtype=object)
+        codes_str[:] = None
+        if keep.any():
+            Xk = X[keep]
+            ck = cells[keep]
+            rv = Xk - CENT[ck]
+            rs = rv.reshape(len(Xk), M_SUBSPACES, SUB_DIM)
+            d = ((rs[:, :, None, :] - CWs[None]) ** 2).sum(-1)
+            codes = d.argmin(-1)
+            adc[keep] = lut[
+                ck[:, None], np.arange(M_SUBSPACES)[None, :], codes
+            ].sum(-1)
+            codes_str[keep] = [
+                ",".join(str(code_ids[c]) for c in row) for row in codes
+            ]
+        return pd.DataFrame(
+            {
+                "cell_id": cent_ids[cells],
+                "adc": adc,
+                "codes": codes_str,
+            }
         )
 
-    scored = cand.crossJoin(F.broadcast(cwl)).withColumn(
-        "bests",
-        F.transform(F.sequence(F.lit(0), F.lit(M_SUBSPACES - 1)), best),
-    )
     return (
-        scored.select(
+        e.filter(F.col("vec_id") != PQ_QUERY_VEC_ID)
+        .withColumn("r", score("iv"))
+        .filter(F.col("r.codes").isNotNull())
+        .select(
             "vec_id",
             "label",
-            "cell_id",
-            F.aggregate(
-                "bests", F.lit(0).cast("long"), lambda acc, b: acc + b["dq"]
-            ).alias("adc"),
-            F.concat_ws(
-                ",",
-                F.transform("bests", lambda b: b["code_id"].cast("string")),
-            ).alias("codes"),
+            F.col("r.cell_id").alias("cell_id"),
+            F.col("r.adc").alias("adc"),
+            F.col("r.codes").alias("codes"),
         )
         .orderBy("adc", "vec_id")
         .limit(PQ_TOP_K)
