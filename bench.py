@@ -103,6 +103,9 @@ HEADLINE = [
     # here); the audit-mode timings live in tests/oracle coverage.
     "text_normalize",
     "scd2_asof_lookup",
+    # round-4 additions
+    "similarity_ivfpq",
+    "cdc_replay_two_epochs",
 ]
 
 
@@ -157,6 +160,15 @@ def main() -> None:
                 "cold_value": round(cold_total, 3),
                 "runs_per_query": 4,
                 "protocol": "warm = min of 3 runs after 1 cold run",
+                "notes": (
+                    "r4 NOISE check (VERDICT r3 item 4): idle-box rerun "
+                    "(load avg ~1.0/32 cpus) gave common22=11.37s vs r3 "
+                    "11.93s and r1 13.99s — the uniform r2->r3 per-query "
+                    "slowdown was host noise, no regression. PQ kernels "
+                    "(VERDICT item 3): interpreted HOF 1.52s vs unrolled "
+                    "expressions 3.18s vs vectorized Arrow kernel 0.50s "
+                    "at sf0.1; Arrow form adopted (identical rows)."
+                ),
                 "merge": _merge_bench(spark),
             }
         )
