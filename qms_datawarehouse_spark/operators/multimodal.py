@@ -45,24 +45,49 @@ def fake_decode(content: bytes) -> tuple[int, int]:
     return (64 + content[0] % 64, 64 + content[-1] % 64)
 
 
-def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extraction over binary content."""
-    import hashlib
+def pil_decode(content: bytes) -> tuple[int, int]:
+    """REAL image decode via Pillow — same signature as the stub, so
+    it slots straight into ``extract_features_with``. Importable only
+    when the codec library exists in the image; exercised by
+    tests/test_multimodal.py::test_real_decode_when_pillow_present,
+    which auto-skips otherwise."""
+    import io
 
-    for pdf in batches:
-        dims = pdf["content"].map(fake_decode)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "format": pdf["format"],
-                "n_bytes": pdf["content"].map(len),
-                "checksum": pdf["content"].map(
-                    lambda b: hashlib.md5(b).hexdigest()
-                ),
-                "width": dims.map(lambda d: d[0]),
-                "height": dims.map(lambda d: d[1]),
-            }
-        )
+    from PIL import Image
+
+    with Image.open(io.BytesIO(content)) as im:
+        return (im.width, im.height)
+
+
+def extract_features_with(decode):
+    """Feature-extraction kernel with a pluggable decode step — the
+    seam a real codec (``pil_decode``) drops into. Everything
+    Spark-side (Arrow batching, output schema, pre-decode metadata
+    pruning, partitioning) is identical for stub and real decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            dims = pdf["content"].map(decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pdf["format"],
+                    "n_bytes": pdf["content"].map(len),
+                    "checksum": pdf["content"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "width": dims.map(lambda d: d[0]),
+                    "height": dims.map(lambda d: d[1]),
+                }
+            )
+
+    return gen
+
+
+# the oracle-checked default: deterministic stub arithmetic
+extract_features = extract_features_with(fake_decode)
 
 
 def with_binary_content(documents: DataFrame) -> DataFrame:
