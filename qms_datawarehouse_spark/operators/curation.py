@@ -786,3 +786,135 @@ def repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.max("epoch").cast("long").alias("max_epoch"),
     )
+
+
+# --------------------------------------------------------------------
+# Temperature-weighted domain mixing (alpha-sampling the mixture)
+# --------------------------------------------------------------------
+
+_MIX_TARGET_N = 200  # documents in the mixed training set
+# alpha = 0.5: weights proportional to sqrt(domain size) — the
+# standard temperature-sampling flattening (multilingual/multi-domain
+# pretraining mixes use p^alpha to stop head domains from drowning
+# tail domains). Integer-side sqrt keeps both engines bit-identical.
+
+_TEMP_MIX_SQL = f"""
+    WITH d AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight
+        FROM d
+    ),
+    t AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM w)
+    SELECT w.source, w.n_docs, w.weight,
+           ({_MIX_TARGET_N} * w.weight) // t.total_w AS target_n,
+           CAST(least(({_MIX_TARGET_N} * w.weight) // t.total_w,
+                      w.n_docs) AS BIGINT) AS take_n,
+           (({_MIX_TARGET_N} * w.weight) // t.total_w > w.n_docs)
+               AS needs_upsample
+    FROM w, t
+"""
+
+
+@query("curation_temperature_mix", _TEMP_MIX_SQL)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled domain mixture plan: per-source target
+    counts proportional to n^0.5 (alpha-temperature flattening — the
+    mixture used by multilingual/multi-domain pretraining so head
+    domains don't drown tail domains), with the take count capped at
+    availability and an upsample flag where the target exceeds it.
+    Feeds curation_repeat_upsample (which materializes repeats) and
+    the exact-k sampler (which picks the rows).
+
+    Determinism across engines: weights are floor(sqrt(n)) — sqrt is
+    IEEE-correctly-rounded in both engines and floor(sqrt) of an
+    integer only lands on a boundary when n is a perfect square,
+    where sqrt is exact — and everything after is integer division.
+
+    Scale shape: one partial-aggregated count per source, a one-row
+    total broadcast, then arithmetic — O(domains) everywhere."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = (
+        documents.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+        )
+    )
+    t = w.agg(F.sum("weight").cast("long").alias("total_w"))
+    target = F.expr(f"({_MIX_TARGET_N} * weight) div total_w")
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "weight",
+        target.alias("target_n"),
+        F.least(target, F.col("n_docs")).cast("long").alias("take_n"),
+        (target > F.col("n_docs")).alias("needs_upsample"),
+    )
+
+
+# --------------------------------------------------------------------
+# Temporal split with embargo (leakage-proof holdout over time)
+# --------------------------------------------------------------------
+
+_SPLIT_T0 = "2024-01-20 00:00:00"
+_EMBARGO_DAYS = 2
+
+_TEMPORAL_SPLIT_SQL = f"""
+    WITH s AS (
+        SELECT CASE
+                 WHEN ts < TIMESTAMP '{_SPLIT_T0}' THEN 'train'
+                 WHEN ts < TIMESTAMP '{_SPLIT_T0}'
+                      + INTERVAL {_EMBARGO_DAYS} DAY THEN 'embargo'
+                 ELSE 'test'
+               END AS split,
+               event_type, user_id, ts
+        FROM events
+    )
+    SELECT split, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           epoch_us(min(ts)) AS min_ts_us,
+           epoch_us(max(ts)) AS max_ts_us
+    FROM s GROUP BY split, event_type
+"""
+
+
+@query("curation_temporal_split", _TEMPORAL_SPLIT_SQL)
+def temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test holdout with an EMBARGO gap: train is
+    strictly before T0, test strictly after T0+gap, and the embargo
+    rows between are EXCLUDED from both — the temporal analog of the
+    cluster-keyed split (dedup_split_leakage): near-boundary rows leak
+    context across the cut (a user's session straddling T0 puts
+    near-identical events on both sides), so a gap of at least the
+    correlation horizon makes straddling impossible by construction.
+    Output = per-(split, event_type) counts and time extents; the
+    min/max timestamps make the gap itself part of the value hash.
+
+    Scale shape: one map-side CASE + one partial-aggregated group-by;
+    at 100 TB on a ts-partitioned layout the three splits are
+    partition ranges and the embargo drop is partition pruning."""
+    (events,) = tables(spark, sf_dir, "events")
+    t0 = F.lit(_SPLIT_T0).cast("timestamp")
+    t1 = F.lit(_SPLIT_T0).cast("timestamp") + F.expr(
+        f"INTERVAL {_EMBARGO_DAYS} DAYS"
+    )
+    s = events.select(
+        F.when(F.col("ts") < t0, "train")
+        .when(F.col("ts") < t1, "embargo")
+        .otherwise("test")
+        .alias("split"),
+        "event_type",
+        "user_id",
+        "ts",
+    )
+    return s.groupBy("split", "event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+    )

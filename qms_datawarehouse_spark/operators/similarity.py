@@ -650,3 +650,85 @@ def similarity_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB, so assignment AND ranking are fully value-verified."""
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     return knn_join_lsh(embeddings)
+
+
+# --------------------------------------------------------------------
+# Two-stage retrieval: truncated-embedding coarse rank + full rerank
+# --------------------------------------------------------------------
+
+TRUNC_DIM = 16  # Matryoshka-style prefix used for the coarse pass
+RERANK_CAND = 50  # candidates surviving the coarse cut
+
+_TRUNC_RERANK_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x*1000) AS BIGINT)) AS iv
+        FROM embeddings
+    ),
+    q AS (SELECT iv AS qv FROM e WHERE vec_id = 0),
+    coarse AS (
+        SELECT e.vec_id, e.label, e.iv,
+               list_sum(list_transform(range(1, {TRUNC_DIM}+1),
+                 i -> (e.iv[CAST(i AS BIGINT)] - q.qv[CAST(i AS BIGINT)])
+                    * (e.iv[CAST(i AS BIGINT)] - q.qv[CAST(i AS BIGINT)])))
+                   AS coarse_d
+        FROM e, q WHERE e.vec_id <> 0
+    ),
+    cand AS (
+        SELECT * FROM coarse ORDER BY coarse_d, vec_id
+        LIMIT {RERANK_CAND}
+    )
+    SELECT c.vec_id, c.label, CAST(c.coarse_d AS BIGINT) AS coarse_d,
+           CAST(list_sum(list_transform(range(1, 64+1),
+             i -> (c.iv[CAST(i AS BIGINT)] - q.qv[CAST(i AS BIGINT)])
+                * (c.iv[CAST(i AS BIGINT)] - q.qv[CAST(i AS BIGINT)])))
+               AS BIGINT) AS full_d
+    FROM cand c, q
+    ORDER BY full_d, vec_id
+    LIMIT {TOP_K}
+"""
+
+
+@query("similarity_truncated_rerank", _TRUNC_RERANK_SQL)
+def similarity_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over Matryoshka-style truncated embeddings:
+    rank the corpus by exact L2 on the FIRST {TRUNC_DIM} dimensions
+    (the cheap pass — at storage level a truncated copy is 4× smaller
+    and scan-friendly), keep {RERANK_CAND} candidates, then rerank
+    just those with the full 64-dim distance. The production retrieval
+    pattern when embeddings are trained front-loaded (MRL): coarse
+    recall from the prefix, exactness from the rerank. Fixed-point
+    integer distances make both cut boundaries total-ordered and the
+    whole path oracle-checkable.
+
+    Scale shape: the coarse distance is map-side over a prefix slice
+    (a column-pruned scan when the truncated copy is stored as its own
+    column); the ONLY cross-row ops are a {RERANK_CAND}-row
+    TakeOrdered and a {TOP_K}-row TakeOrdered over those candidates —
+    the corpus is never shuffled and the full vectors of non-survivors
+    are never touched."""
+    from qms_datawarehouse_spark.operators.pq import _int_vec, _sq_l2
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", "label", _int_vec(F.col("embedding")).alias("iv")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("iv").alias("qv"))
+    coarse = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "coarse_d",
+            _sq_l2(
+                F.slice("iv", 1, TRUNC_DIM), F.slice("qv", 1, TRUNC_DIM)
+            ),
+        )
+    )
+    cand = coarse.orderBy("coarse_d", "vec_id").limit(RERANK_CAND)
+    return (
+        cand.withColumn("full_d", _sq_l2(F.col("iv"), F.col("qv")))
+        .select("vec_id", "label", "coarse_d", "full_d")
+        .orderBy("full_d", "vec_id")
+        .limit(TOP_K)
+    )

@@ -845,3 +845,95 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text_norm").cast("long").alias("n_chars_norm"),
         (F.col("text_norm") != F.col("text")).alias("changed"),
     )
+
+
+# --------------------------------------------------------------------
+# Bigram language-model scoring (KenLM-style quality filter)
+# --------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_lm_score",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (
+        SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS pr
+            FROM t
+        )
+    ),
+    db AS (
+        SELECT doc_id, w1, w2, count(*) AS k FROM b GROUP BY 1, 2, 3
+    ),
+    c2 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c2
+           FROM db GROUP BY 1, 2),
+    uni AS (SELECT unnest(w) AS u FROM t),
+    c1 AS (SELECT u AS w1, count(*) AS c1 FROM uni GROUP BY 1),
+    v AS (SELECT count(DISTINCT u) AS vocab FROM uni),
+    s AS (
+        SELECT db.doc_id,
+               CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+               sum(db.k * ln((c2.c2 + 1.0) / (c1.c1 + v.vocab))) AS lp
+        FROM db JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+                JOIN c1 ON db.w1 = c1.w1, v
+        GROUP BY db.doc_id
+    )
+    SELECT doc_id, n_bigrams, round(lp / n_bigrams, 4) AS avg_logprob
+    FROM s
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language model scoring every document by
+    its average add-1-smoothed log-probability — the KenLM-style
+    fluency/quality gate of training-data pipelines (gibberish and
+    boilerplate-mangled text score far below fluent text against a
+    model trained on the corpus itself). Score per bigram instance =
+    ln((c(w1,w2)+1) / (c(w1)+V)).
+
+    Scale shape: bigram pairs form MAP-SIDE (zip of the word array
+    with its own tail, as in text_top_bigrams); the model "training"
+    is two keyed aggregations (bigram and unigram counts — vocabulary-
+    sized, partial-aggregated); scoring is two equi-joins on those
+    counts and one per-doc agg. No broadcast assumption: at 100 TB the
+    vocabulary tables stay distributed and AQE picks the strategy.
+    Cross-engine determinism: counts are exact integers; the only
+    float is the final ln sum, rounded to 4 decimals (per-term ulp
+    differences are ~1e-16 relative — far below the rounding grain)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    b = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.0").alias("w1"), F.col("pr.1").alias("w2"))
+    db = b.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("k"))
+    c2 = b.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = t.select("doc_id", F.explode("w").alias("u"))
+    c1 = uni.groupBy(F.col("u").alias("w1")).agg(F.count("*").alias("c1"))
+    vocab = uni.select(F.countDistinct("u").alias("vocab"))
+    s = (
+        db.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))  # one scalar row
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("k")
+                * F.log(
+                    (F.col("c2") + F.lit(1.0))
+                    / (F.col("c1") + F.col("vocab"))
+                )
+            ).alias("lp"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("lp") / F.col("n_bigrams"), 4).alias("avg_logprob"),
+    )

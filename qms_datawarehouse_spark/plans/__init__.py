@@ -74,6 +74,13 @@ _DRIVER_WINDOW = [
     "d1_dedup_last_write",
     # full feed→apply→read replay incl. tombstone suppression (r4 add)
     "cdc_replay_two_epochs",
+    # ---- round-4 additions (swap space consumed) ---------------------
+    "text_bigram_lm_score",
+    "sketch_kmv_setops",
+    "curation_temperature_mix",
+    "curation_temporal_split",
+    "timeseries_ohlc_daily",
+    "similarity_truncated_rerank",
     # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
     # these slots are the swap space for round-4 additions ------------
     "s1_incremental_scan",
@@ -85,23 +92,17 @@ _DRIVER_WINDOW = [
     "a5_per_staff_totals",
     "a6_daily_rate_stats",
     "a7_service_duration",
-    "a8_company_sets",
     "a9_rating_agg",
     "j2_orders_customer",
     "j3_lineitem_orders",
     "j4_part_supplier",
     "j5_denormalized_orders",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_revenue_filter",
     "q12_priority_lines",
     "dedup_exact",
     "dedup_clusters",
-    "similarity_ivf_probe",
     "asof_join_last_purchase",
     "range_join_purchases_1h",
-    "scd2_user_event_type",
     "rollup_hierarchy_1d",
 ]
 

@@ -2189,3 +2189,116 @@ def w4_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_last_hour"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# KMV sketch SET OPERATIONS: union / intersection estimates
+# --------------------------------------------------------------------
+
+_KMV_SET_SQL = f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT AS BIGINT) AS h,
+               bool_or(event_type = 'view') AS in_a,
+               bool_or(event_type = 'click') AS in_b
+        FROM events
+        WHERE event_type IN ('view', 'click')
+        GROUP BY user_id
+    ),
+    r AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM u),
+    s AS (
+        SELECT count(*) AS n_union,
+               CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inter,
+               max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth,
+               CAST(sum(CASE WHEN rn <= {_KMV_K} AND in_a AND in_b
+                        THEN 1 ELSE 0 END) AS BIGINT) AS jacc_num
+        FROM r
+    )
+    SELECT n_union AS union_exact, n_inter AS inter_exact, jacc_num,
+           CASE WHEN n_union >= {_KMV_K}
+                THEN (({_KMV_K} - 1) * 4294967296) // greatest(kth, 1)
+                ELSE n_union END AS union_kmv,
+           CASE WHEN n_union >= {_KMV_K}
+                THEN (jacc_num * ((({_KMV_K} - 1) * 4294967296)
+                      // greatest(kth, 1))) // {_KMV_K}
+                ELSE n_inter END AS inter_kmv
+    FROM s
+"""
+
+
+@query("sketch_kmv_setops", _KMV_SET_SQL)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS — union and intersection cardinality
+    estimates between two segments (viewers vs clickers) from one
+    shared sketch: the union estimate is plain KMV over the combined
+    hash set; the intersection estimate is the standard KMV composite
+    (fraction of the union's k minimum values present in BOTH sets ×
+    the union estimate). Everything is a pure function of the md5
+    hashes, so unlike theta/HLL intersections the estimates are
+    engine-identical and oracle-checked, with exact counts alongside
+    for error visibility.
+
+    Mergeability (the 100 TB property): per-partition state is the k
+    smallest (h, in_a, in_b) triples; union-then-keep-k merges
+    partials, and segment flags OR together — the same fold as any
+    theta-sketch framework, just deterministic. Here the user set is
+    small, so one membership agg + one global rank pass computes the
+    same state."""
+    (events,) = tables(spark, sf_dir, "events")
+    u = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "view").alias("in_a"),
+            F.max(F.col("event_type") == "click").alias("in_b"),
+        )
+        .select(
+            F.conv(
+                F.md5(F.col("user_id").cast("string").cast("binary"))
+                .substr(1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+            "in_a",
+            "in_b",
+        )
+    )
+    r = u.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    s = r.agg(
+        F.count("*").alias("n_union"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("n_inter"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+        F.sum(
+            (
+                (F.col("rn") <= _KMV_K) & F.col("in_a") & F.col("in_b")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("jacc_num"),
+    )
+    union_kmv = F.expr(
+        f"(({_KMV_K} - 1) * 4294967296) div greatest(kth, 1)"
+    )
+    return s.select(
+        F.col("n_union").alias("union_exact"),
+        F.col("n_inter").alias("inter_exact"),
+        "jacc_num",
+        F.when(F.col("n_union") >= _KMV_K, union_kmv)
+        .otherwise(F.col("n_union"))
+        .alias("union_kmv"),
+        F.when(
+            F.col("n_union") >= _KMV_K,
+            F.expr(
+                f"(jacc_num * ((({_KMV_K} - 1) * 4294967296) "
+                f"div greatest(kth, 1))) div {_KMV_K}"
+            ),
+        )
+        .otherwise(F.col("n_inter"))
+        .alias("inter_kmv"),
+    )

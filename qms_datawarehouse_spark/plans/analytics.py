@@ -1533,3 +1533,68 @@ def stats_sufficient_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
+
+
+# --------------------------------------------------------------------
+# Time-series OHLC bars (downsampling a value stream to candles)
+# --------------------------------------------------------------------
+
+
+@query(
+    "timeseries_ohlc_daily",
+    """
+    WITH t AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               ts, event_id, round(CAST(value AS DOUBLE), 6) AS v
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM t
+    )
+    SELECT event_type, day,
+           max(CASE WHEN rn_a = 1 THEN v END) AS open,
+           max(v) AS high,
+           min(v) AS low,
+           max(CASE WHEN rn_d = 1 THEN v END) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM r GROUP BY event_type, day
+    """,
+)
+def timeseries_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsampling: per (event_type, day) the opening
+    value (first by (ts, event_id) — a TOTAL order, so both engines
+    pick the same row), high, low, close, and volume — the standard
+    time-series reduction for dashboards and anomaly baselines over a
+    raw value stream.
+
+    Scale shape: one shuffle on (event_type, day); first/last resolve
+    in the same partitioned window pass the aggregation consumes —
+    no join back, no second exchange. At 100 TB a date-partitioned
+    layout turns the group key into partition-local work."""
+    (events,) = tables(spark, sf_dir, "events")
+    t = events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value").cast("double"), 6).alias("v"),
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = t.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("v"))).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v"))).alias("close"),
+        F.count("*").cast("long").alias("volume"),
+    )
