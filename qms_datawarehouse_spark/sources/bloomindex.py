@@ -1,0 +1,144 @@
+"""Bloom-filter partition index: membership pruning for point lookups.
+
+``fileskip`` prunes by per-file MIN/MAX — perfect for range predicates
+over clustered layouts, useless for point lookups on high-cardinality
+keys whose values span every file's range. A Bloom filter answers the
+other question: "can partition P possibly contain key K?" with no
+false negatives. This module builds one fixed-size bitmap per
+partition value in ONE aggregation pass and probes it before a scan,
+so a point lookup reads only the partitions whose filter says maybe.
+
+Table formats keep the same structure per data file (Parquet's own
+optional bloom filters, Delta's deletion-vector-adjacent indexes);
+here it is explicit and warehouse-table-friendly: the index is itself
+a tiny DataFrame (one row per partition) you can persist and
+re-filter, exactly like the fileskip manifest — pruning stays a
+DataFrame ``filter`` and only SURVIVING partition values are
+collected (O(matches), never O(partitions)).
+
+Determinism: bit positions come from ``xxhash64(key, seed_i)`` — the
+same JVM hash the bucketing layout uses (merge.py:88), so index build
+and probe agree byte-for-byte across runs and executors.
+
+No reference counterpart (PostgreSQL's btree/GIN indexes own this in
+the reference, src/core/db.py); this is lakehouse physical design on
+Spark primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M_BITS = 1024  # bitmap width per partition (16 longs)
+K_HASHES = 5  # hash functions; fp rate ≈ (1-e^(-kn/m))^k
+N_WORDS = M_BITS // 64
+
+
+def _bit_positions(key: Column) -> list[Column]:
+    """K deterministic bit positions for a key: xxhash64 seeded by the
+    hash index (the seed rides as an extra hashed column). The key is
+    normalized to STRING first — xxhash64 is TYPE-sensitive (hash of
+    85L ≠ hash of 85), and a probe literal's inferred type need not
+    match the indexed column's."""
+    return [
+        F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(M_BITS))
+        for i in range(K_HASHES)
+    ]
+
+
+def build_bloom_index(
+    df: DataFrame, key: str, part_col: str
+) -> DataFrame:
+    """One bitmap per ``part_col`` value over the keys it contains —
+    built in one exploded aggregation (positions form map-side; the
+    only exchange is the (partition, word) bit-OR, partial-aggregated,
+    then an O(partitions) reassembly). Returns
+    ``(part_col, bits array<long>[N_WORDS])``.
+
+    At 100 TB: output is partitions × 128 bytes — index-sized. Keep it
+    as a DataFrame/table and prune with ``prune_partitions``; never
+    collect it whole.
+    """
+    pos = F.explode(F.array(*_bit_positions(F.col(key)))).alias("pos")
+    bits = (
+        df.select(F.col(part_col), pos)
+        .select(
+            part_col,
+            (F.col("pos") / 64).cast("int").alias("word"),
+            # shiftleft's amount parameter is literal-only in the
+            # Python API; the SQL form accepts the pos column
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy(part_col, "word")
+        .agg(F.bit_or("b").alias("w"))
+    )
+    # assemble the fixed-width bitmap, zero-filling absent words
+    return (
+        bits.groupBy(part_col)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("word"), F.collect_list("w")
+            ).alias("wm")
+        )
+        .select(
+            part_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_WORDS - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("wm", i.cast("int")), F.lit(0).cast("long")
+                ),
+            ).alias("bits"),
+        )
+    )
+
+
+def _probe_positions(index_df: DataFrame, value) -> list[int]:
+    """The probe key's K bit positions as Python ints — one 1-row JVM
+    job, so build and probe share the exact xxhash64 (a Python-side
+    reimplementation would silently diverge)."""
+    spark = index_df.sparkSession
+    row = spark.range(1).select(*_bit_positions(F.lit(value))).first()
+    return [int(p) for p in row]
+
+
+def _might_contain(bits: Column, positions: list[int]) -> Column:
+    """True iff every one of the key's K bits is set in ``bits`` —
+    no false negatives by construction. Positions are literals, so
+    each check is one element_at + constant-mask AND."""
+    out = None
+    for p in positions:
+        word = F.element_at(bits, p // 64 + 1)
+        mask = 1 << (p % 64)
+        if mask >= 1 << 63:  # bit 63: wrap to the signed-long pattern
+            mask -= 1 << 64
+        check = word.bitwiseAND(F.lit(mask)) != 0
+        out = check if out is None else out & check
+    return out
+
+
+def prune_partitions(index_df: DataFrame, part_col: str, value) -> list:
+    """Partition values whose bloom filter says the key MAY be present
+    — a DataFrame filter over the index; only survivors are collected
+    (the fileskip-manifest driver-budget discipline)."""
+    positions = _probe_positions(index_df, value)
+    kept = index_df.filter(_might_contain(F.col("bits"), positions))
+    return sorted(r[0] for r in kept.select(part_col).collect())
+
+
+def read_point_lookup(
+    df: DataFrame, index_df: DataFrame, key: str, part_col: str, value
+) -> DataFrame:
+    """Point lookup through the index: prune to maybe-partitions, then
+    re-apply the exact key predicate. On a layout partitioned by
+    ``part_col`` the IN-filter is partition pruning at the scan — the
+    pruned partitions' files are never opened."""
+    parts = prune_partitions(index_df, part_col, value)
+    if not parts:
+        # bloom says impossible everywhere: provably-empty result
+        return df.filter(F.lit(False)).filter(F.col(key) == value)
+    return df.filter(F.col(part_col).isin(parts)).filter(
+        F.col(key) == value
+    )
