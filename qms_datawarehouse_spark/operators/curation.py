@@ -918,3 +918,42 @@ def temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("min_ts_us"),
         F.unix_micros(F.max("ts")).alias("max_ts_us"),
     )
+
+
+# --------------------------------------------------------------------
+# k-anonymity audit (privacy gate before a corpus/table is released)
+# --------------------------------------------------------------------
+
+_K_ANON = 5  # minimum group size for release
+
+_K_ANON_SQL = f"""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           (count(*) < {_K_ANON}) AS violates_k
+    FROM customer
+    GROUP BY 1, 2
+"""
+
+
+@query("privacy_k_anonymity", _K_ANON_SQL)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation,
+    market segment): every equivalence class smaller than k={_K_ANON}
+    is a re-identification risk — the release gate run before a
+    derived table or training corpus leaves the governed zone, the
+    privacy sibling of the PII redaction pass (text_pii_redact).
+    Output = every class with its size and violation flag, so the
+    hash pins the full risk surface, not just the count.
+
+    Scale shape: one partial-aggregated group-by on the
+    quasi-identifier tuple — O(classes) output; the suppression step
+    that would follow (drop or generalize violating classes) is a
+    semi-join of the corpus against the violating classes."""
+    (customer,) = tables(spark, sf_dir, "customer")
+    return customer.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") < _K_ANON).alias("violates_k"),
+    )

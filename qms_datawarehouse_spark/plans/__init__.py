@@ -81,6 +81,7 @@ _DRIVER_WINDOW = [
     "curation_temporal_split",
     "timeseries_ohlc_daily",
     "similarity_truncated_rerank",
+    "privacy_k_anonymity",
     # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
     # these slots are the swap space for round-4 additions ------------
     "s1_incremental_scan",
@@ -91,7 +92,6 @@ _DRIVER_WINDOW = [
     "a1_high_water_mark",
     "a5_per_staff_totals",
     "a6_daily_rate_stats",
-    "a7_service_duration",
     "a9_rating_agg",
     "j2_orders_customer",
     "j3_lineitem_orders",
