@@ -82,21 +82,21 @@ _DRIVER_WINDOW = [
     "timeseries_ohlc_daily",
     "similarity_truncated_rerank",
     "privacy_k_anonymity",
+    "json_schema_profile",
+    "dq_referential_integrity",
+    "w4_dist_functions",
     # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
     # these slots are the swap space for round-4 additions ------------
     "s1_incremental_scan",
     "s8_point_lookup",
     "p4_projection",
     "w2_recent_topn",
-    "w3_sequential_number",
     "a1_high_water_mark",
     "a5_per_staff_totals",
     "a6_daily_rate_stats",
     "a9_rating_agg",
     "j2_orders_customer",
     "j3_lineitem_orders",
-    "j4_part_supplier",
-    "j5_denormalized_orders",
     "q1_pricing_summary",
     "q12_priority_lines",
     "dedup_exact",

@@ -2302,3 +2302,44 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_inter"))
         .alias("inter_kmv"),
     )
+
+
+# --------------------------------------------------------------------
+# W4 distribution windows: percent_rank / cume_dist / ntile
+# --------------------------------------------------------------------
+
+
+@query(
+    "w4_dist_functions",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w4_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist,
+    ntile — over a TOTAL order ((price, orderkey)), so rank positions
+    and the quartile boundaries are identical across engines and the
+    k/(n−1), k/n doubles are the same exact divisions. Completes the
+    W4 window family (frames, lag/lead, rank family, range-interval,
+    first/last) with the distribution trio.
+
+    Scale shape: one hash exchange on the partition key, one
+    in-partition sort, all three functions in a single Window node."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

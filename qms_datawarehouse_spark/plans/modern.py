@@ -174,3 +174,51 @@ def calendar_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cal LEFT JOIN daily ON cal.d = daily.d
         """
     )
+
+
+# --------------------------------------------------------------------
+# Semi-structured schema profiling: dynamic key discovery over JSON
+# --------------------------------------------------------------------
+
+
+@query(
+    "json_schema_profile",
+    """
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS key, props FROM events
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT json_extract_string(props, '$.' || key))
+                AS BIGINT) AS n_distinct,
+           min(CAST(json_extract_string(props, '$.' || key) AS BIGINT))
+               AS min_val,
+           max(CAST(json_extract_string(props, '$.' || key) AS BIGINT))
+               AS max_val
+    FROM kv GROUP BY key
+    """,
+)
+def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference over a semi-structured column: discover the
+    key set DYNAMICALLY (no hardcoded paths — the reference's
+    documents have no declared schema, SURVEY §1.1), then profile
+    each key's presence, cardinality, and numeric range. The
+    complement of variant_props_agg, which aggregates a KNOWN path;
+    this is what an ingest pipeline runs first to decide the
+    flattening (src/services/transform.py:33-42 parity).
+
+    Scale shape: from_json to map + one explode, then a keyed
+    partial aggregation — O(keys) output; the JSON parses once per
+    row."""
+    (events,) = tables(spark, sf_dir, "events")
+    kv = events.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "key", "val"
+        )
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.min(F.col("val").cast("long")).alias("min_val"),
+        F.max(F.col("val").cast("long")).alias("max_val"),
+    )

@@ -417,3 +417,80 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys, customer.c_custkey == keys.o_custkey, "left_anti"
     ).agg(F.count("*").alias("n")).select(F.lit("without_orders").alias("side"), "n")
     return semi.unionByName(anti)
+
+
+# --------------------------------------------------------------------
+# Referential-integrity audit: orphan detection across the join graph
+# --------------------------------------------------------------------
+
+
+@query(
+    "dq_referential_integrity",
+    """
+    SELECT 'orders->customer' AS fk_edge,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's FK edges:
+    child rows with no matching parent (LEFT ANTI join per edge) —
+    the warehouse-side check the reference delegates to PostgreSQL
+    FK constraints (src/core/db.py table DDL); a lakehouse has no
+    enforced constraints, so this audit IS the constraint. Companion
+    to dq_constraint_checks (row-level predicates); this one is
+    cross-table.
+
+    Scale shape: each edge is one anti join on its key — broadcast
+    when the parent is dim-sized, shuffle otherwise (AQE decides);
+    output is O(edges)."""
+    orders, customer, lineitem, part, supplier = tables(
+        spark, sf_dir, "orders", "customer", "lineitem", "part", "supplier"
+    )
+
+    def edge(name, child, parent, ck, pk):
+        # one lazy plan per edge: total ⨯ orphan count (both one-row
+        # aggregates), no driver-side action
+        n_child = child.agg(F.count("*").cast("long").alias("n_child"))
+        n_orph = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count("*").cast("long").alias("n_orphans"))
+        )
+        return n_child.crossJoin(n_orph).select(
+            F.lit(name).alias("fk_edge"), "n_child", "n_orphans"
+        )
+
+    out = edge("orders->customer", orders, customer, "o_custkey", "c_custkey")
+    for e in (
+        edge("lineitem->orders", lineitem, orders, "l_orderkey", "o_orderkey"),
+        edge("lineitem->part", lineitem, part, "l_partkey", "p_partkey"),
+        edge(
+            "lineitem->supplier", lineitem, supplier, "l_suppkey", "s_suppkey"
+        ),
+    ):
+        out = out.unionByName(e)
+    return out
