@@ -365,3 +365,52 @@ def test_no_unintended_cartesian_anywhere(spark):
         if bad and name not in allowed:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_truncated_rerank_is_two_takeordereds(spark):
+    """Both retrieval stages must be TakeOrdered cuts (no global sort,
+    corpus never shuffled); the coarse pass reads the prefix only."""
+    plan = _plan(spark, "similarity_truncated_rerank")
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_builds_pairs_map_side(spark):
+    """Bigram pair generation must not need a window or explode-join:
+    pairs come from zipping the word array with its own tail."""
+    plan = _plan(spark, "text_bigram_lm_score")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_single_partitioning(spark):
+    """The window pass and the aggregation share the (event_type, day)
+    partitioning — one real data exchange (plus the 1-row result
+    collect AQE may add), never one per analytic function."""
+    plan = _plan(spark, "timeseries_ohlc_daily")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_w4_dist_single_window_node(spark):
+    """percent_rank, cume_dist, and ntile must ride ONE Window node
+    over one exchange, not one pass each."""
+    plan = _plan(spark, "w4_dist_functions")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_referential_integrity_no_cartesian(spark):
+    """Every FK edge is an anti equi-join; the two 1-row aggregates
+    combine via a broadcast, never a CartesianProduct."""
+    plan = _plan(spark, "dq_referential_integrity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti") == 4
+
+
+def test_temporal_split_is_map_side_case(spark):
+    """The split assignment is a map-side CASE: one aggregation
+    exchange, no join."""
+    plan = _plan(spark, "curation_temporal_split")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg partials
