@@ -67,3 +67,47 @@ def test_absent_key_prunes_everywhere_or_reads_empty(spark):
         assert (
             read_point_lookup(df, idx, "o_custkey", "bkt", k).count() == 0
         )
+
+
+def test_spark_native_runtime_bloom_filter_join(spark):
+    """Engine-level sibling of the explicit index: with runtime bloom
+    filters enabled, a selective dim side injects a bloom_filter_agg
+    whose might_contain probe prunes the fact scan BEFORE the shuffle
+    join — Spark's own semi-join reduction. Pinned so the session
+    config keeps the capability alive and results stay exact."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # local fixtures are far below the 10 GB default threshold
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        # the injected filter must not change results
+        n = j.count()
+        want = (
+            li.join(
+                orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey
+            ).count()
+        )
+        assert n == want > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
