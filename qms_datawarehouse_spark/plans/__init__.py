@@ -85,6 +85,8 @@ _DRIVER_WINDOW = [
     "json_schema_profile",
     "dq_referential_integrity",
     "w4_dist_functions",
+    "agg_mode_exact",
+    "events_gap_islands",
     # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
     # these slots are the swap space for round-4 additions ------------
     "s1_incremental_scan",
@@ -92,9 +94,7 @@ _DRIVER_WINDOW = [
     "p4_projection",
     "w2_recent_topn",
     "a1_high_water_mark",
-    "a5_per_staff_totals",
     "a6_daily_rate_stats",
-    "a9_rating_agg",
     "j2_orders_customer",
     "j3_lineitem_orders",
     "q1_pricing_summary",

@@ -2343,3 +2343,109 @@ def w4_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+# --------------------------------------------------------------------
+# Exact per-group mode (deterministic tie-break)
+# --------------------------------------------------------------------
+
+
+@query(
+    "agg_mode_exact",
+    """
+    WITH c AS (
+        SELECT event_type, user_id, count(*) AS n
+        FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY n DESC, user_id
+        ) AS rn
+        FROM c
+    )
+    SELECT event_type, user_id AS mode_user, n AS mode_n
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact statistical MODE per group (the most active user per
+    event type) with a deterministic tie-break (highest count, then
+    lowest key) — the exact twin of sketch-based heavy-hitter top-1,
+    and the aggregation SQL's MODE() ordered-set function computes.
+
+    Scale shape: one keyed count (partial-aggregated), then a
+    per-group rank-1 cut that rides WindowGroupLimit — the shuffle
+    after the count carries O(groups × users-per-group) but the limit
+    prunes in-partition before materialization."""
+    (events,) = tables(spark, sf_dir, "events")
+    c = events.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.col("user_id")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Gaps and islands: consecutive-day activity streaks
+# --------------------------------------------------------------------
+
+
+@query(
+    "events_gap_islands",
+    """
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS INTEGER) AS grp
+        FROM d
+    ),
+    s AS (
+        SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_len
+        FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           max(streak_len) AS longest_streak,
+           CAST(sum(streak_len) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the classic day − row_number() group constant — engagement-streak
+    analytics (DAU streaks, retention heuristics) in pure window+agg
+    form, no self-join and no iteration.
+
+    Scale shape: one distinct (partial-aggregated), one window
+    partitioned by user (single exchange — the distinct's
+    partitioning is reusable), two keyed aggs that stay on the same
+    user key. Everything scales with users × active days."""
+    (events,) = tables(spark, sf_dir, "events")
+    d = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("streak_len")
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").cast("long").alias("active_days"),
+    )
