@@ -87,6 +87,7 @@ _DRIVER_WINDOW = [
     "w4_dist_functions",
     "agg_mode_exact",
     "events_gap_islands",
+    "session_path_analysis",
     # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
     # these slots are the swap space for round-4 additions ------------
     "s1_incremental_scan",
@@ -98,7 +99,6 @@ _DRIVER_WINDOW = [
     "j2_orders_customer",
     "j3_lineitem_orders",
     "q1_pricing_summary",
-    "q12_priority_lines",
     "dedup_exact",
     "dedup_clusters",
     "asof_join_last_purchase",

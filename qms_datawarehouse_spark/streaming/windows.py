@@ -134,3 +134,120 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*") * 1.0 / F.countDistinct("session_id"), 4
         ).alias("avg_events_per_session"),
     )
+
+
+# --------------------------------------------------------------------
+# Session path analysis: top journey prefixes
+# --------------------------------------------------------------------
+
+
+@query(
+    "session_path_analysis",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts)
+                            > {SESSION_GAP_MIN * 60}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    sess_ids AS (
+        SELECT user_id, event_id, ts, event_type,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ) AS step
+        FROM sess_ids
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY step) AS path
+        FROM sessions WHERE step <= 3
+        GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey prefixes: sessionize by the {SESSION_GAP_MIN}-
+    minute inactivity gap (same construction as t9_sessionization),
+    take each session's FIRST THREE event types in (ts, event_id)
+    total order, and rank the resulting paths — the product-analytics
+    "what do sessions start with" question, and the navigation-flow
+    sibling of event_transitions (which is memoryless pairwise; this
+    is ordered prefixes within real session boundaries).
+
+    Scale shape: everything up to the path string is windows over ONE
+    user-keyed exchange (gap flag, running session id, step rank share
+    the partitioning); the path aggregation is keyed on (user,
+    session); the final cut is a 20-row total-ordered take."""
+    (events,) = tables(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w_order).isNull()
+            | (
+                F.col("ts").cast("long")
+                - F.lag("ts").over(w_order).cast("long")
+                > SESSION_GAP_MIN * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "step",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy(
+                "ts", "event_id"
+            )
+        ),
+    )
+    paths = (
+        sessions.filter(F.col("step") <= 3)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("step", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

@@ -353,6 +353,14 @@ def test_no_unintended_cartesian_anywhere(spark):
         "text_inverted_index",
         "bm25_topk",
         "basket_type_lift",
+        # 1-row vocabulary-size broadcast (add-1 smoothing denominator)
+        "text_bigram_lm_score",
+        # 1-row Σweight broadcast (mixture denominator)
+        "curation_temperature_mix",
+        # 1-row query-vector broadcast for the coarse pass
+        "similarity_truncated_rerank",
+        # per-edge 1-row total ⨯ 1-row orphan-count combine
+        "dq_referential_integrity",
     }
     offenders = {}
     for name, qd in REGISTRY.items():
