@@ -88,10 +88,10 @@ _DRIVER_WINDOW = [
     "agg_mode_exact",
     "events_gap_islands",
     "session_path_analysis",
+    "experiment_ab_ttest",
     # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
     # these slots are the swap space for round-4 additions ------------
     "s1_incremental_scan",
-    "s8_point_lookup",
     "p4_projection",
     "w2_recent_topn",
     "a1_high_water_mark",

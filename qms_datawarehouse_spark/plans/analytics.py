@@ -1598,3 +1598,119 @@ def timeseries_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("v"))).alias("close"),
         F.count("*").cast("long").alias("volume"),
     )
+
+
+# --------------------------------------------------------------------
+# A/B experiment analysis: hash-split + Welch t from exact moments
+# --------------------------------------------------------------------
+
+
+@query(
+    "experiment_ab_ttest",
+    """
+    WITH v AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT % 2 AS BIGINT) AS variant,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END)
+                    AS BIGINT) AS sx_a,
+               CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END)
+                    AS BIGINT) AS sx_b,
+               CAST(sum(CASE WHEN variant = 0 THEN x*x ELSE 0 END)
+                    AS BIGINT) AS sxx_a,
+               CAST(sum(CASE WHEN variant = 1 THEN x*x ELSE 0 END)
+                    AS BIGINT) AS sxx_b
+        FROM v
+    )
+    SELECT n_a, n_b, sx_a, sx_b,
+           round(sx_a * 1.0 / n_a, 4) AS mean_a,
+           round(sx_b * 1.0 / n_b, 4) AS mean_b,
+           round(
+             (sx_b * 1.0 / n_b - sx_a * 1.0 / n_a)
+             / sqrt(
+                 ((sxx_a - sx_a * 1.0 * sx_a / n_a) / (n_a - 1)) / n_a
+                 + ((sxx_b - sx_b * 1.0 * sx_b / n_b) / (n_b - 1)) / n_b
+             ), 4) AS t_welch
+    FROM m
+    """,
+)
+def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-split into
+    two variants (the md5 bucket every sampler/splitter here shares —
+    operators/hashsplit.py), purchase values reduced to EXACT integer
+    sufficient statistics per variant (n, Σx, Σx² in cents), and the
+    Welch t statistic derived from those bigints — the one float
+    division chain is identical across engines because its inputs are
+    identical integers. The experimentation-platform primitive on the
+    same machinery as stats_sufficient_moments.
+
+    Scale shape: one scan, map-side conditional partial aggregation to
+    a SINGLE row of bigints — no shuffle of user rows, no per-variant
+    repartition; at 100 TB this is a scan plus a 6-number combine."""
+    (events,) = tables(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.md5(F.col("user_id").cast("string").cast("binary")).substr(
+                1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    v = events.filter(F.col("event_type") == "purchase").select(
+        variant.alias("variant"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    m = v.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_b"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("x") * F.col("x")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sxx_a"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("x") * F.col("x")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sxx_b"),
+    )
+    mean_a = F.col("sx_a") * 1.0 / F.col("n_a")
+    mean_b = F.col("sx_b") * 1.0 / F.col("n_b")
+    var_a = (
+        F.col("sxx_a") - F.col("sx_a") * 1.0 * F.col("sx_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("sxx_b") - F.col("sx_b") * 1.0 * F.col("sx_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    return m.select(
+        "n_a",
+        "n_b",
+        "sx_a",
+        "sx_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round(
+            (mean_b - mean_a)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            4,
+        ).alias("t_welch"),
+    )

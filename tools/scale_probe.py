@@ -44,6 +44,10 @@ PROBE_OPS = [
     "curation_shuffle_shards",
     "text_normalize",
     "curation_sample_exact_k",
+    # round-4 document/embedding operators
+    "text_bigram_lm_score",
+    "similarity_truncated_rerank",
+    "curation_temperature_mix",
     # profile_orders probes the orders table, which the scaled dir
     # (documents/embeddings only) does not replicate — not probed here
 ]
