@@ -35,7 +35,12 @@ PICKS = {
     "robust_outliers_mad": "Two percentile passes + broadcast joins back; all thresholds integer (2x-median / 2x-MAD half-unit trick).",
     "dedup_passages": "Chunking is a per-row transform over the word array (no shuffle to form passages); exchanges only on the passage hash and the final doc rollup.",
     "text_top_bigrams": "Pairs come from arrays_zip of the word array with its own tail inside one codegen stage; the two exchanges are the standard two-phase distinct-aggregate (partial counts collapse per task before either).",
-    "similarity_pq_adc": "Codebook (M*K subvectors) and query are two bounded broadcasts; assignment + ADC are one codegen stage per row; TakeOrderedAndProject ends it — the embedding table is never shuffled.",
+    "similarity_pq_adc": "Codebook and query LUT ride in the Arrow-UDF closure (bounded collects); encode + ADC are ONE vectorized ArrowEvalPython stage per batch; TakeOrderedAndProject ends it — the embedding table is never shuffled. (Measured: 3x over interpreted HOFs.)",
+    "similarity_truncated_rerank": "Two TakeOrderedAndProject cuts: coarse distance on the 16-dim prefix, exact rerank of the 50 survivors — no global sort, corpus never shuffled.",
+    "text_bigram_lm_score": "Bigram pairs zip map-side; the LM is two keyed counts; scoring is two equi-joins plus one per-doc aggregate — no window, no cartesian.",
+    "timeseries_ohlc_daily": "open/close resolve inside the same (event_type, day) partitioning the aggregation consumes — one real exchange for four analytics.",
+    "events_gap_islands": "The islands constant (day - row_number) computes in the distinct's own partitioning; both rollups stay on the user key.",
+    "experiment_ab_ttest": "One scan to a SINGLE row of integer sufficient statistics via conditional partial aggregation; the t statistic is pure arithmetic on that row.",
     "profile_orders": "Six columns profiled from ONE scan: every statistic partial-aggregates; the Expand is the exact-distinct price (exact=False drops it for HLL++ sketches at 100 TB).",
     "text_normalize": "Map-only canonicalization: regex stages in whole-stage codegen around a single ArrowEvalPython hop (the NFC UDF) — zero exchanges.",
     "cdc_resolution_probe": "The CDC winner decision is ONE keyed window (seq desc, delete-beats-upsert, unique-id tiebreak) — a single user_id exchange, the same shape the warehouse apply commits.",
