@@ -106,6 +106,9 @@ HEADLINE = [
     # round-4 additions
     "similarity_ivfpq",
     "cdc_replay_two_epochs",
+    "text_bigram_lm_score",
+    "similarity_truncated_rerank",
+    "experiment_ab_ttest",
 ]
 
 
