@@ -1175,3 +1175,77 @@ def curation_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["curation_split_by_cluster"].sql = _split_by_cluster_sql()
+
+
+# --------------------------------------------------------------------
+# Cross-source duplication matrix (where do near-dups come from?)
+# --------------------------------------------------------------------
+
+
+@query(
+    "dedup_cross_source_matrix",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM sx GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs),
+    bl AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, b{j} AS bv FROM bands" for j in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bl a JOIN bl b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM (
+            SELECT c.doc_a, c.doc_b, count(*) AS c
+            FROM cand c
+            JOIN sx a ON a.doc_id = c.doc_a
+            JOIN sx b ON b.doc_id = c.doc_b AND a.s = b.s
+            GROUP BY 1, 2
+        ) c
+        JOIN sizes na ON c.doc_a = na.doc_id
+        JOIN sizes nb ON c.doc_b = nb.doc_id
+        WHERE c.c * 1.0 / (na.n + nb.n - c.c) >= {JACCARD_THRESHOLD}
+    ),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN src sa ON p.doc_a = sa.doc_id
+    JOIN src sb ON p.doc_b = sb.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does duplication come from: the verified near-dup pairs
+    (the LSH pipeline, composed as-is) rolled up into a symmetric
+    source×source matrix — the corpus-governance readout that tells
+    you whether duplication is WITHIN a crawl snapshot (same-source
+    diagonal) or BETWEEN sources (mirrors, syndication), which decides
+    whether dedup runs per-source or globally at the next 10× of
+    corpus growth.
+
+    Scale shape: everything up to the pair list is dedup_minhash_lsh
+    (band equi-joins, Σ(bucket²) never corpus²); the rollup adds two
+    dim-style joins on doc_id and one O(sources²)-output aggregation."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = documents.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

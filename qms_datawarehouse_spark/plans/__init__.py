@@ -89,19 +89,19 @@ _DRIVER_WINDOW = [
     "events_gap_islands",
     "session_path_analysis",
     "experiment_ab_ttest",
+    "rolling_7d_active_users",
+    "dedup_cross_source_matrix",
     # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
     # these slots are the swap space for round-4 additions ------------
     "s1_incremental_scan",
     "p4_projection",
     "w2_recent_topn",
-    "a1_high_water_mark",
     "a6_daily_rate_stats",
     "j2_orders_customer",
     "j3_lineitem_orders",
     "q1_pricing_summary",
     "dedup_exact",
     "dedup_clusters",
-    "asof_join_last_purchase",
     "range_join_purchases_1h",
     "rollup_hierarchy_1d",
 ]

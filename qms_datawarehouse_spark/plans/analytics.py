@@ -1714,3 +1714,53 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_welch"),
     )
+
+
+# --------------------------------------------------------------------
+# Rolling 7-day active users (WAU per day)
+# --------------------------------------------------------------------
+
+
+@query(
+    "rolling_7d_active_users",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU: distinct users active in the trailing 7 days, per day —
+    the growth metric a plain window can't express (DISTINCT over a
+    RANGE frame isn't a window aggregate), built as day-grain distinct
+    → bounded range join against the day list → distinct count.
+
+    Scale shape: the corpus reduces to (day, user) distinct FIRST
+    (partial-aggregated — the only pass over raw events); the range
+    join then expands that reduced set at most 7× before the final
+    keyed count. At 100 TB the same query over years of days should
+    swap the exact distinct for mergeable HLL partials per day
+    (rollup_hypertable's machinery) — this is the exact twin."""
+    (events,) = tables(spark, sf_dir, "events")
+    du = events.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    days = du.select("day").distinct()
+    d, u = days.alias("d"), du.alias("u")
+    joined = d.join(
+        u,
+        (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+        & (F.col("u.day") <= F.col("d.day")),
+    )
+    return joined.groupBy(F.col("d.day").alias("day")).agg(
+        F.countDistinct("u.user_id").cast("long").alias("wau")
+    )
