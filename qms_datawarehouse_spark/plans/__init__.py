@@ -91,6 +91,7 @@ _DRIVER_WINDOW = [
     "experiment_ab_ttest",
     "rolling_7d_active_users",
     "dedup_cross_source_matrix",
+    "sketch_cms_heavy_hitters",
     # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
     # these slots are the swap space for round-4 additions ------------
     "s1_incremental_scan",
@@ -100,7 +101,6 @@ _DRIVER_WINDOW = [
     "j2_orders_customer",
     "j3_lineitem_orders",
     "q1_pricing_summary",
-    "dedup_exact",
     "dedup_clusters",
     "range_join_purchases_1h",
     "rollup_hierarchy_1d",

@@ -2449,3 +2449,123 @@ def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").alias("longest_streak"),
         F.sum("streak_len").cast("long").alias("active_days"),
     )
+
+
+# --------------------------------------------------------------------
+# Count-Min sketch: deterministic frequency estimates
+# --------------------------------------------------------------------
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 256
+
+
+def _cms_col_sql(row: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#{row}'),"
+        f" 1, 8))::UBIGINT % {_CMS_WIDTH} AS BIGINT)"
+    )
+
+
+_CMS_SQL = f"""
+    WITH cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {r} AS row_id, {_cms_col_sql(r)} AS col_id, user_id FROM events"
+            for r in range(_CMS_DEPTH)
+        )}
+    ),
+    sketch AS (
+        SELECT row_id, col_id, CAST(count(*) AS BIGINT) AS c
+        FROM cells GROUP BY row_id, col_id
+    ),
+    exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY user_id
+        ORDER BY n_exact DESC, user_id LIMIT 10
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT user_id, n_exact, {r} AS row_id, {_cms_col_sql(r)} AS col_id FROM exact"
+            for r in range(_CMS_DEPTH)
+        )}
+    )
+    SELECT p.user_id, p.n_exact,
+           CAST(min(s.c) AS BIGINT) AS n_cms
+    FROM probes p JOIN sketch s
+      ON p.row_id = s.row_id AND p.col_id = s.col_id
+    GROUP BY p.user_id, p.n_exact
+"""
+
+
+@query("sketch_cms_heavy_hitters", _CMS_SQL)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation — the third deterministic
+    sketch alongside KMV (distinct / set ops): {_CMS_DEPTH} md5-seeded
+    hash rows × {_CMS_WIDTH} columns of integer counts, estimate =
+    min over rows (never under-counts), probed here for the exact
+    top-10 users so the oracle pins estimate AND error side by side.
+    Like the KMV pair, every value is a pure function of md5 — the
+    sketch path itself is value-checked, unlike engine-specific CMS
+    implementations.
+
+    Mergeability (the 100 TB property): the sketch is a fixed
+    {_CMS_DEPTH}×{_CMS_WIDTH} integer grid; partial grids ADD
+    cell-wise — a partial-aggregatable groupBy is exactly that fold.
+    One exploded pass (D rows per event, map-side), one keyed count,
+    and an O(k·D) probe join."""
+    (events,) = tables(spark, sf_dir, "events")
+
+    def col_id(row: int):
+        return (
+            F.conv(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.lit(f"#{row}")
+                    ).cast("binary")
+                ).substr(1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        )
+
+    cells = events.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"), col_id(r).alias("col_id")
+                    )
+                    for r in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", F.col("cell.row_id"), F.col("cell.col_id"))
+    sketch = cells.groupBy("row_id", "col_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(10)
+    )
+    probes = exact.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"), col_id(r).alias("col_id")
+                    )
+                    for r in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "n_exact", F.col("cell.row_id"), F.col("cell.col_id"))
+    return (
+        probes.join(sketch, ["row_id", "col_id"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("c").cast("long").alias("n_cms"))
+    )
