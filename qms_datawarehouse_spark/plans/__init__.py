@@ -92,6 +92,7 @@ _DRIVER_WINDOW = [
     "rolling_7d_active_users",
     "dedup_cross_source_matrix",
     "sketch_cms_heavy_hitters",
+    "sketch_bottomk_quantiles",
     # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
     # these slots are the swap space for round-4 additions ------------
     "s1_incremental_scan",
@@ -99,7 +100,6 @@ _DRIVER_WINDOW = [
     "w2_recent_topn",
     "a6_daily_rate_stats",
     "j2_orders_customer",
-    "j3_lineitem_orders",
     "q1_pricing_summary",
     "dedup_clusters",
     "range_join_purchases_1h",

@@ -2569,3 +2569,126 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "n_exact")
         .agg(F.min("c").cast("long").alias("n_cms"))
     )
+
+
+# --------------------------------------------------------------------
+# Bottom-k quantile sketch: deterministic sample quantiles
+# --------------------------------------------------------------------
+
+_BK_K = 128
+
+
+@query(
+    "sketch_bottomk_quantiles",
+    f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT AS BIGINT) AS h
+        FROM events
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY h
+        ) AS rn
+        FROM v
+    ),
+    samp AS (SELECT event_type, cents FROM r WHERE rn <= {_BK_K})
+    SELECT s.event_type,
+           CAST(count(*) AS BIGINT) AS k,
+           min(CASE WHEN s.qr = CAST(ceil(s.kn * 0.5) AS BIGINT)
+                    THEN s.cents END) AS p50_est,
+           min(CASE WHEN s.qr = CAST(ceil(s.kn * 0.9) AS BIGINT)
+                    THEN s.cents END) AS p90_est,
+           min(e.p50_exact) AS p50_exact,
+           min(e.p90_exact) AS p90_exact
+    FROM (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents, 1
+               ) AS qr,
+               count(*) OVER (PARTITION BY event_type) AS kn
+        FROM samp
+    ) s
+    JOIN (
+        SELECT event_type,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_exact,
+               CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_exact
+        FROM v GROUP BY 1
+    ) e ON s.event_type = e.event_type
+    GROUP BY s.event_type
+    """,
+)
+def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantile sketch: a bottom-k-by-md5 sample (the
+    mergeable deterministic uniform sample — keep the k rows with the
+    smallest key hashes; partials merge by union-then-keep-k exactly
+    like KMV) answers p50/p90 per group, reported against the exact
+    discrete quantiles for error visibility. Completes the
+    deterministic sketch family: KMV (distinct), KMV set ops,
+    Count-Min (frequency), bottom-k (quantiles) — every one a pure
+    function of md5, so the sketch math itself is value-checked,
+    where GK/KLL internals never could be.
+
+    Scale shape: the sample selection is a per-group rank over hashes
+    (at scale: TakeOrdered-style bottom-k partials per partition,
+    then union-keep-k); everything after runs on groups × k rows."""
+    (events,) = tables(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+        F.conv(
+            F.md5(F.col("event_id").cast("string").cast("binary")).substr(
+                1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("h")
+    samp = (
+        v.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _BK_K)
+        .select("event_type", "cents")
+    )
+    wq = Window.partitionBy("event_type").orderBy("cents")
+    wk = Window.partitionBy("event_type")
+    s = samp.withColumn("qr", F.row_number().over(wq)).withColumn(
+        "kn", F.count("*").over(wk)
+    )
+    exact = v.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p50_exact"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p90_exact"),
+    )
+    return (
+        s.join(exact, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.min(
+                F.when(
+                    F.col("qr")
+                    == F.ceil(F.col("kn") * 0.5).cast("long"),
+                    F.col("cents"),
+                )
+            ).alias("p50_est"),
+            F.min(
+                F.when(
+                    F.col("qr")
+                    == F.ceil(F.col("kn") * 0.9).cast("long"),
+                    F.col("cents"),
+                )
+            ).alias("p90_est"),
+            F.min("p50_exact").alias("p50_exact"),
+            F.min("p90_exact").alias("p90_exact"),
+        )
+    )
