@@ -361,6 +361,9 @@ def test_no_unintended_cartesian_anywhere(spark):
         "similarity_truncated_rerank",
         # per-edge 1-row total ⨯ 1-row orphan-count combine
         "dq_referential_integrity",
+        # range join against the DAY LIST (one row per calendar day —
+        # bounded broadcast; the du side streams past it once)
+        "rolling_7d_active_users",
     }
     offenders = {}
     for name, qd in REGISTRY.items():
