@@ -36,3 +36,15 @@ def test_query_matches_oracle(spark, duck, name):
         return
     problems = compare_one(spark, duck, name, qd.fn, qd.sql, SF_DIR)
     assert not problems, f"{name}: {problems}"
+
+
+def test_float_sum_queries_are_run_stable(spark):
+    """The only queries whose value hash rides a float SUM (bigram LM
+    log-probs; the A/B t derivation) must give identical rounded
+    results across two executions in one session — shuffle-merge
+    order must stay under the rounding grain."""
+    for name in ("text_bigram_lm_score", "experiment_ab_ttest"):
+        fn = REGISTRY[name].fn
+        a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        assert a == b, name
