@@ -142,3 +142,56 @@ def read_point_lookup(
     return df.filter(F.col(part_col).isin(parts)).filter(
         F.col(key) == value
     )
+
+
+def refresh_bloom_index(
+    warehouse,
+    table: str,
+    key: str,
+    index_table: str | None = None,
+    touched: list | None = None,
+) -> str:
+    """MAINTAINED index: (re)build the bloom bitmaps for ``table``
+    keyed on its warehouse bucket column, as a warehouse table of its
+    own. With ``touched`` (the bucket list a merge just wrote — the
+    same list ``apply_changes``/``merge_upsert`` derive), only those
+    partitions' bitmaps recompute and every other index row carries
+    over: index maintenance is O(touched buckets), matching the
+    merge's own write cost. Bloom bits only ADD under upserts, so a
+    stale untouched bitmap is impossible — deletes make bits stale
+    only toward false POSITIVES (more partitions read, never wrong
+    results), reconciled at the next full refresh, the same contract
+    Parquet's own file blooms have under row-group rewrites.
+
+    Returns the committed index version path.
+    """
+    from qms_datawarehouse_spark.warehouse import BUCKET_COL
+
+    index_table = index_table or f"{table}__bloom"
+    df = warehouse.read(table)
+    if touched is not None and warehouse.table_exists(index_table):
+        fresh = build_bloom_index(
+            df.filter(F.col(BUCKET_COL).isin(list(touched))), key, BUCKET_COL
+        )
+        carried = warehouse.read(index_table).filter(
+            ~F.col(BUCKET_COL).isin(list(touched))
+        )
+        out = carried.unionByName(fresh)
+    else:
+        out = build_bloom_index(df, key, BUCKET_COL)
+    return warehouse.write_version(index_table, out)
+
+
+def warehouse_point_lookup(
+    warehouse, table: str, key: str, value, index_table: str | None = None
+):
+    """Point lookup through the maintained index: prune to
+    maybe-buckets via the index table, then filter the main table —
+    on the bucket-partitioned layout the IN-filter is partition
+    pruning at the scan."""
+    from qms_datawarehouse_spark.warehouse import BUCKET_COL
+
+    index_table = index_table or f"{table}__bloom"
+    idx = warehouse.read(index_table)
+    df = warehouse.read(table)
+    return read_point_lookup(df, idx, key, BUCKET_COL, value)

@@ -111,3 +111,52 @@ def test_spark_native_runtime_bloom_filter_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_index_maintains_incrementally_with_merge(spark, tmp_path):
+    """The maintained-index lifecycle: build once, merge a batch, then
+    refresh ONLY the touched buckets — lookups through the refreshed
+    index see the new keys (no false negatives after maintenance) and
+    untouched bitmaps carry over unchanged."""
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.sources.bloomindex import (
+        refresh_bloom_index,
+        warehouse_point_lookup,
+    )
+    from qms_datawarehouse_spark.warehouse import BUCKET_COL, ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(200)], "_id string, v string"
+    )
+    merge_upsert(wh, "t", base, key="_id", n_buckets=8)
+    refresh_bloom_index(wh, "t", "_id")
+    before = {
+        r[BUCKET_COL]: tuple(r.bits) for r in wh.read("t__bloom").collect()
+    }
+
+    batch = spark.createDataFrame(
+        [("new-9001", "x"), ("new-9002", "y")], "_id string, v string"
+    )
+    merge_upsert(wh, "t", batch, key="_id", n_buckets=8)
+    touched = sorted(
+        {
+            r[BUCKET_COL]
+            for r in wh.read("t")
+            .filter(F.col("_id").isin("new-9001", "new-9002"))
+            .select(BUCKET_COL)
+            .collect()
+        }
+    )
+    refresh_bloom_index(wh, "t", "_id", touched=touched)
+    after = {
+        r[BUCKET_COL]: tuple(r.bits) for r in wh.read("t__bloom").collect()
+    }
+    for b, bits in before.items():
+        if b not in touched:
+            assert after[b] == bits  # untouched bitmaps carried over
+
+    for k in ("new-9001", "new-9002", "0", "137"):
+        got = warehouse_point_lookup(wh, "t", "_id", k).count()
+        assert got == 1, k
+    assert warehouse_point_lookup(wh, "t", "_id", "absent-key").count() == 0
