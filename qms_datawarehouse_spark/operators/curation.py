@@ -957,3 +957,71 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         (F.count("*") < _K_ANON).alias("violates_k"),
     )
+
+
+# --------------------------------------------------------------------
+# Quality-weighted (importance) sampling
+# --------------------------------------------------------------------
+
+_QW_CAP = 1000  # n_chars cap: score saturates for long docs
+
+
+@query(
+    "curation_quality_weighted_sample",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               least(n_chars, {_QW_CAP}) AS score,
+               {_sql_hash_bp('doc_id')} AS h
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored WHERE h < score * 5
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s.score) AS BIGINT) AS total_score,
+           CAST(count(k.doc_id) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(k.kscore), 0) AS BIGINT) AS sampled_score
+    FROM scored s
+    LEFT JOIN (SELECT doc_id, score AS kscore FROM kept) k
+      ON s.doc_id = k.doc_id
+    GROUP BY s.source
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE sampling: each document's acceptance probability is
+    proportional to its quality score (here the length proxy, capped —
+    swap in the composite text_quality score in production), decided
+    by the same deterministic md5 bucket the rate/quota samplers use:
+    accept iff hash_bp < score·5 (probability score/2000). The third
+    sampler semantics alongside stratified (fixed rate per stratum)
+    and exact-k (fixed quota): high-quality documents oversample,
+    junk undersamples, reruns pick identical rows. Output = per-source
+    totals vs sampled mass, so the quality shift is in the hash.
+
+    Scale shape: scoring + the accept test are map-side expressions
+    co-planned with the scan; the summary is one keyed aggregation.
+    No shuffle of the corpus, no RNG state."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id",
+        "source",
+        F.least(F.col("n_chars"), F.lit(_QW_CAP)).alias("score"),
+        hash_bp(F.col("doc_id")).alias("h"),
+    )
+    kept = scored.filter(F.col("h") < F.col("score") * 5).select(
+        "doc_id", F.col("score").alias("kscore")
+    )
+    return (
+        scored.join(kept, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("score").cast("long").alias("total_score"),
+            F.count("kscore").cast("long").alias("n_sampled"),
+            F.coalesce(F.sum("kscore"), F.lit(0))
+            .cast("long")
+            .alias("sampled_score"),
+        )
+    )

@@ -1249,3 +1249,192 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------
+# LSH recall audit: measured recall of the banded candidates vs truth
+# --------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_recall_audit",
+    f"""
+    WITH {_SHINGLE_CTE},
+    truth AS (
+        SELECT c.doc_a, c.doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sx a JOIN sx b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) c
+        JOIN sizes na ON c.doc_a = na.doc_id
+        JOIN sizes nb ON c.doc_b = nb.doc_id
+        WHERE c.c * 1.0 / (na.n + nb.n - c.c) >= {JACCARD_THRESHOLD}
+    ),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM sx GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs),
+    bl AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, b{j} AS bv FROM bands" for j in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bl a JOIN bl b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+        SELECT t.doc_a FROM truth t
+        JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_recalled,
+           CAST((SELECT count(*) FROM hit) * 10000
+                // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+               AS recall_bp
+    """,
+)
+def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED LSH recall as a first-class query: ground-truth
+    near-dup pairs (exhaustive shared-shingle join, exact Jaccard ≥
+    threshold — the documented small-corpus baseline) compared against
+    the banded candidate set, reporting how many true pairs the bands
+    surface (recall in basis points). This is the recall/cost
+    trade-off every LSH parameter choice (N_MINHASH, N_BANDS) makes,
+    quantified instead of asserted — run it on a sample whenever the
+    banding parameters change.
+
+    Scale shape: the truth side is the quadratic-in-collisions
+    baseline, which is exactly why this runs on a SAMPLE at 100 TB
+    (the audit estimates recall; the production path stays banded);
+    the candidate side is the usual band equi-join. Output is one
+    row of counters."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    sh = _shingled(documents).persist()
+    sx = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+
+    a, b = sx.alias("a"), sx.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    truth = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+    bl = minhash_bands(sh)
+    ba, bb = bl.alias("a"), bl.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_hit = hit.agg(F.count("*").cast("long").alias("n_recalled"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_recalled",
+            F.expr(
+                "CAST(n_recalled * 10000 div greatest(n_true_pairs, 1)"
+                " AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Containment near-dup: excerpt / quote detection
+# --------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLE_CTE},
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sx a JOIN sx b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / least(na.n, nb.n), 4) AS containment,
+           round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON common.doc_a = na.doc_id
+    JOIN sizes nb ON common.doc_b = nb.doc_id
+    WHERE c * 1.0 / least(na.n, nb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup (c / min(|A|,|B|) — the overlap
+    coefficient): catches the asymmetric duplication Jaccard misses —
+    a short document QUOTED inside a long one scores near 1.0 on
+    containment while its Jaccard stays tiny (the union is dominated
+    by the long doc). The excerpt/boilerplate-inclusion gate of a
+    training corpus, reported with Jaccard alongside so the asymmetry
+    is visible in the value hash.
+
+    Scale shape: identical to the exhaustive Jaccard baseline (shared-
+    shingle equi-join, cost ∝ collisions); the banded candidate
+    generator composes in front of it at scale exactly as in
+    dedup_minhash_lsh."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    sh = _shingled(documents).persist()
+    sx = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+
+    a, b = sx.alias("a"), sx.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("c") * 1.0 / F.least("na", "nb")
+    jacc = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 4).alias("containment"),
+            F.round(jacc, 4).alias("jaccard"),
+        )
+    )

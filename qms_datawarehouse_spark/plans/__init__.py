@@ -93,17 +93,17 @@ _DRIVER_WINDOW = [
     "dedup_cross_source_matrix",
     "sketch_cms_heavy_hitters",
     "sketch_bottomk_quantiles",
+    "dedup_minhash_recall_audit",
+    "dedup_containment",
+    "curation_quality_weighted_sample",
     # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
     # these slots are the swap space for round-4 additions ------------
     "s1_incremental_scan",
     "p4_projection",
-    "w2_recent_topn",
     "a6_daily_rate_stats",
     "j2_orders_customer",
     "q1_pricing_summary",
     "dedup_clusters",
-    "range_join_purchases_1h",
-    "rollup_hierarchy_1d",
 ]
 
 # Next-round allocation note: once this window lands green, EVERY

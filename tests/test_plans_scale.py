@@ -364,6 +364,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         # range join against the DAY LIST (one row per calendar day —
         # bounded broadcast; the du side streams past it once)
         "rolling_7d_active_users",
+        # three 1-row counter aggregates combine into the audit row
+        "dedup_minhash_recall_audit",
     }
     offenders = {}
     for name, qd in REGISTRY.items():
