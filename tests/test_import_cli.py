@@ -162,3 +162,30 @@ def test_apply_cdc_cli_fresh_warehouse_edge_feeds(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "skipped 1 malformed feed lines" in out
     assert "1 deletes" in out and "docs: 0 rows" in out
+
+
+def test_curate_cli_governance_stages(spark, tmp_path, capsys):
+    """Round-4 governance flags: mixture plan printed, importance
+    sampling filters deterministically, k-anonymity audit warns on
+    small classes."""
+    import tools.curate as curate
+
+    rc = curate.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--warehouse", str(tmp_path / "wh"),
+            "--out", "curated",
+            "--mix-plan", "100",
+            "--quality-sample",
+            "--k-anon", "lang,source",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "mix-plan src0:" in out
+    assert "k-anonymity(lang, source):" in out
+    # importance sampling kept a strict, deterministic subset
+    import re
+
+    m = re.search(r"curated curated: (\d+) -> (\d+) rows", out)
+    assert m and 0 < int(m.group(2)) < int(m.group(1))

@@ -51,6 +51,28 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", default="curated", help="output table name")
     ap.add_argument("--rates", default=None, help="lang=bp,... sample rates")
     ap.add_argument(
+        "--quality-sample",
+        action="store_true",
+        help="importance sampling: keep each doc with probability "
+        "proportional to its (capped) length score — deterministic "
+        "md5 acceptance, rerun-identical",
+    )
+    ap.add_argument(
+        "--mix-plan",
+        type=int,
+        default=None,
+        metavar="N",
+        help="print the n^0.5 temperature-sampled per-source target "
+        "counts for an N-document mixture (plan only, no filtering)",
+    )
+    ap.add_argument(
+        "--k-anon",
+        default=None,
+        metavar="COLS",
+        help="comma-separated quasi-identifier columns; audits "
+        "equivalence classes smaller than 5 before publishing",
+    )
+    ap.add_argument(
         "--normalize",
         action="store_true",
         help="Unicode NFC + control strip + whitespace collapse on text",
@@ -85,12 +107,39 @@ def main(argv: list[str] | None = None) -> int:
 
         df = df.withColumn("text", normalize_text(F.col("text")))
 
+    if args.mix_plan:
+        w = (
+            df.groupBy("source")
+            .agg(F.count("*").alias("n_docs"))
+            .withColumn(
+                "weight",
+                F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+            )
+        )
+        t = w.agg(F.sum("weight").alias("tw")).first().tw
+        for r in sorted(w.collect(), key=lambda r: r.source):
+            target = args.mix_plan * r.weight // t
+            print(
+                f"mix-plan {r.source}: n={r.n_docs} weight={r.weight} "
+                f"target={target}"
+                + (" (needs upsample)" if target > r.n_docs else "")
+            )
+
     if args.rates:
         rates = {}
         for part in args.rates.split(","):
             lang, _, bp = part.partition("=")
             rates[lang.strip()] = int(bp)
         df = stratified_sample(df, rates)
+
+    if args.quality_sample:
+        from qms_datawarehouse_spark.operators.curation import _QW_CAP
+        from qms_datawarehouse_spark.operators.hashsplit import hash_bp
+
+        df = df.filter(
+            hash_bp(F.col("doc_id"))
+            < F.least(F.col("n_chars"), F.lit(_QW_CAP)) * 5
+        )
 
     if args.redact:
         df = (
@@ -155,6 +204,24 @@ def main(argv: list[str] | None = None) -> int:
             .count()
         )
         print(f"packed {args.out}_sequences: {n_seq} sequences")
+
+    if args.k_anon:
+        cols = [c.strip() for c in args.k_anon.split(",")]
+        viol = (
+            wh.read(args.out)
+            .groupBy(*cols)
+            .count()
+            .filter(F.col("count") < 5)
+            .count()
+        )
+        print(
+            f"k-anonymity({', '.join(cols)}): "
+            + (
+                f"WARNING {viol} classes below k=5"
+                if viol
+                else "all classes >= 5"
+            )
+        )
 
     if args.profile:
         from qms_datawarehouse_spark.operators.profile import profile_table
