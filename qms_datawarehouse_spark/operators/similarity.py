@@ -732,3 +732,90 @@ def similarity_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("full_d", "vec_id")
         .limit(TOP_K)
     )
+
+
+# --------------------------------------------------------------------
+# Embedding distribution stats: per-label coherence
+# --------------------------------------------------------------------
+
+
+@query(
+    "embedding_label_coherence",
+    """
+    WITH e AS (
+        SELECT label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x*1000) AS BIGINT)) AS iv
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, s.i AS dim,
+               CAST(sum(iv[CAST(s.i + 1 AS BIGINT)]) AS BIGINT) AS sv
+        FROM e, UNNEST(range(64)) AS s(i)
+        GROUP BY label, s.i
+    ),
+    agg AS (
+        SELECT label,
+               CAST(sum(sv * sv) AS BIGINT) AS sum_vec_sq
+        FROM dims GROUP BY label
+    ),
+    norms AS (
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(list_sum(list_transform(iv, x -> x * x)))
+                    AS BIGINT) AS ssq
+        FROM e GROUP BY label
+    )
+    SELECT n.label, n.n, n.ssq, a.sum_vec_sq,
+           round(a.sum_vec_sq * 1.0 / (n.n * n.ssq), 6) AS coherence
+    FROM norms n JOIN agg a ON n.label = a.label
+    """,
+)
+def embedding_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding COHERENCE — ‖Σv‖² / (n·Σ‖v‖²), the exact
+    mean-resultant-length statistic: 1.0 when every vector in the
+    label points the same way, → 1/n for isotropic noise. The
+    distribution-monitoring primitive for embedding pipelines (a
+    label whose coherence drops between model versions has drifted;
+    a "cluster" near 1/n is not a cluster). All sufficient statistics
+    are exact BIGINTs on fixed-point vectors — the one division at
+    the end is engine-identical.
+
+    Scale shape: one posexplode pass to per-(label, dim) sums
+    (partial-aggregated; 64·|labels| rows out), one per-row fold for
+    ‖v‖², two label-keyed aggregations — the corpus is scanned once
+    per branch of one plan and never pairwise-joined."""
+    from qms_datawarehouse_spark.operators.pq import _int_vec
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "label", _int_vec(F.col("embedding")).alias("iv")
+    )
+    dims = (
+        e.select("label", F.posexplode("iv").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").cast("long").alias("sv"))
+    )
+    agg = dims.groupBy("label").agg(
+        F.sum(F.col("sv") * F.col("sv")).cast("long").alias("sum_vec_sq")
+    )
+    norms = e.select(
+        "label",
+        F.aggregate(
+            F.transform("iv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sq"),
+    ).groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("sq").cast("long").alias("ssq"),
+    )
+    return norms.join(agg, "label").select(
+        "label",
+        "n",
+        "ssq",
+        "sum_vec_sq",
+        F.round(
+            F.col("sum_vec_sq") * 1.0 / (F.col("n") * F.col("ssq")), 6
+        ).alias("coherence"),
+    )
