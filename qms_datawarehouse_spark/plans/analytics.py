@@ -1764,3 +1764,79 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("d.day").alias("day")).agg(
         F.countDistinct("u.user_id").cast("long").alias("wau")
     )
+
+
+# --------------------------------------------------------------------
+# Seasonality: day-of-week effect indexes
+# --------------------------------------------------------------------
+
+
+@query(
+    "seasonality_dow_index",
+    """
+    WITH v AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, dow,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sc
+        FROM v GROUP BY event_type, dow
+    ),
+    t AS (
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(sc) AS BIGINT) AS sct
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow, d.n, d.sc,
+           CAST((d.sc * t.nt * 10000) // greatest(d.n * t.sct, 1)
+                AS BIGINT) AS value_index_bp,
+           CAST((d.n * 7 * 10000) // t.nt AS BIGINT) AS volume_index_bp
+    FROM d JOIN t ON d.event_type = t.event_type
+    """,
+)
+def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality indexes per event type: each weekday's
+    mean value relative to the type's overall mean, and its share of
+    volume relative to a flat week — both as exact integer basis
+    points ((Σ_dow·n_total·10⁴) div (n_dow·Σ_total)), so the whole
+    seasonal profile is oracle-hashable with zero float ops. The
+    input every dashboard's "weekend effect" chart and every
+    forecasting baseline (seasonal-naive) needs.
+
+    Scale shape: two stacked keyed aggregations (dow grain → type
+    grain), both partial-aggregated; O(types × 7) output. DuckDB's
+    Sunday=0-based dayofweek matches Spark's dayofweek−1 — normalized
+    below."""
+    (events,) = tables(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        # Spark dayofweek: Sunday=1; DuckDB dayofweek: Sunday=0
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "cents"
+        ),
+    )
+    d = v.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sc"),
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sc").cast("long").alias("sct"),
+    )
+    return d.join(t, "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        "sc",
+        F.expr(
+            "CAST((sc * nt * 10000) div greatest(n * sct, 1) AS BIGINT)"
+        ).alias("value_index_bp"),
+        F.expr("CAST((n * 7 * 10000) div nt AS BIGINT)").alias(
+            "volume_index_bp"
+        ),
+    )

@@ -59,6 +59,7 @@ def test_anchors_inside_window():
 # window; 22 of this round's 23 additions are in-window too.)
 QUEUED_NEXT_WINDOW: list[str] = [
     "embedding_label_coherence",
+    "seasonality_dow_index",
 ]
 
 
