@@ -36,3 +36,22 @@ def _sql_hash_bp(key_expr: str) -> str:
         f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))::UBIGINT"
         f" % 10000 AS BIGINT)"
     )
+
+
+def hash_u32(key: Column) -> Column:
+    """md5-first-8-hex-digits as a BIGINT (uniform 32-bit value) —
+    Spark side. ``hash_bp`` is this modulo 10⁴; the sketch family
+    (KMV, Count-Min, bottom-k) and the A/B splitter consume the raw
+    32-bit form. ONE audited implementation of the cross-engine
+    identity — edits here and in ``_sql_hash_u32`` must stay paired."""
+    h = F.md5(key.cast("string").cast("binary")).substr(1, 8)
+    return F.conv(h, 16, 10).cast("long")
+
+
+def _sql_hash_u32(key_expr: str) -> str:
+    """Same uniform 32-bit value — DuckDB side (BIGINT, not UBIGINT:
+    the driver hashes pandas values and uint64 vs int64 diverge)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))"
+        f"::UBIGINT AS BIGINT)"
+    )

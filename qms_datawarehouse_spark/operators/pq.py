@@ -507,8 +507,6 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in probe_cells:
         QR = (qv - CENT[c]).reshape(M_SUBSPACES, SUB_DIM)
         lut[c] = ((QR[:, None, :] - CWs) ** 2).sum(-1)
-    probe_set = set(int(c) for c in probe_cells)
-
     schema = StructType(
         [
             StructField("cell_id", LongType()),

@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.plans.registry import query, tables
+from qms_datawarehouse_spark.operators.hashsplit import (  # noqa: E402
+    _sql_hash_u32,
+    hash_u32,
+)
 
 
 # --------------------------------------------------------------------
@@ -2198,8 +2202,7 @@ def w4_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_SET_SQL = f"""
     WITH u AS (
         SELECT user_id,
-               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
-                    ::UBIGINT AS BIGINT) AS h,
+               {_sql_hash_u32('user_id')} AS h,
                bool_or(event_type = 'view') AS in_a,
                bool_or(event_type = 'click') AS in_b
         FROM events
@@ -2255,14 +2258,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("event_type") == "click").alias("in_b"),
         )
         .select(
-            F.conv(
-                F.md5(F.col("user_id").cast("string").cast("binary"))
-                .substr(1, 8),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
+            hash_u32(F.col("user_id")).alias("h"),
             "in_a",
             "in_b",
         )
@@ -2461,8 +2457,8 @@ _CMS_WIDTH = 256
 
 def _cms_col_sql(row: int) -> str:
     return (
-        f"CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#{row}'),"
-        f" 1, 8))::UBIGINT % {_CMS_WIDTH} AS BIGINT)"
+        _sql_hash_u32(f"CAST(user_id AS VARCHAR) || '#{row}'")
+        + f" % {_CMS_WIDTH}"
     )
 
 
@@ -2516,15 +2512,9 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def col_id(row: int):
         return (
-            F.conv(
-                F.md5(
-                    F.concat(
-                        F.col("user_id").cast("string"), F.lit(f"#{row}")
-                    ).cast("binary")
-                ).substr(1, 8),
-                16,
-                10,
-            ).cast("long")
+            hash_u32(
+                F.concat(F.col("user_id").cast("string"), F.lit(f"#{row}"))
+            )
             % _CMS_WIDTH
         )
 
@@ -2584,8 +2574,7 @@ _BK_K = 128
     WITH v AS (
         SELECT event_type,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
-                    ::UBIGINT AS BIGINT) AS h
+               {_sql_hash_u32('event_id')} AS h
         FROM events
     ),
     r AS (
@@ -2640,15 +2629,7 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
             "cents"
         ),
-        F.conv(
-            F.md5(F.col("event_id").cast("string").cast("binary")).substr(
-                1, 8
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+        hash_u32(F.col("event_id")).alias("h"),
     )
     wr = Window.partitionBy("event_type").orderBy("h")
     samp = (

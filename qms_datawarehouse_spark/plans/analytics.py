@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.functions.scalars import duration_m_s, sorted_set_str
 from qms_datawarehouse_spark.plans.registry import query, tables
+from qms_datawarehouse_spark.operators.hashsplit import _sql_hash_u32  # noqa: E402
 
 # Shared CTE fragments for the DuckDB oracles -------------------------
 
@@ -1605,12 +1606,14 @@ def timeseries_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+_AB_HASH = _sql_hash_u32("user_id")
+
+
 @query(
     "experiment_ab_ttest",
-    """
+    f"""
     WITH v AS (
-        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
-                    ::UBIGINT % 2 AS BIGINT) AS variant,
+        SELECT {_AB_HASH} % 2 AS variant,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
         FROM events WHERE event_type = 'purchase'
     ),
@@ -1654,17 +1657,10 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, map-side conditional partial aggregation to
     a SINGLE row of bigints — no shuffle of user rows, no per-variant
     repartition; at 100 TB this is a scan plus a 6-number combine."""
+    from qms_datawarehouse_spark.operators.hashsplit import hash_u32
+
     (events,) = tables(spark, sf_dir, "events")
-    variant = (
-        F.conv(
-            F.md5(F.col("user_id").cast("string").cast("binary")).substr(
-                1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
+    variant = hash_u32(F.col("user_id")) % 2
     v = events.filter(F.col("event_type") == "purchase").select(
         variant.alias("variant"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),

@@ -191,10 +191,10 @@ def calendar_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT json_extract_string(props, '$.' || key))
                 AS BIGINT) AS n_distinct,
-           min(CAST(json_extract_string(props, '$.' || key) AS BIGINT))
-               AS min_val,
-           max(CAST(json_extract_string(props, '$.' || key) AS BIGINT))
-               AS max_val
+           min(TRY_CAST(json_extract_string(props, '$.' || key)
+                        AS BIGINT)) AS min_val,
+           max(TRY_CAST(json_extract_string(props, '$.' || key)
+                        AS BIGINT)) AS max_val
     FROM kv GROUP BY key
     """,
 )
@@ -219,6 +219,9 @@ def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.groupBy("key").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.countDistinct("val").cast("long").alias("n_distinct"),
-        F.min(F.col("val").cast("long")).alias("min_val"),
-        F.max(F.col("val").cast("long")).alias("max_val"),
+        # try_cast, NOT cast: this operator exists precisely for
+        # unknown value types — a string-valued key must profile as
+        # NULL range, not throw CAST_INVALID_INPUT under ANSI mode
+        F.min(F.col("val").try_cast("long")).alias("min_val"),
+        F.max(F.col("val").try_cast("long")).alias("max_val"),
     )

@@ -165,21 +165,44 @@ def refresh_bloom_index(
 
     Returns the committed index version path.
     """
-    from qms_datawarehouse_spark.warehouse import BUCKET_COL
+    from qms_datawarehouse_spark.warehouse import (
+        BUCKET_COL,
+        ConcurrentWriteError,
+    )
 
     index_table = index_table or f"{table}__bloom"
     df = warehouse.read(table)
-    if touched is not None and warehouse.table_exists(index_table):
-        fresh = build_bloom_index(
-            df.filter(F.col(BUCKET_COL).isin(list(touched))), key, BUCKET_COL
+    # CAS against the index version the carry-over was computed from:
+    # two concurrent incremental refreshes would otherwise each carry
+    # the OTHER's touched buckets from the stale base, committing an
+    # index missing fresh bits — a silent false NEGATIVE, the one
+    # thing a bloom filter must never produce. Same retry discipline
+    # as vacuum_tombstones / apply_changes.
+    if touched is None or not warehouse.table_exists(index_table):
+        # full rebuild: self-contained (no carry-over), no CAS needed
+        return warehouse.write_version(
+            index_table, build_bloom_index(df, key, BUCKET_COL)
         )
-        carried = warehouse.read(index_table).filter(
+    last_exc: Exception | None = None
+    for _ in range(3):
+        base = warehouse.current_version_name(index_table)
+        fresh = build_bloom_index(
+            df.filter(F.col(BUCKET_COL).isin(list(touched))),
+            key,
+            BUCKET_COL,
+        )
+        carried = warehouse.read(index_table, version=base).filter(
             ~F.col(BUCKET_COL).isin(list(touched))
         )
-        out = carried.unionByName(fresh)
-    else:
-        out = build_bloom_index(df, key, BUCKET_COL)
-    return warehouse.write_version(index_table, out)
+        try:
+            return warehouse.write_version(
+                index_table,
+                carried.unionByName(fresh),
+                expect_base=base,
+            )
+        except ConcurrentWriteError as exc:
+            last_exc = exc
+    raise last_exc
 
 
 def warehouse_point_lookup(

@@ -160,3 +160,48 @@ def test_index_maintains_incrementally_with_merge(spark, tmp_path):
         got = warehouse_point_lookup(wh, "t", "_id", k).count()
         assert got == 1, k
     assert warehouse_point_lookup(wh, "t", "_id", "absent-key").count() == 0
+
+
+def test_incremental_refresh_retries_on_concurrent_commit(spark, tmp_path):
+    """The carry-over CAS: if another refresh commits between the base
+    read and the swap, the write must fail, re-read the NEW base, and
+    retry — a stale carry-over would reintroduce the false negatives
+    the index exists to prevent."""
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.sources.bloomindex import (
+        refresh_bloom_index,
+        warehouse_point_lookup,
+    )
+    from qms_datawarehouse_spark.warehouse import (
+        ConcurrentWriteError,
+        ParquetWarehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(str(i), "v") for i in range(100)], "_id string, v string"
+    )
+    merge_upsert(wh, "t", base, key="_id", n_buckets=4)
+    refresh_bloom_index(wh, "t", "_id")
+
+    merge_upsert(
+        wh, "t",
+        spark.createDataFrame([("race-key", "x")], "_id string, v string"),
+        key="_id", n_buckets=4,
+    )
+    real = wh.write_version
+    calls = {"n": 0}
+
+    def flaky(table, df, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentWriteError("simulated interleaved commit")
+        return real(table, df, *a, **kw)
+
+    wh.write_version = flaky
+    try:
+        refresh_bloom_index(wh, "t", "_id", touched=[0, 1, 2, 3])
+    finally:
+        wh.write_version = real
+    assert calls["n"] == 2  # failed once, retried with a fresh base
+    assert warehouse_point_lookup(wh, "t", "_id", "race-key").count() == 1

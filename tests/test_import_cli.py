@@ -189,3 +189,19 @@ def test_curate_cli_governance_stages(spark, tmp_path, capsys):
 
     m = re.search(r"curated curated: (\d+) -> (\d+) rows", out)
     assert m and 0 < int(m.group(2)) < int(m.group(1))
+
+    # enforce mode: violations block publication with a non-zero exit
+    rc2 = curate.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--warehouse", str(tmp_path / "wh2"),
+            "--out", "gated",
+            "--k-anon", "lang,source",
+            "--k-anon-enforce",
+        ]
+    )
+    out2 = capsys.readouterr().out
+    assert rc2 == 2 and "refusing to publish" in out2
+    import os
+
+    assert not os.path.exists(str(tmp_path / "wh2" / "gated"))

@@ -70,7 +70,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         metavar="COLS",
         help="comma-separated quasi-identifier columns; audits "
-        "equivalence classes smaller than 5 before publishing",
+        "equivalence classes smaller than 5 BEFORE publishing "
+        "(warn-only unless --k-anon-enforce)",
+    )
+    ap.add_argument(
+        "--k-anon-enforce",
+        action="store_true",
+        help="with --k-anon: refuse to publish (exit 2) when any "
+        "quasi-identifier class is below k=5 — the release gate",
     )
     ap.add_argument(
         "--normalize",
@@ -161,6 +168,25 @@ def main(argv: list[str] | None = None) -> int:
     if args.split:
         df = assign_split(df)
 
+    if args.k_anon:
+        # audit BEFORE anything is written: this is the release gate,
+        # not a post-mortem
+        cols = [c.strip() for c in args.k_anon.split(",")]
+        viol = (
+            df.groupBy(*cols).count().filter(F.col("count") < 5).count()
+        )
+        print(
+            f"k-anonymity({', '.join(cols)}): "
+            + (
+                f"WARNING {viol} classes below k=5"
+                if viol
+                else "all classes >= 5"
+            )
+        )
+        if viol and args.k_anon_enforce:
+            print(f"refusing to publish {args.out} (--k-anon-enforce)")
+            return 2
+
     if args.ingest_gate:
         from qms_datawarehouse_spark.operators.incremental_dedup import (
             ingest_dedup,
@@ -204,24 +230,6 @@ def main(argv: list[str] | None = None) -> int:
             .count()
         )
         print(f"packed {args.out}_sequences: {n_seq} sequences")
-
-    if args.k_anon:
-        cols = [c.strip() for c in args.k_anon.split(",")]
-        viol = (
-            wh.read(args.out)
-            .groupBy(*cols)
-            .count()
-            .filter(F.col("count") < 5)
-            .count()
-        )
-        print(
-            f"k-anonymity({', '.join(cols)}): "
-            + (
-                f"WARNING {viol} classes below k=5"
-                if viol
-                else "all classes >= 5"
-            )
-        )
 
     if args.profile:
         from qms_datawarehouse_spark.operators.profile import profile_table
