@@ -1836,3 +1836,84 @@ def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume_index_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------
+# Funnel latency: time-to-convert distribution
+# --------------------------------------------------------------------
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT v.user_id,
+               epoch_us(p.t_purchase) - epoch_us(v.t_view) AS dt_us
+        FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewers,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(dt_us, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(dt_us, 0.9) AS BIGINT) AS p90_us,
+           CAST(sum(dt_us) // count(*) AS BIGINT) AS mean_us
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel LATENCY: the distribution of time from a user's first
+    view to their first subsequent purchase — the companion to the
+    count-based funnel (which says how many convert; this says how
+    long conversion takes, the number activation and attribution
+    windows are tuned against). Exact integer microseconds end to
+    end: discrete quantiles and a floor-division mean, so the whole
+    distribution summary is engine-identical.
+
+    Scale shape: two per-user min-aggregations (partial-aggregated)
+    joined on the user key, then one global aggregate over one row
+    per converted user — events are scanned twice but never
+    expanded."""
+    (events,) = tables(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    d = v.join(p, "user_id").select(
+        (
+            F.unix_micros("t_purchase") - F.unix_micros("t_view")
+        ).alias("dt_us")
+    )
+    n_viewers = v.agg(F.count("*").cast("long").alias("n_viewers"))
+    return (
+        d.agg(
+            F.count("*").cast("long").alias("n_converted"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dt_us)")
+            .cast("long")
+            .alias("p50_us"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dt_us)")
+            .cast("long")
+            .alias("p90_us"),
+            F.expr("CAST(sum(dt_us) div count(*) AS BIGINT)").alias(
+                "mean_us"
+            ),
+        )
+        .crossJoin(F.broadcast(n_viewers))
+        .select("n_viewers", "n_converted", "p50_us", "p90_us", "mean_us")
+    )

@@ -60,6 +60,7 @@ def test_anchors_inside_window():
 QUEUED_NEXT_WINDOW: list[str] = [
     "embedding_label_coherence",
     "seasonality_dow_index",
+    "funnel_time_to_convert",
 ]
 
 

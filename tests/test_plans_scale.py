@@ -366,6 +366,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "rolling_7d_active_users",
         # three 1-row counter aggregates combine into the audit row
         "dedup_minhash_recall_audit",
+        # 1-row viewer-count broadcast joins the 1-row latency summary
+        "funnel_time_to_convert",
     }
     offenders = {}
     for name, qd in REGISTRY.items():
