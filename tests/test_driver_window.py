@@ -56,7 +56,7 @@ def test_anchors_inside_window():
 # already swapped into the window's re-confirmation slots, or first
 # in line for the round-5 window — tracked here so nothing falls
 # through. (All twenty round-3 queued queries rotated INTO the r4
-# window; 22 of this round's 24 additions are in-window, 2 queued.)
+# window; 22 of this round's 25 additions are in-window, 3 queued.)
 QUEUED_NEXT_WINDOW: list[str] = [
     "embedding_label_coherence",
     "seasonality_dow_index",
