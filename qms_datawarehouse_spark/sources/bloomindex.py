@@ -171,7 +171,6 @@ def refresh_bloom_index(
     )
 
     index_table = index_table or f"{table}__bloom"
-    df = warehouse.read(table)
     # CAS against the index version the carry-over was computed from:
     # two concurrent incremental refreshes would otherwise each carry
     # the OTHER's touched buckets from the stale base, committing an
@@ -181,23 +180,50 @@ def refresh_bloom_index(
     if touched is None or not warehouse.table_exists(index_table):
         # full rebuild: self-contained (no carry-over), no CAS needed
         return warehouse.write_version(
-            index_table, build_bloom_index(df, key, BUCKET_COL)
+            index_table, build_bloom_index(warehouse.read(table), key, BUCKET_COL)
         )
+    zeros = F.array_repeat(F.lit(0).cast("long"), N_WORDS)
     last_exc: Exception | None = None
     for _ in range(3):
         base = warehouse.current_version_name(index_table)
+        # main-table snapshot read INSIDE the loop, after the base
+        # index version: a CAS retry means a concurrent merge+refresh
+        # committed under us, and rebuilding the touched buckets from
+        # a pre-merge snapshot would drop that merge's keys — the
+        # silent false negative the CAS exists to prevent.
+        df = warehouse.read(table)
         fresh = build_bloom_index(
             df.filter(F.col(BUCKET_COL).isin(list(touched))),
             key,
             BUCKET_COL,
-        )
-        carried = warehouse.read(index_table, version=base).filter(
-            ~F.col(BUCKET_COL).isin(list(touched))
+        ).withColumnRenamed("bits", "_fresh_bits")
+        prior = warehouse.read(index_table, version=base)
+        carried = prior.filter(~F.col(BUCKET_COL).isin(list(touched)))
+        # belt-and-braces: bit-OR the base index's TOUCHED bitmaps into
+        # the fresh ones. Bloom bits are monotone under upserts (deletes
+        # only go stale toward false positives, reconciled at full
+        # rebuild), so OR-ing the prior bits can never lose a key even
+        # if the main snapshot somehow predates a concurrent commit —
+        # incremental refresh is immune to interleaving by algebra, not
+        # just by retry ordering.
+        prior_touched = prior.filter(
+            F.col(BUCKET_COL).isin(list(touched))
+        ).select(BUCKET_COL, F.col("bits").alias("_prior_bits"))
+        merged = (
+            fresh.join(prior_touched, on=BUCKET_COL, how="full_outer")
+            .select(
+                BUCKET_COL,
+                F.zip_with(
+                    F.coalesce(F.col("_fresh_bits"), zeros),
+                    F.coalesce(F.col("_prior_bits"), zeros),
+                    lambda a, b: a.bitwiseOR(b),
+                ).alias("bits"),
+            )
         )
         try:
             return warehouse.write_version(
                 index_table,
-                carried.unionByName(fresh),
+                carried.unionByName(merged),
                 expect_base=base,
             )
         except ConcurrentWriteError as exc:

@@ -130,29 +130,56 @@ def file_manifest_df(
     cols_tuple = tuple(cols)
 
     def harvest(batches):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         def as_str(v):
-            # repr round-trips floats exactly; str covers int/timestamp
-            return repr(v) if isinstance(v, float) else str(v)
+            # repr round-trips floats exactly; bytes are decoded (str()
+            # would stringify as "b'...'", breaking any comparison);
+            # str covers int/timestamp/date/decimal
+            if isinstance(v, float):
+                return repr(v)
+            if isinstance(v, (bytes, bytearray)):
+                return v.decode("utf-8", errors="replace")
+            return str(v)
 
         for pdf in batches:
             rows = []
             for fpath in pdf["file"]:
-                md = pq.ParquetFile(fpath).metadata
+                pf = pq.ParquetFile(fpath)
+                md = pf.metadata
+                sch = pf.schema_arrow
                 names = md.schema.names
                 entry = {"file": fpath}
                 for col in cols_tuple:
                     mins, maxs = [], []
-                    if col in names:
+                    # raw-binary stats don't survive the string
+                    # transport order-faithfully (utf-8 decode is
+                    # lossy, lexicographic != bytewise); emit NULL
+                    # bounds so such files are conservatively kept
+                    harvestable = col in names and not (
+                        pa.types.is_binary(t := sch.field(col).type)
+                        or pa.types.is_large_binary(t)
+                        or pa.types.is_fixed_size_binary(t)
+                    )
+                    if harvestable:
                         ci = names.index(col)
                         for rg in range(md.num_row_groups):
                             st = md.row_group(rg).column(ci).statistics
-                            if st is None or not st.has_min_max:
+                            try:
+                                ok = st is not None and st.has_min_max
+                                if ok:
+                                    mins.append(st.min)
+                                    maxs.append(st.max)
+                            except Exception:
+                                # pyarrow can't decode min/max for some
+                                # physical types (e.g. FIXED_LEN_BYTE_
+                                # ARRAY decimals) — degrade to NULL
+                                # bounds, never crash the manifest build
+                                ok = False
+                            if not ok:
                                 mins, maxs = [], []
                                 break
-                            mins.append(st.min)
-                            maxs.append(st.max)
                     entry[f"{col}_min"] = as_str(min(mins)) if mins else None
                     entry[f"{col}_max"] = as_str(max(maxs)) if maxs else None
                 rows.append(entry)
@@ -189,12 +216,20 @@ def file_manifest_df(
             spark_t = None
             if c in sch.names:
                 typ = sch.field(c).type
-                if pa.types.is_integer(typ):
+                if pa.types.is_boolean(typ):
+                    spark_t = "boolean"
+                elif pa.types.is_integer(typ):
                     spark_t = "long"
                 elif pa.types.is_floating(typ):
                     spark_t = "double"
                 elif pa.types.is_timestamp(typ):
                     spark_t = "timestamp"
+                elif pa.types.is_date(typ):
+                    spark_t = "date"
+                elif pa.types.is_decimal(typ):
+                    spark_t = f"decimal({typ.precision},{typ.scale})"
+                # string/large_string stay string: lexicographic IS the
+                # native order. Binary stats were nulled at harvest.
             for k in (f"{c}_min", f"{c}_max"):
                 casts.append(
                     F.col(k).cast(spark_t).alias(k) if spark_t else F.col(k)
@@ -211,9 +246,21 @@ def prune_files_df(
     lives (executor memory, a warehouse table, a parquet scan) and
     ONLY the surviving file paths are collected — the driver budget
     is O(files that will be read), never O(all files). Files without
-    stats are conservatively kept, matching ``prune_files``."""
+    stats are conservatively kept, matching ``prune_files``. If the
+    manifest's stat column type was NOT restored to the probe's type
+    (string-typed stats probed with a non-string bound — e.g. a
+    manifest built by an older harvest, or a type outside the restore
+    table), every file is conservatively kept: a lexicographic compare
+    against a typed literal can silently drop overlapping files, which
+    is a wrong-results failure, not a perf one."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    mn_field = manifest_df.schema[f"{col}_min"]
+    if isinstance(mn_field.dataType, T.StringType) and not (
+        isinstance(lo, str) and isinstance(hi, str)
+    ):
+        return sorted(r[0] for r in manifest_df.select("file").collect())
     mn, mx = F.col(f"{col}_min"), F.col(f"{col}_max")
     kept = manifest_df.filter(
         mn.isNull() | mx.isNull() | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))

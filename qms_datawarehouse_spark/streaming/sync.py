@@ -176,11 +176,13 @@ def stream_ingest_dedup(
         # ('doc-1') would either throw an opaque executor-side
         # CAST_INVALID_INPUT (ANSI mode) or cast to NULL and collapse
         # every such row onto ONE NULL key in the corpus merge
-        # (non-ANSI). Probe with try_cast and fail the epoch with a
-        # clear error instead (offsets don't commit, nothing is lost).
+        # (non-ANSI) — and a genuinely NULL source id collapses the
+        # same way, so NULL is invalid too. Probe with try_cast and
+        # fail the epoch with a clear error instead (offsets don't
+        # commit, nothing is lost).
         bad = batch_df.filter(
-            F.col(id_col).isNotNull()
-            & F.col(id_col).try_cast("long").isNull()
+            F.col(id_col).isNull()
+            | F.col(id_col).try_cast("long").isNull()
         )
         bad_row = bad.select(id_col).take(1)
         if bad_row:

@@ -205,3 +205,77 @@ def test_incremental_refresh_retries_on_concurrent_commit(spark, tmp_path):
         wh.write_version = real
     assert calls["n"] == 2  # failed once, retried with a fresh base
     assert warehouse_point_lookup(wh, "t", "_id", "race-key").count() == 1
+
+
+def test_retry_sees_concurrent_merge_in_overlapping_bucket(spark, tmp_path):
+    """The r4-advice race: a concurrent merge+refresh lands between the
+    base read and the CAS failure, touching a bucket the outer refresh
+    also rebuilds. The retry must rebuild from a main-table snapshot
+    that includes the concurrent merge's keys (and bit-OR the prior
+    bitmaps) — a stale-snapshot rebuild would commit an index missing
+    the key, the silent false negative the CAS claims to prevent."""
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.sources.bloomindex import (
+        refresh_bloom_index,
+        warehouse_point_lookup,
+    )
+    from qms_datawarehouse_spark.warehouse import (
+        BUCKET_COL,
+        ConcurrentWriteError,
+        ParquetWarehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    merge_upsert(
+        wh, "t",
+        spark.createDataFrame(
+            [(str(i), "v") for i in range(100)], "_id string, v string"
+        ),
+        key="_id", n_buckets=4,
+    )
+    refresh_bloom_index(wh, "t", "_id")
+    merge_upsert(
+        wh, "t",
+        spark.createDataFrame([("race-key", "x")], "_id string, v string"),
+        key="_id", n_buckets=4,
+    )
+
+    real = wh.write_version
+    state = {"fired": False}
+
+    def flaky(table, df, *a, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            # interleave a REAL concurrent merge + incremental refresh
+            # (with the real write_version) before failing the CAS —
+            # every bucket overlaps the outer refresh's touched set
+            wh.write_version = real
+            merge_upsert(
+                wh, "t",
+                spark.createDataFrame(
+                    [("concurrent-key", "z")], "_id string, v string"
+                ),
+                key="_id", n_buckets=4,
+            )
+            bkt = [
+                r[BUCKET_COL]
+                for r in wh.read("t")
+                .filter(F.col("_id") == "concurrent-key")
+                .select(BUCKET_COL)
+                .collect()
+            ]
+            refresh_bloom_index(wh, "t", "_id", touched=bkt)
+            raise ConcurrentWriteError("interleaved merge+refresh")
+        return real(table, df, *a, **kw)
+
+    wh.write_version = flaky
+    try:
+        refresh_bloom_index(wh, "t", "_id", touched=[0, 1, 2, 3])
+    finally:
+        wh.write_version = real
+    assert state["fired"]
+    # both the outer refresh's key and the concurrently merged key must
+    # survive the committed index — no false negatives under interleaving
+    for k in ("race-key", "concurrent-key", "0", "57"):
+        assert warehouse_point_lookup(wh, "t", "_id", k).count() == 1, k
+    assert warehouse_point_lookup(wh, "t", "_id", "absent").count() == 0

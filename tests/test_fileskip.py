@@ -135,3 +135,96 @@ def test_manifest_persists_as_warehouse_table(spark, zlayout, tmp_path):
     assert prune_files_df(stored, "user_id", lo, hi) == prune_files_df(
         mdf, "user_id", lo, hi
     )
+
+
+def test_string_date_decimal_stats_prune_correctly(spark, tmp_path):
+    """r4-advice class: stat types outside the old int/float/timestamp
+    restore table. String stats must prune natively (lexicographic IS
+    the string order); date and decimal stats must be restored to
+    typed columns so range probes compare in the value domain."""
+    from datetime import date
+    from decimal import Decimal
+
+    from qms_datawarehouse_spark.sources.fileskip import (
+        file_manifest_df,
+        prune_files_df,
+        read_pruned_distributed,
+    )
+
+    path = str(tmp_path / "mixed")
+    df = spark.createDataFrame(
+        [
+            (f"k{i:04d}", date(2024, 1 + i // 28, 1 + i % 28),
+             Decimal(i) / 100)
+            for i in range(300)
+        ],
+        "sk string, d date, m decimal(10,2)",
+    )
+    # sk-sorted layout → narrow per-file sk ranges
+    df.repartitionByRange(8, "sk").write.mode("overwrite").parquet(path)
+
+    mdf = file_manifest_df(spark, path, ["sk", "d", "m"])
+    # string stats restored as string type and prune correctly
+    survivors = prune_files_df(mdf, "sk", "k0100", "k0140")
+    n_files = mdf.count()
+    assert 0 < len(survivors) < n_files
+    got = read_pruned_distributed(spark, mdf, "sk", "k0100", "k0140")
+    want = spark.read.parquet(path).filter(
+        (F.col("sk") >= "k0100") & (F.col("sk") <= "k0140")
+    )
+    assert sorted(r.sk for r in got.collect()) == sorted(
+        r.sk for r in want.collect()
+    )
+    # date and decimal stat columns came back typed, not string
+    types = dict(mdf.dtypes)
+    assert types["d_min"] == "date"
+    assert types["m_min"] == "decimal(10,2)"
+    # date stats harvested and usable; decimal stats may be NULL
+    # (pyarrow can't decode FIXED_LEN_BYTE_ARRAY stats) — in which
+    # case prune conservatively keeps everything
+    assert mdf.filter(F.col("d_min").isNotNull()).count() == n_files
+    kept_m = prune_files_df(mdf, "m", Decimal("0.10"), Decimal("0.20"))
+    assert len(kept_m) >= 1
+
+
+def test_unrestored_stat_type_keeps_all_files(spark, tmp_path):
+    """If a stat column is still string-typed but probed with a typed
+    bound (older manifest / unrestorable type), lexicographic compare
+    could silently DROP overlapping files — prune must conservatively
+    keep everything instead."""
+    from qms_datawarehouse_spark.sources.fileskip import prune_files_df
+
+    # simulate an un-restored manifest: numeric stats stored as strings
+    mdf = spark.createDataFrame(
+        [("f1", "9", "95"), ("f2", "100", "200")],
+        "file string, v_min string, v_max string",
+    )
+    # probing with ints: "9" > "100" lexicographically — a naive filter
+    # would drop f1 even though [9, 95] overlaps [10, 120]
+    assert prune_files_df(mdf, "v", 10, 120) == ["f1", "f2"]
+    # string-vs-string probes still prune normally
+    assert prune_files_df(mdf, "v", "00", "05") == []
+
+
+def test_binary_stats_are_nulled_not_mangled(spark, tmp_path):
+    """Byte-array column stats would stringify as "b'...'" and compare
+    garbage; the harvest must emit NULL bounds (files conservatively
+    kept) for binary columns."""
+    from qms_datawarehouse_spark.sources.fileskip import (
+        file_manifest_df,
+        prune_files_df,
+    )
+
+    path = str(tmp_path / "bin")
+    spark.createDataFrame(
+        [(i, bytes([i % 250, 1, 2])) for i in range(100)],
+        "id long, payload binary",
+    ).repartition(4).write.mode("overwrite").parquet(path)
+
+    mdf = file_manifest_df(spark, path, ["payload", "id"])
+    rows = mdf.collect()
+    assert all(r.payload_min is None and r.payload_max is None for r in rows)
+    # NULL bounds → conservative keep of every file
+    assert len(prune_files_df(mdf, "payload", "a", "b")) == len(rows)
+    # the sibling typed column still harvested and pruned normally
+    assert all(r.id_min is not None for r in rows)

@@ -205,3 +205,26 @@ def test_curate_cli_governance_stages(spark, tmp_path, capsys):
     import os
 
     assert not os.path.exists(str(tmp_path / "wh2" / "gated"))
+
+
+def test_curate_cli_mix_plan_empty_input(spark, tmp_path, capsys):
+    """r4-advice: an empty input table made --mix-plan divide by a
+    NULL/zero summed weight (TypeError/ZeroDivisionError). It must
+    skip the plan with a clear message and still exit 0."""
+    import tools.curate as curate
+
+    src = str(tmp_path / "empty.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        0
+    ).write.parquet(src)
+    rc = curate.main(
+        [
+            "--input", src,
+            "--warehouse", str(tmp_path / "wh"),
+            "--out", "curated",
+            "--mix-plan", "100",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "mix-plan: no rows" in out

@@ -213,3 +213,41 @@ def test_streaming_gate_rejects_non_numeric_ids(spark, warehouse, tmp_path):
         finally:
             q.stop()
     assert not warehouse.table_exists("corpus_docs")  # nothing written
+
+
+def test_streaming_gate_rejects_null_ids(spark, warehouse, tmp_path):
+    """A genuinely NULL source id passes an isNotNull-guarded probe,
+    casts to NULL doc_id, and collapses onto one NULL corpus key — the
+    r4-advice gap. NULL ids must fail the epoch exactly like
+    non-numeric ones, before any write."""
+    import json
+
+    import pytest
+
+    from qms_datawarehouse_spark.sources.pyds import register_docstore
+    from qms_datawarehouse_spark.streaming.sync import stream_ingest_dedup
+
+    register_docstore(spark)
+    log = str(tmp_path / "feed.jsonl")
+    with open(log, "a") as fh:
+        fh.write(json.dumps(
+            {"_id": "10", "payload": BASE,
+             "updated_at": "2024-01-01T00:00:00Z"}) + "\n")
+        fh.write(json.dumps(
+            {"_id": None, "payload": OTHER,
+             "updated_at": "2024-01-01T00:00:00Z"}) + "\n")
+
+    q = stream_ingest_dedup(
+        spark.readStream.format("docstore").option("path", log).load(),
+        warehouse,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        id_col="_id",
+        text_col="payload",
+        available_now=True,
+    )
+    with pytest.raises(Exception, match="numeric"):
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+    assert not warehouse.table_exists("corpus_docs")  # nothing written

@@ -124,7 +124,13 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         t = w.agg(F.sum("weight").alias("tw")).first().tw
-        for r in sorted(w.collect(), key=lambda r: r.source):
+        if not t:
+            # empty input (or every weight floored to 0): no plan to
+            # print — a bare division would crash with TypeError/
+            # ZeroDivisionError instead of saying why
+            print("mix-plan: no rows (or zero total weight) — skipped")
+            t = None
+        for r in sorted(w.collect(), key=lambda r: r.source) if t else []:
             target = args.mix_plan * r.weight // t
             print(
                 f"mix-plan {r.source}: n={r.n_docs} weight={r.weight} "
@@ -170,17 +176,20 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.k_anon:
         # audit BEFORE anything is written: this is the release gate,
-        # not a post-mortem
+        # not a post-mortem. k comes from the operator module so the
+        # CLI gate and the k_anonymity audit query can't drift.
+        from qms_datawarehouse_spark.operators.curation import _K_ANON
+
         cols = [c.strip() for c in args.k_anon.split(",")]
         viol = (
-            df.groupBy(*cols).count().filter(F.col("count") < 5).count()
+            df.groupBy(*cols).count().filter(F.col("count") < _K_ANON).count()
         )
         print(
             f"k-anonymity({', '.join(cols)}): "
             + (
-                f"WARNING {viol} classes below k=5"
+                f"WARNING {viol} classes below k={_K_ANON}"
                 if viol
-                else "all classes >= 5"
+                else f"all classes >= {_K_ANON}"
             )
         )
         if viol and args.k_anon_enforce:
