@@ -54,7 +54,9 @@ class IngestResult:
     n_batch: int
     n_accepted: int
     n_rejected: int
-    rejected: list  # [(new_doc_id, matched_doc_id, jaccard)]
+    rejected: list  # [(new_doc_id, matched_doc_id, jaccard)] — report
+    # only, capped at ``max_rejects`` pairs; counts above stay exact
+    rejects_truncated: bool = False
 
 
 def _verify_pairs(
@@ -79,10 +81,18 @@ def ingest_dedup(
     corpus_table: str = CORPUS_TABLE,
     index_table: str = INDEX_TABLE,
     n_buckets: int = 64,
+    max_rejects: int | None = 10_000,
 ) -> IngestResult:
     """Admit ``batch`` documents (``doc_id``, ``text``, …) that are
     not near-dups of the stored corpus or of an earlier batch doc;
-    update the corpus and the band index with the admitted set."""
+    update the corpus and the band index with the admitted set.
+
+    ``max_rejects`` bounds the ``rejected`` pair REPORT riding back to
+    the driver (a pathological all-dup batch otherwise collects one
+    tuple per pair): the first ``max_rejects`` pairs in (new_id,
+    old_id) order are returned and ``rejects_truncated`` is set.
+    ``n_accepted``/``n_rejected`` stay EXACT — they are computed as
+    DataFrame counts, never from the capped list. ``None`` uncaps."""
     from qms_datawarehouse_spark.operators.dedup import (
         _shingled,
         minhash_bands,
@@ -95,7 +105,20 @@ def ingest_dedup(
     sh = _shingled(batch).persist()
     bands = minhash_bands(sh).persist()
 
-    rejected = []
+    rejected: list[tuple] = []
+    truncated = False
+
+    def _report(df, room):
+        """Bounded driver-side pair report: a deterministic (ordered)
+        prefix of ``room`` pairs plus a saw-more flag. The admission
+        filter never reads this — it stays an anti-join on the full
+        DataFrame."""
+        if room is None:
+            return [tuple(r) for r in df.collect()], False
+        if room <= 0:
+            return [], bool(df.take(1))
+        rows = df.orderBy("new_id", "old_id").limit(room + 1).collect()
+        return [tuple(r) for r in rows[:room]], len(rows) > room
 
     # -- in-batch canonicalization: lowest doc_id survives ------------
     a, b = bands.alias("a"), bands.alias("b")
@@ -110,9 +133,11 @@ def ingest_dedup(
         .distinct()
     )
     in_batch_dups = _verify_pairs(in_batch, sh, sh).persist()
-    # collected for the RESULT REPORT only (bounded by batch size);
+    # collected for the RESULT REPORT only, capped at max_rejects;
     # the admission filter below is an anti-join, never an isin list
-    rejected += [tuple(r) for r in in_batch_dups.collect()]
+    got, trunc = _report(in_batch_dups, max_rejects)
+    rejected += got
+    truncated |= trunc
     batch_dup_ids = {r[0] for r in rejected}
     dup_ids = in_batch_dups.select(F.col("new_id").alias("doc_id"))
 
@@ -150,17 +175,21 @@ def ingest_dedup(
             cand_old_ids, "doc_id", "left_semi"
         )
         cross_dups = _verify_pairs(cand, sh, _shingled(old_docs)).persist()
-        cross = [tuple(r) for r in cross_dups.collect()]
+        room = None if max_rejects is None else max_rejects - len(rejected)
+        cross, trunc = _report(cross_dups, room)
         rejected += [r for r in cross if r[0] not in batch_dup_ids]
+        truncated |= trunc
         dup_ids = dup_ids.unionByName(
             cross_dups.select(F.col("new_id").alias("doc_id"))
         )
 
-    reject_ids = {r[0] for r in rejected}
+    # counts stay EXACT regardless of the report cap: one distinct
+    # count over the (persisted) verified-dup frames, never the list
+    n_rejected = dup_ids.distinct().count()
     accepted = batch.join(dup_ids.distinct(), "doc_id", "left_anti")
 
     # -- commit: corpus rows + index entries, both keyed merges -------
-    n_accepted = n_batch - len(reject_ids)
+    n_accepted = n_batch - n_rejected
     stale_bands = None
     if n_accepted:
         # Re-ingestion: an accepted doc_id already in the corpus
@@ -219,7 +248,9 @@ def ingest_dedup(
             stale_bands.unpersist()
     sh.unpersist()
     bands.unpersist()
-    return IngestResult(n_batch, n_accepted, len(reject_ids), sorted(rejected))
+    return IngestResult(
+        n_batch, n_accepted, n_rejected, sorted(rejected), truncated
+    )
 
 
 def _bv_bucket(n: int = INDEX_BV_BUCKETS):

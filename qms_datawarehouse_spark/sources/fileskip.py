@@ -156,11 +156,20 @@ def file_manifest_df(
                     # raw-binary stats don't survive the string
                     # transport order-faithfully (utf-8 decode is
                     # lossy, lexicographic != bytewise); emit NULL
-                    # bounds so such files are conservatively kept
-                    harvestable = col in names and not (
-                        pa.types.is_binary(t := sch.field(col).type)
-                        or pa.types.is_large_binary(t)
-                        or pa.types.is_fixed_size_binary(t)
+                    # bounds so such files are conservatively kept.
+                    # `col in sch.names` too: parquet leaf paths
+                    # include dotted NESTED leaves ('s.x') that are
+                    # not arrow top-level fields — sch.field would
+                    # raise and fail the whole manifest build; such
+                    # columns degrade to NULL bounds instead
+                    harvestable = (
+                        col in names
+                        and col in sch.names
+                        and not (
+                            pa.types.is_binary(t := sch.field(col).type)
+                            or pa.types.is_large_binary(t)
+                            or pa.types.is_fixed_size_binary(t)
+                        )
                     )
                     if harvestable:
                         ci = names.index(col)
@@ -231,8 +240,11 @@ def file_manifest_df(
                 # string/large_string stay string: lexicographic IS the
                 # native order. Binary stats were nulled at harvest.
             for k in (f"{c}_min", f"{c}_max"):
+                # backtick-quote: a dotted NESTED leaf name ('s.x_min')
+                # would otherwise parse as a struct-field reference
+                ref = F.col(f"`{k}`")
                 casts.append(
-                    F.col(k).cast(spark_t).alias(k) if spark_t else F.col(k)
+                    ref.cast(spark_t).alias(k) if spark_t else ref.alias(k)
                 )
         out_df = out_df.select("file", *casts)
     return out_df
@@ -252,16 +264,34 @@ def prune_files_df(
     manifest built by an older harvest, or a type outside the restore
     table), every file is conservatively kept: a lexicographic compare
     against a typed literal can silently drop overlapping files, which
-    is a wrong-results failure, not a perf one."""
+    is a wrong-results failure, not a perf one. The guard is
+    two-directional: a TYPED (e.g. long) manifest column probed with
+    STRING bounds also keeps all — Spark coerces bigint-vs-string to
+    double, and bounds beyond 2^53 compare approximately, which can
+    mis-prune. Either degenerate keep-all emits a ``fileskip.
+    prune_disabled`` log event so an operator notices the manifest
+    needs a re-harvest (it silently turns pruning off otherwise)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from qms_datawarehouse_spark.observability import log_event
+
     mn_field = manifest_df.schema[f"{col}_min"]
-    if isinstance(mn_field.dataType, T.StringType) and not (
-        isinstance(lo, str) and isinstance(hi, str)
+    is_str_col = isinstance(mn_field.dataType, T.StringType)
+    str_bounds = isinstance(lo, str), isinstance(hi, str)
+    if (is_str_col and not all(str_bounds)) or (
+        not is_str_col and any(str_bounds)
     ):
+        log_event(
+            "fileskip.prune_disabled",
+            col=col,
+            manifest_type=mn_field.dataType.simpleString(),
+            probe_types=[type(lo).__name__, type(hi).__name__],
+            reason="manifest stat type does not match probe bound type; "
+            "keeping ALL files — re-harvest the manifest",
+        )
         return sorted(r[0] for r in manifest_df.select("file").collect())
-    mn, mx = F.col(f"{col}_min"), F.col(f"{col}_max")
+    mn, mx = F.col(f"`{col}_min`"), F.col(f"`{col}_max`")
     kept = manifest_df.filter(
         mn.isNull() | mx.isNull() | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
     )

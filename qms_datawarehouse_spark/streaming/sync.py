@@ -179,11 +179,10 @@ def stream_ingest_dedup(
         # (non-ANSI) — and a genuinely NULL source id collapses the
         # same way, so NULL is invalid too. Probe with try_cast and
         # fail the epoch with a clear error instead (offsets don't
-        # commit, nothing is lost).
-        bad = batch_df.filter(
-            F.col(id_col).isNull()
-            | F.col(id_col).try_cast("long").isNull()
-        )
+        # commit, nothing is lost). try_cast of a NULL input yields
+        # NULL, so this one predicate catches both non-numeric AND
+        # genuinely NULL ids.
+        bad = batch_df.filter(F.col(id_col).try_cast("long").isNull())
         bad_row = bad.select(id_col).take(1)
         if bad_row:
             raise ValueError(

@@ -228,3 +228,82 @@ def test_binary_stats_are_nulled_not_mangled(spark, tmp_path):
     assert len(prune_files_df(mdf, "payload", "a", "b")) == len(rows)
     # the sibling typed column still harvested and pruned normally
     assert all(r.id_min is not None for r in rows)
+
+
+def test_typed_stat_probed_with_string_bounds_keeps_all(spark):
+    """The reverse direction of the restore guard: a TYPED (long)
+    manifest column probed with STRING bounds would coerce both sides
+    to double in the Spark filter — beyond 2^53 that compares
+    approximately and can mis-prune. Keep-all instead."""
+    from qms_datawarehouse_spark.sources.fileskip import prune_files_df
+
+    big = (1 << 53) + 1  # not exactly representable as double
+    mdf = spark.createDataFrame(
+        [("f1", big, big + 10), ("f2", 5, 9)],
+        "file string, v_min long, v_max long",
+    )
+    # string bounds vs long stats → conservative keep-all
+    assert prune_files_df(mdf, "v", str(big + 1), str(big + 5)) == [
+        "f1",
+        "f2",
+    ]
+    # one string bound is enough to trip the guard
+    assert prune_files_df(mdf, "v", 0, "10") == ["f1", "f2"]
+    # typed-vs-typed still prunes normally
+    assert prune_files_df(mdf, "v", 0, 10) == ["f2"]
+
+
+def test_prune_disabled_fallback_logs_event(spark, caplog):
+    """Either keep-all degenerate path must emit a
+    ``fileskip.prune_disabled`` event so a stale manifest is noticed
+    — it silently turns pruning off otherwise."""
+    import logging
+
+    from qms_datawarehouse_spark.sources.fileskip import prune_files_df
+
+    mdf_str = spark.createDataFrame(
+        [("f1", "9", "95")], "file string, v_min string, v_max string"
+    )
+    mdf_typed = spark.createDataFrame(
+        [("f1", 9, 95)], "file string, v_min long, v_max long"
+    )
+    with caplog.at_level(logging.INFO, logger="qms_datawarehouse_spark"):
+        prune_files_df(mdf_str, "v", 10, 120)  # string stats, typed probe
+        prune_files_df(mdf_typed, "v", "10", "120")  # typed stats, str probe
+    events = [r for r in caplog.records if "fileskip.prune_disabled" in r.message]
+    assert len(events) == 2
+    with caplog.at_level(logging.INFO, logger="qms_datawarehouse_spark"):
+        caplog.clear()
+        prune_files_df(mdf_typed, "v", 10, 120)  # healthy probe: no event
+    assert not [
+        r for r in caplog.records if "fileskip.prune_disabled" in r.message
+    ]
+
+
+def test_nested_leaf_stat_paths_dont_crash_manifest(spark, tmp_path):
+    """Parquet leaf names include dotted nested paths ('s.x') that are
+    NOT arrow top-level fields; harvesting a struct column (or its
+    dotted leaf) must degrade to NULL bounds, not KeyError the whole
+    manifest build."""
+    from qms_datawarehouse_spark.sources.fileskip import (
+        file_manifest_df,
+        prune_files_df,
+    )
+
+    path = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [(i, (i, f"n{i}")) for i in range(50)],
+        "id long, s struct<x: long, name: string>",
+    ).repartition(2).write.mode("overwrite").parquet(path)
+
+    # 's' is a top-level STRUCT (no flat stats), 's.x' is a dotted
+    # parquet leaf (not an arrow top-level field): both must harvest
+    # as NULL bounds while the flat sibling harvests normally
+    mdf = file_manifest_df(spark, path, ["s", "s.x", "id"])
+    rows = mdf.collect()
+    assert rows
+    assert all(r["s_min"] is None and r["s_max"] is None for r in rows)
+    assert all(r["s.x_min"] is None and r["s.x_max"] is None for r in rows)
+    assert all(r["id_min"] is not None for r in rows)
+    # NULL bounds → conservative keep-all
+    assert len(prune_files_df(mdf, "s.x", 0, 1)) == len(rows)

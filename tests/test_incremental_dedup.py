@@ -251,3 +251,43 @@ def test_streaming_gate_rejects_null_ids(spark, warehouse, tmp_path):
         finally:
             q.stop()
     assert not warehouse.table_exists("corpus_docs")  # nothing written
+
+
+def test_max_rejects_caps_report_but_not_counts(spark, warehouse):
+    """The rejected-pairs REPORT is bounded by ``max_rejects`` (a
+    pathological all-dup batch would otherwise collect one tuple per
+    pair); the accept/reject COUNTS must stay exact because they come
+    from DataFrame counts, not the capped list."""
+    # five mutual near-dups in one batch: ids 21-25 all reject to 20
+    variants = ["morning", "evening", "noon", "dusk", "dawn", "night"]
+    rows = [(20 + i, BASE.replace("morning", v)) for i, v in enumerate(variants)]
+    uncapped = ingest_dedup(warehouse, _docs(spark, rows), max_rejects=None)
+    assert uncapped.n_accepted == 1 and uncapped.n_rejected == 5
+    assert len(uncapped.rejected) >= 5 and not uncapped.rejects_truncated
+
+    # a second, unrelated near-dup family (the first run's survivor is
+    # already in the corpus — reusing BASE would reject all six)
+    words = ["shuffles", "exchanges", "stages", "barriers", "scans", "sinks"]
+    wh2_rows = [(120 + i, OTHER.replace("shuffles", v)) for i, v in enumerate(words)]
+    capped = ingest_dedup(
+        warehouse, _docs(spark, wh2_rows), max_rejects=2
+    )
+    assert capped.n_accepted == 1 and capped.n_rejected == 5  # exact
+    assert len(capped.rejected) == 2 and capped.rejects_truncated
+    # deterministic prefix: lowest (new_id, old_id) pairs
+    assert capped.rejected == sorted(capped.rejected)
+
+
+def test_max_rejects_zero_room_cross_corpus(spark, warehouse):
+    """Cap already consumed by in-batch pairs: the cross-corpus report
+    contributes nothing but still sets the truncation flag, and the
+    admission outcome is unchanged."""
+    ingest_dedup(warehouse, _docs(spark, [(1, BASE), (2, OTHER)]))
+    batch = [(10, NEAR), (11, BASE.replace("morning", "midday")), (12, THIRD)]
+    res = ingest_dedup(warehouse, _docs(spark, batch), max_rejects=1)
+    # 10 and 11 both near-dup (in-batch pair 11->10? no: 10<11 so 11
+    # rejects to 10 in-batch, and both match stored doc 1 cross-corpus)
+    assert res.n_accepted == 1 and res.n_rejected == 2  # exact counts
+    assert len(res.rejected) == 1 and res.rejects_truncated
+    ids = {r.doc_id for r in warehouse.read("corpus_docs").collect()}
+    assert ids == {1, 2, 12}

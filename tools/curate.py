@@ -37,6 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     from qms_datawarehouse_spark.operators.curation import (
+        _K_ANON,
         assign_split,
         pack_sequences,
         redact_pii,
@@ -70,14 +71,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         metavar="COLS",
         help="comma-separated quasi-identifier columns; audits "
-        "equivalence classes smaller than 5 BEFORE publishing "
+        f"equivalence classes smaller than {_K_ANON} BEFORE publishing "
         "(warn-only unless --k-anon-enforce)",
     )
     ap.add_argument(
         "--k-anon-enforce",
         action="store_true",
         help="with --k-anon: refuse to publish (exit 2) when any "
-        "quasi-identifier class is below k=5 — the release gate",
+        f"quasi-identifier class is below k={_K_ANON} — the release gate",
     )
     ap.add_argument(
         "--normalize",
@@ -176,10 +177,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.k_anon:
         # audit BEFORE anything is written: this is the release gate,
-        # not a post-mortem. k comes from the operator module so the
+        # not a post-mortem. k comes from the operator module (imported
+        # once at the top of main, interpolated into --help too) so the
         # CLI gate and the k_anonymity audit query can't drift.
-        from qms_datawarehouse_spark.operators.curation import _K_ANON
-
         cols = [c.strip() for c in args.k_anon.split(",")]
         viol = (
             df.groupBy(*cols).count().filter(F.col("count") < _K_ANON).count()
