@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from qms_datawarehouse_spark.plans.registry import query, tables
+
 M_BITS = 1024  # bitmap width per partition (16 longs)
 K_HASHES = 5  # hash functions; fp rate ≈ (1-e^(-kn/m))^k
 N_WORDS = M_BITS // 64
@@ -244,3 +246,84 @@ def warehouse_point_lookup(
     idx = warehouse.read(index_table)
     df = warehouse.read(table)
     return read_point_lookup(df, idx, key, BUCKET_COL, value)
+
+
+# --------------------------------------------------------------------
+# Driver-verifiable query: index-routed point lookups value-equal to
+# the plain filter (the no-false-negative contract, checked end-to-end
+# against the DuckDB oracle's direct WHERE ... IN lookup)
+# --------------------------------------------------------------------
+
+_LOOKUP_PARTS = 64  # partitions the index routes between
+
+_BLOOM_LOOKUP_SQL = """
+    WITH kk AS (
+        SELECT min(o_orderkey) AS k FROM orders
+        UNION
+        SELECT max(o_orderkey) FROM orders
+        UNION
+        SELECT max(o_orderkey) FROM orders
+        WHERE o_orderkey * 2 <= (SELECT max(o_orderkey) FROM orders)
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    WHERE o_orderkey IN (SELECT k FROM kk)
+    ORDER BY o_orderkey
+"""
+
+
+@query("bloom_index_point_lookup", _BLOOM_LOOKUP_SQL)
+def bloom_index_point_lookup(spark, sf_dir: str) -> DataFrame:
+    """Point lookups routed through the maintained Bloom partition
+    index, value-equal to the plain key filter (the oracle): build
+    one bitmap per hash partition of ``orders`` in a single
+    aggregation pass, then look up min / interior / max / one
+    ABSENT ``o_orderkey`` — each probe prunes to maybe-partitions
+    before the exact predicate re-applies, and the absent key's
+    all-partitions-say-no path returns a provably empty frame.
+
+    Scale shape: the index is partitions × 128 B (never collected
+    whole — ``prune_partitions`` filters it and collects only
+    survivors); each lookup scans only surviving partitions of the
+    fact. Reference analog: PostgreSQL's btree point lookups
+    (src/core/db.py:28-32) — here re-expressed as lakehouse partition
+    pruning on Spark primitives."""
+    import functools
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    df = orders.withColumn(
+        "_part",
+        F.pmod(
+            F.xxhash64(F.col("o_custkey").cast("string")),
+            F.lit(_LOOKUP_PARTS),
+        ).cast("int"),
+    )
+    idx = build_bloom_index(df, "o_orderkey", "_part").persist()
+    row = df.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    lo, hi = int(row["lo"]), int(row["hi"])
+    mid = int(
+        df.filter(F.col("o_orderkey") * 2 <= hi)
+        .agg(F.max("o_orderkey"))
+        .first()[0]
+    )
+    keys = sorted({lo, mid, hi}) + [hi + 1]  # hi+1 is absent
+    lookups = [
+        read_point_lookup(df, idx, "o_orderkey", "_part", k) for k in keys
+    ]
+    idx.unpersist()
+    out = functools.reduce(DataFrame.unionByName, lookups)
+    return (
+        out.select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("total_cents"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy("o_orderkey")
+    )

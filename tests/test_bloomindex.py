@@ -279,3 +279,45 @@ def test_retry_sees_concurrent_merge_in_overlapping_bucket(spark, tmp_path):
     for k in ("race-key", "concurrent-key", "0", "57"):
         assert warehouse_point_lookup(wh, "t", "_id", k).count() == 1, k
     assert warehouse_point_lookup(wh, "t", "_id", "absent").count() == 0
+
+
+def test_registered_lookup_query_matches_plain_filter(spark):
+    """The driver-window query routes through the index; its rows must
+    equal the plain key filter (no-false-negative contract), and the
+    probes must actually PRUNE — surviving partitions << total."""
+    from qms_datawarehouse_spark.sources.bloomindex import (
+        _LOOKUP_PARTS,
+        bloom_index_point_lookup,
+        build_bloom_index,
+        prune_partitions,
+    )
+
+    out = bloom_index_point_lookup(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    mid = (
+        orders.filter(F.col("o_orderkey") * 2 <= hi)
+        .agg(F.max("o_orderkey"))
+        .first()[0]
+    )
+    expect = sorted(
+        r.o_orderkey
+        for r in orders.filter(
+            F.col("o_orderkey").isin([int(lo), int(mid), int(hi)])
+        ).collect()
+    )
+    assert [r.o_orderkey for r in out] == expect
+
+    # pruning evidence: a present key's bloom probe keeps a small
+    # fraction of the partitions (exact given the data — xxhash64 is
+    # deterministic; at SF_DIR's key density fp-rate is tiny)
+    df = orders.withColumn(
+        "_part",
+        F.pmod(
+            F.xxhash64(F.col("o_custkey").cast("string")),
+            F.lit(_LOOKUP_PARTS),
+        ).cast("int"),
+    )
+    idx = build_bloom_index(df, "o_orderkey", "_part")
+    kept = prune_partitions(idx, "_part", int(lo))
+    assert 1 <= len(kept) < _LOOKUP_PARTS // 2
