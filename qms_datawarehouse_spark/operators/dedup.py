@@ -1438,3 +1438,177 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jacc, 4).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Ingest-gate replay: the streaming admission math as a stateless,
+# driver-verifiable two-epoch program
+# --------------------------------------------------------------------
+
+_GATE_REPLAY_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM sx GROUP BY doc_id),
+    bandsw AS (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs),
+    bl AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, b{j} AS bv FROM bandsw" for j in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bl a JOIN bl b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.da, c.db, count(*) AS c
+        FROM cand c
+        JOIN sx a ON a.doc_id = c.da
+        JOIN sx b ON b.doc_id = c.db AND a.s = b.s
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT common.da, common.db
+        FROM common
+        JOIN sizes na ON common.da = na.doc_id
+        JOIN sizes nb ON common.db = nb.doc_id
+        WHERE c * 1.0 / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    ep AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS odd FROM documents),
+    vere AS (
+        SELECT v.da, v.db, ea.odd AS oa, eb.odd AS ob
+        FROM ver v
+        JOIN ep ea ON v.da = ea.doc_id
+        JOIN ep eb ON v.db = eb.doc_id
+    ),
+    rej1 AS (SELECT DISTINCT db AS doc_id FROM vere WHERE oa = 0 AND ob = 0),
+    adm1 AS (
+        SELECT doc_id FROM ep WHERE odd = 0
+        AND doc_id NOT IN (SELECT doc_id FROM rej1)
+    ),
+    rej2in AS (SELECT DISTINCT db AS doc_id FROM vere WHERE oa = 1 AND ob = 1),
+    sym AS (
+        SELECT da AS x, db AS y FROM ver
+        UNION ALL SELECT db AS x, da AS y FROM ver
+    ),
+    rej2cross AS (
+        SELECT DISTINCT s.x AS doc_id
+        FROM sym s
+        JOIN ep e2 ON s.x = e2.doc_id AND e2.odd = 1
+        JOIN adm1 a ON s.y = a.doc_id
+    ),
+    rej AS (
+        SELECT doc_id FROM rej1
+        UNION SELECT doc_id FROM rej2in
+        UNION SELECT doc_id FROM rej2cross
+    ),
+    status AS (
+        SELECT e.doc_id, e.odd + 1 AS epoch,
+               CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rej
+        FROM ep e LEFT JOIN rej r ON e.doc_id = r.doc_id
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(1 - is_rej) AS BIGINT) AS n_accepted,
+           CAST(sum(is_rej) AS BIGINT) AS n_rejected,
+           CAST(COALESCE(sum(CASE WHEN is_rej = 1 THEN doc_id END), 0)
+                AS BIGINT) AS rejected_ids_sum
+    FROM status GROUP BY epoch ORDER BY epoch
+"""
+
+
+@query("ingest_gate_replay_two_epochs", _GATE_REPLAY_SQL)
+def ingest_gate_replay_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental/streaming ingest gate's admission math
+    (operators/incremental_dedup.ingest_dedup, driven per-epoch by
+    streaming/sync.stream_ingest_dedup) as a stateless, value-checked
+    two-epoch replay: documents split by doc_id parity — EVEN ids land
+    as epoch 1, ODD as epoch 2.
+
+    Replays exactly what two successive gate calls commit:
+    epoch 1 canonicalizes in-batch (a doc is rejected iff a verified
+    near-dup pair links it to a LOWER in-batch doc_id — the gate's
+    rule, not transitive), admitted docs become the corpus + band
+    index; epoch 2 rejects in-batch the same way PLUS any doc with a
+    verified near-dup among epoch-1 ADMITTED docs (the index holds
+    only admitted entries, so epoch-1 rejects cannot veto). Near-dup =
+    LSH band collision then exact Jaccard >= threshold on shingle
+    sets, the same md5 minhash pipeline the oracle reproduces
+    end-to-end. Output = per-epoch admission stats with the rejected
+    id-set checksum IN the value hash.
+
+    Scale shape: candidates from band equi-joins only (never
+    all-pairs); one keyed aggregate per stage; the per-doc status
+    frame aggregates to two rows in a single shuffle."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    sh = _shingled(documents).persist()
+    bl = minhash_bands(sh)
+
+    a, b = bl.alias("a"), bl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("da"), F.col("shingles").alias("sa"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("shingles").alias("sb"))
+    withsets = cand.join(sha, "da").join(shb, "db")
+    c = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jacc = c * 1.0 / (F.size("sa") + F.size("sb") - c)
+    ver = (
+        withsets.filter(jacc >= JACCARD_THRESHOLD).select("da", "db").persist()
+    )
+
+    ep = documents.select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("odd")
+    )
+    ea = ep.select(F.col("doc_id").alias("da"), F.col("odd").alias("oa"))
+    eb = ep.select(F.col("doc_id").alias("db"), F.col("odd").alias("ob"))
+    vere = ver.join(ea, "da").join(eb, "db")
+
+    rej1 = (
+        vere.filter((F.col("oa") == 0) & (F.col("ob") == 0))
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    adm1 = ep.filter(F.col("odd") == 0).join(rej1, "doc_id", "left_anti")
+    rej2_in = vere.filter((F.col("oa") == 1) & (F.col("ob") == 1)).select(
+        F.col("db").alias("doc_id")
+    )
+    sym = ver.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionByName(ver.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    rej2_cross = (
+        sym.join(
+            ep.filter(F.col("odd") == 1).select(F.col("doc_id").alias("x")),
+            "x",
+            "left_semi",
+        )
+        .join(adm1.select(F.col("doc_id").alias("y")), "y", "left_semi")
+        .select(F.col("x").alias("doc_id"))
+    )
+    rej = rej1.unionByName(rej2_in).unionByName(rej2_cross).distinct()
+
+    status = (
+        ep.withColumn("epoch", (F.col("odd") + 1).cast("int"))
+        .join(rej.withColumn("is_rej", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id", "epoch", F.coalesce("is_rej", F.lit(0)).alias("is_rej")
+        )
+    )
+    return (
+        status.groupBy("epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_batch"),
+            F.sum(1 - F.col("is_rej")).cast("long").alias("n_accepted"),
+            F.sum("is_rej").cast("long").alias("n_rejected"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_rej") == 1, F.col("doc_id"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("rejected_ids_sum"),
+        )
+        .orderBy("epoch")
+    )

@@ -291,3 +291,51 @@ def test_max_rejects_zero_room_cross_corpus(spark, warehouse):
     assert len(res.rejected) == 1 and res.rejects_truncated
     ids = {r.doc_id for r in warehouse.read("corpus_docs").collect()}
     assert ids == {1, 2, 12}
+
+
+def test_replay_query_matches_two_real_gate_calls(spark, warehouse):
+    """The driver-verified ``ingest_gate_replay_two_epochs`` query is
+    the gate's admission math as a stateless program; pin it equal to
+    TWO REAL ``ingest_dedup`` calls through a warehouse on the same
+    parity split of the fixture corpus."""
+    from conftest import SF_DIR
+    from qms_datawarehouse_spark.operators.dedup import (
+        ingest_gate_replay_two_epochs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    e1 = docs.filter(F.col("doc_id") % 2 == 0)
+    e2 = docs.filter(F.col("doc_id") % 2 == 1)
+    r1 = ingest_dedup(warehouse, e1, max_rejects=None)
+    r2 = ingest_dedup(warehouse, e2, max_rejects=None)
+
+    rows = ingest_gate_replay_two_epochs(spark, SF_DIR).collect()
+    got = {
+        r["epoch"]: (
+            r["n_batch"],
+            r["n_accepted"],
+            r["n_rejected"],
+            r["rejected_ids_sum"],
+        )
+        for r in rows
+    }
+    want = {
+        1: (
+            r1.n_batch,
+            r1.n_accepted,
+            r1.n_rejected,
+            sum({p[0] for p in r1.rejected}),
+        ),
+        2: (
+            r2.n_batch,
+            r2.n_accepted,
+            r2.n_rejected,
+            sum({p[0] for p in r2.rejected}),
+        ),
+    }
+    assert got == want
+    # the fixture corpus must exercise BOTH rejection paths
+    assert got[1][2] > 0 and got[2][2] > 0
