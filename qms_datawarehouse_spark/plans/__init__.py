@@ -37,82 +37,88 @@ from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 
-# Round-4 rotation: CORRECTNESS_r03 came back 50/50 fully green, so
-# every r3 slot is free to rotate. This window = (a) the twenty
-# round-3 operators that have never had a driver row (the entire
-# QUEUED_NEXT_WINDOW list from r3 — closing them reaches 144/144
-# cumulative driver-checked), (b) anchors over code paths rewritten
-# this round (the CDC apply stats/broadcast rework shares the merge's
-# dedup_last_write_wins), and (c) §2-core re-confirmation slots —
-# r1/r2 greens never re-rowed since — which double as swap space for
-# queries ADDED this round. Exactly the first 50 get a driver
-# correctness row.
+# Round-6 rotation: CORRECTNESS_r05 came back 50/50 fully green, so
+# every r5 slot is free to rotate. This window = (a) the five
+# never-driver-checked queries — the three queued since round 4
+# (embedding_label_coherence, seasonality_dow_index,
+# funnel_time_to_convert) plus the two added THIS round
+# (bloom_index_point_lookup over the r5-reworked CAS/bit-OR index
+# refresh, ingest_gate_replay_two_epochs over the streaming admission
+# math) — closing them reaches 170/170 cumulative driver-checked,
+# every registered query with a fully-green row in some round;
+# (b) anchors over code touched this round (flagship always;
+# ingest_gate_probe rides the max_rejects rework of ingest_dedup);
+# (c) 43 freshness slots given to the OLDEST evidence — all 33
+# queries whose last green row is round 1, plus ten round-2 rows
+# spanning the dedup/similarity/curation/multimodal/streaming
+# families. Exactly the first 50 get a driver correctness row.
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
-    # ---- the twenty never-driver-checked round-3 operators ----------
-    "cdc_resolution_probe",
-    "similarity_pq_adc",
-    "similarity_ivfpq",
-    "dedup_passages",
-    "dedup_canonical",
-    "dedup_split_leakage",
-    "curation_split_by_cluster",
-    "curation_sample_exact_k",
-    "curation_shuffle_shards",
-    "curation_repeat_upsample",
-    "text_normalize",
-    "text_tfidf_topk",
-    "text_top_bigrams",
-    "profile_orders",
-    "scd2_asof_lookup",
-    "histogram_order_value",
-    "rfm_segments",
-    "stats_sufficient_moments",
-    "entity_match_blocked",
-    "event_transitions",
-    # ---- anchors over code rewritten this round ---------------------
-    "d1_dedup_last_write",
-    # full feed→apply→read replay incl. tombstone suppression (r4 add)
-    "cdc_replay_two_epochs",
-    # ---- round-4 additions (swap space consumed) ---------------------
-    "text_bigram_lm_score",
-    "sketch_kmv_setops",
-    "curation_temperature_mix",
-    "curation_temporal_split",
-    "timeseries_ohlc_daily",
-    "similarity_truncated_rerank",
-    "privacy_k_anonymity",
-    "json_schema_profile",
-    "dq_referential_integrity",
-    "w4_dist_functions",
-    "agg_mode_exact",
-    "events_gap_islands",
-    "session_path_analysis",
-    "experiment_ab_ttest",
-    "rolling_7d_active_users",
-    "dedup_cross_source_matrix",
-    "sketch_cms_heavy_hitters",
-    "sketch_bottomk_quantiles",
-    "dedup_minhash_recall_audit",
-    "dedup_containment",
-    "curation_quality_weighted_sample",
-    # ---- §2-core re-confirmation (green r1/r2, never re-rowed);
-    # these slots are the swap space for round-4 additions ------------
-    "s1_incremental_scan",
-    "p4_projection",
-    "a6_daily_rate_stats",
-    "j2_orders_customer",
-    "q1_pricing_summary",
-    "dedup_clusters",
+    # ---- never-driver-checked: queued r4 additions ------------------
+    "embedding_label_coherence",
+    "seasonality_dow_index",
+    "funnel_time_to_convert",
+    # ---- never-driver-checked: round-6 additions --------------------
+    "bloom_index_point_lookup",
+    "ingest_gate_replay_two_epochs",
+    # ---- anchor over the ingest-gate max_rejects rework -------------
+    "ingest_gate_probe",
+    # ---- freshness: every query last green in round 1 ---------------
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "asof_join_last_purchase",
+    "d3_set_ops",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "grouped_pandas_zscore",
+    "pivot_status_by_year",
+    "q10_returned_revenue",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q21_sole_late_supplier",
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "q5_region_revenue",
+    "q8_market_share",
+    "range_join_purchases_1h",
+    "scalar_subquery",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    "unpivot_status_counts",
+    "w4_first_last",
+    "w4_lag_lead",
+    "w4_rank_family",
+    # ---- freshness: ten round-2 rows across operator families -------
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "similarity_ann_lsh",
+    "similarity_ivf_probe",
+    "similarity_knn_join_lsh",
+    "curation_contamination",
+    "curation_stratified_sample",
+    "multimodal_features",
+    "t9_tumbling_hourly",
+    "s8_point_lookup",
 ]
 
-# Next-round allocation note: once this window lands green, EVERY
-# registered query has a fully-green driver row in some round
-# (144/144 cumulative, sketch_aggregates rows-only by design).
-# Round-5 slots: (a) any red rows from CORRECTNESS_r04, (b) queries
-# added in round 4 (tracked in tests/test_driver_window.py
-# QUEUED_NEXT_WINDOW as they land), (c) core re-confirmation.
+# Allocation note: once this window lands green, all 170 registered
+# queries have a fully-green driver row in some round (the rows-only
+# sketch_aggregates slot was retired in round 6 — the deterministic
+# KMV/CMS/bottom-k family carries the sketch evidence with full value
+# checks). Next-round slots: (a) any red rows from CORRECTNESS_r06,
+# (b) queries added next round (tracked in tests/test_driver_window.py
+# QUEUED_NEXT_WINDOW as they land), (c) freshness re-confirmation of
+# the oldest remaining evidence (the round-2 cohort).
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

@@ -606,14 +606,18 @@ def quantile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_aggregates", None)  # rows-only: sketch internals differ per engine
 def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch path for 100 TB cardinality/quantile work:
     HyperLogLog++ (`approx_count_distinct`) and GK quantile sketch
     (`approx_percentile`) — mergeable partial states, fixed memory per
-    group, single shuffle. Registered rows-only because sketch
-    estimates are engine-specific; the exact twins above are the
-    oracle-checked semantics."""
+    group, single shuffle. NOT registered as a driver query: native
+    sketch estimates are engine-specific so the row could never
+    hash-match an oracle; the deterministic sketch family
+    (`sketch_kmv_distinct`/`sketch_kmv_setops`, `sketch_cms_heavy_
+    hitters`, `sketch_bottomk_quantiles`) carries the value-checked
+    driver evidence for every sketch kind, and the exact twins above
+    are the oracle-checked semantics. Covered by
+    tests/test_queries_oracle.py (library-level pin)."""
     (lineitem,) = tables(spark, sf_dir, "lineitem")
     return lineitem.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),

@@ -16,12 +16,15 @@ import os
 
 from qms_datawarehouse_spark.plans import _DRIVER_WINDOW, REGISTRY, queries_map
 
-# r4 anchors: flagship + the merge resolution path shared by the CDC
-# apply rework this round, + the CDC resolution math itself.
+# r6 anchors: flagship + the two queries over code touched this round
+# (bloom index: r5 CAS/bit-OR refresh rework, first driver row;
+# ingest gate: the max_rejects report-cap rework) + the gate's
+# existing probe query.
 ANCHORS = [
     "flagship_staff_report",
-    "d1_dedup_last_write",
-    "cdc_resolution_probe",
+    "bloom_index_point_lookup",
+    "ingest_gate_replay_two_epochs",
+    "ingest_gate_probe",
 ]
 
 
@@ -53,15 +56,11 @@ def test_anchors_inside_window():
 
 
 # queries ADDED this round (no driver row possible yet): either
-# already swapped into the window's re-confirmation slots, or first
-# in line for the round-5 window — tracked here so nothing falls
-# through. (All twenty round-3 queued queries rotated INTO the r4
-# window; 22 of this round's 25 additions are in-window, 3 queued.)
-QUEUED_NEXT_WINDOW: list[str] = [
-    "embedding_label_coherence",
-    "seasonality_dow_index",
-    "funnel_time_to_convert",
-]
+# already swapped into the window, or queued here for the next window
+# so nothing falls through. Round 6: empty — the three r4-queued
+# queries AND both r6 additions (bloom_index_point_lookup,
+# ingest_gate_replay_two_epochs) are all in-window.
+QUEUED_NEXT_WINDOW: list[str] = []
 
 
 def test_rotated_out_queries_were_driver_green():
@@ -73,7 +72,6 @@ def test_rotated_out_queries_were_driver_green():
         n for n in sorted(out)
         if n not in green
         and n not in QUEUED_NEXT_WINDOW
-        and n != "sketch_aggregates"  # rows-only by design
     ]
     assert not never_checked_out, (
         f"queries outside window with no green driver row: {never_checked_out}"
@@ -93,3 +91,19 @@ def test_direct_operator_import_still_registers_everything():
     import qms_datawarehouse_spark.operators.multimodal  # noqa: F401
 
     assert "multimodal_features" in queries_map()
+
+
+def test_survey_count_matches_live_registry():
+    # the bookkeeping slip that shipped two rounds running: SURVEY §8's
+    # count must equal the live registry (same check gates window_check)
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.window_check import check_survey_counts
+
+    cwd = os.getcwd()
+    os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        check_survey_counts()
+    finally:
+        os.chdir(cwd)

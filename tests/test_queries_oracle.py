@@ -48,3 +48,25 @@ def test_float_sum_queries_are_run_stable(spark):
         a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
         b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
         assert a == b, name
+
+
+def test_sketch_aggregates_library_pin(spark, duck):
+    """``sketch_aggregates`` left the registry (native HLL++/GK sketch
+    values are engine-specific — the row could never hash-match; the
+    deterministic KMV/CMS/bottom-k family carries the driver evidence)
+    but stays the demonstration of Spark's mergeable-sketch path:
+    stable schema, and HLL++ estimates within its 1% rsd of the exact
+    distinct counts DuckDB computes."""
+    from qms_datawarehouse_spark.plans.advanced import sketch_aggregates
+
+    out = {r["returnflag"]: r for r in sketch_aggregates(spark, SF_DIR).collect()}
+    exact = dict(
+        duck.execute(
+            "SELECT l_returnflag, count(DISTINCT l_partkey) "
+            "FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(out) == set(exact)
+    for flag, row in out.items():
+        assert abs(row["approx_parts"] - exact[flag]) <= 0.05 * exact[flag]
+        assert row["n_lines"] > 0 and row["price_quantiles"].startswith("[")

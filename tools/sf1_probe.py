@@ -1,0 +1,155 @@
+"""~10× scale probe: replicate the sf0.1 fixture into a synthetic
+sf≈1 directory (keys offset per replica so joins stay consistent;
+document text re-tokenized per replica so replicas are NOT near-dups
+of each other — the dedup pair structure scales linearly and the
+measurement isolates PLAN scaling from planted-duplicate growth) and
+time the top headline queries on both.
+
+A ~10× runtime ratio is linear (scan/shuffle-bound — the plan shape
+that survives 100 TB); a markedly super-linear ratio names a concrete
+scaling bug. Dims (nation/region) are NOT replicated — broadcast
+sides stay bounded like real dimension tables.
+
+Usage:
+    python tools/sf1_probe.py [--factor 10] [--runs 2] [--out FILE]
+Prints one JSON line per op: {"op", "t_1x", "t_10x", "ratio"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+BASE = "/root/testdata/sf0.1"
+
+# top headline queries by BENCH_r05 cost (bench.py HEADLINE order)
+TOP_OPS = [
+    "dedup_clusters",
+    "flagship_staff_report",
+    "dedup_minhash_lsh",
+    "q2_min_cost_supplier",
+    "curation_contamination",
+    "similarity_ivf_probe",
+    "text_repetition",
+    "q5_region_revenue",
+    "text_bigram_lm_score",
+    "cdc_replay_two_epochs",
+]
+
+# per-table key columns to offset per replica (join consistency);
+# nation/region copy once — dimension tables don't grow with facts
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONCE = ["nation", "region"]
+OFFSET = 10**9
+
+
+def build_scaled_dir(spark, base: str, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix=f"sf1x{factor}_")
+    for t in COPY_ONCE:
+        spark.read.parquet(os.path.join(base, f"{t}.parquet")).write.parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    for t, keys in KEY_COLS.items():
+        df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+        parts = []
+        for r in range(factor):
+            off = r * OFFSET
+            cols = []
+            for c in df.columns:
+                if c in keys:
+                    cols.append((F.col(c) + off).alias(c))
+                elif t == "documents" and c == "text":
+                    # re-tokenize per replica: every 3-shingle carries
+                    # the replica token, so replicas share NO shingles
+                    # (not near-dups of each other) while the base
+                    # corpus's internal near-dup families survive the
+                    # same transformation intact
+                    cols.append(
+                        F.regexp_replace(
+                            F.col("text"), " ", f" r{r} "
+                        ).alias("text")
+                    )
+                elif t == "events" and c == "event_id":
+                    # string id: prefix keeps replicas distinct
+                    cols.append(
+                        F.concat(F.lit(f"r{r}-"), F.col(c)).alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            parts.append(df.select(*cols))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        n_out = min(64, max(8, 8 * factor))
+        u.repartition(n_out).write.parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--master", default="local[32]")
+    args = ap.parse_args(argv)
+
+    from qms_datawarehouse_spark.plans import queries_map
+    from qms_datawarehouse_spark.session import get_spark
+
+    spark = get_spark("sf1-probe", master=args.master, shuffle_partitions=32)
+    registry = queries_map()
+    scaled = build_scaled_dir(spark, BASE, args.factor)
+
+    def timed(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(args.runs):
+            t0 = time.monotonic()
+            registry[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 2)
+
+    results = []
+    try:
+        for op in TOP_OPS:
+            t1 = timed(op, BASE)
+            t10 = timed(op, scaled)
+            row = {
+                "op": op,
+                "t_1x": t1,
+                f"t_{args.factor}x": t10,
+                "ratio": round(t10 / t1, 1) if t1 > 0 else None,
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {"factor": args.factor, "base": BASE, "results": results}, f
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
