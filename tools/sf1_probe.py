@@ -77,14 +77,17 @@ def build_scaled_dir(spark, base: str, factor: int) -> str:
                 if c in keys:
                     cols.append((F.col(c) + off).alias(c))
                 elif t == "documents" and c == "text":
-                    # re-tokenize per replica: every 3-shingle carries
-                    # the replica token, so replicas share NO shingles
-                    # (not near-dups of each other) while the base
-                    # corpus's internal near-dup families survive the
-                    # same transformation intact
+                    # suffix EVERY token with the replica tag: token
+                    # and shingle COUNTS are unchanged (a true 10x
+                    # corpus — an earlier ' '->' rN ' variant doubled
+                    # tokens and inflated text-op work 2x per replica)
+                    # while every shingle differs across replicas, so
+                    # replicas are NOT near-dups of each other and the
+                    # base corpus's internal near-dup families survive
+                    # the same transformation intact
                     cols.append(
                         F.regexp_replace(
-                            F.col("text"), " ", f" r{r} "
+                            F.col("text"), r"(\S+)", f"$1r{r}"
                         ).alias("text")
                     )
                 elif t == "events" and c == "event_id":
