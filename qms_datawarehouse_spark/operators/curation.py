@@ -959,6 +959,50 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_L_DIV = 3  # minimum distinct sensitive values per released class
+
+_L_DIV_SQL = f"""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                AS BIGINT) AS l_sensitive,
+           (count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                < {_L_DIV}) AS violates_l
+    FROM customer
+    GROUP BY 1, 2
+"""
+
+
+@query("privacy_l_diversity", _L_DIV_SQL)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a class can
+    be large (k-safe) yet carry ONE sensitive value, so membership
+    alone discloses it (homogeneity attack). Over the same
+    quasi-identifier tuple as ``privacy_k_anonymity`` (nation, market
+    segment), the sensitive attribute is the account-balance bracket
+    (floor(acctbal/1000) — floor rounds toward -inf identically in
+    both engines, so negative balances bracket the same); a class
+    violates when it holds fewer than l={_L_DIV} distinct brackets.
+    Output = every class with size, distinct-sensitive count and
+    violation flag — the full disclosure surface in the value hash.
+
+    Scale shape: one partial-aggregated group-by with a single exact
+    distinct (Spark expands to two-phase aggregate, still one
+    logical exchange on the class tuple); O(classes) output. The
+    suppression step that follows mirrors the k-anon gate: semi-join
+    the corpus against violating classes."""
+    (customer,) = tables(spark, sf_dir, "customer")
+    bracket = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return customer.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct(bracket).cast("long").alias("l_sensitive"),
+        (F.countDistinct(bracket) < _L_DIV).alias("violates_l"),
+    )
+
+
 # --------------------------------------------------------------------
 # Quality-weighted (importance) sampling
 # --------------------------------------------------------------------

@@ -1612,3 +1612,121 @@ def ingest_gate_replay_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("epoch")
     )
+
+
+# --------------------------------------------------------------------
+# MinHash estimator calibration audit (sketch vs exact, per pair)
+# --------------------------------------------------------------------
+
+_MH_AUDIT_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM sx GROUP BY doc_id),
+    bandsw AS (SELECT doc_id, {_BAND_EXPRS_SQL} FROM sigs),
+    bl AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, b{j} AS bv FROM bandsw" for j in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bl a JOIN bl b
+          ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS c
+        FROM cand c
+        JOIN sx a ON a.doc_id = c.doc_a
+        JOIN sx b ON b.doc_id = c.doc_b AND a.s = b.s
+        GROUP BY 1, 2
+    ),
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               ({" + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH))})
+                   AS m_agree
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    SELECT g.doc_a, g.doc_b,
+           CAST(g.m_agree AS BIGINT) AS m_agree,
+           CAST(g.m_agree * {10000 // N_MINHASH} AS BIGINT) AS est_bp,
+           CAST(coalesce(cm.c, 0) * 10000
+                // (na.n + nb.n - coalesce(cm.c, 0)) AS BIGINT) AS exact_bp,
+           CAST(g.m_agree * {10000 // N_MINHASH}
+                - coalesce(cm.c, 0) * 10000
+                  // (na.n + nb.n - coalesce(cm.c, 0)) AS BIGINT) AS err_bp
+    FROM agree g
+    LEFT JOIN common cm ON g.doc_a = cm.doc_a AND g.doc_b = cm.doc_b
+    JOIN sizes na ON g.doc_a = na.doc_id
+    JOIN sizes nb ON g.doc_b = nb.doc_id
+"""
+
+
+@query("dedup_minhash_estimate_audit", _MH_AUDIT_SQL)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the MinHash sketch — the precision
+    sibling of ``dedup_minhash_recall_audit``: for every LSH candidate
+    pair, the SKETCH's Jaccard estimate (fraction of agreeing
+    signature slots) side by side with the EXACT shingle-set Jaccard,
+    both in integer basis points (exact_bp is pure integer arithmetic,
+    c·10000 div (|a|+|b|-c) — no float crosses an engine boundary).
+    This is the measurement that justifies the production threshold:
+    err_bp quantifies how far an 8-slot signature strays per pair, so
+    a threshold margin can be chosen from data instead of folklore.
+
+    Scale shape: candidates from band equi-joins only; the agree join
+    touches the O(docs) signature table twice by key, the exact term
+    re-uses the same common/sizes aggregates as the LSH verify. No
+    all-pairs term anywhere."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    sh = _shingled(documents).persist()
+    hashed = sh.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.md5(s.cast("binary"))).alias(
+            "hs"
+        ),
+    )
+    sigs = _sig_slots(hashed.select("doc_id", *_minhash_sig_cols())).filter(
+        F.col("m0") != "g"
+    )
+    bl = minhash_bands(sh)
+    a, b = bl.alias("a"), bl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    agree_expr = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
+    )
+    agreed = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", agree_expr.alias("m_agree"))
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("s_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("s_b"))
+    withsets = agreed.join(sha, "doc_a").join(shb, "doc_b")
+    est = F.col("m_agree") * (10000 // N_MINHASH)
+    exact = F.expr(
+        f"CAST(size(array_intersect(s_a, s_b)) * 10000 AS BIGINT) div "
+        f"(size(s_a) + size(s_b) - size(array_intersect(s_a, s_b)))"
+    )
+    return withsets.select(
+        "doc_a",
+        "doc_b",
+        F.col("m_agree").cast("long").alias("m_agree"),
+        est.cast("long").alias("est_bp"),
+        exact.cast("long").alias("exact_bp"),
+        (est - exact).cast("long").alias("err_bp"),
+    )

@@ -44,14 +44,17 @@ from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, que
 # funnel_time_to_convert) plus the two added THIS round
 # (bloom_index_point_lookup over the r5-reworked CAS/bit-OR index
 # refresh, ingest_gate_replay_two_epochs over the streaming admission
-# math) — closing them reaches 170/170 cumulative driver-checked,
-# every registered query with a fully-green row in some round;
-# (b) anchors over code touched this round (flagship always;
+# math) — closing them, plus (b), reaches 173/173 cumulative
+# driver-checked: every registered query with a fully-green row in
+# some round;
+# (b) the three late-round additions (U-shaped attribution,
+# l-diversity, minhash estimator audit);
+# (c) anchors over code touched this round (flagship always;
 # ingest_gate_probe rides the max_rejects rework of ingest_dedup);
-# (c) 43 freshness slots given to the OLDEST evidence — all 33
-# queries whose last green row is round 1, plus ten round-2 rows
-# spanning the dedup/similarity/curation/multimodal/streaming
-# families. Exactly the first 50 get a driver correctness row.
+# (d) 40 freshness slots given to the OLDEST evidence — all 33
+# queries whose last green row is round 1, plus seven round-2
+# rows spanning the dedup/similarity/curation/multimodal/
+# streaming families. Exactly the first 50 get a driver row.
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
@@ -98,20 +101,21 @@ _DRIVER_WINDOW = [
     "w4_first_last",
     "w4_lag_lead",
     "w4_rank_family",
-    # ---- freshness: ten round-2 rows across operator families -------
+    # ---- never-driver-checked: late round-6 additions ----------------
+    "attribution_position_weighted",
+    "privacy_l_diversity",
+    "dedup_minhash_estimate_audit",
+    # ---- freshness: seven round-2 rows across operator families -----
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "similarity_ann_lsh",
     "similarity_ivf_probe",
-    "similarity_knn_join_lsh",
     "curation_contamination",
-    "curation_stratified_sample",
     "multimodal_features",
     "t9_tumbling_hourly",
     "s8_point_lookup",
 ]
 
-# Allocation note: once this window lands green, all 170 registered
+# Allocation note: once this window lands green, all 173 registered
 # queries have a fully-green driver row in some round (the rows-only
 # sketch_aggregates slot was retired in round 6 — the deterministic
 # KMV/CMS/bottom-k family carries the sketch evidence with full value

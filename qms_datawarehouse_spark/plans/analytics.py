@@ -1917,3 +1917,121 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_viewers))
         .select("n_viewers", "n_converted", "p50_us", "p90_us", "mean_us")
     )
+
+
+# --------------------------------------------------------------------
+# Position-weighted (U-shaped) multi-touch attribution
+# --------------------------------------------------------------------
+
+_UPOS_SQL = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS journey
+        FROM events
+    ),
+    conv AS (
+        SELECT DISTINCT user_id, journey
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT s.user_id, s.journey, s.event_type, s.ts, s.event_id
+        FROM seq s JOIN conv c
+          ON s.user_id = c.user_id AND s.journey = c.journey
+        WHERE s.event_type <> 'purchase'
+    ),
+    ranked AS (
+        SELECT user_id, journey, event_type,
+               row_number() OVER (PARTITION BY user_id, journey
+                                  ORDER BY ts, event_id) AS pos,
+               count(*) OVER (PARTITION BY user_id, journey) AS n
+        FROM touches
+    ),
+    credited AS (
+        SELECT event_type,
+               CASE
+                 WHEN n = 1 THEN 10000
+                 WHEN n = 2 THEN 5000
+                 WHEN pos = 1 THEN 4000
+                 WHEN pos = n THEN 4000
+                 ELSE 2000 // (n - 2)
+                      + CASE WHEN pos = 2 THEN 2000 % (n - 2) ELSE 0 END
+               END AS credit_bp
+        FROM ranked
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_bp) AS BIGINT) AS credit_bp
+    FROM credited GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("attribution_position_weighted", _UPOS_SQL)
+def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-weighted) MULTI-touch attribution — the
+    sibling of ``attribution_last_touch`` that credits the whole
+    journey: each purchase closes a journey of the user's strictly
+    prior non-purchase touches (since their previous purchase); the
+    journey's first and last touch get 40% each and the middles split
+    the remaining 20% evenly. Credit is exact integer basis points —
+    10000 per converted journey, middles get 2000 div (n-2) with the
+    remainder assigned to the earliest middle — so both engines sum
+    identically (no float credit drift).
+
+    Scale shape: one hash exchange on user_id for the running
+    purchase-count window, one on (user_id, journey) for the
+    position/size windows (same key prefix — Spark reuses the
+    partitioning), then a tiny groupBy(channel). No reference
+    counterpart; event_type stands in for the channel dimension."""
+    (events,) = tables(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (
+            F.sum(is_p).over(
+                wseq.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - is_p
+        ).alias("journey"),
+    )
+    conv = (
+        seq.filter(F.col("event_type") == "purchase")
+        .select("user_id", "journey")
+        .distinct()
+    )
+    touches = seq.join(conv, ["user_id", "journey"]).filter(
+        F.col("event_type") != "purchase"
+    )
+    wj = Window.partitionBy("user_id", "journey")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(wj.orderBy("ts", "event_id")).alias("pos"),
+        F.count("*").over(wj).alias("n"),
+    )
+    n, pos = F.col("n"), F.col("pos")
+    credit = (
+        F.when(n == 1, F.lit(10000))
+        .when(n == 2, F.lit(5000))
+        .when(pos == 1, F.lit(4000))
+        .when(pos == n, F.lit(4000))
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(pos == 2, F.expr("2000 % (n - 2)")).otherwise(F.lit(0))
+        )
+    )
+    return (
+        ranked.select("event_type", credit.alias("credit_bp"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("credit_bp").cast("long").alias("credit_bp"),
+        )
+        .orderBy("channel")
+    )
