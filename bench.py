@@ -109,6 +109,16 @@ HEADLINE = [
     "text_bigram_lm_score",
     "similarity_truncated_rerank",
     "experiment_ab_ttest",
+    # round-6 additions (common22 stays frozen — totals comparable)
+    "bloom_index_point_lookup",
+    "ingest_gate_replay_two_epochs",
+    "attribution_position_weighted",
+    "privacy_l_diversity",
+    "dedup_minhash_estimate_audit",
+    "seasonality_dow_index",
+    "funnel_time_to_convert",
+    "embedding_label_coherence",
+    "embedding_kmeans_2iter",
 ]
 
 

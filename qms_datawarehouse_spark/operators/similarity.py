@@ -819,3 +819,181 @@ def embedding_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_vec_sq") * 1.0 / (F.col("n") * F.col("ssq")), 6
         ).alias("coherence"),
     )
+
+
+# --------------------------------------------------------------------
+# Fixed-point k-means (2 iterations) — semantic clustering for
+# curation, exact across engines
+# --------------------------------------------------------------------
+
+_KM_K = 8  # clusters; seeds = vec_id < K (deterministic init)
+
+_KM_SQL = f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x ->
+                   CAST(floor((x + 1.0) * 1000.0) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < {_KM_K}),
+    d1 AS (
+        SELECT q.vec_id, q.v, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])))
+                   AS BIGINT) AS dist
+        FROM q CROSS JOIN c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, v, cid, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    pd AS (
+        SELECT cid, i AS d,
+               CAST(sum(v[i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+        FROM a1, range(1, 65) t(i)
+        GROUP BY cid, i
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY d) AS cv FROM pd GROUP BY cid),
+    d2 AS (
+        SELECT q.vec_id, c.cid,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])))
+                   AS BIGINT) AS dist
+        FROM q CROSS JOIN c1 c
+    ),
+    a2 AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    cs AS (SELECT cid, CAST(list_sum(cv) AS BIGINT) AS centroid_sum FROM c1)
+    SELECT a2.cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(a2.dist) AS BIGINT) AS inertia,
+           cs.centroid_sum
+    FROM a2 JOIN cs ON a2.cid = cs.cid
+    GROUP BY a2.cid, cs.centroid_sum
+    ORDER BY cluster_id
+"""
+
+
+def _km_quantized(emb: DataFrame) -> DataFrame:
+    """Integer fixed-point embedding: floor((x+1)·1000). The +1 shift
+    (range check: fixture values sit in (-0.58, 0.52)) keeps every
+    component non-negative, so the centroid update's integer division
+    is plain truncation — identical in Spark ``div`` and DuckDB ``//``
+    — with no negative-floor disagreement. Distances are shift-
+    invariant; float→double→floor is bit-identical cross-engine (the
+    PQ kernels' proven recipe)."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor((CAST(x AS DOUBLE) + 1.0d) * 1000.0d) AS BIGINT))"
+        ).alias("v"),
+    )
+
+
+def _km_assign(q: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid: the K-row centroid
+    list rides one broadcast (same shape as the IVF codebook), squared
+    L2 is an integer fold per row, ties break on lowest centroid id
+    via struct array_min. No shuffle touches the vectors."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return (
+        q.crossJoin(F.broadcast(cents_df))
+        .withColumn("best", F.array_min(scored))
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.cid").alias("cid"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+
+
+def _km_means(assigned: DataFrame) -> DataFrame:
+    """Centroid update: per-(cluster, dim) integer mean (sum div n)
+    via one posexplode + keyed aggregate, reassembled into ordered
+    centroid arrays — K·64 rows total, the only shuffle per
+    iteration."""
+    per_dim = (
+        assigned.select("cid", F.posexplode("v").alias("d", "val"))
+        .groupBy("cid", "d")
+        .agg(F.expr("sum(val) div count(val)").alias("m"))
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+
+
+@query("embedding_kmeans_2iter", _KM_SQL)
+def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact iterations of k-means over the embedding corpus — the
+    semantic-clustering primitive behind SemDeDup-style curation
+    (cluster, then dedup/select within clusters): deterministic seeds
+    (vec_id < K), integer fixed-point arithmetic end-to-end, so both
+    engines produce BYTE-identical assignments, centroids and inertia
+    — an ITERATIVE ML loop with full value-hash verification, not just
+    row counts (the CC fixpoint is the only other iterative operator).
+
+    Scale shape per iteration: assignment is map-side (K-row broadcast,
+    integer fold per row — no shuffle of the corpus); the update
+    shuffles K·64 partial sums. Driver holds only the K×64 centroid
+    table between iterations — the classic Lloyd's-on-MapReduce layout,
+    which at 100 TB runs the same two plans per iteration unchanged."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    q = _km_quantized(emb).persist()
+    c0 = (
+        q.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    a1 = _km_assign(q, c0)
+    means = _km_means(a1).persist()
+    c1 = means.select(F.struct("cid", "cv").alias("c")).agg(
+        F.collect_list("c").alias("cents")
+    )
+    a2 = _km_assign(q, c1)
+    cent_sums = means.select(
+        "cid",
+        F.aggregate(
+            "cv", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("centroid_sum"),
+    )
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("dist").cast("long").alias("inertia"),
+        )
+        .join(cent_sums, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "inertia",
+            "centroid_sum",
+        )
+        .orderBy("cluster_id")
+    )

@@ -368,6 +368,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "dedup_minhash_recall_audit",
         # 1-row viewer-count broadcast joins the 1-row latency summary
         "funnel_time_to_convert",
+        # K-row centroid-list broadcast, twice (one per Lloyd iteration)
+        "embedding_kmeans_2iter",
     }
     offenders = {}
     for name, qd in REGISTRY.items():
