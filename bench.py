@@ -174,13 +174,21 @@ def main() -> None:
                 "runs_per_query": 4,
                 "protocol": "warm = min of 3 runs after 1 cold run",
                 "notes": (
-                    "r4 NOISE check (VERDICT r3 item 4): idle-box rerun "
-                    "(load avg ~1.0/32 cpus) gave common22=11.37s vs r3 "
-                    "11.93s and r1 13.99s — the uniform r2->r3 per-query "
-                    "slowdown was host noise, no regression. PQ kernels "
-                    "(VERDICT item 3): interpreted HOF 1.52s vs unrolled "
-                    "expressions 3.18s vs vectorized Arrow kernel 0.50s "
-                    "at sf0.1; Arrow form adopted (identical rows)."
+                    "r6 SCALE probes (VERDICT r5 item 5, tables in "
+                    "docs/SCALING.md): 5x docs/embeddings replica probe "
+                    "worst ratio 3.3x (dedup_minhash_lsh, whose replicas "
+                    "are mutual near-dups so pair volume grows ~25x — the "
+                    "band equi-join holds); NEW ~10x join-consistent "
+                    "full-fixture probe (tools/sf1_probe.py) worst ratio "
+                    "3.2x across the top-10 headline queries, nothing "
+                    "super-linear. Headline grew to 52 queries (r6 adds "
+                    "bloom lookup, ingest-gate replay, U-shaped "
+                    "attribution, l-diversity, minhash estimator audit, "
+                    "fixed-point k-means + the three r4-queued); common22 "
+                    "stays the frozen cross-round signal. Earlier rounds: "
+                    "idle-box common22 r1 13.99s, r3 11.93s, r4 11.37s, "
+                    "r5 10.99s; bench wall-times on this VM swing "
+                    "1.5-2.5x with host load — compare common22 only."
                 ),
                 "merge": _merge_bench(spark),
             }

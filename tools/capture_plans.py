@@ -44,6 +44,11 @@ PICKS = {
     "profile_orders": "Six columns profiled from ONE scan: every statistic partial-aggregates; the Expand is the exact-distinct price (exact=False drops it for HLL++ sketches at 100 TB).",
     "text_normalize": "Map-only canonicalization: regex stages in whole-stage codegen around a single ArrowEvalPython hop (the NFC UDF) — zero exchanges.",
     "cdc_resolution_probe": "The CDC winner decision is ONE keyed window (seq desc, delete-beats-upsert, unique-id tiebreak) — a single user_id exchange, the same shape the warehouse apply commits.",
+    "ingest_gate_replay_two_epochs": "Admission math end-to-end: band-bucket equi-join candidates, shingle-array verify joins, parity epochs, one final two-row keyed aggregate — no all-pairs term anywhere.",
+    "attribution_position_weighted": "Running purchase-count and journey position/size windows share the user_id key prefix; credit is a codegen CASE; one tiny channel rollup ends it.",
+    "dedup_minhash_estimate_audit": "Signature-slot agreement joins the O(docs) sigs table twice BY KEY; sketch estimate and exact Jaccard are integer arithmetic in the same projection.",
+    "embedding_kmeans_2iter": "Each Lloyd iteration = K-row centroid broadcast + per-row integer fold (no corpus shuffle) then a K*64-row partial-sum exchange — the plan pair repeats unchanged at any corpus size.",
+    "bloom_index_point_lookup": "The final fact scan carries the bloom-surviving partition IN-filter plus the exact key predicate — on a partitioned layout both push to the scan, pruned partitions never open.",
     # dedup_split_leakage is intentionally NOT captured: its plan
     # embeds the CC loop's full iterative lineage (thousands of lines,
     # like dedup_clusters) — the audit's own cost is one join + one
