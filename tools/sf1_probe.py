@@ -29,7 +29,8 @@ sys.path.insert(0, ".")
 
 BASE = "/root/testdata/sf0.1"
 
-# top headline queries by BENCH_r05 cost (bench.py HEADLINE order)
+# top headline queries by BENCH_r05 cost (bench.py HEADLINE order),
+# plus the round-6 additions whose scale posture is newest
 TOP_OPS = [
     "dedup_clusters",
     "flagship_staff_report",
@@ -41,6 +42,12 @@ TOP_OPS = [
     "q5_region_revenue",
     "text_bigram_lm_score",
     "cdc_replay_two_epochs",
+    # round-6 operators (pair-risk LSH family + iterative kmeans)
+    "ingest_gate_replay_two_epochs",
+    "dedup_minhash_estimate_audit",
+    "embedding_kmeans_2iter",
+    "attribution_position_weighted",
+    "bloom_index_point_lookup",
 ]
 
 # per-table key columns to offset per replica (join consistency);
