@@ -130,6 +130,69 @@ def prune_partitions(index_df: DataFrame, part_col: str, value) -> list:
     return sorted(r[0] for r in kept.select(part_col).collect())
 
 
+def prune_partitions_multi(
+    index_df: DataFrame, part_col: str, values: list
+) -> dict:
+    """Batched probe: surviving partitions for EVERY key in ``values``
+    from ONE job (per-key probing pays a driver round-trip per key —
+    the latency term of a point-lookup service). The tiny key list
+    broadcasts against the index; bit positions compute with the SAME
+    ``_bit_positions`` expression the build uses (string-normalized
+    xxhash64), word/bit extraction is JVM-side (``>> pos & 1`` — the
+    arithmetic shift's sign-fill can't reach the masked lowest bit),
+    and a (partition, key) survives iff all K bits are set. Returns
+    ``{key_value: sorted partition list}`` with an entry for every
+    requested key (empty list = bloom says impossible everywhere).
+
+    Driver budget: one collect of O(sum of survivors), same as the
+    single-key path; never O(partitions x keys)."""
+    spark = index_df.sparkSession
+    probe = spark.createDataFrame([(v,) for v in values], ["_pv"])
+    pos = probe.select(
+        "_pv",
+        F.posexplode(F.array(*_bit_positions(F.col("_pv")))).alias(
+            "_i", "pos"
+        ),
+    ).drop("_i")
+    word = F.element_at(
+        F.col("bits"), (F.col("pos") / 64).cast("int") + 1
+    )
+    bit = F.expr("(_w >> CAST(pos % 64 AS INT)) & 1")
+    kept = (
+        index_df.crossJoin(F.broadcast(pos))
+        .withColumn("_w", word)
+        .withColumn("_b", bit)
+        .groupBy(part_col, "_pv")
+        .agg(F.min("_b").alias("_all_set"))
+        .filter(F.col("_all_set") == 1)
+        .select(part_col, "_pv")
+        .collect()
+    )
+    out: dict = {v: [] for v in values}
+    for r in kept:
+        out[r["_pv"]].append(r[part_col])
+    return {v: sorted(ps) for v, ps in out.items()}
+
+
+def read_point_lookup_multi(
+    df: DataFrame, index_df: DataFrame, key: str, part_col: str, values: list
+) -> DataFrame:
+    """Multi-key point lookup through the index in TWO jobs total
+    (one batched probe + the pruned scan): the scan filter is the
+    UNION of every key's surviving partitions with the exact
+    ``key IN values`` predicate re-applied — value-equal to per-key
+    lookups (the key predicate discards rows a partition only
+    contributed for a different key), reading exactly the union of
+    surviving partitions."""
+    parts = prune_partitions_multi(index_df, part_col, values)
+    union_parts = sorted({p for ps in parts.values() for p in ps})
+    if not union_parts:
+        return df.filter(F.lit(False)).filter(F.col(key).isin(values))
+    return df.filter(F.col(part_col).isin(union_parts)).filter(
+        F.col(key).isin(values)
+    )
+
+
 def read_point_lookup(
     df: DataFrame, index_df: DataFrame, key: str, part_col: str, value
 ) -> DataFrame:
@@ -290,8 +353,6 @@ def bloom_index_point_lookup(spark, sf_dir: str) -> DataFrame:
     fact. Reference analog: PostgreSQL's btree point lookups
     (src/core/db.py:28-32) — here re-expressed as lakehouse partition
     pruning on Spark primitives."""
-    import functools
-
     (orders,) = tables(spark, sf_dir, "orders")
     df = orders.withColumn(
         "_part",
@@ -311,11 +372,11 @@ def bloom_index_point_lookup(spark, sf_dir: str) -> DataFrame:
         .first()[0]
     )
     keys = sorted({lo, mid, hi}) + [hi + 1]  # hi+1 is absent
-    lookups = [
-        read_point_lookup(df, idx, "o_orderkey", "_part", k) for k in keys
-    ]
+    # batched probe: every key's surviving partitions from ONE job
+    # (read_point_lookup per key costs a driver round-trip per key —
+    # the latency term this index exists to cut)
+    out = read_point_lookup_multi(df, idx, "o_orderkey", "_part", keys)
     idx.unpersist()
-    out = functools.reduce(DataFrame.unionByName, lookups)
     return (
         out.select(
             "o_orderkey",

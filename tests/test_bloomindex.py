@@ -321,3 +321,47 @@ def test_registered_lookup_query_matches_plain_filter(spark):
     idx = build_bloom_index(df, "o_orderkey", "_part")
     kept = prune_partitions(idx, "_part", int(lo))
     assert 1 <= len(kept) < _LOOKUP_PARTS // 2
+
+
+def test_multi_key_probe_matches_per_key(spark):
+    """The batched probe (one job for all keys) must return exactly
+    the per-key prune results, and the multi-lookup frame must equal
+    the union of single-key lookups."""
+    from qms_datawarehouse_spark.sources.bloomindex import (
+        build_bloom_index,
+        prune_partitions,
+        prune_partitions_multi,
+        read_point_lookup,
+        read_point_lookup_multi,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    df = orders.withColumn(
+        "_part",
+        F.pmod(F.xxhash64(F.col("o_custkey").cast("string")), F.lit(32)).cast(
+            "int"
+        ),
+    )
+    idx = build_bloom_index(df, "o_orderkey", "_part").persist()
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    keys = [int(lo), int(lo) + 7, int(hi), int(hi) + 1]  # last is absent
+
+    multi = prune_partitions_multi(idx, "_part", keys)
+    assert set(multi) == set(keys)
+    for k in keys:
+        assert multi[k] == prune_partitions(idx, "_part", k), k
+    assert multi[int(hi) + 1] == []  # absent key: impossible everywhere
+
+    got = sorted(
+        tuple(r)
+        for r in read_point_lookup_multi(
+            df, idx, "o_orderkey", "_part", keys
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for k in keys
+        for r in read_point_lookup(df, idx, "o_orderkey", "_part", k).collect()
+    )
+    assert got == want
+    idx.unpersist()
