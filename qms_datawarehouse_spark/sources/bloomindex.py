@@ -146,6 +146,8 @@ def prune_partitions_multi(
 
     Driver budget: one collect of O(sum of survivors), same as the
     single-key path; never O(partitions x keys)."""
+    if not values:  # createDataFrame can't infer an empty list's schema
+        return {}
     spark = index_df.sparkSession
     probe = spark.createDataFrame([(v,) for v in values], ["_pv"])
     pos = probe.select(
