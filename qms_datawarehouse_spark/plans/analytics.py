@@ -1987,6 +1987,16 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     partitioning), then a tiny groupBy(channel). No reference
     counterpart; event_type stands in for the channel dimension."""
     (events,) = tables(spark, sf_dir, "events")
+    return position_weighted_credits(events)
+
+
+def position_weighted_credits(events: DataFrame) -> DataFrame:
+    """The U-shape credit engine over ANY events frame carrying
+    (user_id, ts, event_id, event_type) — ts/event_id only need a
+    total order. Split out so the hypothesis property test can drive
+    arbitrary journeys through the exact production plan
+    (test_round6_invariants pins credit conservation; the property
+    test pins per-channel credit against an independent model)."""
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     is_p = (F.col("event_type") == "purchase").cast("int")
     seq = events.select(

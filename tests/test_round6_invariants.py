@@ -111,3 +111,79 @@ def test_kmeans_partitions_corpus_exactly(spark):
     assert all(r["inertia"] > 0 for r in a)
     b = embedding_kmeans_2iter(spark, SF_DIR).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---- property: U-shape credits vs an independent Python model -------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+event_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=6),  # ts (ties allowed)
+        st.sampled_from(["view", "click", "signup", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _model_credits(rows):
+    """Independent U-shape model: journeys from a running purchase
+    count per user, credit 10000/5000+5000/4000-middles-4000 with the
+    integer remainder on the earliest middle."""
+    per_user: dict = {}
+    for eid, (u, ts, et) in enumerate(rows):
+        per_user.setdefault(u, []).append((ts, eid, et))
+    credit: dict = {}
+    touches_out: dict = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        journeys: dict = {}
+        converted = set()
+        j = 0
+        for ts, eid, et in evs:
+            if et == "purchase":
+                converted.add(j)
+                j += 1
+            else:
+                journeys.setdefault(j, []).append(et)
+        for jid in converted:
+            ts_list = journeys.get(jid, [])
+            n = len(ts_list)
+            for pos, et in enumerate(ts_list, start=1):
+                if n == 1:
+                    c = 10000
+                elif n == 2:
+                    c = 5000
+                elif pos == 1 or pos == n:
+                    c = 4000
+                else:
+                    c = 2000 // (n - 2) + (2000 % (n - 2) if pos == 2 else 0)
+                credit[et] = credit.get(et, 0) + c
+                touches_out[et] = touches_out.get(et, 0) + 1
+    return credit, touches_out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=event_strategy)
+def test_position_weighted_matches_model(spark, rows):
+    from qms_datawarehouse_spark.plans.analytics import (
+        position_weighted_credits,
+    )
+
+    df = spark.createDataFrame(
+        [(u, ts, f"e{eid:04d}", et) for eid, (u, ts, et) in enumerate(rows)],
+        "user_id long, ts long, event_id string, event_type string",
+    )
+    got = {
+        r["channel"]: (r["n_touches"], r["credit_bp"])
+        for r in position_weighted_credits(df).collect()
+    }
+    credit, touches = _model_credits(rows)
+    assert got == {et: (touches[et], credit[et]) for et in credit}
