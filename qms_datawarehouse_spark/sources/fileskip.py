@@ -250,27 +250,14 @@ def file_manifest_df(
     return out_df
 
 
-def prune_files_df(
-    manifest_df: DataFrame, col: str, lo, hi
-) -> list[str]:
-    """DataFrame-native prune over a ``file_manifest_df`` manifest:
-    the overlap predicate runs as a ``filter`` wherever the manifest
-    lives (executor memory, a warehouse table, a parquet scan) and
-    ONLY the surviving file paths are collected — the driver budget
-    is O(files that will be read), never O(all files). Files without
-    stats are conservatively kept, matching ``prune_files``. If the
-    manifest's stat column type was NOT restored to the probe's type
-    (string-typed stats probed with a non-string bound — e.g. a
-    manifest built by an older harvest, or a type outside the restore
-    table), every file is conservatively kept: a lexicographic compare
-    against a typed literal can silently drop overlapping files, which
-    is a wrong-results failure, not a perf one. The guard is
-    two-directional: a TYPED (e.g. long) manifest column probed with
-    STRING bounds also keeps all — Spark coerces bigint-vs-string to
-    double, and bounds beyond 2^53 compare approximately, which can
-    mis-prune. Either degenerate keep-all emits a ``fileskip.
-    prune_disabled`` log event so an operator notices the manifest
-    needs a re-harvest (it silently turns pruning off otherwise)."""
+def _overlap_condition(manifest_df, col: str, lo, hi):
+    """Range-overlap filter column for one stat pair, or ``None`` when
+    the manifest's stat type can't be compared against the probe
+    bounds (the two-directional restore guard): string stats with a
+    typed probe lexicographically mis-compare; typed stats with
+    string bounds coerce to double and compare approximately past
+    2^53. A None emits ``fileskip.prune_disabled`` so a stale
+    manifest is noticed. NULL bounds conservatively keep the file."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -288,13 +275,50 @@ def prune_files_df(
             manifest_type=mn_field.dataType.simpleString(),
             probe_types=[type(lo).__name__, type(hi).__name__],
             reason="manifest stat type does not match probe bound type; "
-            "keeping ALL files — re-harvest the manifest",
+            "this predicate prunes nothing — re-harvest the manifest",
         )
-        return sorted(r[0] for r in manifest_df.select("file").collect())
+        return None
     mn, mx = F.col(f"`{col}_min`"), F.col(f"`{col}_max`")
-    kept = manifest_df.filter(
-        mn.isNull() | mx.isNull() | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
-    )
+    return mn.isNull() | mx.isNull() | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+
+
+def prune_files_df(
+    manifest_df: DataFrame, col: str, lo, hi
+) -> list[str]:
+    """DataFrame-native prune over a ``file_manifest_df`` manifest:
+    the overlap predicate runs as a ``filter`` wherever the manifest
+    lives (executor memory, a warehouse table, a parquet scan) and
+    ONLY the surviving file paths are collected — the driver budget
+    is O(files that will be read), never O(all files). Files without
+    stats are conservatively kept, matching ``prune_files``. A
+    type-mismatched probe (see ``_overlap_condition``) conservatively
+    keeps ALL files — a wrong-results risk otherwise, not a perf
+    one — and logs ``fileskip.prune_disabled``."""
+    return prune_files_df_multi(manifest_df, {col: (lo, hi)})
+
+
+def prune_files_df_multi(
+    manifest_df: DataFrame, preds: dict
+) -> list[str]:
+    """CONJUNCTIVE prune: a file survives only if EVERY ``{col: (lo,
+    hi)}`` predicate's range overlaps its stats — the read path the
+    z-order layout exists for (a multi-column z-curve clusters every
+    listed column, so the intersection of per-column overlaps prunes
+    far harder than any single column; see test_fileskip's
+    two-predicate z-layout case). A predicate whose stat type is
+    degraded (``_overlap_condition`` → None) contributes no
+    constraint — the OTHER predicates still prune, and only if every
+    predicate degrades does the prune fall back to keep-all."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for col, (lo, hi) in preds.items():
+        c = _overlap_condition(manifest_df, col, lo, hi)
+        if c is not None:
+            cond = c if cond is None else cond & c
+    if cond is None:  # every predicate degraded: conservative keep-all
+        return sorted(r[0] for r in manifest_df.select("file").collect())
+    kept = manifest_df.filter(cond)
     return sorted(r[0] for r in kept.select("file").collect())
 
 

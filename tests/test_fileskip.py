@@ -307,3 +307,69 @@ def test_nested_leaf_stat_paths_dont_crash_manifest(spark, tmp_path):
     assert all(r["id_min"] is not None for r in rows)
     # NULL bounds → conservative keep-all
     assert len(prune_files_df(mdf, "s.x", 0, 1)) == len(rows)
+
+
+def test_multi_column_prune_on_zorder_layout(spark, zlayout):
+    """Conjunctive pruning is what the z-order layout exists for: a
+    (user_id AND ts) probe must keep exactly the intersection of the
+    single-column survivors — strictly fewer files than either alone
+    here — and the pruned read must equal the full filter."""
+    from qms_datawarehouse_spark.sources.fileskip import (
+        file_manifest_df,
+        prune_files_df,
+        prune_files_df_multi,
+    )
+
+    full = spark.read.parquet(zlayout)
+    # derive narrow ranges from the data (sf0.001 has ~15 user ids)
+    u_min, u_max, t_lo, t_hi = full.selectExpr(
+        "min(user_id)",
+        "max(user_id)",
+        "min(ts)",
+        "timestampadd(HOUR, 100, min(ts))",
+    ).first()
+    u_lo, u_hi = int(u_min), int(u_min) + max(1, (int(u_max) - int(u_min)) // 4)
+
+    mdf = file_manifest_df(spark, zlayout, ["user_id", "ts"])
+    n_files = mdf.count()
+    by_user = prune_files_df(mdf, "user_id", u_lo, u_hi)
+    by_ts = prune_files_df(mdf, "ts", t_lo, t_hi)
+    both = prune_files_df_multi(
+        mdf, {"user_id": (u_lo, u_hi), "ts": (t_lo, t_hi)}
+    )
+    assert set(both) == set(by_user) & set(by_ts)
+    assert by_user and by_ts and both  # both single-column probes hit
+    # the conjunction prunes at least as hard as either column, and
+    # strictly harder than a full scan — the z-curve's payoff
+    assert len(both) <= min(len(by_user), len(by_ts))
+    assert len(both) < n_files
+
+    pred = (
+        (F.col("user_id") >= u_lo)
+        & (F.col("user_id") <= u_hi)
+        & (F.col("ts") >= t_lo)
+        & (F.col("ts") <= t_hi)
+    )
+    want = full.filter(pred).count()
+    got = spark.read.parquet(*both).filter(pred).count()
+    assert got == want
+
+
+def test_multi_prune_degraded_column_keeps_others(spark):
+    """A type-degraded predicate contributes no constraint but must
+    NOT disable the other predicates' pruning; all-degraded falls
+    back to keep-all."""
+    from qms_datawarehouse_spark.sources.fileskip import (
+        prune_files_df_multi,
+    )
+
+    mdf = spark.createDataFrame(
+        [("f1", 0, 9, "a", "c"), ("f2", 10, 19, "d", "f")],
+        "file string, v_min long, v_max long, s_min string, s_max string",
+    )
+    # v prunes normally; s degraded (typed probe on string stats)
+    kept = prune_files_df_multi(mdf, {"v": (0, 5), "s": (1, 2)})
+    assert kept == ["f1"]
+    # all predicates degraded -> conservative keep-all
+    kept = prune_files_df_multi(mdf, {"s": (1, 2)})
+    assert kept == ["f1", "f2"]
