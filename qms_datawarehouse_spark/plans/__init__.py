@@ -44,15 +44,16 @@ from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, que
 # funnel_time_to_convert) plus the two added THIS round
 # (bloom_index_point_lookup over the r5-reworked CAS/bit-OR index
 # refresh, ingest_gate_replay_two_epochs over the streaming admission
-# math) — closing them, plus (b), reaches 174/174 cumulative
+# math) — closing them, plus (b), reaches 175/175 cumulative
 # driver-checked: every registered query with a fully-green row in
 # some round;
 # (b) the three late-round additions (U-shaped attribution,
-# l-diversity, minhash estimator audit, fixed-point k-means);
+# l-diversity, minhash estimator audit, fixed-point k-means,
+# content checksum);
 # (c) anchors over code touched this round (flagship always;
 # ingest_gate_probe rides the max_rejects rework of ingest_dedup);
-# (d) 39 freshness slots given to the OLDEST evidence — all 33
-# queries whose last green row is round 1, plus six round-2
+# (d) 38 freshness slots given to the OLDEST evidence — all 33
+# queries whose last green row is round 1, plus five round-2
 # rows spanning the dedup/similarity/curation/multimodal/
 # streaming families. Exactly the first 50 get a driver row.
 _DRIVER_WINDOW = [
@@ -106,8 +107,8 @@ _DRIVER_WINDOW = [
     "privacy_l_diversity",
     "dedup_minhash_estimate_audit",
     "embedding_kmeans_2iter",
-    # ---- freshness: six round-2 rows across operator families -------
-    "dedup_simhash",
+    "dq_content_checksum",
+    # ---- freshness: five round-2 rows across operator families ------
     "similarity_ivf_probe",
     "curation_contamination",
     "multimodal_features",
@@ -115,7 +116,7 @@ _DRIVER_WINDOW = [
     "s8_point_lookup",
 ]
 
-# Allocation note: once this window lands green, all 174 registered
+# Allocation note: once this window lands green, all 175 registered
 # queries have a fully-green driver row in some round (the rows-only
 # sketch_aggregates slot was retired in round 6 — the deterministic
 # KMV/CMS/bottom-k family carries the sketch evidence with full value

@@ -225,3 +225,69 @@ def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("val").try_cast("long")).alias("min_val"),
         F.max(F.col("val").try_cast("long")).alias("max_val"),
     )
+
+
+# --------------------------------------------------------------------
+# Order-independent table content checksum (replication / CDC audit)
+# --------------------------------------------------------------------
+
+_CKSUM_SQL = """
+    WITH h AS (
+        SELECT o_orderpriority AS priority,
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS VARCHAR) || '|' ||
+                   CAST(epoch_us(o_orderdate) AS VARCHAR)
+               ), 1, 8))::UBIGINT AS BIGINT) AS rh
+        FROM orders
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(rh) AS BIGINT) AS content_checksum
+    FROM h GROUP BY priority ORDER BY priority
+"""
+
+
+@query("dq_content_checksum", _CKSUM_SQL)
+def dq_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INDEPENDENT content checksum per partition group — the
+    replication/CDC-audit verifier: two copies of a table are
+    content-equal iff their (count, checksum) rows match, regardless
+    of row order, file layout or partitioning (sum is commutative).
+    The row hash is the cross-engine md5-first-8-hex recipe
+    (operators/hashsplit.py) over a canonical rendering that only
+    ever stringifies EXACT types — doubles go through the cents
+    fixed-point, timestamps through epoch micros — because float
+    formatting is the one thing two engines never agree on.
+
+    Scale shape: map-side row hash + one partial-aggregated groupBy —
+    a full-table verification pass costs one scan and shuffles
+    O(groups); comparing two 100 TB replicas is a join of two tiny
+    checksum frames. The same per-group rows localize a divergence
+    to a partition before any row-level diff runs."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        F.unix_micros(F.col("o_orderdate")).cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        orders.select(F.col("o_orderpriority").alias("priority"), rh.alias("rh"))
+        .groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("rh").cast("long").alias("content_checksum"),
+        )
+        .orderBy("priority")
+    )

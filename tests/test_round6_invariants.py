@@ -187,3 +187,46 @@ def test_position_weighted_matches_model(spark, rows):
     }
     credit, touches = _model_credits(rows)
     assert got == {et: (touches[et], credit[et]) for et in credit}
+
+
+def test_content_checksum_is_order_independent_and_sensitive(spark):
+    """The checksum must be invariant under any physical reshuffle of
+    the same rows, and must move when ONE row's content changes — the
+    two properties that make it a replication verifier."""
+    from qms_datawarehouse_spark.plans.modern import dq_content_checksum
+
+    base = {
+        r["priority"]: (r["n_rows"], r["content_checksum"])
+        for r in dq_content_checksum(spark, SF_DIR).collect()
+    }
+
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # same content, different physical order / layout
+    orders.orderBy(F.rand(7)).repartition(7).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    shuffled = {
+        r["priority"]: (r["n_rows"], r["content_checksum"])
+        for r in dq_content_checksum(spark, d).collect()
+    }
+    assert shuffled == base
+
+    # one row's totalprice nudged by a cent: exactly one group moves
+    mutated = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == orders.agg(F.min("o_orderkey")).first()[0],
+            F.col("o_totalprice") + 0.01,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    mutated.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    changed = {
+        r["priority"]: (r["n_rows"], r["content_checksum"])
+        for r in dq_content_checksum(spark, d).collect()
+    }
+    diff = [p for p in base if changed[p] != base[p]]
+    assert len(diff) == 1
+    assert changed[diff[0]][0] == base[diff[0]][0]  # count same, hash moved
