@@ -1471,7 +1471,14 @@ _GATE_REPLAY_SQL = f"""
         JOIN sizes nb ON common.db = nb.doc_id
         WHERE c * 1.0 / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}
     ),
-    ep AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS odd FROM documents),
+    -- ((x % 2) + 2) % 2 = Spark's pmod: DuckDB's % truncates toward
+    -- zero (-1 for negative odd ids), which would silently split the
+    -- epochs differently from the Spark side's pmod
+    ep AS (
+        SELECT doc_id,
+               CAST(((doc_id % 2) + 2) % 2 AS INT) AS odd
+        FROM documents
+    ),
     vere AS (
         SELECT v.da, v.db, ea.odd AS oa, eb.odd AS ob
         FROM ver v
@@ -1722,7 +1729,7 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(size(array_intersect(s_a, s_b)) * 10000 AS BIGINT) div "
         f"(size(s_a) + size(s_b) - size(array_intersect(s_a, s_b)))"
     )
-    return withsets.select(
+    out = withsets.select(
         "doc_a",
         "doc_b",
         F.col("m_agree").cast("long").alias("m_agree"),
@@ -1730,3 +1737,9 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.cast("long").alias("exact_bp"),
         (est - exact).cast("long").alias("err_bp"),
     )
+    # persist hygiene (the connected_components standard): eagerly
+    # materialize the candidate-pair-sized result, then drop the
+    # shingle cache instead of leaving it to session GC
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

@@ -138,7 +138,12 @@ def ingest_dedup(
     got, trunc = _report(in_batch_dups, max_rejects)
     rejected += got
     truncated |= trunc
-    batch_dup_ids = {r[0] for r in rejected}
+    # the cross-corpus report's already-rejected filter needs the FULL
+    # in-batch dup id set, not the capped report prefix — O(batch)
+    # distinct ids, never O(pairs)
+    batch_dup_ids = {
+        r[0] for r in in_batch_dups.select("new_id").distinct().collect()
+    }
     dup_ids = in_batch_dups.select(F.col("new_id").alias("doc_id"))
 
     # -- cross-corpus probe -------------------------------------------

@@ -889,12 +889,26 @@ def _km_quantized(emb: DataFrame) -> DataFrame:
     is plain truncation — identical in Spark ``div`` and DuckDB ``//``
     — with no negative-floor disagreement. Distances are shift-
     invariant; float→double→floor is bit-identical cross-engine (the
-    PQ kernels' proven recipe)."""
+    PQ kernels' proven recipe).
+
+    The shift only stays truncation-safe while every component is
+    > -1.0: a smaller value would quantize negative and re-open the
+    floor-vs-truncate divergence between the engines. That contract
+    is enforced here with an executor-side ``raise_error`` guard (a
+    per-element comparison folded into the same transform — no extra
+    pass), so a hostile embedding fails LOUDLY instead of as an
+    unexplained driver hash mismatch."""
     return emb.select(
         "vec_id",
         F.expr(
-            "transform(embedding, x -> "
-            "CAST(floor((CAST(x AS DOUBLE) + 1.0d) * 1000.0d) AS BIGINT))"
+            "CASE WHEN exists(embedding, x -> CAST(x AS DOUBLE) <= -1.0d) "
+            "THEN raise_error(concat("
+            "'embedding_kmeans quantization requires every component "
+            "> -1.0 (shift-positive fixed-point contract); offending "
+            "vec_id=', CAST(vec_id AS STRING))) "
+            "ELSE transform(embedding, x -> "
+            "CAST(floor((CAST(x AS DOUBLE) + 1.0d) * 1000.0d) AS BIGINT)) "
+            "END"
         ).alias("v"),
     )
 

@@ -368,11 +368,14 @@ def bloom_index_point_lookup(spark, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
     ).first()
     lo, hi = int(row["lo"]), int(row["hi"])
-    mid = int(
+    # degenerate key domains (no key with 2k <= max) return a NULL
+    # aggregate — fall back to lo rather than TypeError on int(None)
+    mid_val = (
         df.filter(F.col("o_orderkey") * 2 <= hi)
         .agg(F.max("o_orderkey"))
         .first()[0]
     )
+    mid = lo if mid_val is None else int(mid_val)
     keys = sorted({lo, mid, hi}) + [hi + 1]  # hi+1 is absent
     # batched probe: every key's surviving partitions from ONE job
     # (read_point_lookup per key costs a driver round-trip per key —

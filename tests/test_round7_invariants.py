@@ -1,0 +1,81 @@
+"""Round-7 hardening pins: the ADVICE-flagged failure modes must fail
+LOUDLY (or degrade gracefully) instead of surfacing as unexplained
+driver hash mismatches."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from qms_datawarehouse_spark.operators.incremental_dedup import ingest_dedup
+from qms_datawarehouse_spark.operators.similarity import _km_quantized
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the morning sun light"
+)
+
+
+def test_km_quantized_guards_out_of_range_components(spark):
+    """The shift-positive fixed-point contract (every component
+    > -1.0) is what keeps Spark ``div`` and DuckDB ``//`` byte-equal
+    in the centroid update; a violating embedding must raise with the
+    offending vec_id, not silently diverge cross-engine."""
+    ok = spark.createDataFrame(
+        [(1, [0.5, -0.2]), (2, [-0.9999, 0.3])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r.v for r in _km_quantized(ok).collect()}
+    assert rows == {1: [1500, 800], 2: [0, 1300]}
+
+    bad = spark.createDataFrame(
+        [(7, [0.5, -1.5])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vec_id=7"):
+        _km_quantized(bad).collect()
+
+
+def test_capped_report_never_double_lists_in_batch_rejects(spark, warehouse):
+    """The cross-corpus report filter must see the FULL in-batch dup
+    id set (built from the frame, not the capped report prefix): a doc
+    rejected in-batch that also near-matches a stored doc appears in
+    the report once, under its in-batch pairing."""
+    ingest_dedup(
+        warehouse,
+        spark.createDataFrame([(1, BASE)], "doc_id long, text string"),
+    )
+    batch = spark.createDataFrame(
+        [
+            (40, BASE.replace("morning", "evening")),
+            (41, BASE.replace("morning", "midnight")),
+        ],
+        "doc_id long, text string",
+    )
+    res = ingest_dedup(warehouse, batch, max_rejects=5)
+    assert res.n_accepted == 0 and res.n_rejected == 2
+    # 41 rejects to 40 in-batch; both near-match stored doc 1. The
+    # report lists 41 exactly once (in-batch) and 40 once (cross).
+    new_ids = [r[0] for r in res.rejected]
+    assert sorted(new_ids) == [40, 41]
+    assert (41, 40) in {(r[0], r[1]) for r in res.rejected}
+
+
+def test_bloom_lookup_survives_degenerate_key_domain(spark, tmp_path):
+    """A key domain where no key satisfies 2k <= max(k) makes the
+    mid-key aggregate NULL; the lookup must fall back to lo instead of
+    raising TypeError (the DuckDB oracle already degrades via a UNION
+    of an empty select)."""
+    from qms_datawarehouse_spark.sources.bloomindex import (
+        bloom_index_point_lookup,
+    )
+
+    d = datetime.date(2024, 1, 1)
+    spark.createDataFrame(
+        [(5, 1, 10.0, d), (9, 2, 20.0, d)],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate date",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = bloom_index_point_lookup(spark, str(tmp_path))
+    # keys probed: lo=5 (also the mid fallback), hi=9, absent 10
+    assert [r.o_orderkey for r in out.collect()] == [5, 9]
