@@ -122,10 +122,38 @@ HEADLINE = [
 ]
 
 
+def _host_load() -> dict:
+    """Contamination telemetry: loadavg + uptime captured in-file so a
+    loaded-box run (this VM swings 1.5-2.5x under external load) is
+    self-diagnosing — a judge comparing rounds can see in the JSON
+    itself whether the box was busy, instead of cross-referencing
+    SURVEY notes. loadavg_1m >> bench's own CPU use at start means the
+    wall-times are contaminated."""
+    out: dict = {"cpus_configured": int(CPUS)}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        out.update(
+            {
+                "loadavg_1m": round(la1, 2),
+                "loadavg_5m": round(la5, 2),
+                "loadavg_15m": round(la15, 2),
+            }
+        )
+    except OSError:  # pragma: no cover - platform without getloadavg
+        pass
+    try:
+        with open("/proc/uptime") as f:
+            out["uptime_sec"] = round(float(f.read().split()[0]), 1)
+    except OSError:  # pragma: no cover - non-procfs platform
+        pass
+    return out
+
+
 def main() -> None:
     from qms_datawarehouse_spark.plans import queries_map
     from qms_datawarehouse_spark.session import get_spark
 
+    load_at_start = _host_load()
     spark = get_spark(
         "qms-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
     )
@@ -173,6 +201,8 @@ def main() -> None:
                 "cold_value": round(cold_total, 3),
                 "runs_per_query": 4,
                 "protocol": "warm = min of 3 runs after 1 cold run",
+                "host_load_start": load_at_start,
+                "host_load_end": _host_load(),
                 "notes": (
                     "r6 SCALE probes (VERDICT r5 item 5, tables in "
                     "docs/SCALING.md): 5x docs/embeddings replica probe "

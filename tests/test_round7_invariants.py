@@ -17,6 +17,22 @@ BASE = (
 )
 
 
+def test_bench_embeds_host_load_telemetry():
+    """bench.py's JSON line must carry the contamination indicator
+    (loadavg + uptime) so a loaded-box capture is self-diagnosing in
+    BENCH_r{N}.json instead of needing a SURVEY cross-reference."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    hl = bench._host_load()
+    assert {"loadavg_1m", "loadavg_5m", "loadavg_15m"} <= set(hl)
+    assert hl["uptime_sec"] > 0 and hl["cpus_configured"] > 0
+
+
 def test_km_quantized_guards_out_of_range_components(spark):
     """The shift-positive fixed-point contract (every component
     > -1.0) is what keeps Spark ``div`` and DuckDB ``//`` byte-equal
