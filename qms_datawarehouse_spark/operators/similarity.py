@@ -828,8 +828,11 @@ def embedding_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K = 8  # clusters; seeds = vec_id < K (deterministic init)
 
-_KM_SQL = f"""
-    WITH q AS (
+# Shared CTE prefix: quantize → seed → two exact Lloyd iterations →
+# a2(vec_id, cid, dist) is the final assignment. Reused verbatim by
+# the kmeans driver query and by dedup_semantic's oracle so the two
+# queries pin the SAME clustering arithmetic.
+_KM_CTES = f"""q AS (
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x ->
                    CAST(floor((x + 1.0) * 1000.0) AS BIGINT)) AS v
@@ -870,7 +873,10 @@ _KM_SQL = f"""
                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
             FROM d2
         ) WHERE rn = 1
-    ),
+    )"""
+
+_KM_SQL = f"""
+    WITH {_KM_CTES},
     cs AS (SELECT cid, CAST(list_sum(cv) AS BIGINT) AS centroid_sum FROM c1)
     SELECT a2.cid AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_members,
@@ -1008,6 +1014,225 @@ def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             "inertia",
             "centroid_sum",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------
+# SemDeDup: semantic dedup as a full pipeline operator
+# --------------------------------------------------------------------
+
+# cos >= 0.40 expressed in integers: dot > 0 AND dot^2 * 10000 >=
+# 1600 * ||a||^2 * ||b||^2 (tau^2 * 10^4). Same threshold as the
+# brute-force dedup_embedding_cosine kernel so the two operators agree
+# on what "semantic near-dup" means.
+_SEM_T2 = 1600
+
+_SEM_SQL = f"""
+    WITH {_KM_CTES},
+    qc AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x ->
+                   CAST(floor(x * 1000.0) AS BIGINT)) AS w
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT)
+                   AS nn
+        FROM qc
+    ),
+    mem AS (
+        SELECT a2.vec_id, a2.cid, qc.w, nrm.nn
+        FROM a2
+        JOIN qc ON a2.vec_id = qc.vec_id
+        JOIN nrm ON a2.vec_id = nrm.vec_id
+    ),
+    prs AS (
+        SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> a.w[i] * b.w[i])) AS BIGINT) AS dot,
+               a.nn AS na, b.nn AS nb
+        FROM mem a
+        JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    dup AS (
+        SELECT cid, va, vb FROM prs
+        WHERE dot > 0
+          AND CAST(dot AS HUGEINT) * dot * 10000
+              >= CAST({_SEM_T2} AS HUGEINT) * na * nb
+    ),
+    rem AS (SELECT DISTINCT cid, vb AS vec_id FROM dup),
+    dp AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_dup_pairs
+        FROM dup GROUP BY cid
+    ),
+    base AS (
+        SELECT m.cid,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+               CAST(coalesce(sum(r.vec_id), 0) AS BIGINT)
+                   AS removed_id_sum
+        FROM mem m
+        LEFT JOIN rem r ON m.cid = r.cid AND m.vec_id = r.vec_id
+        GROUP BY m.cid
+    )
+    SELECT base.cid AS cluster_id,
+           n_members,
+           CAST(coalesce(dp.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           n_removed,
+           CAST(n_members - n_removed AS BIGINT) AS n_kept,
+           removed_id_sum
+    FROM base LEFT JOIN dp ON base.cid = dp.cid
+    ORDER BY cluster_id
+"""
+
+
+def _cos_quantized(emb: DataFrame) -> DataFrame:
+    """Unshifted fixed-point embedding for cosine terms:
+    floor(x·1000) as BIGINT. No shift here — cosine is not shift-
+    invariant — and none is needed: dot products and squared norms
+    involve no integer division, and floor itself (round toward -inf)
+    is identical in both engines on identical doubles."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000.0d) AS BIGINT))"
+        ).alias("w"),
+    )
+
+
+def _km_assignments(emb: DataFrame) -> DataFrame:
+    """The two exact Lloyd iterations of ``embedding_kmeans_2iter``,
+    returning the final (vec_id, cid) assignment — the shared
+    clustering stage of the kmeans driver query and ``dedup_semantic``."""
+    q = _km_quantized(emb)
+    c0 = (
+        q.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    a1 = _km_assign(q, c0)
+    c1 = (
+        _km_means(a1)
+        .select(F.struct("cid", "cv").alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    return _km_assign(q, c1).select("vec_id", "cid")
+
+
+@query("dedup_semantic", _SEM_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as one verified pipeline: cluster
+    the embedding corpus with the byte-identical fixed-point Lloyd
+    loop, prune cosine>=0.40 pairs WITHIN each cluster (the kernel of
+    ``dedup_embedding_cosine``, bucketed by cluster_id — never
+    corpus-wide all-pairs), and keep one canonical per semantic
+    neighborhood: a vector is removed iff a LOWER-id cluster-mate sits
+    above the threshold (the deterministic keep-first policy, the
+    ``dedup_canonical`` mold). Returns per-cluster admission stats;
+    ``removed_id_sum`` pins the exact removed id set, so the driver
+    hash verifies the whole cluster->prune->keep pipeline, not counts.
+
+    The threshold compare never leaves integers: cos>=t iff dot>0 and
+    dot^2*10^4 >= t^2*10^4 * ||a||^2*||b||^2, evaluated in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) — no float crosses an
+    engine boundary, so no boundary-pair flakiness.
+
+    Scale shape: clustering is the kmeans query's two plans (K-row
+    broadcast assignment + K·64-partial-sum update); the pair stage is
+    a cluster-keyed equi-join, cost sum(cluster^2) never corpus^2. At
+    100 TB the knob is K ~ N/target_cluster_size (SemDeDup's own
+    regime), which keeps per-cluster blocks constant-size while this
+    exact plan shape is unchanged; the final agg is K rows.
+
+    Reference capability analog: the near-dup admission the reference
+    collapses by `_id` at upsert time (src/services/etl.py:68-75),
+    lifted to meaning-space."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    asn = _km_assignments(emb)
+    w = _cos_quantized(emb)
+    nrm = w.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("w", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nn"),
+    )
+    mem = asn.join(w, "vec_id").join(nrm, "vec_id")
+    a = mem.select(
+        "cid",
+        F.col("vec_id").alias("va"),
+        F.col("w").alias("wa"),
+        F.col("nn").alias("na"),
+    )
+    b = mem.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("vb"),
+        F.col("w").alias("wb"),
+        F.col("nn").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("wa", "wb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    pairs = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b")) & (F.col("va") < F.col("vb")),
+        )
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast(dec) * F.col("dot") * F.lit(10000)
+                >= F.lit(_SEM_T2).cast(dec) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("cid", "va", "vb")
+    )
+    rem = pairs.select("cid", F.col("vb").alias("vec_id")).distinct()
+    dp = pairs.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_dup_pairs")
+    )
+    base = (
+        mem.join(
+            rem.withColumn("is_rem", F.lit(1)), ["cid", "vec_id"], "left"
+        )
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.count("is_rem").cast("long").alias("n_removed"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_rem") == 1, F.col("vec_id"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("removed_id_sum"),
+        )
+    )
+    return (
+        base.join(dp, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_pairs"),
+            "n_removed",
+            (F.col("n_members") - F.col("n_removed"))
+            .cast("long")
+            .alias("n_kept"),
+            "removed_id_sum",
         )
         .orderBy("cluster_id")
     )

@@ -57,10 +57,12 @@ def test_anchors_inside_window():
 
 # queries ADDED this round (no driver row possible yet): either
 # already swapped into the window, or queued here for the next window
-# so nothing falls through. Round 6: empty — the three r4-queued
-# queries AND both r6 additions (bloom_index_point_lookup,
-# ingest_gate_replay_two_epochs) are all in-window.
-QUEUED_NEXT_WINDOW: list[str] = []
+# so nothing falls through. Round 7: staging list while the round's
+# operators land — emptied by the end-of-round rotation, which swaps
+# every entry into _DRIVER_WINDOW.
+QUEUED_NEXT_WINDOW: list[str] = [
+    "dedup_semantic",
+]
 
 
 def test_rotated_out_queries_were_driver_green():

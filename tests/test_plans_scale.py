@@ -370,6 +370,9 @@ def test_no_unintended_cartesian_anywhere(spark):
         "funnel_time_to_convert",
         # K-row centroid-list broadcast, twice (one per Lloyd iteration)
         "embedding_kmeans_2iter",
+        # same K-row centroid broadcasts (shared Lloyd stage); the
+        # pair stage itself is a cluster-keyed equi-join
+        "dedup_semantic",
     }
     offenders = {}
     for name, qd in REGISTRY.items():

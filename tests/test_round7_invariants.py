@@ -77,6 +77,28 @@ def test_capped_report_never_double_lists_in_batch_rejects(spark, warehouse):
     assert (41, 40) in {(r[0], r[1]) for r in res.rejected}
 
 
+def test_dedup_semantic_shares_kmeans_partition(spark):
+    """dedup_semantic's clusters ARE embedding_kmeans_2iter's clusters
+    (one shared Lloyd stage): member counts must agree per cluster,
+    and the keep/remove accounting must balance."""
+    from qms_datawarehouse_spark.operators.similarity import (
+        dedup_semantic,
+        embedding_kmeans_2iter,
+    )
+    from conftest import SF_DIR
+
+    sem = {r.cluster_id: r for r in dedup_semantic(spark, SF_DIR).collect()}
+    km = {
+        r.cluster_id: r.n_members
+        for r in embedding_kmeans_2iter(spark, SF_DIR).collect()
+    }
+    assert {c: r.n_members for c, r in sem.items()} == km
+    for r in sem.values():
+        assert r.n_kept + r.n_removed == r.n_members
+        assert r.n_dup_pairs >= r.n_removed  # every removal has >=1 pair
+        assert (r.removed_id_sum > 0) == (r.n_removed > 0)
+
+
 def test_bloom_lookup_survives_degenerate_key_domain(spark, tmp_path):
     """A key domain where no key satisfies 2k <= max(k) makes the
     mid-key aggregate NULL; the lookup must fall back to lo instead of
