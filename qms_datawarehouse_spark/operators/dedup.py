@@ -1743,3 +1743,167 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     return out
+
+
+# --------------------------------------------------------------------
+# Exact-substring dedup: sliding k-token grams merged into maximal
+# duplicated spans
+# --------------------------------------------------------------------
+
+# Gram length in tokens. Production corpora use ~50 (the
+# memorization-length gate of Lee et al.'s "Deduplicating Training
+# Data Makes Language Models Better" suffix-array setup); the fixture
+# documents average 54 tokens, so 20 keeps every length band
+# represented while preserving the stride-1 overlap structure the
+# run-merge exists for.
+_SPAN_K = 20
+
+_SPAN_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id, i,
+               md5(array_to_string(list_slice(w, i + 1, i + {_SPAN_K}), ' '))
+                   AS h,
+               len(w) AS n_tokens
+        FROM t, UNNEST(range(CAST(greatest(len(w) - {_SPAN_K} + 1, 0)
+                 AS BIGINT))) AS u(i)
+    ),
+    hd AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    d AS (SELECT g.doc_id, g.i FROM g JOIN hd USING (h)),
+    runs AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         <= {_SPAN_K}
+                    THEN 0 ELSE 1 END AS brk
+        FROM d
+    ),
+    spans0 AS (
+        SELECT doc_id, i,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+        FROM runs
+    ),
+    spans AS (
+        SELECT doc_id, span_id,
+               CAST(max(i) - min(i) + {_SPAN_K} AS BIGINT) AS covered
+        FROM spans0 GROUP BY doc_id, span_id
+    ),
+    per_span AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(covered) AS BIGINT) AS covered_tokens
+        FROM spans GROUP BY doc_id
+    ),
+    gd AS (
+        SELECT doc_id, CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_grams
+        FROM g GROUP BY doc_id
+    ),
+    dd AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+        FROM d GROUP BY doc_id
+    )
+    SELECT gd.doc_id, gd.n_tokens, gd.n_grams,
+           CAST(coalesce(dd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(per_span.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(per_span.covered_tokens, 0) AS BIGINT)
+               AS covered_tokens,
+           CAST(coalesce(per_span.covered_tokens, 0) * 10000
+                // gd.n_tokens AS BIGINT) AS dup_bp
+    FROM gd
+    LEFT JOIN dd ON gd.doc_id = dd.doc_id
+    LEFT JOIN per_span ON gd.doc_id = per_span.doc_id
+"""
+
+
+@query("dedup_substring_spans", _SPAN_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup below passage granularity: STRIDE-1
+    k-token grams (vs ``dedup_passages``' fixed disjoint chunks, which
+    miss any duplicated span straddling a chunk boundary), then
+    adjacent duplicated grams run-merged into MAXIMAL duplicated spans
+    — the suffix-array-style exact-substring gate (Lee et al. 2022)
+    re-expressed as hash-join + window, no suffix array needed.
+
+    A gram is duplicated iff its hash occurs in >= 2 distinct docs.
+    Two duplicated gram starts i1 < i2 in one doc merge iff
+    i2 - i1 <= k (their token intervals [i, i+k-1] overlap or adjoin),
+    so a merged span's token coverage is exactly max_i - min_i + k —
+    interval union collapses to one window pass because stride-1
+    intervals all have equal length. Reported per doc: gram counts,
+    span count, covered tokens, and duplicated-token basis points
+    (integer `div`, hash-identical cross-engine).
+
+    Scale shape: gram generation is MAP-SIDE (sequence+transform over
+    the word array, one posexplode — ~n_tokens rows per doc, the same
+    volume the shingle kernels already carry); exchanges are (1)
+    groupBy(h) for the cross-doc gram count, (2) the h-join back,
+    (3) doc-keyed windows + aggregates. All key-partitioned on
+    high-card columns, Σ(gram) never corpus². At 100 TB this is the
+    plan you want: the all-suffix alternative is superlinear in
+    memory, while this is three hash exchanges over ~t tokens."""
+    from pyspark.sql import Window
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    k = _SPAN_K
+    t = documents.select("doc_id", F.split("text", " ", -1).alias("w"))
+    g = t.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.posexplode(
+            F.when(
+                F.size("w") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - k),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("w", i + 1, k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("i", "h"),
+    )
+    hd = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    d = g.join(hd, "h").select("doc_id", "i")
+    wo = Window.partitionBy("doc_id").orderBy("i")
+    runs = d.withColumn(
+        "brk",
+        F.when(F.col("i") - F.lag("i").over(wo) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    spans0 = runs.withColumn("span_id", F.sum("brk").over(wo))
+    spans = spans0.groupBy("doc_id", "span_id").agg(
+        (F.max("i") - F.min("i") + k).cast("long").alias("covered")
+    )
+    per_span = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("covered").cast("long").alias("covered_tokens"),
+    )
+    gd = g.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_grams"),
+    )
+    dd = d.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_dup_grams"))
+    return (
+        gd.join(dd, "doc_id", "left")
+        .join(per_span, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.expr(
+                "CAST(coalesce(covered_tokens, 0) * 10000 div n_tokens"
+                " AS BIGINT)"
+            ).alias("dup_bp"),
+        )
+    )

@@ -62,6 +62,7 @@ def test_anchors_inside_window():
 # every entry into _DRIVER_WINDOW.
 QUEUED_NEXT_WINDOW: list[str] = [
     "dedup_semantic",
+    "dedup_substring_spans",
 ]
 
 

@@ -99,6 +99,43 @@ def test_dedup_semantic_shares_kmeans_partition(spark):
         assert (r.removed_id_sum > 0) == (r.n_removed > 0)
 
 
+def test_substring_spans_merges_runs_and_catches_straddles(spark, tmp_path):
+    """Two shared regions separated by more than k tokens form TWO
+    maximal spans with exact token coverage; a shared region that
+    straddles dedup_passages' fixed 10-token chunk grid is still
+    caught (the stride-1 point of the operator)."""
+    from qms_datawarehouse_spark.operators.dedup import (
+        _SPAN_K,
+        dedup_substring_spans,
+    )
+
+    k = _SPAN_K
+    base = [f"w{i}" for i in range(120)]
+    # doc 1 shares base[9:39] (30 tokens) and base[70:96] (26 tokens)
+    # with doc 0 — deliberately NOT aligned to any 10-token grid
+    doc0 = " ".join(base)
+    doc1 = " ".join(
+        [f"x{i}" for i in range(7)]
+        + base[9:39]
+        + [f"y{i}" for i in range(k + 5)]
+        + base[70:96]
+    )
+    spark.createDataFrame(
+        [(0, doc0), (1, doc1)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in dedup_substring_spans(spark, str(tmp_path)).collect()
+    }
+    for did in (0, 1):
+        r = out[did]
+        assert r.n_spans == 2, r
+        assert r.covered_tokens == 30 + 26, r
+        # 30-token region -> 11 grams, 26-token region -> 7 grams
+        assert r.n_dup_grams == (30 - k + 1) + (26 - k + 1), r
+    assert out[0].n_tokens == 120 and out[0].dup_bp == 56 * 10000 // 120
+
+
 def test_bloom_lookup_survives_degenerate_key_domain(spark, tmp_path):
     """A key domain where no key satisfies 2k <= max(k) makes the
     mid-key aggregate NULL; the lookup must fall back to lo instead of
