@@ -63,6 +63,7 @@ def test_anchors_inside_window():
 QUEUED_NEXT_WINDOW: list[str] = [
     "dedup_semantic",
     "dedup_substring_spans",
+    "similarity_ann_multiprobe",
 ]
 
 

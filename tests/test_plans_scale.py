@@ -373,6 +373,9 @@ def test_no_unintended_cartesian_anywhere(spark):
         # same K-row centroid broadcasts (shared Lloyd stage); the
         # pair stage itself is a cluster-keyed equi-join
         "dedup_semantic",
+        # 1-row query-vector broadcast for the rerank; candidates come
+        # from the 37-key bucket equi-join
+        "similarity_ann_multiprobe",
     }
     offenders = {}
     for name, qd in REGISTRY.items():
