@@ -251,3 +251,131 @@ def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# T4/T5: late & equal-cursor data across an incremental-sync epoch
+# boundary — the reference's documented $gt data-loss caveat, replayed
+# statelessly with cross-engine value verification
+# --------------------------------------------------------------------
+
+# Watermark delay for the windowed-admission mode (Structured
+# Streaming rule: a batch-2 row is admitted iff its event time >=
+# max(event time of batch 1) - delay).
+_WM_HOURS = 24
+
+_LATE_REPLAY_SQL = f"""
+    WITH ev AS (
+        SELECT event_id, date_trunc('hour', ts) AS cur,
+               CAST(((event_id % 10) + 10) % 10 < 7 AS INT) AS in_e1
+        FROM events
+    ),
+    b AS (SELECT max(cur) AS hwm FROM ev WHERE in_e1 = 1),
+    modes AS (
+        SELECT ev.event_id, ev.cur, ev.in_e1, m.mode, b.hwm,
+               CASE m.mode
+                   WHEN 'gt' THEN ev.cur > b.hwm
+                   WHEN 'ge_dedup' THEN ev.cur >= b.hwm
+                   ELSE ev.cur >= b.hwm - INTERVAL {_WM_HOURS} HOUR
+               END AS in_delta
+        FROM ev, b,
+             (VALUES ('gt'), ('ge_dedup'), ('watermark_{_WM_HOURS}h'))
+                 AS m(mode)
+    )
+    SELECT mode,
+           CAST(sum(in_e1) AS BIGINT) AS n_epoch1,
+           CAST(count(*) FILTER (in_delta) AS BIGINT) AS n_delta_rows,
+           CAST(count(*) FILTER (in_delta AND in_e1 = 0) AS BIGINT)
+               AS n_new_ids,
+           CAST(count(*) FILTER (NOT in_delta AND in_e1 = 0) AS BIGINT)
+               AS n_lost,
+           CAST(sum(CASE WHEN in_e1 = 1 OR in_delta
+                         THEN event_id ELSE 0 END) AS BIGINT)
+               AS stored_id_sum
+    FROM modes
+    GROUP BY mode
+    ORDER BY mode
+"""
+
+
+@query("watermark_late_replay", _LATE_REPLAY_SQL)
+def watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5 as a driver-verifiable row: replay ONE epoch boundary of
+    the incremental sync over the events fixture and account for every
+    late and equal-cursor event under the three admission policies —
+
+    - ``gt``: the reference's strict ``$gt`` cursor (its etl.py
+      documents the caveat): a second epoch admits only rows with
+      cursor strictly past the epoch-1 high-water mark, so late
+      arrivals AND rows sharing the boundary cursor value are lost.
+    - ``ge_dedup``: the engine's documented improvement — ``>=``
+      readmits the boundary tick (idempotent under the keyed merge;
+      the boundary re-merge rows show up in n_delta_rows, exactly as
+      ``sync_dataframe`` reports records_synced), saving equal-cursor
+      stragglers but not older late data.
+    - ``watermark_24h``: Structured Streaming's admission rule —
+      batch-2 rows are kept iff event time >= max(batch-1 event time)
+      - delay — recovering every late arrival inside the watermark.
+
+    Arrival epochs derive from ``event_id`` parity-of-scale (pmod 10
+    < 7 ⇒ epoch 1, a 70/30 split independent of event time, so ~30%%
+    of every hour arrives 'late'); the cursor is hour-truncated (the
+    coarse-granularity cursor under which the $gt caveat bites
+    hardest — many events share one cursor tick). ``stored_id_sum``
+    pins the exact stored id set per mode. The model is pinned equal
+    to the REAL paths in tests/test_round7_invariants.py: gt/ge_dedup
+    against two actual ``sync_dataframe`` epochs through a warehouse
+    (records_synced and stored ids), watermark against an actual
+    two-batch ``readStream`` + ``withWatermark`` run.
+
+    Scale shape: one scan, a 1-row high-water-mark broadcast, a
+    3-constant mode expansion, one aggregate — the same
+    stateless-replay mold as cdc/ingest_gate_replay_two_epochs."""
+    (events,) = tables(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("cur"),
+        (F.pmod(F.col("event_id"), F.lit(10)) < 7).cast("int").alias("in_e1"),
+    )
+    b = ev.filter(F.col("in_e1") == 1).agg(F.max("cur").alias("hwm"))
+    modes = spark.createDataFrame(
+        [("gt",), ("ge_dedup",), (f"watermark_{_WM_HOURS}h",)], "mode string"
+    )
+    in_delta = (
+        F.when(F.col("mode") == "gt", F.col("cur") > F.col("hwm"))
+        .when(F.col("mode") == "ge_dedup", F.col("cur") >= F.col("hwm"))
+        .otherwise(
+            F.col("cur")
+            >= F.col("hwm") - F.expr(f"INTERVAL {_WM_HOURS} HOUR")
+        )
+    )
+    m = (
+        ev.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(modes))
+        .withColumn("in_delta", in_delta)
+    )
+    return (
+        m.groupBy("mode")
+        .agg(
+            F.sum("in_e1").cast("long").alias("n_epoch1"),
+            F.sum(F.col("in_delta").cast("long")).cast("long").alias("n_delta_rows"),
+            F.sum(
+                (F.col("in_delta") & (F.col("in_e1") == 0)).cast("long")
+            )
+            .cast("long")
+            .alias("n_new_ids"),
+            F.sum(
+                ((~F.col("in_delta")) & (F.col("in_e1") == 0)).cast("long")
+            )
+            .cast("long")
+            .alias("n_lost"),
+            F.sum(
+                F.when(
+                    (F.col("in_e1") == 1) | F.col("in_delta"), F.col("event_id")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("stored_id_sum"),
+        )
+        .orderBy("mode")
+    )

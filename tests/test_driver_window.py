@@ -64,6 +64,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "dedup_semantic",
     "dedup_substring_spans",
     "similarity_ann_multiprobe",
+    "watermark_late_replay",
 ]
 
 

@@ -376,6 +376,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         # 1-row query-vector broadcast for the rerank; candidates come
         # from the 37-key bucket equi-join
         "similarity_ann_multiprobe",
+        # 1-row high-water-mark broadcast x 3-row mode-constant list
+        "watermark_late_replay",
     }
     offenders = {}
     for name, qd in REGISTRY.items():

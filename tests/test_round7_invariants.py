@@ -136,6 +136,114 @@ def test_substring_spans_merges_runs_and_catches_straddles(spark, tmp_path):
     assert out[0].n_tokens == 120 and out[0].dup_bp == 56 * 10000 // 120
 
 
+def _late_replay_fixture(spark):
+    """The replay query's own event split at SF_DIR, as DataFrames the
+    real paths can consume: (epoch-1 frame, full-snapshot frame,
+    model rows keyed by mode)."""
+    from qms_datawarehouse_spark.plans.registry import tables
+    from qms_datawarehouse_spark.streaming.windows import (
+        watermark_late_replay,
+    )
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    (events,) = tables(spark, SF_DIR, "events")
+    ev = events.select(
+        F.col("event_id").alias("_id"),
+        F.date_trunc("hour", "ts").alias("cur"),
+        (F.pmod(F.col("event_id"), F.lit(10)) < 7).alias("in_e1"),
+    )
+    model = {
+        r.mode: r for r in watermark_late_replay(spark, SF_DIR).collect()
+    }
+    return ev, model
+
+
+def test_late_replay_gt_and_ge_match_real_sync_epochs(spark, warehouse):
+    """The replay's gt / ge_dedup rows must equal TWO REAL
+    sync_dataframe epochs through a warehouse: records_synced pins
+    n_delta_rows, the stored id set pins n_epoch1 + n_new_ids and
+    stored_id_sum — the T4/T5 admission math is the live path's, not
+    a parallel reimplementation."""
+    from qms_datawarehouse_spark.config import Settings
+    from qms_datawarehouse_spark.engine import sync_dataframe
+    from pyspark.sql import functions as F
+
+    ev, model = _late_replay_fixture(spark)
+    for mode in ("gt", "ge_dedup"):
+        coll = f"ev_{mode}"
+        e1 = ev.filter("in_e1").drop("in_e1")
+        full = ev.drop("in_e1")
+        s = Settings(delta_mode=mode)
+        r1 = sync_dataframe(
+            warehouse, e1, "late_src", coll, cursor_col="cur", settings=s
+        )
+        r2 = sync_dataframe(
+            warehouse, full, "late_src", coll, cursor_col="cur", settings=s
+        )
+        row = model[mode]
+        assert r1.records_synced == row.n_epoch1
+        assert r2.records_synced == row.n_delta_rows, mode
+        stored = warehouse.read(coll).select(
+            F.col("_id").cast("long").alias("id")
+        )
+        agg = stored.agg(
+            F.count("*").alias("n"), F.sum("id").alias("s")
+        ).first()
+        assert agg["n"] == row.n_epoch1 + row.n_new_ids, mode
+        assert agg["s"] == row.stored_id_sum, mode
+
+
+def test_late_replay_watermark_matches_real_stream(spark, tmp_path):
+    """The watermark_24h row must equal a REAL two-batch readStream
+    with withWatermark + streaming dropDuplicates: batch 2's admitted
+    row count is exactly the model's n_new_ids (rows with event time
+    older than max(batch-1 event time) - 24h are dropped by the
+    engine, not by our arithmetic)."""
+    ev, model = _late_replay_fixture(spark)
+    b1 = str(tmp_path / "b1")
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+    import shutil
+
+    os.makedirs(src)
+    ev.filter("in_e1").drop("in_e1").write.parquet(b1)
+    for f in os.listdir(b1):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(b1, f), os.path.join(src, "a_" + f))
+
+    out = str(tmp_path / "admitted")
+
+    def run():
+        q = (
+            spark.readStream.schema("_id long, cur timestamp")
+            .parquet(src)
+            .withWatermark("cur", "24 hours")
+            .dropDuplicates(["_id"])
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out).count()
+
+    n1 = run()
+    row = model["watermark_24h"]
+    assert n1 == row.n_epoch1
+    # epoch 2: the remaining 30% arrive late, in a second trigger
+    b2 = str(tmp_path / "b2")
+    ev.filter("NOT in_e1").drop("in_e1").write.parquet(b2)
+    for f in os.listdir(b2):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(b2, f), os.path.join(src, "b_" + f))
+    n2 = run()
+    assert n2 - n1 == row.n_new_ids
+
+
 def test_bloom_lookup_survives_degenerate_key_domain(spark, tmp_path):
     """A key domain where no key satisfies 2k <= max(k) makes the
     mid-key aggregate NULL; the lookup must fall back to lo instead of
