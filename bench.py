@@ -119,6 +119,11 @@ HEADLINE = [
     "funnel_time_to_convert",
     "embedding_label_coherence",
     "embedding_kmeans_2iter",
+    # round-7 additions
+    "dedup_semantic",
+    "dedup_substring_spans",
+    "similarity_ann_multiprobe",
+    "watermark_late_replay",
 ]
 
 
@@ -204,21 +209,20 @@ def main() -> None:
                 "host_load_start": load_at_start,
                 "host_load_end": _host_load(),
                 "notes": (
-                    "r6 SCALE probes (VERDICT r5 item 5, tables in "
-                    "docs/SCALING.md): 5x docs/embeddings replica probe "
-                    "worst ratio 3.3x (dedup_minhash_lsh, whose replicas "
-                    "are mutual near-dups so pair volume grows ~25x — the "
-                    "band equi-join holds); NEW ~10x join-consistent "
-                    "full-fixture probe (tools/sf1_probe.py) worst ratio "
-                    "3.2x across the top-10 headline queries, nothing "
-                    "super-linear. Headline grew to 52 queries (r6 adds "
-                    "bloom lookup, ingest-gate replay, U-shaped "
-                    "attribution, l-diversity, minhash estimator audit, "
-                    "fixed-point k-means + the three r4-queued); common22 "
-                    "stays the frozen cross-round signal. Earlier rounds: "
-                    "idle-box common22 r1 13.99s, r3 11.93s, r4 11.37s, "
-                    "r5 10.99s; bench wall-times on this VM swing "
-                    "1.5-2.5x with host load — compare common22 only."
+                    "r7: headline grew to 56 (adds dedup_semantic, "
+                    "dedup_substring_spans, similarity_ann_multiprobe, "
+                    "watermark_late_replay); common22 stays the frozen "
+                    "cross-round signal. SCALE probes in docs/SCALING.md: "
+                    "~10x read probe (tools/sf1_probe.py) worst ratio "
+                    "3.2x, NEW ~10x WRITE-path probe "
+                    "(tools/write_probe.py) covering merge partial "
+                    "fixed/scaled buckets, apply_changes, ingest_dedup "
+                    "fixed batch, bloom incremental vs full refresh. "
+                    "host_load_start/_end embed loadavg+uptime: r6's "
+                    "common22 12.71s was host-load contamination (11.01s "
+                    "idle); earlier idle-box common22: r1 13.99s, r3 "
+                    "11.93s, r4 11.37s, r5 10.99s. Compare common22 "
+                    "only, and check host_load first."
                 ),
                 "merge": _merge_bench(spark),
             }

@@ -37,93 +37,83 @@ from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 
-# Round-6 rotation: CORRECTNESS_r05 came back 50/50 fully green, so
-# every r5 slot is free to rotate. This window = (a) the five
-# never-driver-checked queries — the three queued since round 4
-# (embedding_label_coherence, seasonality_dow_index,
-# funnel_time_to_convert) plus the two added THIS round
-# (bloom_index_point_lookup over the r5-reworked CAS/bit-OR index
-# refresh, ingest_gate_replay_two_epochs over the streaming admission
-# math) — closing them, plus (b), reaches 175/175 cumulative
-# driver-checked: every registered query with a fully-green row in
-# some round;
-# (b) the three late-round additions (U-shaped attribution,
-# l-diversity, minhash estimator audit, fixed-point k-means,
-# content checksum);
-# (c) anchors over code touched this round (flagship always;
-# ingest_gate_probe rides the max_rejects rework of ingest_dedup);
-# (d) 38 freshness slots given to the OLDEST evidence — all 33
-# queries whose last green row is round 1, plus five round-2
-# rows spanning the dedup/similarity/curation/multimodal/
-# streaming families. Exactly the first 50 get a driver row.
+# Round-7 rotation: CORRECTNESS_r06 came back 50/50 fully green (with
+# it, all 175 then-registered queries were cumulatively driver-green),
+# so every r6 slot is free to rotate. This window attacks the
+# staleness frontier the r6 verdict named: (a) the four queries ADDED
+# this round (SemDeDup pipeline, sliding-gram substring spans,
+# multi-probe LSH, the T4/T5 late-data replay) — never
+# driver-checked; (b) anchors over code this round touched (flagship
+# always; the kmeans quantization guard, the gate-replay oracle
+# parity fix, the bloom lookup None-guard, and the ingest-gate report
+# rework each keep their query in-window); (c) ALL 29 queries whose
+# last green row is round 2 — after this window lands, no evidence is
+# older than round 3; (d) the 12 oldest round-3 rows (the dedup/
+# similarity scale kernels and the heaviest TPC-H shapes first).
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
-    # ---- never-driver-checked: queued r4 additions ------------------
-    "embedding_label_coherence",
-    "seasonality_dow_index",
-    "funnel_time_to_convert",
-    # ---- never-driver-checked: round-6 additions --------------------
-    "bloom_index_point_lookup",
-    "ingest_gate_replay_two_epochs",
-    # ---- anchor over the ingest-gate max_rejects rework -------------
-    "ingest_gate_probe",
-    # ---- freshness: every query last green in round 1 ---------------
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "asof_join_last_purchase",
-    "d3_set_ops",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "grouped_pandas_zscore",
-    "pivot_status_by_year",
-    "q10_returned_revenue",
-    "q12_priority_lines",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q21_sole_late_supplier",
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q5_region_revenue",
-    "q8_market_share",
-    "range_join_purchases_1h",
-    "scalar_subquery",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_token_stats",
-    "unpivot_status_counts",
-    "w4_first_last",
-    "w4_lag_lead",
-    "w4_rank_family",
-    # ---- never-driver-checked: late round-6 additions ----------------
-    "attribution_position_weighted",
-    "privacy_l_diversity",
-    "dedup_minhash_estimate_audit",
+    # ---- never-driver-checked: round-7 additions --------------------
+    "dedup_semantic",
+    "dedup_substring_spans",
+    "similarity_ann_multiprobe",
+    "watermark_late_replay",
+    # ---- anchors over round-7-touched code --------------------------
     "embedding_kmeans_2iter",
-    "dq_content_checksum",
-    # ---- freshness: five round-2 rows across operator families ------
-    "similarity_ivf_probe",
-    "curation_contamination",
-    "multimodal_features",
-    "t9_tumbling_hourly",
-    "s8_point_lookup",
+    "ingest_gate_replay_two_epochs",
+    "bloom_index_point_lookup",
+    "ingest_gate_probe",
+    # ---- freshness: every query last green in round 2 ---------------
+    "a1_high_water_mark",
+    "a5_per_staff_totals",
+    "a7_service_duration",
+    "a8_company_sets",
+    "a9_rating_agg",
+    "curation_pack_sequences",
+    "curation_stratified_sample",
+    "d3_union_by_name",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "f3_json_extract",
+    "f7_iso_format",
+    "f_scalar_suite",
+    "j3_lineitem_orders",
+    "j4_part_supplier",
+    "j5_denormalized_orders",
+    "q6_revenue_filter",
+    "quantile_order_value",
+    "rollup_hierarchy_1d",
+    "scd2_user_event_type",
+    "similarity_ann_lsh",
+    "similarity_knn_join_lsh",
+    "t9_sliding_daily",
+    "text_pii_redact",
+    "topk_per_group",
+    "user_activity_report",
+    "w2_recent_topn",
+    "w3_sequential_number",
+    "w4_window_frames",
+    # ---- freshness: the 12 oldest round-3 rows ----------------------
+    "bm25_topk",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "f_scalar_suite2",
+    "q2_min_cost_supplier",
+    "q7_nation_trade",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q20_heavy_shippers",
+    "q22_idle_customers",
+    "similarity_topk_cosine",
+    "sketch_kmv_distinct",
 ]
 
-# Allocation note: once this window lands green, all 175 registered
-# queries have a fully-green driver row in some round (the rows-only
-# sketch_aggregates slot was retired in round 6 — the deterministic
-# KMV/CMS/bottom-k family carries the sketch evidence with full value
-# checks). Next-round slots: (a) any red rows from CORRECTNESS_r06,
-# (b) queries added next round (tracked in tests/test_driver_window.py
-# QUEUED_NEXT_WINDOW as they land), (c) freshness re-confirmation of
-# the oldest remaining evidence (the round-2 cohort).
+# Allocation note: once this window lands green, zero rows remain
+# with round-2-aged evidence (the r6 verdict's staleness frontier);
+# the remaining 35 round-3 rows are the r8 freshness pool. Next-round
+# slots: (a) any red rows from CORRECTNESS_r07, (b) queries added in
+# round 8 (tracked in tests/test_driver_window.py QUEUED_NEXT_WINDOW
+# as they land), (c) the round-3 cohort, oldest first.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

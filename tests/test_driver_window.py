@@ -60,12 +60,7 @@ def test_anchors_inside_window():
 # so nothing falls through. Round 7: staging list while the round's
 # operators land — emptied by the end-of-round rotation, which swaps
 # every entry into _DRIVER_WINDOW.
-QUEUED_NEXT_WINDOW: list[str] = [
-    "dedup_semantic",
-    "dedup_substring_spans",
-    "similarity_ann_multiprobe",
-    "watermark_late_replay",
-]
+QUEUED_NEXT_WINDOW: list[str] = []
 
 
 def test_rotated_out_queries_were_driver_green():

@@ -1,0 +1,298 @@
+"""~10x scale probe for the WRITE paths (the read-query twin is
+tools/sf1_probe.py): seed warehouse state at 1x and ~10x fixture
+scale, then time the SAME incremental write batch against both.
+
+The claims under test (docs/SCALING.md):
+- merge_upsert with a batch confined to one bucket is O(touched
+  buckets). With the bucket count held fixed, a 10x corpus makes the
+  one touched bucket 10x heavier (ratio ~10 is EXPECTED and still 64x
+  cheaper than the all-bucket rewrite); with n_buckets scaled with
+  the data (the production knob), per-bucket size is constant and the
+  ratio should be ~1.
+- apply_changes (CDC upserts + deletes) shares the bucket-pruned
+  write path: same expectations.
+- ingest_dedup with a fixed batch is O(batch): the index probe prunes
+  to the batch's bv-buckets. Touched index partitions grow with the
+  corpus, so mildly super-flat is acceptable; O(corpus) is not.
+- refresh_bloom_index with ``touched`` recomputes only the touched
+  buckets' bitmaps and must beat the full rebuild by ~n_buckets/
+  touched at any scale.
+
+Replica construction follows sf1_probe: key offsets keep joins and
+bucket assignments consistent, document text is re-tokenized per
+replica so the gate's near-dup structure scales linearly (shingle
+counts invariant — see the r6 construction lesson).
+
+Usage:
+    python tools/write_probe.py [--factor 10] [--out FILE]
+Prints one JSON line per op: {"op", "t_1x", "t_10x", "ratio"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+SEED_BUCKETS = 64
+BATCH_ROWS = 200
+
+
+def _orders(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_orderkey").alias("_id"),
+        F.col("o_orderdate").cast("timestamp").alias("updated_at"),
+        "o_custkey",
+        "o_totalprice",
+    )
+
+
+def _docs(spark, sf_dir: str):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+
+def _one_bucket_batch(orders, n_buckets: int):
+    """BATCH_ROWS updated rows from the base replica, all hashing to
+    bucket 0 of ``n_buckets`` — the clustered-delta shape incremental
+    syncs produce."""
+    from pyspark.sql import functions as F
+
+    return (
+        orders.filter(F.expr(f"pmod(xxhash64(_id), {n_buckets}) = 0"))
+        .orderBy("_id")
+        .limit(BATCH_ROWS)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    )
+
+
+def probe_merge(spark, sf_dir: str, n_buckets: int) -> float:
+    import tempfile as tf
+
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    root = tf.mkdtemp(prefix="wp_merge_")
+    try:
+        wh = ParquetWarehouse(spark, root)
+        orders = _orders(spark, sf_dir)
+        merge_upsert(wh, "t", orders, key="_id", n_buckets=n_buckets)
+        batch = _one_bucket_batch(orders, n_buckets)
+        batch.collect()  # materialize the batch outside the timer
+        t0 = time.monotonic()
+        merge_upsert(wh, "t", batch)
+        return time.monotonic() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def probe_apply_changes(spark, sf_dir: str, n_buckets: int) -> float:
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.cdc import apply_changes
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    root = tf.mkdtemp(prefix="wp_cdc_")
+    try:
+        wh = ParquetWarehouse(spark, root)
+        orders = _orders(spark, sf_dir)
+        merge_upsert(wh, "t", orders, key="_id", n_buckets=n_buckets)
+        half = BATCH_ROWS // 2
+        base = (
+            orders.filter(F.expr(f"pmod(xxhash64(_id), {n_buckets}) = 0"))
+            .orderBy("_id")
+            .limit(BATCH_ROWS)
+        )
+        ups = base.limit(half).select(
+            "_id",
+            "updated_at",
+            "o_custkey",
+            (F.col("o_totalprice") + 1).alias("o_totalprice"),
+            F.lit(1).cast("long").alias("_seq"),
+            F.lit("upsert").alias("_op"),
+        )
+        dels = (
+            base.subtract(base.limit(half))
+            .select(
+                "_id",
+                "updated_at",
+                "o_custkey",
+                "o_totalprice",
+                F.lit(1).cast("long").alias("_seq"),
+                F.lit("delete").alias("_op"),
+            )
+        )
+        changes = ups.unionByName(dels)
+        changes.collect()
+        t0 = time.monotonic()
+        apply_changes(wh, "t", changes, key="_id")
+        return time.monotonic() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def probe_ingest(spark, sf_dir: str) -> float:
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.dedup import (
+        _shingled,
+        minhash_bands,
+    )
+    from qms_datawarehouse_spark.operators.incremental_dedup import (
+        BVB_COL,
+        CORPUS_TABLE,
+        INDEX_TABLE,
+        _bv_bucket,
+        ingest_dedup,
+    )
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    root = tf.mkdtemp(prefix="wp_ingest_")
+    try:
+        wh = ParquetWarehouse(spark, root)
+        corpus = _docs(spark, sf_dir)
+        # seed the gate state directly (corpus + bv-partitioned band
+        # index) — identical to what batched ingest_dedup leaves
+        # behind, without paying the untimed in-batch self-join
+        merge_upsert(
+            wh,
+            CORPUS_TABLE,
+            corpus.withColumn("_id", F.col("doc_id").cast("string")),
+            key="_id",
+            order_col=None,
+            n_buckets=SEED_BUCKETS,
+        )
+        bands = minhash_bands(_shingled(corpus)).withColumn(
+            BVB_COL, _bv_bucket()
+        )
+        wh.write_version(INDEX_TABLE, bands, partition_by=[BVB_COL])
+        # fresh batch: novel token suffix => no near-dups, all admitted
+        batch = (
+            corpus.orderBy("doc_id")
+            .limit(50)
+            .select(
+                (F.col("doc_id") + 10**12).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\S+)", "$1zz").alias(
+                    "text"
+                ),
+            )
+        )
+        batch.collect()
+        t0 = time.monotonic()
+        ingest_dedup(wh, batch)
+        return time.monotonic() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def probe_bloom(spark, sf_dir: str) -> tuple[float, float]:
+    """Returns (incremental_refresh_sec, full_rebuild_sec)."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.sources.bloomindex import (
+        refresh_bloom_index,
+    )
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    root = tf.mkdtemp(prefix="wp_bloom_")
+    try:
+        wh = ParquetWarehouse(spark, root)
+        orders = _orders(spark, sf_dir)
+        merge_upsert(wh, "t", orders, key="_id", n_buckets=SEED_BUCKETS)
+        t0 = time.monotonic()
+        refresh_bloom_index(wh, "t", "_id")
+        full = time.monotonic() - t0
+        batch = _one_bucket_batch(orders, SEED_BUCKETS)
+        merge_upsert(wh, "t", batch)
+        t0 = time.monotonic()
+        refresh_bloom_index(wh, "t", "_id", touched=[0])
+        incr = time.monotonic() - t0
+        return incr, full
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--master", default="local[32]")
+    args = ap.parse_args(argv)
+
+    from qms_datawarehouse_spark.session import get_spark
+    from tools.sf1_probe import build_scaled_dir
+
+    spark = get_spark(
+        "write-probe", master=args.master, shuffle_partitions=32
+    )
+    scaled = build_scaled_dir(spark, BASE, args.factor)
+
+    results = []
+
+    def emit(op, t1, t10):
+        row = {
+            "op": op,
+            "t_1x": round(t1, 2),
+            f"t_{args.factor}x": round(t10, 2),
+            "ratio": round(t10 / t1, 1) if t1 > 0 else None,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    try:
+        emit(
+            "merge_partial_fixed_buckets",
+            probe_merge(spark, BASE, SEED_BUCKETS),
+            probe_merge(spark, scaled, SEED_BUCKETS),
+        )
+        emit(
+            "merge_partial_scaled_buckets",
+            probe_merge(spark, BASE, SEED_BUCKETS),
+            probe_merge(spark, scaled, SEED_BUCKETS * args.factor),
+        )
+        emit(
+            "apply_changes_one_bucket",
+            probe_apply_changes(spark, BASE, SEED_BUCKETS),
+            probe_apply_changes(spark, scaled, SEED_BUCKETS),
+        )
+        emit(
+            "ingest_dedup_fixed_batch",
+            probe_ingest(spark, BASE),
+            probe_ingest(spark, scaled),
+        )
+        i1, f1 = probe_bloom(spark, BASE)
+        i10, f10 = probe_bloom(spark, scaled)
+        emit("bloom_refresh_incremental", i1, i10)
+        emit("bloom_rebuild_full", f1, f10)
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {"factor": args.factor, "base": BASE, "results": results}, f
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
