@@ -1858,13 +1858,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("i", "h"),
     )
+    # cache discipline (plan-audited): g feeds three consumers (the
+    # cross-doc hash count, the dup-gram join, the per-doc totals) and
+    # d two — without persists the map-side gram generation (the md5
+    # per gram, the expensive term) re-runs five times
+    g = g.persist()
     hd = (
         g.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    d = g.join(hd, "h").select("doc_id", "i")
+    d = g.join(hd, "h").select("doc_id", "i").persist()
     wo = Window.partitionBy("doc_id").orderBy("i")
     runs = d.withColumn(
         "brk",
@@ -1885,7 +1890,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_grams"),
     )
     dd = d.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_dup_grams"))
-    return (
+    out = (
         gd.join(dd, "doc_id", "left")
         .join(per_span, "doc_id", "left")
         .select(
@@ -1907,3 +1912,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_bp"),
         )
     )
+    # per-doc rows only: eager-checkpoint, then drop the gram caches
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
+    d.unpersist()
+    return out

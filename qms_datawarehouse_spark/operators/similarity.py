@@ -1104,11 +1104,13 @@ def _cos_quantized(emb: DataFrame) -> DataFrame:
     )
 
 
-def _km_assignments(emb: DataFrame) -> DataFrame:
-    """The two exact Lloyd iterations of ``embedding_kmeans_2iter``,
-    returning the final (vec_id, cid) assignment — the shared
-    clustering stage of the kmeans driver query and ``dedup_semantic``."""
-    q = _km_quantized(emb)
+def _km_assignments(q: DataFrame) -> DataFrame:
+    """The two exact Lloyd iterations of ``embedding_kmeans_2iter``
+    over an (ideally persisted) ``_km_quantized`` frame, returning the
+    final (vec_id, cid) assignment — the shared clustering stage of
+    the kmeans driver query and ``dedup_semantic``. The caller owns
+    the quantized frame's cache lifetime: this plan references it five
+    times (seeds, two assigns, one update)."""
     c0 = (
         q.filter(F.col("vec_id") < _KM_K)
         .select(
@@ -1156,7 +1158,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses by `_id` at upsert time (src/services/etl.py:68-75),
     lifted to meaning-space."""
     (emb,) = tables(spark, sf_dir, "embeddings")
-    asn = _km_assignments(emb)
+    # cache discipline (plan-audited): without these persists the
+    # Lloyd chain re-derives the quantized frame per reference — 25
+    # embedding scans in the executed plan; with them, one scan per
+    # quantization and one materialization of the member frame
+    q = _km_quantized(emb).persist()
+    asn = _km_assignments(q)
     w = _cos_quantized(emb)
     nrm = w.select(
         "vec_id",
@@ -1166,7 +1173,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("nn"),
     )
-    mem = asn.join(w, "vec_id").join(nrm, "vec_id")
+    mem = asn.join(w, "vec_id").join(nrm, "vec_id").persist()
     a = mem.select(
         "cid",
         F.col("vec_id").alias("va"),
@@ -1220,7 +1227,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("removed_id_sum"),
         )
     )
-    return (
+    out = (
         base.join(dp, "cid", "left")
         .select(
             F.col("cid").alias("cluster_id"),
@@ -1236,6 +1243,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+    # K rows: eager-checkpoint the result, then drop both caches
+    out = out.localCheckpoint(eager=True)
+    q.unpersist()
+    mem.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------
