@@ -124,6 +124,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "similarity_ann_multiprobe",
     "watermark_late_replay",
+    "semantic_gate_replay_two_epochs",
 ]
 
 
@@ -209,9 +210,10 @@ def main() -> None:
                 "host_load_start": load_at_start,
                 "host_load_end": _host_load(),
                 "notes": (
-                    "r7: headline grew to 56 (adds dedup_semantic, "
+                    "r7: headline grew to 57 (adds dedup_semantic, "
                     "dedup_substring_spans, similarity_ann_multiprobe, "
-                    "watermark_late_replay); common22 stays the frozen "
+                    "watermark_late_replay, semantic_gate_replay_two_epochs); "
+                    "common22 stays the frozen "
                     "cross-round signal. SCALE probes in docs/SCALING.md: "
                     "~10x read probe (tools/sf1_probe.py) worst ratio "
                     "3.2x, NEW ~10x WRITE-path probe "

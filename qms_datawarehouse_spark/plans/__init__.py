@@ -22,6 +22,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     pq,
     profile,
     rollup_hypertable,
+    semantic_gate,
     similarity,
     temporal,
     textops,

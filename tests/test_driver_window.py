@@ -60,7 +60,12 @@ def test_anchors_inside_window():
 # so nothing falls through. Round 7: staging list while the round's
 # operators land — emptied by the end-of-round rotation, which swaps
 # every entry into _DRIVER_WINDOW.
-QUEUED_NEXT_WINDOW: list[str] = []
+# semantic_gate_replay_two_epochs landed after the r7 window froze
+# at 50 — queued for the r8 window (oracle-checked by the in-repo
+# suite meanwhile, incl. a pin to two real ingest_semantic calls)
+QUEUED_NEXT_WINDOW: list[str] = [
+    "semantic_gate_replay_two_epochs",
+]
 
 
 def test_rotated_out_queries_were_driver_green():

@@ -378,6 +378,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "similarity_ann_multiprobe",
         # 1-row high-water-mark broadcast x 3-row mode-constant list
         "watermark_late_replay",
+        # K-row centroid broadcasts (the shared Lloyd assign stage)
+        "semantic_gate_replay_two_epochs",
     }
     offenders = {}
     for name, qd in REGISTRY.items():

@@ -244,6 +244,46 @@ def test_late_replay_watermark_matches_real_stream(spark, tmp_path):
     assert n2 - n1 == row.n_new_ids
 
 
+def test_semantic_gate_replay_matches_two_real_ingest_calls(spark, warehouse):
+    """semantic_gate_replay_two_epochs is the semantic ingest gate's
+    admission math as a stateless program; pin it equal to TWO REAL
+    ingest_semantic calls through a warehouse on the same parity
+    split."""
+    from qms_datawarehouse_spark.operators.semantic_gate import (
+        CELL_COL,
+        CORPUS_TABLE,
+        ingest_semantic,
+        semantic_gate_replay_two_epochs,
+    )
+    from qms_datawarehouse_spark.plans.registry import tables
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    (emb,) = tables(spark, SF_DIR, "embeddings")
+    e1 = emb.filter(F.expr("pmod(vec_id, 2) = 0"))
+    e2 = emb.filter(F.expr("pmod(vec_id, 2) = 1"))
+    r1 = ingest_semantic(warehouse, e1)
+    r2 = ingest_semantic(warehouse, e2)
+    # the fixture must exercise the gate: both epochs reject something
+    assert r1.n_rejected > 0 and r2.n_rejected > 0
+    assert r1.n_batch == r1.n_accepted + r1.n_rejected
+
+    replay = semantic_gate_replay_two_epochs(spark, SF_DIR).collect()
+    assert sum(r.n_stored_e1 for r in replay) == r1.n_accepted
+    assert sum(r.n_stored_e2 for r in replay) == r2.n_accepted
+    stored = warehouse.read(CORPUS_TABLE)
+    per_cell = {
+        r[CELL_COL]: (r["n"], r["s"])
+        for r in stored.groupBy(CELL_COL)
+        .agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"))
+        .collect()
+    }
+    for row in replay:
+        n, s = per_cell.get(row.cell, (0, 0))
+        assert n == row.n_stored_e1 + row.n_stored_e2, row
+        assert s == row.stored_id_sum, row
+
+
 def test_bloom_lookup_survives_degenerate_key_domain(spark, tmp_path):
     """A key domain where no key satisfies 2k <= max(k) makes the
     mid-key aggregate NULL; the lookup must fall back to lo instead of

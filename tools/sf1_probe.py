@@ -48,6 +48,12 @@ TOP_OPS = [
     "embedding_kmeans_2iter",
     "attribution_position_weighted",
     "bloom_index_point_lookup",
+    # round-7 operators (cluster-pair SemDeDup, stride-1 grams,
+    # multi-probe buckets, boundary replay)
+    "dedup_semantic",
+    "dedup_substring_spans",
+    "similarity_ann_multiprobe",
+    "watermark_late_replay",
 ]
 
 # per-table key columns to offset per replica (join consistency);
@@ -119,6 +125,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--master", default="local[32]")
+    ap.add_argument(
+        "--ops",
+        nargs="*",
+        default=None,
+        help="probe only these ops (default: the TOP_OPS list)",
+    )
     args = ap.parse_args(argv)
 
     from qms_datawarehouse_spark.plans import queries_map
@@ -140,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
 
     results = []
     try:
-        for op in TOP_OPS:
+        for op in (args.ops or TOP_OPS):
             t1 = timed(op, BASE)
             t10 = timed(op, scaled)
             row = {
