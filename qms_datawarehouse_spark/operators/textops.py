@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from qms_datawarehouse_spark.operators.hashsplit import (
+    _sql_hash_u32,
+    hash_u32,
+)
 from qms_datawarehouse_spark.plans.registry import query, tables
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
@@ -936,4 +940,103 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bigrams",
         F.round(F.col("lp") / F.col("n_bigrams"), 4).alias("avg_logprob"),
+    )
+
+
+# --------------------------------------------------------------------
+# Model-based quality filtering (hashed-n-gram linear classifier)
+# --------------------------------------------------------------------
+
+# The CCNet / fastText-style quality gate: a linear classifier over
+# hashed unigram+bigram features. The "trained" weight vector is a
+# deterministic function of the bucket id (md5-derived integer in
+# [-500, 500]) so both engines see the identical model — the operator
+# shape (hashing trick -> bounded weight table -> map-side dot
+# product) is exactly fastText inference; a real deployment swaps the
+# weight derivation for a broadcast of learned weights.
+_QM_BUCKETS = 4096
+_QM_BIAS = -1200
+
+
+def _qm_weight(feat: Column) -> Column:
+    """Weight of one feature: bucket = h(feat) mod B, w = h('wgt:'
+    || bucket) mod 1001 - 500. Spark side of the cross-engine pair."""
+    bucket = hash_u32(feat) % _QM_BUCKETS
+    return hash_u32(F.concat(F.lit("wgt:"), bucket.cast("string"))) % 1001 - 500
+
+
+def _sql_qm_weight(feat_expr: str) -> str:
+    bucket = f"{_sql_hash_u32(feat_expr)} % {_QM_BUCKETS}"
+    wkey = f"'wgt:' || CAST({bucket} AS VARCHAR)"
+    return f"{_sql_hash_u32(wkey)} % 1001 - 500"
+
+
+_QUALITY_MODEL_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    f AS (
+        SELECT doc_id,
+               list_concat(
+                   w,
+                   list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]),
+                                  p -> p[1] || ' ' || p[2])) AS feats
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(feats) AS BIGINT) AS n_features,
+               CAST({_QM_BIAS} + list_sum(list_transform(feats,
+                   x -> {_sql_qm_weight('x')})) AS BIGINT) AS logit
+        FROM f
+    )
+    SELECT doc_id, n_features, logit,
+           CASE WHEN logit >= 0 THEN 'keep' ELSE 'drop' END AS pred
+    FROM s
+"""
+
+
+@query("quality_model_score", _QUALITY_MODEL_SQL)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a hashed-n-gram linear
+    classifier (the CCNet / fastText gate that model-filters
+    pre-training corpora, vs text_quality's hand-rule gate). Features
+    are unigrams plus word bigrams, hashed into 4096 buckets (the
+    hashing trick — the weight table is BOUNDED regardless of corpus
+    vocabulary); the document logit is bias + sum of bucket weights
+    over feature occurrences; pred thresholds at 0.
+
+    Scale shape: inference is PURE MAP-SIDE — one documents scan, the
+    bigram list zipped from the word array's own tail, the dot
+    product a bounded per-row fold; zero shuffles, zero joins, so
+    throughput is scan-bound at any corpus size (the fastText
+    deployment shape: model broadcast, corpus streamed). Weights are
+    md5-derived integers in [-500, 500] so the classifier is
+    byte-identical cross-engine; logits are exact int64 sums."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    feats = F.concat(
+        F.col("w"),
+        F.transform(
+            F.slice("w", 1, F.size("w") - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("w"), i + 2)),
+        ),
+    )
+    s = t.select(
+        "doc_id",
+        F.size(feats).cast("long").alias("n_features"),
+        (
+            F.lit(_QM_BIAS)
+            + F.aggregate(
+                feats, F.lit(0).cast("long"), lambda acc, x: acc + _qm_weight(x)
+            )
+        )
+        .cast("long")
+        .alias("logit"),
+    )
+    return s.select(
+        "doc_id",
+        "n_features",
+        "logit",
+        F.when(F.col("logit") >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("pred"),
     )
