@@ -50,7 +50,9 @@ from qms_datawarehouse_spark.operators.hashsplit import (  # noqa: E402
     SPLIT_TEST_BP,
     SPLIT_VAL_BP,
     _sql_hash_bp,
+    _sql_hash_u32,
     hash_bp,
+    hash_u32,
 )
 
 
@@ -1068,4 +1070,121 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sampled_score"),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-grams)
+# --------------------------------------------------------------------
+
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): estimate target and raw distributions over HASHED
+# n-gram features (here: word bigrams into 1024 buckets), score every
+# raw document by its importance log-weight
+#     log w(d) = sum over features f of c_f(d) * ln((t_f+1)/(r_f+1)),
+# and resample raw data with probability proportional to w. The
+# target slice here is the English subset (lang = 'en') — the
+# "high-quality corpus" stand-in; the estimator is exactly DSIR's
+# bag-of-hashed-ngrams form.
+_DSIR_BUCKETS = 1024
+
+
+_DSIR_SQL = f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    b AS (
+        SELECT doc_id, lang,
+               {_sql_hash_u32("pr[1] || ' ' || pr[2]")} % {_DSIR_BUCKETS} AS bucket
+        FROM (SELECT doc_id, lang,
+                     unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS pr
+              FROM t)
+    ),
+    raw AS (SELECT bucket, count(*) AS r FROM b GROUP BY 1),
+    tgt AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY 1),
+    lam AS (
+        SELECT raw.bucket,
+               ln((coalesce(tc, 0) + 1.0) / (r + 1.0)) AS lam
+        FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+    ),
+    db AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+    s AS (
+        SELECT db.doc_id,
+               CAST(sum(c) AS BIGINT) AS n_feats,
+               round(sum(c * lam), 4) AS dsir_logw
+        FROM db JOIN lam ON db.bucket = lam.bucket
+        GROUP BY 1
+    )
+    SELECT doc_id, n_feats, dsir_logw,
+           CAST(CASE WHEN dsir_logw >= 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM s
+"""
+
+
+@query("curation_dsir_weights", _DSIR_SQL)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every raw
+    document by how target-like its hashed-bigram profile is —
+    log w(d) = Σ_f c_f(d)·ln((t_f+1)/(r_f+1)) over 1024 feature
+    buckets, target = the English slice. `selected` thresholds the
+    log-weight at 0 (raw-favored vs target-favored); the production
+    resampler draws with probability ∝ w via the deterministic-hash
+    acceptance machinery of curation_importance_sample.
+
+    Scale shape: the feature stream is one explode of map-side-zipped
+    bigrams; BOTH distribution estimates are partial-aggregated to the
+    BOUNDED bucket table (1024 rows — broadcast to score, the hashing
+    trick's whole point); per-doc scoring is one (doc, bucket) keyed
+    agg, one broadcast join, one doc-keyed agg. Nothing in the plan
+    grows with vocabulary, and the corpus is never joined to itself.
+    Cross-engine determinism: counts are exact integers; the only
+    float is ln on identical integer ratios, summed per-doc and
+    rounded to 4 decimals (the bigram_lm_score precedent — per-term
+    ulp drift ~1e-16, far below the rounding grain)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.select(
+        "doc_id", "lang", F.split(F.col("text"), " ", -1).alias("w")
+    )
+    b = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.slice("w", 1, F.size("w") - 1),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("w"), i + 2)),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (hash_u32(F.col("bg")) % _DSIR_BUCKETS).alias("bucket"),
+    )
+    raw = b.groupBy("bucket").agg(F.count("*").alias("r"))
+    tgt = (
+        b.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("tc"))
+    )
+    lam = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        F.log(
+            (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+            / (F.col("r") + F.lit(1.0))
+        ).alias("lam"),
+    )
+    db = b.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    s = (
+        db.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lam")), 4).alias("dsir_logw"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        "n_feats",
+        "dsir_logw",
+        F.when(F.col("dsir_logw") >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("selected"),
     )

@@ -66,6 +66,7 @@ def test_anchors_inside_window():
 QUEUED_NEXT_WINDOW: list[str] = [
     "semantic_gate_replay_two_epochs",
     "quality_model_score",
+    "curation_dsir_weights",
 ]
 
 
