@@ -494,3 +494,57 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(e)
     return out
+
+
+# --------------------------------------------------------------------
+# Skew-mitigating salted join (value-equal to the plain equi-join)
+# --------------------------------------------------------------------
+
+_SALTS = 8
+
+
+@query(
+    "join_salted_skew",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈fact join: the hot-key skew mitigation, proven
+    value-equal to the plain equi-join (the oracle IS the unsalted
+    join). The probe side (lineitem) adds salt = pmod(l_linenumber,
+    S); the build side (orders) explodes into S replicas; the join
+    key becomes (orderkey, salt), so a hot orderkey's rows spread
+    over S shuffle partitions instead of hammering one.
+
+    Scale shape: this is the manual remedy for skew the optimizer
+    cannot split — AQE's skew-join only rebalances *sort-merge join*
+    partitions; a skewed shuffle whose consumer is an aggregation, or
+    a build side too big to replicate wholesale but fine to replicate
+    S×, needs the salt. Cost model: S× replication of the build side
+    vs the straggler tail of the hot key — S=8 caps the per-partition
+    hot-key volume at 1/8th for a constant-factor build-side cost.
+    The aggregation after the join is keyed on priority only, so the
+    salt never reaches the result — bit-identical to the oracle."""
+    orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+    salted_l = lineitem.withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALTS)).cast("int")
+    )
+    salted_o = orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALTS)]))
+    )
+    j = salted_l.join(
+        salted_o,
+        (salted_l.l_orderkey == salted_o.o_orderkey)
+        & (salted_l.salt == salted_o.salt),
+    )
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

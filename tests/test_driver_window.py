@@ -67,6 +67,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "semantic_gate_replay_two_epochs",
     "quality_model_score",
     "curation_dsir_weights",
+    "join_salted_skew",
 ]
 
 
