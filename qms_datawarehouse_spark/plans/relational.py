@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from qms_datawarehouse_spark.operators.skew import salted_join
 from qms_datawarehouse_spark.plans.registry import query, tables
 
 
@@ -516,10 +517,12 @@ _SALTS = 8
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted fact⋈fact join: the hot-key skew mitigation, proven
     value-equal to the plain equi-join (the oracle IS the unsalted
-    join). The probe side (lineitem) adds salt = pmod(l_linenumber,
-    S); the build side (orders) explodes into S replicas; the join
-    key becomes (orderkey, salt), so a hot orderkey's rows spread
-    over S shuffle partitions instead of hammering one.
+    join). Delegates to operators/skew.py's salted_join: the probe
+    side (lineitem) gets a content-stable salt from a
+    high-cardinality NON-key column; the build side (orders)
+    replicates into S copies; the join key becomes (orderkey, salt),
+    so a hot orderkey's rows spread over S shuffle partitions
+    instead of hammering one.
 
     Scale shape: this is the manual remedy for skew the optimizer
     cannot split — AQE's skew-join only rebalances *sort-merge join*
@@ -531,16 +534,12 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     The aggregation after the join is keyed on priority only, so the
     salt never reaches the result — bit-identical to the oracle."""
     orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
-    salted_l = lineitem.withColumn(
-        "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALTS)).cast("int")
-    )
-    salted_o = orders.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALTS)]))
-    )
-    j = salted_l.join(
-        salted_o,
-        (salted_l.l_orderkey == salted_o.o_orderkey)
-        & (salted_l.salt == salted_o.salt),
+    j = salted_join(
+        lineitem,
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        key="l_orderkey",
+        salt_source="l_linenumber",
+        n_salt=_SALTS,
     )
     return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count("*").cast("long").alias("n_items"),
