@@ -563,3 +563,103 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (partition by from_type) AS BIGINT)"
         ).alias("prob_bp"),
     )
+
+
+# --------------------------------------------------------------------
+# Keyless interval containment (global incident windows × events)
+# --------------------------------------------------------------------
+
+# 5-minute incident windows opened by every 'error' event; which
+# click/view traffic fell inside ANY window? Unlike
+# range_join_purchases_1h there is NO shared key — the equi-join is
+# on the time bucket alone, which is exactly the hard case for a
+# naive engine (a BNLJ over intervals × points). Bucketing bounds the
+# candidates at Σ_b (intervals_b × points_b) — per-bucket density,
+# never |intervals| × |points|.
+_IV_LEN_US = 300_000_000  # 5 minutes
+
+
+@query(
+    "interval_containment_join",
+    f"""
+    WITH e AS (SELECT event_id, event_type, value, epoch_us(ts) AS us
+               FROM events),
+    iv AS (SELECT us AS s_us FROM e WHERE event_type = 'error'),
+    ib AS (SELECT s_us,
+                  unnest(generate_series(s_us // {_IV_LEN_US},
+                                         (s_us + {_IV_LEN_US - 1}) // {_IV_LEN_US}))
+                      AS bucket
+           FROM iv),
+    p AS (SELECT event_id, event_type, value, us,
+                 us // {_IV_LEN_US} AS bucket
+          FROM e WHERE event_type IN ('click', 'view')),
+    pairs AS (
+        SELECT p.event_id, p.event_type, p.value,
+               count(*) AS n_windows
+        FROM p JOIN ib ON p.bucket = ib.bucket
+           AND p.us >= ib.s_us AND p.us < ib.s_us + {_IV_LEN_US}
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(n_windows) AS BIGINT) AS n_pairs,
+           round(sum(value), 2) AS total_value
+    FROM pairs GROUP BY 1
+    """,
+)
+def interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval-containment join: every 'error' event opens a
+    5-minute incident window; count the click/view events falling in
+    at least one window (impact analysis / blast-radius attribution).
+    The oracle is the plain inequality join — DuckDB runs it as an
+    IEJoin; Spark would run it as a BroadcastNestedLoopJoin, the plan
+    that dies at scale.
+
+    Scale shape: both sides bucketize to floor(us / 300s); an
+    interval overlaps at most 2 buckets (sequence fan-out ≤ 2×,
+    bounded by interval_len/bucket_len + 1), a point exactly 1. The
+    join Catalyst sees is a pure EQUI-join on bucket followed by the
+    exact containment filter — candidates are Σ per-bucket
+    (intervals × points), i.e. local density, never the |iv|·|p|
+    cross product. The containment-count agg is keyed on the point
+    id (distributes); the final rollup is a tiny 2-row aggregate.
+    This is the keyless sibling of range_join_purchases_1h — when no
+    equi-key exists, the time bucket IS the manufactured equi-key
+    (the Databricks range-join-hint / bin-join strategy)."""
+    (events,) = tables(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    iv = e.filter(F.col("event_type") == "error").select(
+        F.col("us").alias("s_us")
+    )
+    ib = iv.select(
+        "s_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_IV_LEN_US}"),
+                F.expr(f"(s_us + {_IV_LEN_US - 1}) div {_IV_LEN_US}"),
+            )
+        ).alias("bucket"),
+    )
+    p = e.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        "event_type",
+        "value",
+        "us",
+        F.expr(f"us div {_IV_LEN_US}").alias("bucket"),
+    )
+    pairs = (
+        p.join(ib, "bucket")
+        .filter(
+            (F.col("us") >= F.col("s_us"))
+            & (F.col("us") < F.col("s_us") + _IV_LEN_US)
+        )
+        .groupBy("event_id", "event_type", "value")
+        .agg(F.count("*").alias("n_windows"))
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("n_windows").cast("long").alias("n_pairs"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

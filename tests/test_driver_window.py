@@ -68,6 +68,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "quality_model_score",
     "curation_dsir_weights",
     "join_salted_skew",
+    "interval_containment_join",
 ]
 
 
