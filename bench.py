@@ -125,6 +125,12 @@ HEADLINE = [
     "similarity_ann_multiprobe",
     "watermark_late_replay",
     "semantic_gate_replay_two_epochs",
+    "quality_model_score",
+    "curation_dsir_weights",
+    "join_salted_skew",
+    "interval_containment_join",
+    "graph_pagerank_2iter",
+    "text_chunking",
 ]
 
 

@@ -1040,3 +1040,81 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("pred"),
     )
+
+
+# --------------------------------------------------------------------
+# Sliding-window chunking (RAG / context-window ingestion)
+# --------------------------------------------------------------------
+
+# 64-token chunks on a 48-token stride (25% overlap): every token is
+# covered, consecutive chunks share 16 tokens, the final chunk clips
+# to the document tail. The chunk table is what a retrieval pipeline
+# embeds — doc provenance + token interval + content hash.
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+@query(
+    "text_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+        SELECT doc_id,
+               len(w) AS n_tokens_doc,
+               unnest(generate_series(1, len(w), {_CHUNK_STRIDE})) AS start_tok
+        FROM t
+    )
+    SELECT c.doc_id,
+           CAST((start_tok - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(start_tok + {_CHUNK_SIZE} - 1, n_tokens_doc)
+                - start_tok + 1 AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+               t.w[start_tok:least(start_tok + {_CHUNK_SIZE} - 1, n_tokens_doc)],
+               ' ')) AS chunk_md5
+    FROM c JOIN t ON c.doc_id = t.doc_id
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for retrieval pipelines: 64-token
+    chunks on a 48-token stride, final chunk clipped to the document
+    tail; each chunk carries provenance (doc_id, chunk_idx, token
+    interval) and a content hash (what gets embedded + deduped
+    downstream — chunk_md5 joins directly against the dedup family).
+
+    Scale shape: PURE MAP-SIDE — the start-offset list is a
+    per-row sequence (ceil(n/stride) entries, linear in document
+    length), the chunk text a slice of the already-split token
+    array; no shuffle, no join (the oracle's self-join is DuckDB
+    phrasing — Spark slices in the same projection). Output is ~n/48
+    rows per doc, each O(chunk) — linear expansion, embarrassingly
+    parallel."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    c = t.select(
+        "doc_id",
+        F.size("w").alias("n_tokens_doc"),
+        F.col("w"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("w"), F.lit(_CHUNK_STRIDE))
+        ).alias("start_tok"),
+    )
+    n_tokens = (
+        F.least(
+            F.col("start_tok") + F.lit(_CHUNK_SIZE - 1), F.col("n_tokens_doc")
+        )
+        - F.col("start_tok")
+        + 1
+    )
+    return c.select(
+        "doc_id",
+        F.expr(f"(start_tok - 1) div {_CHUNK_STRIDE}")
+        .cast("long")
+        .alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("start_tok"), n_tokens))
+            .cast("binary")
+        ).alias("chunk_md5"),
+    )

@@ -17,6 +17,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     cdc,
     curation,
     dedup,
+    graph,
     grouped_pandas,
     multimodal,
     pq,

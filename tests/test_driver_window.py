@@ -69,6 +69,8 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "curation_dsir_weights",
     "join_salted_skew",
     "interval_containment_join",
+    "graph_pagerank_2iter",
+    "text_chunking",
 ]
 
 

@@ -380,6 +380,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "watermark_late_replay",
         # K-row centroid broadcasts (the shared Lloyd assign stage)
         "semantic_gate_replay_two_epochs",
+        # 1-row node-count broadcast per power iteration (r0, r1, r2)
+        "graph_pagerank_2iter",
     }
     offenders = {}
     for name, qd in REGISTRY.items():

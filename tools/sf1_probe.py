@@ -54,6 +54,14 @@ TOP_OPS = [
     "dedup_substring_spans",
     "similarity_ann_multiprobe",
     "watermark_late_replay",
+    # round-7 second wave (map-side classifiers, DSIR, salted join,
+    # bucketed keyless interval join, fixed-point PageRank, chunking)
+    "quality_model_score",
+    "curation_dsir_weights",
+    "join_salted_skew",
+    "interval_containment_join",
+    "graph_pagerank_2iter",
+    "text_chunking",
 ]
 
 # per-table key columns to offset per replica (join consistency);
@@ -107,6 +115,16 @@ def build_scaled_dir(spark, base: str, factor: int) -> str:
                     # string id: prefix keeps replicas distinct
                     cols.append(
                         F.concat(F.lit(f"r{r}-"), F.col(c)).alias(c)
+                    )
+                elif t == "events" and c == "ts":
+                    # shift each replica by 31 days: a true 10x event
+                    # corpus spans 10x the time at constant density.
+                    # Without the shift every time bucket gets 10x
+                    # BOTH sides of any interval/window join and the
+                    # probe fakes quadratic (the shingle-invariance
+                    # lesson, time-domain edition)
+                    cols.append(
+                        (F.col(c) + F.expr(f"INTERVAL {r * 31} DAYS")).alias(c)
                     )
                 else:
                     cols.append(F.col(c))
