@@ -302,3 +302,32 @@ def test_bloom_lookup_survives_degenerate_key_domain(spark, tmp_path):
     out = bloom_index_point_lookup(spark, str(tmp_path))
     # keys probed: lo=5 (also the mid fallback), hi=9, absent 10
     assert [r.o_orderkey for r in out.collect()] == [5, 9]
+
+
+def test_fileskip_routed_scan_actually_prunes(spark):
+    """The driver row must exercise the PRUNING path, not the
+    conservative keep-all fallback: on the range-partitioned layout
+    it writes, a bottom-eighth key predicate keeps <= 1/4 of the
+    files (typically 2 of 16). Keep-all would still be value-correct
+    — which is exactly why it needs a pin."""
+    import pyspark.sql.functions as F
+
+    from qms_datawarehouse_spark.sources.fileskip import (
+        _ROUTED_FILES,
+        fileskip_routed_scan,
+        file_manifest_df,
+        prune_files_df,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    fileskip_routed_scan(spark, sf_dir).collect()  # writes the layout
+    path = "/tmp/qms_fileskip_routed/sf0.001/orders"
+    man = file_manifest_df(spark, path, ["o_orderkey"])
+    lo_hi = (
+        spark.read.parquet(path)
+        .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+        .first()
+    )
+    lo, hi = int(lo_hi[0]), int(lo_hi[1])
+    files = prune_files_df(man, "o_orderkey", lo, lo + (hi - lo) // 8)
+    assert len(files) <= _ROUTED_FILES // 4
