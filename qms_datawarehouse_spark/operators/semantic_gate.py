@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qms_datawarehouse_spark.operators.similarity import (
+from qms_datawarehouse_spark.operators.kmeans_core import (
     _KM_K,
     _SEM_T2,
     _cos_quantized,

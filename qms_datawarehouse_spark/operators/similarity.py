@@ -32,6 +32,14 @@ from qms_datawarehouse_spark.operators.lsh_planes import (
     N_HYPERPLANES,
     plane_sql_literal,
 )
+from qms_datawarehouse_spark.operators.kmeans_core import (  # noqa: F401
+    _KM_K,
+    _SEM_T2,
+    _cos_quantized,
+    _km_assign,
+    _km_means,
+    _km_quantized,
+)
 from qms_datawarehouse_spark.plans.registry import query, tables
 
 TOP_K = 10
@@ -826,7 +834,6 @@ def embedding_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curation, exact across engines
 # --------------------------------------------------------------------
 
-_KM_K = 8  # clusters; seeds = vec_id < K (deterministic init)
 
 # Shared CTE prefix: quantize → seed → two exact Lloyd iterations →
 # a2(vec_id, cid, dist) is the final assignment. Reused verbatim by
@@ -886,82 +893,6 @@ _KM_SQL = f"""
     GROUP BY a2.cid, cs.centroid_sum
     ORDER BY cluster_id
 """
-
-
-def _km_quantized(emb: DataFrame) -> DataFrame:
-    """Integer fixed-point embedding: floor((x+1)·1000). The +1 shift
-    (range check: fixture values sit in (-0.58, 0.52)) keeps every
-    component non-negative, so the centroid update's integer division
-    is plain truncation — identical in Spark ``div`` and DuckDB ``//``
-    — with no negative-floor disagreement. Distances are shift-
-    invariant; float→double→floor is bit-identical cross-engine (the
-    PQ kernels' proven recipe).
-
-    The shift only stays truncation-safe while every component is
-    > -1.0: a smaller value would quantize negative and re-open the
-    floor-vs-truncate divergence between the engines. That contract
-    is enforced here with an executor-side ``raise_error`` guard (a
-    per-element comparison folded into the same transform — no extra
-    pass), so a hostile embedding fails LOUDLY instead of as an
-    unexplained driver hash mismatch."""
-    return emb.select(
-        "vec_id",
-        F.expr(
-            "CASE WHEN exists(embedding, x -> CAST(x AS DOUBLE) <= -1.0d) "
-            "THEN raise_error(concat("
-            "'embedding_kmeans quantization requires every component "
-            "> -1.0 (shift-positive fixed-point contract); offending "
-            "vec_id=', CAST(vec_id AS STRING))) "
-            "ELSE transform(embedding, x -> "
-            "CAST(floor((CAST(x AS DOUBLE) + 1.0d) * 1000.0d) AS BIGINT)) "
-            "END"
-        ).alias("v"),
-    )
-
-
-def _km_assign(q: DataFrame, cents_df: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest centroid: the K-row centroid
-    list rides one broadcast (same shape as the IVF codebook), squared
-    L2 is an integer fold per row, ties break on lowest centroid id
-    via struct array_min. No shuffle touches the vectors."""
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            c["cid"].alias("cid"),
-        ),
-    )
-    return (
-        q.crossJoin(F.broadcast(cents_df))
-        .withColumn("best", F.array_min(scored))
-        .select(
-            "vec_id",
-            "v",
-            F.col("best.cid").alias("cid"),
-            F.col("best.dist").alias("dist"),
-        )
-    )
-
-
-def _km_means(assigned: DataFrame) -> DataFrame:
-    """Centroid update: per-(cluster, dim) integer mean (sum div n)
-    via one posexplode + keyed aggregate, reassembled into ordered
-    centroid arrays — K·64 rows total, the only shuffle per
-    iteration."""
-    per_dim = (
-        assigned.select("cid", F.posexplode("v").alias("d", "val"))
-        .groupBy("cid", "d")
-        .agg(F.expr("sum(val) div count(val)").alias("m"))
-    )
-    return per_dim.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
-        ).alias("cv")
-    )
 
 
 @query("embedding_kmeans_2iter", _KM_SQL)
@@ -1027,7 +958,6 @@ def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1600 * ||a||^2 * ||b||^2 (tau^2 * 10^4). Same threshold as the
 # brute-force dedup_embedding_cosine kernel so the two operators agree
 # on what "semantic near-dup" means.
-_SEM_T2 = 1600
 
 _SEM_SQL = f"""
     WITH {_KM_CTES},
@@ -1087,21 +1017,6 @@ _SEM_SQL = f"""
     FROM base LEFT JOIN dp ON base.cid = dp.cid
     ORDER BY cluster_id
 """
-
-
-def _cos_quantized(emb: DataFrame) -> DataFrame:
-    """Unshifted fixed-point embedding for cosine terms:
-    floor(x·1000) as BIGINT. No shift here — cosine is not shift-
-    invariant — and none is needed: dot products and squared norms
-    involve no integer division, and floor itself (round toward -inf)
-    is identical in both engines on identical doubles."""
-    return emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> "
-            "CAST(floor(CAST(x AS DOUBLE) * 1000.0d) AS BIGINT))"
-        ).alias("w"),
-    )
 
 
 def _km_assignments(q: DataFrame) -> DataFrame:

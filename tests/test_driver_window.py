@@ -71,6 +71,13 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "interval_containment_join",
     "graph_pagerank_2iter",
     "text_chunking",
+    "fileskip_routed_scan",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
 ]
 
 
@@ -118,3 +125,28 @@ def test_survey_count_matches_live_registry():
         check_survey_counts()
     finally:
         os.chdir(cwd)
+
+
+def test_similarity_import_before_plans_package():
+    """Regression (round 7): semantic_gate's module-level k-means
+    imports must come from the kmeans_core LEAF, not similarity —
+    importing similarity before the plans package finished
+    initializing died with 'partially initialized module' in the
+    circular-import window (a fresh interpreter is required; this
+    process already has the package loaded)."""
+    import subprocess
+    import sys
+
+    code = (
+        "from qms_datawarehouse_spark.operators.incremental_dedup "
+        "import ingest_dedup\n"
+        "import qms_datawarehouse_spark.operators.similarity\n"
+        "from qms_datawarehouse_spark.plans import queries_map\n"
+        "assert 'semantic_gate_replay_two_epochs' in queries_map()\n"
+    )
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, env=env, cwd="/tmp"
+    )
