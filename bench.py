@@ -131,6 +131,7 @@ HEADLINE = [
     "interval_containment_join",
     "graph_pagerank_2iter",
     "text_chunking",
+    "fileskip_routed_scan",
 ]
 
 

@@ -547,3 +547,295 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H shape widening (q3, q10, q14, q15, q17, q18 analogs)
+# --------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped-order revenue for one market segment —
+    selective dim filter broadcast into a fact⋈fact join, top-10 by
+    revenue. Scale: the segment filter prunes customer BEFORE the
+    broadcast; orders⋈lineitem is the orderkey equi-join (bucketable);
+    the cut is a total order (revenue DESC, orderkey) via TakeOrdered,
+    no global sort."""
+    customer, orders, lineitem = tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    o = orders.filter(F.col("o_orderdate") < "1998-03-15")
+    l = lineitem.filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most value in a quarter
+    — returned-lineitem revenue through orders back to customer and
+    nation. Scale: the quarter predicate prunes orders at the scan
+    (PushedFilters on o_orderdate), returnflag prunes lineitem;
+    nation broadcasts; top-20 is a TakeOrdered on the total order
+    (revenue DESC, custkey)."""
+    customer, orders, lineitem, nation = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_effect",
+    """
+    SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2) AS promo_revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share for one ship-month —
+    conditional aggregation over a fact⋈dim join. Scale: the month
+    predicate reaches the lineitem scan; part broadcasts; the CASE
+    rides the same partial aggregate as the total (one pass). The
+    ratio is left to the reader — emitting both rounded sums avoids
+    a float divide on the engine boundary."""
+    part, lineitem = tables(spark, sf_dir, "part", "lineitem")
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(part), l.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)),
+                2,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_cents
+    FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total_cents = (SELECT max(total_cents) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue in a quarter.
+    Revenue is summed in EXACT integer cents (floor(x·100+0.5) per
+    row) so the max-equality predicate — the part of Q15 that is
+    undefined over floats — is deterministic cross-engine. Scale:
+    one pruned-scan keyed agg to ~|suppliers| rows, a window MAX over
+    that tiny frame (no second scan of the fact, unlike the view
+    re-evaluation in the spec's phrasing), supplier broadcast."""
+    supplier, lineitem = tables(spark, sf_dir, "supplier", "lineitem")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("total_cents")
+        )
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("mx", F.max("total_cents").over(w)).filter(
+        F.col("total_cents") == F.col("mx")
+    )
+    return (
+        top.join(F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pl AS (
+        SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+               l.l_extendedprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#11'
+    ),
+    stats AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qty) AS BIGINT) AS sq
+        FROM pl GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_items,
+           round(sum(pl.l_extendedprice), 2) AS total_price
+    FROM pl JOIN stats ON pl.l_partkey = stats.l_partkey
+    WHERE 5 * pl.qty * stats.n < stats.sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue of small-quantity line items — quantity
+    below 20% of the per-part average — for one brand. The
+    correlated aggregate subquery is DE-CORRELATED into a per-part
+    stats frame re-joined to the line items (the q2_min_cost_supplier
+    recipe); the 0.2·avg comparison is cleared of division entirely
+    (5·qty·n < Σqty — exact int64, quantities are integral in the
+    fixture and cast-checked). Scale: the brand filter broadcasts
+    part into the lineitem scan twice (stats + probe), both joins on
+    l_partkey; no per-row subquery evaluation anywhere."""
+    part, lineitem = tables(spark, sf_dir, "part", "lineitem")
+    p = part.filter(F.col("p_brand") == "Brand#11")
+    pl = (
+        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            "l_extendedprice",
+        )
+    )
+    stats = pl.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qty").cast("long").alias("sq"),
+    )
+    return (
+        pl.join(stats, "l_partkey")
+        .filter(5 * F.col("qty") * F.col("n") < F.col("sq"))
+        .agg(
+            F.count("*").cast("long").alias("n_small_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3
+    HAVING sum(CAST(l.l_quantity AS BIGINT)) > 250
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders (total quantity > 250) with
+    their customer. Quantities are integral — the HAVING threshold
+    compares exact int64 sums, so the qualifying set is identical
+    cross-engine. Scale: the lineitem pre-aggregation SHOULD fold
+    before the customer join — grouping on (custkey, orderkey,
+    orderdate) is orderkey-functional, so Catalyst partial-aggregates
+    on the fact join key before touching customer; top-20 via
+    TakeOrdered on (qty DESC, orderkey)."""
+    customer, orders, lineitem = tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
