@@ -1118,3 +1118,108 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("binary")
         ).alias("chunk_md5"),
     )
+
+
+# --------------------------------------------------------------------
+# Vocabulary build + tokenize-to-ids (training-data prep)
+# --------------------------------------------------------------------
+
+# Corpus-derived vocabulary of the top-V words (count desc, word asc —
+# a total order, so ids are deterministic), then every document
+# re-expressed as its id sequence with OOV accounting. The id-sequence
+# md5 pins the EXACT token stream cross-engine without shipping the
+# arrays through the driver compare. A production pipeline swaps the
+# word vocabulary for BPE merges; the operator shape — bounded vocab
+# broadcast, map-side lookup, per-doc reassembly — is identical.
+_VOCAB_V = 1024
+
+
+@query(
+    "text_tokenize_ids",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(w) AS word,
+               unnest(range(1, len(w) + 1)) AS pos
+        FROM t
+    ),
+    cnt AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+    vocab AS (
+        SELECT word,
+               CAST(row_number() OVER (ORDER BY n DESC, word) - 1 AS BIGINT)
+                   AS vid
+        FROM (SELECT word, n FROM cnt ORDER BY n DESC, word LIMIT {_VOCAB_V})
+    ),
+    ids AS (
+        SELECT tok.doc_id, tok.pos,
+               CAST(coalesce(v.vid, -1) AS BIGINT) AS vid
+        FROM tok LEFT JOIN vocab v ON tok.word = v.word
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (vid = -1) AS BIGINT) AS n_oov,
+               md5(array_to_string(
+                   list(CAST(vid AS VARCHAR) ORDER BY pos), ' ')) AS ids_md5
+        FROM ids GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           (10000 * n_oov) // n_tokens AS oov_bp, ids_md5
+    FROM agg
+    """,
+)
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization at corpus scale: build the top-1024 vocabulary
+    (count desc, word asc — deterministic ids), map every document to
+    its id sequence (OOV → -1), report per-doc token/OOV counts and
+    the md5 of the exact id stream (the tensorizable artifact a
+    training pipeline writes; BPE swaps in for the word vocab with
+    the same plan shape).
+
+    Scale shape: the vocabulary is ONE keyed count + a TakeOrdered
+    top-V cut + a row_number over the V-row result (the only window,
+    bounded at V by construction); the lookup is a BROADCAST left
+    join on the exploded token stream (map-side at any corpus size);
+    per-doc reassembly is one doc-keyed agg whose sort is
+    within-group by position. OOV ratio in exact integer basis
+    points."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    tok = t.select(
+        "doc_id", F.posexplode("w").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    cnt = tok.groupBy("word").agg(F.count("*").alias("n"))
+    top = cnt.orderBy(F.desc("n"), "word").limit(_VOCAB_V)
+    vocab = top.select(
+        "word",
+        (
+            F.row_number().over(Window.orderBy(F.desc("n"), "word")) - 1
+        )
+        .cast("long")
+        .alias("vid"),
+    )
+    ids = tok.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("vid"), F.lit(-1)).cast("long").alias("vid")
+    )
+    agg = ids.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("vid") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "vid"))),
+                    lambda s: s["vid"].cast("string"),
+                ),
+            ).cast("binary")
+        ).alias("ids_md5"),
+    )
+    return agg.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        "(10000 * n_oov) div n_tokens AS oov_bp",
+        "ids_md5",
+    )

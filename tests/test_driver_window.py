@@ -78,6 +78,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "text_tokenize_ids",
 ]
 
 
