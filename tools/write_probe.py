@@ -202,6 +202,61 @@ def probe_ingest(spark, sf_dir: str) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_ingest_semantic(spark, sf_dir: str, k: int) -> float:
+    """Seed the semantic-gate state (centroids + cell-partitioned
+    corpus) directly — O(corpus), no untimed pair stage — then time
+    one fixed 50-vector batch through ``ingest_semantic``. ``k`` is
+    the cell count: held fixed, a 10x corpus makes every touched cell
+    10x heavier (ratio ~10 EXPECTED — the documented fixed-K regime);
+    scaled with the data (SemDeDup's own K ∝ N knob), per-cell volume
+    is constant and the ratio should be ~flat."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.kmeans_core import _km_quantized
+    from qms_datawarehouse_spark.operators.semantic_gate import (
+        CELL_COL,
+        CENTROID_TABLE,
+        CORPUS_TABLE,
+        _cents_list,
+        _members,
+        ingest_semantic,
+        train_semantic_centroids,
+    )
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    root = tf.mkdtemp(prefix="wp_semgate_")
+    try:
+        wh = ParquetWarehouse(spark, root)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        q = _km_quantized(emb)
+        cents = train_semantic_centroids(q, k=k)
+        wh.write_version(CENTROID_TABLE, cents)
+        mem = _members(emb, _cents_list(cents))
+        wh.write_version(
+            CORPUS_TABLE,
+            mem.select(
+                "vec_id", F.col("cid").alias(CELL_COL), "w", "nn"
+            ),
+            partition_by=[CELL_COL],
+        )
+        batch = (
+            emb.orderBy("vec_id")
+            .limit(50)
+            .select(
+                (F.col("vec_id") + 10**12).alias("vec_id"),
+                F.reverse("embedding").alias("embedding"),
+            )
+        )
+        batch.collect()
+        t0 = time.monotonic()
+        ingest_semantic(wh, batch)
+        return time.monotonic() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_bloom(spark, sf_dir: str) -> tuple[float, float]:
     """Returns (incremental_refresh_sec, full_rebuild_sec)."""
     import tempfile as tf
@@ -279,6 +334,16 @@ def main(argv: list[str] | None = None) -> int:
             "ingest_dedup_fixed_batch",
             probe_ingest(spark, BASE),
             probe_ingest(spark, scaled),
+        )
+        emit(
+            "ingest_semantic_fixed_k",
+            probe_ingest_semantic(spark, BASE, 8),
+            probe_ingest_semantic(spark, scaled, 8),
+        )
+        emit(
+            "ingest_semantic_scaled_k",
+            probe_ingest_semantic(spark, BASE, 8),
+            probe_ingest_semantic(spark, scaled, 8 * args.factor),
         )
         i1, f1 = probe_bloom(spark, BASE)
         i10, f10 = probe_bloom(spark, scaled)
