@@ -55,6 +55,14 @@ def query(name: str, sql: str | None):
     ``name`` with its oracle SQL."""
 
     def deco(fn):
+        if name in REGISTRY:  # loud: a silent dict overwrite shipped
+            # two shadowed queries in round 7 (q3/q15 re-registered
+            # under existing names; the originals' driver history
+            # would have pointed at replaced code)
+            raise RuntimeError(
+                f"query {name!r} is already registered by "
+                f"{REGISTRY[name].fn.__module__}"
+            )
         REGISTRY[name] = QueryDef(name, fn, sql, fn.__doc__ or "")
         return fn
 

@@ -555,54 +555,6 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q3_shipping_priority",
-    """
-    SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           CAST(o.o_orderdate AS DATE) AS order_date
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-03-15'
-      AND l.l_shipdate > TIMESTAMP '1998-03-15'
-    GROUP BY l.l_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, l_orderkey LIMIT 10
-    """,
-)
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: unshipped-order revenue for one market segment —
-    selective dim filter broadcast into a fact⋈fact join, top-10 by
-    revenue. Scale: the segment filter prunes customer BEFORE the
-    broadcast; orders⋈lineitem is the orderkey equi-join (bucketable);
-    the cut is a total order (revenue DESC, orderkey) via TakeOrdered,
-    no global sort."""
-    customer, orders, lineitem = tables(
-        spark, sf_dir, "customer", "orders", "lineitem"
-    )
-    c = customer.filter(F.col("c_mktsegment") == "BUILDING")
-    o = orders.filter(F.col("o_orderdate") < "1998-03-15")
-    l = lineitem.filter(F.col("l_shipdate") > "1998-03-15")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.col("o_orderdate").cast("date").alias("order_date"),
-        )
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(10)
-    )
-
-
-@query(
     "q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
@@ -685,62 +637,6 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev), 2).alias("total_revenue"),
             F.count("*").cast("long").alias("n_items"),
         )
-    )
-
-
-@query(
-    "q15_top_supplier",
-    """
-    WITH rev AS (
-        SELECT l_suppkey,
-               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
-                                   + 0.5) AS BIGINT)) AS BIGINT)
-                   AS total_cents
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-          AND l_shipdate < TIMESTAMP '1997-04-01'
-        GROUP BY 1
-    )
-    SELECT s.s_suppkey, s.s_name, rev.total_cents
-    FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
-    WHERE rev.total_cents = (SELECT max(total_cents) FROM rev)
-    ORDER BY s_suppkey
-    """,
-)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: the supplier(s) with maximum revenue in a quarter.
-    Revenue is summed in EXACT integer cents (floor(x·100+0.5) per
-    row) so the max-equality predicate — the part of Q15 that is
-    undefined over floats — is deterministic cross-engine. Scale:
-    one pruned-scan keyed agg to ~|suppliers| rows, a window MAX over
-    that tiny frame (no second scan of the fact, unlike the view
-    re-evaluation in the spec's phrasing), supplier broadcast."""
-    supplier, lineitem = tables(spark, sf_dir, "supplier", "lineitem")
-    rev = (
-        lineitem.filter(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1997-04-01")
-        )
-        .groupBy("l_suppkey")
-        .agg(
-            F.sum(
-                F.floor(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                    + F.lit(0.5)
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("total_cents")
-        )
-    )
-    w = Window.partitionBy()
-    top = rev.withColumn("mx", F.max("total_cents").over(w)).filter(
-        F.col("total_cents") == F.col("mx")
-    )
-    return (
-        top.join(F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey)
-        .select("s_suppkey", "s_name", "total_cents")
-        .orderBy("s_suppkey")
     )
 
 

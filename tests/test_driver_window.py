@@ -72,10 +72,8 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "graph_pagerank_2iter",
     "text_chunking",
     "fileskip_routed_scan",
-    "q3_shipping_priority",
     "q10_returned_items",
     "q14_promo_effect",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "text_tokenize_ids",
@@ -151,3 +149,16 @@ def test_similarity_import_before_plans_package():
     subprocess.run(
         [sys.executable, "-c", code], check=True, env=env, cwd="/tmp"
     )
+
+
+def test_duplicate_registration_raises():
+    """Regression (round 7): registering a second query under an
+    existing name must raise, not silently replace the original —
+    two TPC-H drafts shadowed advanced.py's registered shapes and the
+    count gate caught it only by arithmetic."""
+    import pytest
+
+    from qms_datawarehouse_spark.plans.registry import query
+
+    with pytest.raises(RuntimeError, match="already registered"):
+        query("flagship_staff_report", None)(lambda spark, sf: None)
