@@ -1917,3 +1917,136 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     g.unpersist()
     d.unpersist()
     return out
+
+
+# --------------------------------------------------------------------
+# PPJoin-style prefix-filtered EXACT set-similarity join
+# --------------------------------------------------------------------
+
+# τ = 0.8 as the integer fraction 4/5 (word SETS are too coarse on
+# this corpus — the synthetic docs share near-identical vocabularies,
+# so the join runs on 3-word SHINGLE sets, the dedup family's unit).
+# The verify compare is kept in integers — J(a,b) = c/(na+nb-c) >= 4/5
+# ⟺ 9c >= 4(na+nb) — so no float crosses the keep/drop boundary on
+# either engine.
+_PPJOIN_SQL = f"""
+    WITH {_SHINGLE_CTE},
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sx a JOIN sx b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(na.n AS BIGINT) AS na,
+           CAST(nb.n AS BIGINT) AS nb,
+           round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON common.doc_a = na.doc_id
+    JOIN sizes nb ON common.doc_b = nb.doc_id
+    WHERE 9 * c >= 4 * (na.n + nb.n)
+"""
+
+
+@query("dedup_ppjoin_exact", _PPJOIN_SQL)
+def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set Jaccard >= 0.8 join via prefix filtering (the
+    PPJoin principle, Xiao et al. 2008 / Bayardo et al. 2007) — the
+    lossless scale path for exact set-similarity, complementing the
+    approximate MinHash family.
+
+    Order each doc's shingles globally by (document-frequency asc,
+    shingle asc) — rarest first. If J(a,b) >= τ then the overlap is
+    >= ceil(τ·n) on EACH side, so the first n − ceil(τ·n) + 1 tokens
+    of both docs (their "prefixes") must intersect: candidate pairs
+    come from a self-equi-join on PREFIX tokens only. Rare shingles
+    have tiny posting lists, so Σ(df²) over prefixes is orders of
+    magnitude below the all-shared-shingle join `dedup_ngram_jaccard`
+    runs — and the filter is LOSSLESS, which is exactly what the
+    driver verifies: the oracle is the EXHAUSTIVE all-pairs-sharing-
+    a-shingle join, and the rows must hash-match.
+
+    The prefix length uses integer ceil ((4n+4) div 5) — a float
+    0.8·n could round the prefix one token short and silently drop a
+    true pair.
+
+    Scale shape: df-count is one shingle-keyed agg; ranking is a
+    per-doc window (partitioned by doc_id — no global sort);
+    candidates are a shingle-keyed equi-join over the prefix subset;
+    verify joins candidate pairs back to the shingle table by doc
+    key. Nothing is corpus²; the worst key is the most frequent
+    shingle that survives into any prefix, bounded by construction to
+    low-df shingles. Reference analog: the near-dup admission the
+    warehouse's `_id` upsert collapses (src/services/etl.py:68-75),
+    at exact shingle-set similarity."""
+    from pyspark.sql.window import Window
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = (
+        _shingled(documents)
+        .select("doc_id", F.explode("shingles").alias("t"))
+        .persist()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    df_counts = tok.groupBy("t").agg(F.count("*").alias("df"))
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("t").asc())
+    ranked = (
+        tok.join(df_counts, "t")
+        .select("doc_id", "t", F.row_number().over(w).alias("r"))
+        .join(sizes, "doc_id")
+        # integer-exact prefix length: n - ceil(0.8n) + 1
+        .filter(F.col("r") <= F.expr("n - ((4 * n + 4) div 5) + 1"))
+        .select("doc_id", "t")
+    )
+
+    pa, pb = ranked.alias("pa"), ranked.alias("pb")
+    cands = (
+        pa.join(
+            pb,
+            (F.col("pa.t") == F.col("pb.t"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "t")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "t")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "t"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.lit(9) * F.col("n_common")
+            >= F.lit(4) * (F.col("na") + F.col("nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "na",
+            "nb",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    # surviving pairs are tiny: eager-checkpoint, then drop the token
+    # cache (the estimate-audit hygiene standard)
+    out = out.localCheckpoint(eager=True)
+    tok.unpersist()
+    return out

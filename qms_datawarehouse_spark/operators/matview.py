@@ -145,3 +145,105 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     warehouse.write_version(name, merged)
     warehouse.write_meta(name, {**meta, "mv_base_version": current})
     return "incremental"
+
+
+# --------------------------------------------------------------------
+# Driver row: incremental MV maintenance ≡ full recompute, through the
+# REAL warehouse path
+# --------------------------------------------------------------------
+
+_MV_REPLAY_SQL = """
+    WITH f AS (
+        SELECT event_type,
+               CASE WHEN ((event_id % 3) + 3) % 3 != 0
+                         AND ((event_id % 5) + 5) % 5 = 0
+                    THEN 2 * CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
+               END AS amount
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amount) AS BIGINT) AS amount_sum
+    FROM f GROUP BY 1
+"""
+
+
+def _mv_query(name: str, sql: str):
+    # local import: registry pulls plans/__init__, which imports this
+    # module — the lazy import breaks the cycle (package convention)
+    from qms_datawarehouse_spark.plans.registry import query
+
+    return query(name, sql)
+
+
+@_mv_query("matview_incremental_replay", _MV_REPLAY_SQL)
+def matview_incremental_replay(spark, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance pinned equal to the
+    full recompute the oracle runs — through the REAL write path, not
+    a stateless imitation: seed a bucketed warehouse table with epoch
+    1 (event_id % 3 != 0), create the MV, merge epoch 2 (the % 3 == 0
+    inserts plus % 5 == 0 updates with doubled amounts and a newer
+    order column), then ``refresh_matview`` — which must take the
+    INCREMENTAL branch (guarded in-query; a silent full-recompute
+    fallback would still value-match, so the branch is asserted, not
+    inferred). The final MV state must hash-equal the oracle's
+    one-shot aggregate over the fully-updated event set: stored
+    partials + (agg(changed@new) − agg(changed@old)) ≡ recompute.
+
+    Scale shape: exactly the maintenance path's — the refresh reads
+    the changed buckets at two retained versions and shuffles only
+    their group keys; staleness is a version-name compare. The
+    warehouse root is wiped per run so replays are deterministic
+    (the fileskip/bucketed rows' rebuild-per-run convention).
+
+    Reference analog: the reference keeps no derived aggregates —
+    every report recomputes through Postgres (src/api/routes.py);
+    this row is the warehouse-side upgrade that makes those reports
+    O(changed buckets)."""
+    import os
+    import shutil
+    import tempfile
+
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.plans.registry import tables
+
+    (events,) = tables(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), "qms_mv_replay", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(spark, root)
+
+    base = events.select(
+        F.col("event_id").cast("string").alias("_id"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("m3"),
+        F.pmod(F.col("event_id"), F.lit(5)).alias("m5"),
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("amount"),
+        F.col("ts").alias("updated_at"),
+    )
+    batch1 = base.filter(F.col("m3") != 0).drop("m3", "m5")
+    merge_upsert(wh, "fact_events", batch1, n_buckets=16)
+    create_matview(wh, "mv_events", "fact_events", ["grp"], ["amount"])
+
+    inserts = base.filter(F.col("m3") == 0).drop("m3", "m5")
+    updates = (
+        base.filter((F.col("m3") != 0) & (F.col("m5") == 0))
+        .withColumn("amount", F.col("amount") * 2)
+        .withColumn(
+            "updated_at", F.col("updated_at") + F.expr("INTERVAL 1 DAY")
+        )
+        .drop("m3", "m5")
+    )
+    merge_upsert(wh, "fact_events", inserts.unionByName(updates), n_buckets=16)
+
+    mode = refresh_matview(wh, "mv_events")
+    if mode != "incremental":  # the row's claim IS the delta-merge path
+        raise AssertionError(
+            f"matview refresh took the '{mode}' branch, not incremental"
+        )
+    return wh.read("mv_events").select(
+        F.col("grp").alias("event_type"),
+        F.col("_mv_n").cast("long").alias("n"),
+        F.col("amount_sum").cast("long").alias("amount_sum"),
+    )

@@ -19,6 +19,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     dedup,
     graph,
     grouped_pandas,
+    matview,
     multimodal,
     pq,
     profile,
@@ -34,7 +35,7 @@ from qms_datawarehouse_spark.plans import (  # noqa: F401
     modern,
     relational,
 )
-from qms_datawarehouse_spark.sources import bloomindex, fileskip  # noqa: F401
+from qms_datawarehouse_spark.sources import bloomindex, bucketed, fileskip  # noqa: F401
 from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map

@@ -1537,6 +1537,102 @@ def stats_sufficient_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift statistic (distribution shift)
+# --------------------------------------------------------------------
+
+
+@query(
+    "stats_ks_drift",
+    """
+    WITH v AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+               CASE WHEN o_orderdate < DATE '1996-01-01' THEN 1 ELSE 2
+               END AS snap
+        FROM orders
+    ),
+    pv AS (
+        SELECT x,
+               sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN snap = 2 THEN 1 ELSE 0 END) AS c2
+        FROM v GROUP BY 1
+    ),
+    cum AS (
+        SELECT x,
+               sum(c1) OVER (ORDER BY x) AS cum1,
+               sum(c2) OVER (ORDER BY x) AS cum2
+        FROM pv
+    ),
+    tot AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM cum)
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+           round(max(abs(cum1 * n2 - cum2 * n1)) * 1.0 / (n1 * n2), 6)
+               AS d_stat
+    FROM cum, tot
+    GROUP BY n1, n2
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the order-value
+    distributions of two data snapshots (orders before vs from
+    1996-01-01) — the distribution-drift gate a training pipeline runs
+    between ingest epochs before trusting new data.
+
+    D = max_x |F1(x) − F2(x)| computed entirely in integers: per
+    distinct cents value the two ECDFs are cumulative counts, and
+    D's numerator is max|cum1·n2 − cum2·n1| over the common
+    denominator n1·n2 — no float touches the max, so the statistic
+    hashes identically cross-engine (the final d_stat is one division
+    of pinned integers, rounded).
+
+    Scale shape: one scan with map-side partial agg onto the DISTINCT
+    VALUE domain (cents — bounded by price range, not row count),
+    then one global cumulative window over that bounded domain. The
+    window's single-partition sort is over |domain| rows, not |data|
+    rows — same posture as quantile_order_value. cum·n products stay
+    under 2^63 up to ~3·10^9 rows per snapshot; beyond that promote
+    the window sums to DECIMAL(38,0) (same note as
+    stats_sufficient_moments)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    v = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("x"),
+        F.when(
+            F.col("o_orderdate") < F.to_date(F.lit("1996-01-01")), 1
+        )
+        .otherwise(2)
+        .alias("snap"),
+    )
+    pv = v.groupBy("x").agg(
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("snap") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select(
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    attached = cum.select(
+        "cum1",
+        "cum2",
+        F.max("cum1").over(wall).alias("n1"),
+        F.max("cum2").over(wall).alias("n2"),
+    )
+    d = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return attached.groupBy("n1", "n2").agg(
+        F.max(d).cast("long").alias("d_num"),
+        F.round(
+            F.max(d) * 1.0 / (F.col("n1") * F.col("n2")), 6
+        ).alias("d_stat"),
+    ).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "d_num",
+        "d_stat",
+    )
+
+
+# --------------------------------------------------------------------
 # Time-series OHLC bars (downsampling a value stream to candles)
 # --------------------------------------------------------------------
 

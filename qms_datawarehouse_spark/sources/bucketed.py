@@ -77,3 +77,92 @@ def colocated_join(
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)
     return left.join(right, left[left_key] == right[right_key], how)
+
+
+# --------------------------------------------------------------------
+# Driver row: shuffle-free co-located fact⋈fact join, value-equal to
+# the plain join
+# --------------------------------------------------------------------
+
+_BJOIN_SQL = """
+    SELECT o.o_orderkey AS o_orderkey,
+           min(o.o_orderpriority) AS priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 100 = 0
+    GROUP BY 1
+"""
+
+
+def _bucketed_query(name: str, sql: str):
+    # local import: registry pulls plans/__init__, which imports this
+    # module — the lazy import breaks the cycle (package convention)
+    from qms_datawarehouse_spark.plans.registry import query
+
+    return query(name, sql)
+
+
+@_bucketed_query("bucketed_join_scan", _BJOIN_SQL)
+def bucketed_join_scan(spark: SparkSession, sf_dir: str):
+    """The catalog-bucketed layout's payoff as a VERIFIED row: orders
+    and lineitem are written bucketed (8 buckets, same key), the
+    fact⋈fact join + per-order aggregate runs with ZERO Exchange
+    nodes — guarded in-query, not just in pytest — and the result is
+    value-equal to the plain-parquet join the oracle runs.
+
+    This is the recurring-join answer at 100 TB: pay one shuffle at
+    load time (the bucketed write), then every orderkey join, groupBy,
+    or merge is co-located. The per-order aggregate reuses the join's
+    clustering, so the whole plan is scan→SMJ→agg with no exchange
+    anywhere (the groupBy key IS the bucket key).
+
+    Determinism: quantities are integral (bigint-cast), revenue in
+    exact cents; output bounded by the orderkey%100 slice. The layout
+    write is the once-per-ingest cost rebuilt per run, like the bloom
+    and fileskip rows build their indexes per run.
+
+    No reference counterpart (the reference delegates join strategy to
+    Postgres, src/core/db.py:28-32); this is Spark-native physical
+    design."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.plans.registry import tables
+
+    orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), "qms_bucketed_join", tag)
+    t_orders, t_lineitem = f"bj_orders_{tag}", f"bj_lineitem_{tag}"
+    write_bucketed_table(
+        orders, t_orders, "o_orderkey", 8, os.path.join(root, t_orders)
+    )
+    write_bucketed_table(
+        lineitem, t_lineitem, "l_orderkey", 8, os.path.join(root, t_lineitem)
+    )
+    j = colocated_join(spark, t_orders, t_lineitem, "o_orderkey", "l_orderkey")
+    out = (
+        j.filter(F.col("o_orderkey") % 100 == 0)
+        .groupBy("o_orderkey")
+        .agg(
+            F.min("o_orderpriority").alias("priority"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:  # the row's claim IS the shuffle-free plan
+        raise AssertionError(
+            "bucketed_join_scan planned an Exchange — bucketed layout "
+            "not honored:\n" + plan
+        )
+    return out

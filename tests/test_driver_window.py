@@ -77,6 +77,10 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "text_tokenize_ids",
+    "dedup_ppjoin_exact",
+    "stats_ks_drift",
+    "bucketed_join_scan",
+    "matview_incremental_replay",
 ]
 
 
