@@ -1,0 +1,129 @@
+"""Invariants for the round-7 third-wave operators: ppjoin prefix
+filtering (lossless AND actually pruning), the KS statistic against an
+independent numpy model, the bucketed join's zero-Exchange plan, and
+matview-replay determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from qms_datawarehouse_spark.operators.dedup import (
+    _shingled,
+    dedup_ppjoin_exact,
+)
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b, r.n_common, r.na, r.nb) for r in df.collect()}
+
+
+def test_ppjoin_is_lossless_vs_exhaustive(spark):
+    got = _pairs(dedup_ppjoin_exact(spark, SF_DIR))
+
+    # independent exhaustive baseline: every shared-shingle pair,
+    # thresholded with the same integer compare
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = _shingled(docs)
+    sx = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a, b = sx.alias("a"), sx.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").cast("long").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").cast("long").alias("nb"))
+    want = _pairs(
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.lit(9) * F.col("n_common") >= F.lit(4) * (F.col("na") + F.col("nb")))
+    )
+    assert got == want
+    assert len(got) > 0  # the fixture plants near-dups; empty = broken
+
+
+def test_ppjoin_prefix_actually_prunes(spark):
+    # the point of the prefix filter: candidate pairs from prefixes
+    # must be a strict subset of all shared-shingle pairs
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = _shingled(docs).persist()
+    sx = sh.select("doc_id", F.explode("shingles").alias("t"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    df_counts = sx.groupBy("t").agg(F.count("*").alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("t").asc())
+    prefix = (
+        sx.join(df_counts, "t")
+        .select("doc_id", "t", F.row_number().over(w).alias("r"))
+        .join(sizes, "doc_id")
+        .filter(F.col("r") <= F.expr("n - ((4 * n + 4) div 5) + 1"))
+        .select("doc_id", "t")
+    )
+
+    def n_pairs(tok):
+        ta, tb = tok.alias("a"), tok.alias("b")
+        return (
+            ta.join(
+                tb,
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    n_prefix = n_pairs(prefix)
+    n_all = n_pairs(sx.select("doc_id", F.col("t")))
+    sh.unpersist()
+    assert 0 < n_prefix < n_all
+    # at τ=0.8 the prefix is ~1/5 of each set; candidate volume should
+    # collapse by far more than 2x on this corpus
+    assert n_prefix * 2 < n_all
+
+
+def test_ks_drift_matches_numpy_model(spark):
+    from qms_datawarehouse_spark.plans.analytics import stats_ks_drift
+
+    row = stats_ks_drift(spark, SF_DIR).collect()[0]
+
+    pdf = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_totalprice", "o_orderdate"])
+    cents = np.floor(pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    early = pdf["o_orderdate"].to_numpy() < np.datetime64("1996-01-01")
+    s1, s2 = np.sort(cents[early]), np.sort(cents[~early])
+    n1, n2 = len(s1), len(s2)
+    grid = np.unique(cents)
+    cum1 = np.searchsorted(s1, grid, side="right").astype(np.int64)
+    cum2 = np.searchsorted(s2, grid, side="right").astype(np.int64)
+    d_num = int(np.max(np.abs(cum1 * n2 - cum2 * n1)))
+    assert (row.n1, row.n2, row.d_num) == (n1, n2, d_num)
+    assert row.d_stat == round(d_num / (n1 * n2), 6)
+
+
+def test_bucketed_join_scan_plan_stays_shuffle_free(spark):
+    from qms_datawarehouse_spark.sources.bucketed import bucketed_join_scan
+
+    out = bucketed_join_scan(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("Bucketed: true") == 2
+    assert out.count() > 0
+
+
+def test_matview_replay_is_deterministic_across_runs(spark):
+    from qms_datawarehouse_spark.operators.matview import (
+        matview_incremental_replay,
+    )
+
+    r1 = sorted(map(tuple, matview_incremental_replay(spark, SF_DIR).collect()))
+    r2 = sorted(map(tuple, matview_incremental_replay(spark, SF_DIR).collect()))
+    assert r1 == r2 and len(r1) > 0
