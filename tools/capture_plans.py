@@ -49,10 +49,16 @@ PICKS = {
     "dedup_minhash_estimate_audit": "Signature-slot agreement joins the O(docs) sigs table twice BY KEY; sketch estimate and exact Jaccard are integer arithmetic in the same projection.",
     "embedding_kmeans_2iter": "Each Lloyd iteration = K-row centroid broadcast + per-row integer fold (no corpus shuffle) then a K*64-row partial-sum exchange — the plan pair repeats unchanged at any corpus size.",
     "bloom_index_point_lookup": "The final fact scan carries the bloom-surviving partition IN-filter plus the exact key predicate — on a partitioned layout both push to the scan, pruned partitions never open.",
+    "dedup_ppjoin_exact": "Candidates come from the equi-join on PREFIX shingles only (df-ranked window, per-doc partitioning); the verify re-joins candidates to the shingle table BY DOC KEY — the exhaustive all-shared-shingle join never appears.",
+    "stats_ks_drift": "One scan partial-aggregates onto the bounded distinct-cents domain; the single-partition cumulative window runs over |domain| rows, not |data| rows; D's max is all-integer.",
+    "bucketed_join_scan": "ZERO Exchange nodes end-to-end: both scans read `Bucketed: true`, the SortMergeJoin and the per-order HashAggregate reuse the bucket clustering (the groupBy key IS the bucket key).",
     # dedup_split_leakage is intentionally NOT captured: its plan
     # embeds the CC loop's full iterative lineage (thousands of lines,
     # like dedup_clusters) — the audit's own cost is one join + one
     # keyed aggregate on cluster_id on top of it.
+    # matview_incremental_replay is NOT captured either: the returned
+    # frame is just the MV read — the interesting plans are the write
+    # path's (merge partial + delta agg), pinned in tests instead.
 }
 
 HEADER = """# Physical plans (captured)

@@ -62,6 +62,15 @@ TOP_OPS = [
     "interval_containment_join",
     "graph_pagerank_2iter",
     "text_chunking",
+    # round-7 third wave (prefix-filtered exact similarity, KS drift,
+    # shuffle-free bucketed join, incremental-MV replay) + the two
+    # late second-wave rows without a published probe line
+    "text_tokenize_ids",
+    "semantic_gate_replay_two_epochs",
+    "dedup_ppjoin_exact",
+    "stats_ks_drift",
+    "bucketed_join_scan",
+    "matview_incremental_replay",
 ]
 
 # per-table key columns to offset per replica (join consistency);
@@ -112,10 +121,12 @@ def build_scaled_dir(spark, base: str, factor: int) -> str:
                         ).alias("text")
                     )
                 elif t == "events" and c == "event_id":
-                    # string id: prefix keeps replicas distinct
-                    cols.append(
-                        F.concat(F.lit(f"r{r}-"), F.col(c)).alias(c)
-                    )
+                    # numeric offset keeps replicas distinct AND keeps
+                    # the base schema (bigint — an earlier string-
+                    # concat variant silently changed the column type,
+                    # so any query doing event_id % k would throw
+                    # under ANSI at 10x but pass at 1x)
+                    cols.append((F.col(c) + off).alias(c))
                 elif t == "events" and c == "ts":
                     # shift each replica by 31 days: a true 10x event
                     # corpus spans 10x the time at constant density.
