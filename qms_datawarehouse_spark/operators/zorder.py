@@ -105,3 +105,122 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# --------------------------------------------------------------------
+# Driver row: z-order-routed two-predicate scan, value-equal to the
+# plain filter
+# --------------------------------------------------------------------
+
+_ZROUTE_FILES = 16
+
+_ZROUTE_SQL = """
+    WITH r AS (
+        SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+               min(value) AS vlo, max(value) AS vhi
+        FROM events
+    ),
+    sel AS (
+        SELECT e.* FROM events e, r
+        WHERE e.user_id >= r.ulo
+          AND e.user_id <= r.ulo + (r.uhi - r.ulo) // 4
+          AND e.value >= r.vlo + (r.vhi - r.vlo) / 2
+          AND e.value <= r.vhi
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM sel GROUP BY 1
+"""
+
+
+def _zorder_query(name: str, sql: str):
+    # local import: registry pulls plans/__init__, which imports this
+    # module — the lazy import breaks the cycle (package convention)
+    from qms_datawarehouse_spark.plans.registry import query
+
+    return query(name, sql)
+
+
+@_zorder_query("zorder_routed_scan", _ZROUTE_SQL)
+def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TWO-predicate selective scan routed through a z-ordered
+    layout, value-equal to the plain conjunctive filter (the oracle):
+    lay ``events`` out along the (user_id, value) Morton curve
+    (16 files — each file's footer covers a narrow slice of BOTH
+    columns), harvest the per-file min/max manifest from footers
+    only, prune CONJUNCTIVELY (`prune_files_df_multi` — a file
+    survives only if every predicate overlaps), re-apply the exact
+    predicate on the survivors. The sibling of `fileskip_routed_scan`
+    for the case a single sort column cannot serve: a bottom-quarter
+    user_id slice AND a top-half value slice each kill files the
+    other keeps.
+
+    The equality IS the contract: z-order pruning may keep extra
+    files, never drop a matching row. An in-query guard additionally
+    asserts the prune kept strictly fewer than all files — a
+    degenerate keep-all layout fails loudly instead of silently
+    passing as a full scan.
+
+    Determinism: the user_id cut is integer floor-division (Spark
+    `div` ≡ DuckDB `//` on non-negative ids); the value cut is the
+    same IEEE expression vlo + (vhi − vlo)/2 evaluated on identical
+    doubles in both engines.
+
+    Scale shape: layout write amortized per-ingest (rebuilt per run
+    like the bloom/fileskip rows); manifest I/O is footer-only; the
+    data read opens only multi-predicate-surviving files. At 100 TB
+    this is the Delta/Iceberg Z-ORDER read path on plain parquet."""
+    import os
+    import tempfile
+
+    from qms_datawarehouse_spark.plans.registry import tables
+    from qms_datawarehouse_spark.sources.fileskip import (
+        file_manifest_df,
+        prune_files_df_multi,
+    )
+
+    (events,) = tables(spark, sf_dir, "events")
+    row = events.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("value").alias("vlo"),
+        F.max("value").alias("vhi"),
+    ).first()
+    ulo, uhi = int(row["ulo"]), int(row["uhi"])
+    vlo, vhi = float(row["vlo"]), float(row["vhi"])
+    u_cut = ulo + (uhi - ulo) // 4
+    v_cut = vlo + (vhi - vlo) / 2
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "qms_zorder_routed",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "events",
+    )
+    zorder_write(events, path, ["user_id", "value"], n_files=_ZROUTE_FILES, bits=6)
+    manifest = file_manifest_df(spark, path, ["user_id", "value"])
+    files = prune_files_df_multi(
+        manifest, {"user_id": (ulo, u_cut), "value": (v_cut, vhi)}
+    )
+    if len(files) >= _ZROUTE_FILES:  # the row's claim IS the skip
+        raise AssertionError(
+            f"z-order prune kept all {_ZROUTE_FILES} files — layout degenerate"
+        )
+    kept = spark.read.parquet(*files).filter(
+        (F.col("user_id") >= ulo)
+        & (F.col("user_id") <= u_cut)
+        & (F.col("value") >= v_cut)
+        & (F.col("value") <= vhi)
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+        F.min("user_id").cast("long").alias("min_user"),
+        F.max("user_id").cast("long").alias("max_user"),
+    )

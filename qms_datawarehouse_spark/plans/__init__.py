@@ -28,6 +28,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     similarity,
     temporal,
     textops,
+    zorder,
 )
 from qms_datawarehouse_spark.plans import (  # noqa: F401
     advanced,

@@ -81,6 +81,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "stats_ks_drift",
     "bucketed_join_scan",
     "matview_incremental_replay",
+    "zorder_routed_scan",
 ]
 
 

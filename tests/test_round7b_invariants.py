@@ -127,3 +127,12 @@ def test_matview_replay_is_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, matview_incremental_replay(spark, SF_DIR).collect()))
     r2 = sorted(map(tuple, matview_incremental_replay(spark, SF_DIR).collect()))
     assert r1 == r2 and len(r1) > 0
+
+
+def test_zorder_routed_scan_prunes_and_returns_rows(spark):
+    from qms_datawarehouse_spark.operators.zorder import zorder_routed_scan
+
+    out = zorder_routed_scan(spark, SF_DIR)  # in-query guard asserts prune < all
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.n_events > 0 for r in rows)
