@@ -132,6 +132,13 @@ HEADLINE = [
     "graph_pagerank_2iter",
     "text_chunking",
     "fileskip_routed_scan",
+    # round-7 third wave (exact-similarity prefix join, drift stat,
+    # physical-layout payoff rows, incremental-MV replay)
+    "dedup_ppjoin_exact",
+    "stats_ks_drift",
+    "bucketed_join_scan",
+    "matview_incremental_replay",
+    "zorder_routed_scan",
 ]
 
 
@@ -217,9 +224,11 @@ def main() -> None:
                 "host_load_start": load_at_start,
                 "host_load_end": _host_load(),
                 "notes": (
-                    "r7: headline grew to 57 (adds dedup_semantic, "
+                    "r7: headline grew to 62 (adds dedup_semantic, "
                     "dedup_substring_spans, similarity_ann_multiprobe, "
-                    "watermark_late_replay, semantic_gate_replay_two_epochs); "
+                    "watermark_late_replay, semantic_gate_replay_two_epochs, "
+                    "dedup_ppjoin_exact, stats_ks_drift, bucketed_join_scan, "
+                    "matview_incremental_replay, zorder_routed_scan); "
                     "common22 stays the frozen "
                     "cross-round signal. SCALE probes in docs/SCALING.md: "
                     "~10x read probe (tools/sf1_probe.py) worst ratio "

@@ -136,3 +136,36 @@ def test_zorder_routed_scan_prunes_and_returns_rows(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r.n_events > 0 for r in rows)
+
+
+def test_semantic_pair_volume_scales_inverse_k(spark):
+    """The dedup_semantic 10x-probe outlier's named cause, as an
+    executable claim: the within-cluster pair term is ~N^2/K, so the
+    production K ∝ N knob keeps it linear. Pin that doubling K
+    roughly halves sum(cluster_size^2) on the fixture (measured decay
+    63474 -> 31410 -> 16156 -> 8284 for K=4..32 — almost exactly 1/K;
+    the assertion allows slack for cluster imbalance)."""
+    from qms_datawarehouse_spark.operators.kmeans_core import (
+        _km_assign,
+        _km_quantized,
+    )
+    from qms_datawarehouse_spark.operators.semantic_gate import (
+        train_semantic_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = _km_quantized(emb).persist()
+    sum_sq = []
+    for k in (4, 8, 16, 32):
+        cents = train_semantic_centroids(q, k)
+        cl = cents.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+        sizes = _km_assign(q, cl).groupBy("cid").count()
+        row = sizes.agg(
+            F.sum(F.col("count") * F.col("count")).alias("ss"),
+            F.count("*").alias("nc"),
+        ).first()
+        assert row.nc == k  # every seed keeps a nonempty cluster here
+        sum_sq.append(row.ss)
+    q.unpersist()
+    for smaller_k, larger_k in zip(sum_sq, sum_sq[1:]):
+        assert larger_k * 16 < smaller_k * 10  # >= 1.6x drop per doubling
