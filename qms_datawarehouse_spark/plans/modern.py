@@ -291,3 +291,108 @@ def dq_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------
+# Categorical distribution drift between ingest epochs (PSI-style
+# gate, exact integers)
+# --------------------------------------------------------------------
+
+_DRIFT_SQL = """
+    WITH r AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               sum(CASE WHEN epoch_us(e.ts) < r.lo + (r.hi - r.lo) // 2
+                        THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN epoch_us(e.ts) < r.lo + (r.hi - r.lo) // 2
+                        THEN 0 ELSE 1 END) AS n2
+        FROM events e, r
+        GROUP BY event_type
+    ),
+    b AS (
+        SELECT event_type, n1, n2,
+               10000 * n1 // (SELECT sum(n1) FROM g) AS bp1,
+               10000 * n2 // (SELECT sum(n2) FROM g) AS bp2
+        FROM g
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(bp1 AS BIGINT) AS bp1,
+           CAST(bp2 AS BIGINT) AS bp2,
+           CAST(bp2 - bp1 AS BIGINT) AS delta_bp,
+           CASE WHEN n1 = 0 THEN 'added'
+                WHEN n2 = 0 THEN 'removed'
+                WHEN abs(bp2 - bp1) >= 300 THEN 'shifted'
+                ELSE 'stable' END AS drift_class
+    FROM b
+"""
+
+
+@query("dq_distribution_drift", _DRIFT_SQL)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution drift between two ingest epochs (the
+    first and second halves of the event-time range): per category the
+    basis-point share in each epoch, the share delta, and a drift
+    class — added / removed / shifted (>= 300 bp) / stable. The
+    population-stability gate a training pipeline runs on category
+    mixes (event types, languages, sources) before trusting a new
+    ingest window; the KS row (stats_ks_drift) is its continuous-value
+    sibling.
+
+    Exact integers end to end: the epoch cut is integer floor-division
+    on epoch micros (Spark `div` ≡ DuckDB `//`), shares are
+    10000·n div total — no PSI logarithm, so the gate hashes
+    identically cross-engine and thresholds are auditable.
+
+    Scale shape: one scan, conditional partial aggregation onto the
+    CATEGORY domain, one |categories|-row window for the totals —
+    nothing else moves. At 100 TB this is a metadata-cheap pre-commit
+    check per ingest epoch."""
+    from pyspark.sql import Window
+
+    (events,) = tables(spark, sf_dir, "events")
+    row = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    lo, hi = int(row["lo"]), int(row["hi"])
+    cut = lo + (hi - lo) // 2
+
+    in_e1 = (F.unix_micros("ts") < F.lit(cut)).cast("long")
+    g = events.groupBy("event_type").agg(
+        F.sum(in_e1).alias("n1"),
+        F.sum(1 - in_e1).alias("n2"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    b = g.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.expr("10000 * n1").alias("s1"),
+        F.expr("10000 * n2").alias("s2"),
+        F.sum("n1").over(w).alias("t1"),
+        F.sum("n2").over(w).alias("t2"),
+    ).select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.expr("s1 div t1").cast("long").alias("bp1"),
+        F.expr("s2 div t2").cast("long").alias("bp2"),
+    )
+    return b.select(
+        "event_type",
+        "n1",
+        "n2",
+        "bp1",
+        "bp2",
+        (F.col("bp2") - F.col("bp1")).cast("long").alias("delta_bp"),
+        F.when(F.col("n1") == 0, "added")
+        .when(F.col("n2") == 0, "removed")
+        .when(F.abs(F.col("bp2") - F.col("bp1")) >= 300, "shifted")
+        .otherwise("stable")
+        .alias("drift_class"),
+    )

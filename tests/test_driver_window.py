@@ -82,6 +82,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "bucketed_join_scan",
     "matview_incremental_replay",
     "zorder_routed_scan",
+    "dq_distribution_drift",
 ]
 
 
