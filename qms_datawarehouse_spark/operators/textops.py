@@ -1223,3 +1223,148 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(10000 * n_oov) div n_tokens AS oov_bp",
         "ids_md5",
     )
+
+
+# --------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical and vector
+# rankers
+# --------------------------------------------------------------------
+
+from qms_datawarehouse_spark.operators.similarity import (  # noqa: E402
+    QUERY_VEC_ID as _RRF_QVEC,
+    TOP_K as _RRF_VEC_K,
+)
+
+_RRF_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok
+        WHERE token IN {_BM25_TERMS!r}
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    lex AS (
+        SELECT tf.doc_id,
+               CAST(sum(
+                   ((10000 * (2 * s.n_docs - 2 * dfq.df + 1))
+                        // (2 * dfq.df + 1))
+                   * (22 * s.total_len * tf.tf)
+                   // (10 * s.total_len * tf.tf + 3 * s.total_len
+                       + 9 * dl.dl * s.n_docs)
+               ) AS BIGINT) AS score
+        FROM tf
+        JOIN dfq ON tf.token = dfq.token
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1
+        ORDER BY score DESC, tf.doc_id
+        LIMIT 20
+    ),
+    lexr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank_bm25
+        FROM lex
+    ),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                            x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {_RRF_QVEC}),
+    vec AS (
+        SELECT vec_id, cosine FROM (
+            SELECT e.vec_id,
+                   round(list_sum(list_transform(range(1, 65),
+                       i -> e.v[i] * q.qv[i])) / (e.nrm * q.qn), 4) AS cosine
+            FROM e, q WHERE e.vec_id <> {_RRF_QVEC}
+        )
+        ORDER BY cosine DESC, vec_id
+        LIMIT {_RRF_VEC_K}
+    ),
+    vecr AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank_cos
+        FROM vec
+    ),
+    fused AS (
+        SELECT COALESCE(lexr.doc_id, vecr.vec_id) AS id,
+               COALESCE(rank_bm25, 0) AS rank_bm25,
+               COALESCE(rank_cos, 0) AS rank_cos,
+               COALESCE(1000000 // (60 + rank_bm25), 0)
+                   + COALESCE(1000000 // (60 + rank_cos), 0) AS rrf
+        FROM lexr FULL JOIN vecr ON lexr.doc_id = vecr.vec_id
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+           CAST(rank_cos AS BIGINT) AS rank_cos,
+           CAST(rrf AS BIGINT) AS rrf_score_1m
+    FROM fused
+    ORDER BY rrf DESC, id
+    LIMIT 10
+"""
+
+
+@query("similarity_rrf_fusion", _RRF_SQL)
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 lexical top-20 and the exact-cosine vector top-10
+    fuse by RRF(id) = Σ 1/(60 + rank) over the lists that contain the
+    id — expressed in integers (1000000 div (60 + rank)) so the fused
+    ordering and its LIMIT boundary are decided on identical bigints
+    in both engines. The standard RAG retrieval pattern: lexical
+    recall catches what embedding similarity misses and vice versa,
+    and RRF needs no score calibration between the two scales —
+    only ranks cross the fusion boundary.
+
+    Scale shape: both rankers keep their distributed plans (posting
+    aggregation + broadcast stats; broadcast query vector +
+    TakeOrdered) — the fusion itself touches two k-row frames, a
+    bounded full-outer join. The document and embedding id domains
+    are aligned in the fixture (doc_id ≡ vec_id), standing in for a
+    corpus with per-document embeddings."""
+    from pyspark.sql import Window
+
+    from qms_datawarehouse_spark.operators.similarity import (
+        similarity_topk_cosine,
+    )
+
+    lex = bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_score_10k"), F.asc("doc_id")))
+        .alias("rank_bm25"),
+    )
+    vec = similarity_topk_cosine(spark, sf_dir).select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("rank_cos"),
+    )
+    j = lex.join(vec, lex["doc_id"] == vec["vec_id"], "full_outer")
+    rrf = F.coalesce(
+        F.expr("1000000 div (60 + rank_bm25)"), F.lit(0)
+    ) + F.coalesce(F.expr("1000000 div (60 + rank_cos)"), F.lit(0))
+    return (
+        j.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id"))
+            .cast("long")
+            .alias("id"),
+            F.coalesce(F.col("rank_bm25"), F.lit(0))
+            .cast("long")
+            .alias("rank_bm25"),
+            F.coalesce(F.col("rank_cos"), F.lit(0))
+            .cast("long")
+            .alias("rank_cos"),
+            rrf.cast("long").alias("rrf_score_1m"),
+        )
+        .orderBy(F.desc("rrf_score_1m"), F.asc("id"))
+        .limit(10)
+    )

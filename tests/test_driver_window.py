@@ -83,6 +83,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "matview_incremental_replay",
     "zorder_routed_scan",
     "dq_distribution_drift",
+    "similarity_rrf_fusion",
 ]
 
 
