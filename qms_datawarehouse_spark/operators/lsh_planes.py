@@ -15,6 +15,12 @@ import hashlib
 N_HYPERPLANES = 8
 PLANE_DIM = 64
 
+# ANN query constants shared at MODULE-EXEC time by similarity (the
+# rankers) and textops (the RRF fusion oracle SQL) — leaf-hosted so
+# neither import direction re-enters a partially initialized module
+TOP_K = 10
+QUERY_VEC_ID = 0
+
 
 def plane_component(j: int, i: int) -> float:
     h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8]

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.operators.lsh_planes import (
     N_HYPERPLANES,
+    QUERY_VEC_ID,
+    TOP_K,
     plane_sql_literal,
 )
 from qms_datawarehouse_spark.operators.kmeans_core import (  # noqa: F401
@@ -41,9 +43,6 @@ from qms_datawarehouse_spark.operators.kmeans_core import (  # noqa: F401
     _km_quantized,
 )
 from qms_datawarehouse_spark.plans.registry import query, tables
-
-TOP_K = 10
-QUERY_VEC_ID = 0
 
 
 def _norm(v: Column) -> Column:

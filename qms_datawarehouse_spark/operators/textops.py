@@ -1230,7 +1230,7 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rankers
 # --------------------------------------------------------------------
 
-from qms_datawarehouse_spark.operators.similarity import (  # noqa: E402
+from qms_datawarehouse_spark.operators.lsh_planes import (  # noqa: E402
     QUERY_VEC_ID as _RRF_QVEC,
     TOP_K as _RRF_VEC_K,
 )
