@@ -1318,3 +1318,147 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", "hamming", "cosine")
     )
+
+
+# --------------------------------------------------------------------
+# MMR diversified rerank (maximal marginal relevance over a bounded
+# shortlist)
+# --------------------------------------------------------------------
+
+_MMR_C = 16  # shortlist size (relevance top-C, distributed cut)
+_MMR_K = 5  # diversified picks
+
+
+def _mmr_sql() -> str:
+    # greedy selection unrolled into K stages; each stage picks the
+    # argmax of 2*rel - max(sim to selected) over the remaining
+    # shortlist, ties to the lowest vec_id — the same integer compare
+    # the Python greedy runs
+    stages = []
+    sel_union = "SELECT vec_id, 1 AS rank, 2 * rel AS score FROM sel1"
+    for k in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, k)
+        )
+        stages.append(
+            f"""sel{k} AS (
+        SELECT s.vec_id, s.rel,
+               2 * s.rel - (SELECT max(p.sim) FROM pairs p
+                            WHERE p.a = s.vec_id
+                              AND p.b IN ({prev})) AS score
+        FROM short s
+        WHERE s.vec_id NOT IN ({prev})
+        ORDER BY score DESC, s.vec_id
+        LIMIT 1
+    )"""
+        )
+        sel_union += (
+            f" UNION ALL SELECT vec_id, {k} AS rank, score FROM sel{k}"
+        )
+    stage_sql = ",\n    ".join(stages)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                            x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    short AS (
+        SELECT vec_id, v, nrm,
+               CAST(floor(list_sum(list_transform(range(1, 65),
+                   i -> e.v[i] * q.qv[i])) / (e.nrm * q.qn) * 10000 + 0.5)
+                   AS BIGINT) AS rel
+        FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY rel DESC, vec_id
+        LIMIT {_MMR_C}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               CAST(floor(list_sum(list_transform(range(1, 65),
+                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 10000 + 0.5)
+                   AS BIGINT) AS sim
+        FROM short a, short b WHERE a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+        SELECT vec_id, rel FROM short ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    {stage_sql}
+    SELECT CAST(rank AS BIGINT) AS rank,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(score AS BIGINT) AS mmr_score
+    FROM ({sel_union})
+    ORDER BY rank
+"""
+
+
+@query("similarity_mmr_rerank", _mmr_sql())
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    from the relevance top-{C} shortlist, greedily pick {K} results
+    maximizing 2·rel − max-similarity-to-already-picked — the
+    diversification step a RAG pipeline runs so the k passages it
+    stuffs into a context window aren't five copies of the same fact
+    (the retrieval-side complement of dedup_semantic).
+
+    Split of labor at scale: the SHORTLIST is the distributed part —
+    brute-force (here) or any ANN row, cut by TakeOrdered — and the
+    greedy runs on the C-row shortlist collected to the driver
+    (C=16·(64 doubles) — the codebook-sized bounded collect this
+    library allows everywhere). Cross-engine exactness: rel and
+    pairwise sims are floor(cos·10⁴ + 0.5) bigints from identical
+    left-to-right IEEE folds (Spark aggregate HOF, DuckDB list_sum,
+    Python sum all reduce sequentially), and the oracle unrolls the
+    SAME integer greedy into K SQL stages — so selection order and
+    tie-breaks hash-match, not just approximately agree."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    rel = F.floor(
+        _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")) * 10000
+        + 0.5
+    ).cast("long")
+    short = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("rel", rel)
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_C)
+        .select("vec_id", "v", "nrm", "rel")
+        .collect()
+    )
+
+    import math
+
+    def _sim(ra, rb) -> int:
+        dot = 0.0
+        for x, y in zip(ra.v, rb.v):
+            dot += x * y
+        return int(math.floor(dot / (ra.nrm * rb.nrm) * 10000 + 0.5))
+
+    remaining = {r.vec_id: r for r in short}
+    picked: list[tuple[int, int, int]] = []  # (rank, vec_id, score)
+    sel_rows = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for vid, r in remaining.items():
+            if rank == 1:
+                score = 2 * int(r.rel)
+            else:
+                score = 2 * int(r.rel) - max(
+                    _sim(r, s) for s in sel_rows
+                )
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, score)
+        _, vid, score = best
+        picked.append((rank, vid, score))
+        sel_rows.append(remaining.pop(vid))
+
+    return spark.createDataFrame(
+        picked, "rank long, vec_id long, mmr_score long"
+    )

@@ -84,6 +84,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "zorder_routed_scan",
     "dq_distribution_drift",
     "similarity_rrf_fusion",
+    "similarity_mmr_rerank",
 ]
 
 

@@ -382,6 +382,10 @@ def test_no_unintended_cartesian_anywhere(spark):
         "semantic_gate_replay_two_epochs",
         # 1-row node-count broadcast per power iteration (r0, r1, r2)
         "graph_pagerank_2iter",
+        # inherits both rankers' bounded broadcasts (1-row corpus
+        # stats + 1-row query vector); the fusion join itself is a
+        # k-row full-outer equi-join
+        "similarity_rrf_fusion",
     }
     offenders = {}
     for name, qd in REGISTRY.items():
