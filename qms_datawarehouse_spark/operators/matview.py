@@ -209,8 +209,12 @@ def matview_incremental_replay(spark, sf_dir: str) -> DataFrame:
     from qms_datawarehouse_spark.plans.registry import tables
 
     (events,) = tables(spark, sf_dir, "events")
+    # pid in the path: the rmtree + rebuild would race a concurrent
+    # session replaying into one fixed warehouse root
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    root = os.path.join(tempfile.gettempdir(), "qms_mv_replay", tag)
+    root = os.path.join(
+        tempfile.gettempdir(), "qms_mv_replay", str(os.getpid()), tag
+    )
     shutil.rmtree(root, ignore_errors=True)
     wh = ParquetWarehouse(spark, root)
 

@@ -195,9 +195,15 @@ def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_cut = ulo + (uhi - ulo) // 4
     v_cut = vlo + (vhi - vlo) / 2
 
+    # per-PROCESS layout dir: a fixed path races when two sessions run
+    # this query concurrently (one harvests the manifest while the
+    # other rewrites — the dir transiently holds both file sets and
+    # every row double-counts). Within one process the dir is still
+    # deterministic and overwritten per run.
     path = os.path.join(
         tempfile.gettempdir(),
         "qms_zorder_routed",
+        str(os.getpid()),
         os.path.basename(os.path.normpath(sf_dir)),
         "events",
     )

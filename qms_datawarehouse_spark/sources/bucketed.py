@@ -135,8 +135,12 @@ def bucketed_join_scan(spark: SparkSession, sf_dir: str):
     from qms_datawarehouse_spark.plans.registry import tables
 
     orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+    # pid in the path: two concurrent sessions saving catalog tables
+    # to one fixed external location race each other's overwrites
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    root = os.path.join(tempfile.gettempdir(), "qms_bucketed_join", tag)
+    root = os.path.join(
+        tempfile.gettempdir(), "qms_bucketed_join", str(os.getpid()), tag
+    )
     t_orders, t_lineitem = f"bj_orders_{tag}", f"bj_lineitem_{tag}"
     write_bucketed_table(
         orders, t_orders, "o_orderkey", 8, os.path.join(root, t_orders)

@@ -421,11 +421,15 @@ def fileskip_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     lo, hi = int(row["lo"]), int(row["hi"])
     cut = lo + (hi - lo) // 8
-    # deterministic per-sf layout dir (overwritten each run; the
-    # files must outlive this call — the returned frame is lazy)
+    # per-process per-sf layout dir (overwritten each run; the files
+    # must outlive this call — the returned frame is lazy). The pid
+    # segment keeps concurrent sessions from racing one fixed path
+    # (one harvests the manifest while another rewrites — the dir
+    # transiently holds both file sets and rows double-count).
     path = os.path.join(
         tempfile.gettempdir(),
         "qms_fileskip_routed",
+        str(os.getpid()),
         os.path.basename(os.path.normpath(sf_dir)),
         "orders",
     )

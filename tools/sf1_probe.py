@@ -71,6 +71,10 @@ TOP_OPS = [
     "stats_ks_drift",
     "bucketed_join_scan",
     "matview_incremental_replay",
+    "zorder_routed_scan",
+    "dq_distribution_drift",
+    "similarity_rrf_fusion",
+    "similarity_mmr_rerank",
 ]
 
 # per-table key columns to offset per replica (join consistency);
