@@ -1633,6 +1633,95 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Poisson bootstrap (one-pass resampling for confidence intervals)
+# --------------------------------------------------------------------
+
+_BOOT_B = 32  # bootstrap replicates
+# cumulative Poisson(1) CDF scaled to 2^32 (floor(c_k * 2^32) for
+# k = 0..4; the 0.37% tail truncates to weight 5). Computed once and
+# inlined identically into the Spark CASE and the oracle SQL.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def _pois_case(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {arms} ELSE 5 END"
+
+
+_BOOT_SQL = f"""
+    WITH bs AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    reps AS (
+        SELECT bs.b,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || ':' ||
+                   CAST(bs.b AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS u
+        FROM orders, bs
+    ),
+    wtd AS (SELECT b, cents, {_pois_case('u')} AS w FROM reps)
+    SELECT CAST(b AS BIGINT) AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_drawn,
+           CAST(sum(w * cents) // sum(w) AS BIGINT) AS mean_cents
+    FROM wtd GROUP BY 1
+"""
+
+
+@query("stats_bootstrap_poisson", _BOOT_SQL)
+def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012) — the resampling
+    scheme that actually works on distributed data: instead of
+    drawing n-with-replacement (which needs global coordination),
+    each row enters replicate b with weight ~ Poisson(1), independent
+    per (row, replicate) — so all {B} resampled means compute in ONE
+    scan with map-side partial aggregation. The spread of the
+    replicate means IS the sampling distribution of the mean; a
+    consumer reads the 2.5/97.5-percentile replicas off the {B}-row
+    output for a CI.
+
+    Determinism: the per-(row, replicate) uniform is the md5
+    first-8-hex integer (hashsplit recipe), compared against
+    PRE-COMPUTED integer thresholds floor(CDF_k · 2³²) — the Poisson
+    inverse-CDF as pure bigint compares, identical in both engines;
+    replicate means are integer floor-divisions of exact cents. The
+    0.37% CDF tail truncates to weight 5 (bounded, documented bias
+    far below sampling noise).
+
+    Scale shape: one scan, a 32× map-side fan-out collapsed by
+    partial aggregation before the 32-group exchange — at 100 TB the
+    wire cost is 32 rows per task, never 32× the data."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    reps = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            ).cast("binary")
+        ).substr(1, 8),
+        16,
+        10,
+    ).cast("long")
+    wtd = reps.withColumn("u_int", u).select(
+        "b", "cents", F.expr(_pois_case("u_int")).alias("w")
+    )
+    return wtd.groupBy("b").agg(
+        F.sum("w").cast("long").alias("n_drawn"),
+        F.expr("CAST(sum(w * cents) div sum(w) AS BIGINT)").alias(
+            "mean_cents"
+        ),
+    ).select(
+        F.col("b").cast("long").alias("replicate"), "n_drawn", "mean_cents"
+    )
+
+
+# --------------------------------------------------------------------
 # Time-series OHLC bars (downsampling a value stream to candles)
 # --------------------------------------------------------------------
 

@@ -85,6 +85,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "dq_distribution_drift",
     "similarity_rrf_fusion",
     "similarity_mmr_rerank",
+    "stats_bootstrap_poisson",
 ]
 
 

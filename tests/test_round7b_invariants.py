@@ -169,3 +169,24 @@ def test_semantic_pair_volume_scales_inverse_k(spark):
     q.unpersist()
     for smaller_k, larger_k in zip(sum_sq, sum_sq[1:]):
         assert larger_k * 16 < smaller_k * 10  # >= 1.6x drop per doubling
+
+
+def test_bootstrap_poisson_is_statistically_sane(spark):
+    """The replicate means must bracket the true mean (32 replicas —
+    astronomically unlikely to all land one side), each replicate
+    draws n +- ~3*sqrt(n) rows (Poisson(1) sum), and the spread is
+    nonzero (weights actually vary)."""
+    from qms_datawarehouse_spark.plans.analytics import (
+        stats_bootstrap_poisson,
+    )
+
+    rows = stats_bootstrap_poisson(spark, SF_DIR).collect()
+    assert len(rows) == 32
+    pdf = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    cents = np.floor(pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    n, true_mean = len(cents), int(cents.sum() // len(cents))
+    means = [r.mean_cents for r in rows]
+    assert min(means) <= true_mean <= max(means)
+    assert min(means) < max(means)
+    for r in rows:
+        assert abs(r.n_drawn - n) <= 4 * int(np.sqrt(n)) + 5
