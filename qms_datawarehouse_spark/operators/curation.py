@@ -1006,6 +1006,85 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Differentially private release (Laplace mechanism, seeded noise)
+# --------------------------------------------------------------------
+
+_DP_SQL = """
+    WITH g AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+               count(*) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    uu AS (
+        SELECT *,
+               (CAST(('0x' || substr(md5(
+                    CAST(nationkey AS VARCHAR) || '|' || mktsegment),
+                    1, 8))::UBIGINT AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM g
+    )
+    SELECT nationkey, mktsegment,
+           CAST(n AS BIGINT) AS n,
+           round(CASE WHEN u >= 0.5 THEN -ln(2.0 - 2.0 * u)
+                      ELSE ln(2.0 * u) END, 4) AS noise,
+           round(n + (CASE WHEN u >= 0.5 THEN -ln(2.0 - 2.0 * u)
+                           ELSE ln(2.0 * u) END), 1) AS noisy_count
+    FROM uu
+"""
+
+
+@query("privacy_dp_laplace_counts", _DP_SQL)
+def privacy_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially private class counts via the Laplace mechanism
+    (ε = 1, sensitivity 1 ⇒ scale b = 1) over the same release
+    classes as the k-anonymity/l-diversity audits — completing the
+    privacy trio: suppress small classes (k-anon), check value
+    homogeneity (l-div), and NOISE what you release (DP). The noise
+    is Laplace inverse-CDF: −sgn(u−½)·ln(1−2|u−½|), algebraically
+    −ln(2−2u) / ln(2u) per branch.
+
+    The uniform here is SEEDED from the class key (md5-integer + ½,
+    over 2³²) — what a reproducible-release audit uses so two engines
+    (and two runs) can verify the same noised table; a production
+    release under a real privacy budget swaps in fresh randomness per
+    epsilon spend, same plan. Cross-engine: u is a ratio of identical
+    integers, ln over identical doubles rounds identically at 4
+    decimals (the library's float-chain rule), and the true count
+    stays in the row because this registered form is the AUDIT of the
+    mechanism, not the public artifact.
+
+    Scale shape: one partial-aggregated groupBy; the noise is a
+    per-row expression on O(classes) rows."""
+    (customer,) = tables(spark, sf_dir, "customer")
+    g = customer.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    h = F.conv(
+        F.md5(
+            F.concat(
+                F.col("nationkey").cast("string"),
+                F.lit("|"),
+                F.col("mktsegment"),
+            ).cast("binary")
+        ).substr(1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    uu = g.withColumn("u", u)
+    noise = F.expr(
+        "CASE WHEN u >= 0.5 THEN -ln(2.0 - 2.0 * u) ELSE ln(2.0 * u) END"
+    )
+    return uu.select(
+        "nationkey",
+        "mktsegment",
+        "n",
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("n") + noise, 1).alias("noisy_count"),
+    )
+
+
+# --------------------------------------------------------------------
 # Quality-weighted (importance) sampling
 # --------------------------------------------------------------------
 

@@ -1898,6 +1898,136 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# --------------------------------------------------------------------
+
+
+_CUPED_SQL = f"""
+    WITH r AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM events
+    ),
+    pu AS (
+        SELECT user_id,
+               {_AB_HASH} % 2 AS arm,
+               sum(CASE WHEN epoch_us(e.ts) < r.lo + (r.hi - r.lo) // 2
+                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) // 100
+                        ELSE 0 END) AS x,
+               sum(CASE WHEN epoch_us(e.ts) < r.lo + (r.hi - r.lo) // 2
+                        THEN 0
+                        ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) // 100
+                   END) AS y
+        FROM events e, r
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pu
+    ),
+    a AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+               CAST(sum(x) AS BIGINT) AS sxa,
+               CAST(sum(y) AS BIGINT) AS sya
+        FROM pu GROUP BY 1
+    )
+    SELECT CAST(arm AS BIGINT) AS arm, n_arm,
+           round(sya * 1.0 / n_arm, 4) AS mean_y,
+           round(sya * 1.0 / n_arm
+                 - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                   * (sxa * 1.0 / n_arm - sx * 1.0 / n), 4) AS mean_y_adj,
+           round(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                 * ((n * sxy - sx * sy) * 1.0 / (n * syy - sy * sy)), 4)
+               AS rho2
+    FROM a, m
+"""
+
+
+@query("experiment_cuped_adjusted", _CUPED_SQL)
+def experiment_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) on top of the
+    hash-split experiment: each user's PRE-period spend (first half of
+    the event-time range, whole dollars) is the covariate; the
+    adjusted arm mean is ȳ_arm − θ·(x̄_arm − x̄) with θ = cov(X,Y)/var(X)
+    pooled — mean-of-adjusted equals adjusted-of-means, so NO
+    per-user float ever aggregates: arms and moments reduce to exact
+    bigints (dollar units keep n·Σxx far inside int64 headroom at any
+    plausible user count) and θ, the adjusted means, and the variance-
+    reduction factor ρ² are final-step divisions of those pinned
+    integers, rounded. ρ² is the fraction of metric variance the
+    covariate removes — the sample-size multiplier CUPED buys.
+
+    Scale shape: one scan → per-user conditional aggregate (user_id
+    exchange), then a 2-row arm aggregate and a 1-row moment
+    aggregate combined broadcast-side. Reference analog: the staff
+    rate report (src/api/routes.py:104-136) reads point estimates;
+    this is the estimator a measurement platform would swap in."""
+    from qms_datawarehouse_spark.operators.hashsplit import hash_u32
+
+    (events,) = tables(spark, sf_dir, "events")
+    row = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    lo, hi = int(row["lo"]), int(row["hi"])
+    cut = lo + (hi - lo) // 2
+
+    dollars = F.expr(
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) div 100"
+    )
+    pre = F.unix_micros("ts") < F.lit(cut)
+    pu = events.groupBy(
+        "user_id", F.pmod(hash_u32(F.col("user_id")), F.lit(2)).alias("arm")
+    ).agg(
+        F.sum(F.when(pre, dollars).otherwise(0)).alias("x"),
+        F.sum(F.when(pre, 0).otherwise(dollars)).alias("y"),
+    )
+    m = pu.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    a = pu.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_arm"),
+        F.sum("x").cast("long").alias("sxa"),
+        F.sum("y").cast("long").alias("sya"),
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * 1.0
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    mean_y = F.col("sya") * 1.0 / F.col("n_arm")
+    return a.crossJoin(F.broadcast(m)).select(
+        F.col("arm").cast("long").alias("arm"),
+        "n_arm",
+        F.round(mean_y, 4).alias("mean_y"),
+        F.round(
+            mean_y
+            - theta
+            * (F.col("sxa") * 1.0 / F.col("n_arm") - F.col("sx") * 1.0 / F.col("n")),
+            4,
+        ).alias("mean_y_adj"),
+        F.round(
+            theta
+            * (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * 1.0
+                / (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            4,
+        ).alias("rho2"),
+    )
+
+
+# --------------------------------------------------------------------
 # Rolling 7-day active users (WAU per day)
 # --------------------------------------------------------------------
 

@@ -86,6 +86,8 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "similarity_rrf_fusion",
     "similarity_mmr_rerank",
     "stats_bootstrap_poisson",
+    "privacy_dp_laplace_counts",
+    "experiment_cuped_adjusted",
 ]
 
 

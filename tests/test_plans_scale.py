@@ -386,6 +386,9 @@ def test_no_unintended_cartesian_anywhere(spark):
         # stats + 1-row query vector); the fusion join itself is a
         # k-row full-outer equi-join
         "similarity_rrf_fusion",
+        # 1-row pooled-moments broadcast combines with the 2-row arm
+        # aggregate
+        "experiment_cuped_adjusted",
     }
     offenders = {}
     for name, qd in REGISTRY.items():
