@@ -190,3 +190,75 @@ def test_bootstrap_poisson_is_statistically_sane(spark):
     assert min(means) < max(means)
     for r in rows:
         assert abs(r.n_drawn - n) <= 4 * int(np.sqrt(n)) + 5
+
+
+def test_cuped_matches_numpy_model(spark):
+    """Independent recomputation: per-user pre/post dollar sums and the
+    pooled-theta adjustment in numpy must reproduce the query's
+    rounded outputs exactly (same integer inputs, same final
+    divisions)."""
+    import hashlib
+
+    from qms_datawarehouse_spark.plans.analytics import (
+        experiment_cuped_adjusted,
+    )
+
+    got = {
+        r.arm: (r.n_arm, r.mean_y, r.mean_y_adj, r.rho2)
+        for r in experiment_cuped_adjusted(spark, SF_DIR).collect()
+    }
+
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "value"])
+    us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    lo, hi = int(us.min()), int(us.max())
+    cut = lo + (hi - lo) // 2
+    dollars = (np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)) // 100
+    pre = us < cut
+    df = pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].to_numpy(),
+            "x": np.where(pre, dollars, 0),
+            "y": np.where(pre, 0, dollars),
+        }
+    )
+    pu = df.groupby("user_id", as_index=False).sum()
+
+    def arm(uid) -> int:
+        h = hashlib.md5(str(uid).encode()).hexdigest()[:8]
+        return int(h, 16) % 2
+
+    pu["arm"] = [arm(u) for u in pu["user_id"]]
+    x, y = pu["x"].to_numpy(np.int64), pu["y"].to_numpy(np.int64)
+    n = len(pu)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy, syy = int((x * x).sum()), int((x * y).sum()), int((y * y).sum())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rho2 = round(theta * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 4)
+    for a in (0, 1):
+        sel = pu["arm"] == a
+        n_arm = int(sel.sum())
+        sxa, sya = int(pu.loc[sel, "x"].sum()), int(pu.loc[sel, "y"].sum())
+        mean_y = round(sya / n_arm, 4)
+        mean_adj = round(sya / n_arm - theta * (sxa / n_arm - sx / n), 4)
+        assert got[a] == (n_arm, mean_y, mean_adj, rho2)
+
+
+def test_dp_laplace_matches_python_model(spark):
+    """Independent recomputation: the seeded Laplace noise from
+    hashlib + math.log must reproduce every class's rounded noise and
+    noisy count."""
+    import hashlib
+    import math
+
+    from qms_datawarehouse_spark.operators.curation import (
+        privacy_dp_laplace_counts,
+    )
+
+    rows = privacy_dp_laplace_counts(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        h = hashlib.md5(f"{r.nationkey}|{r.mktsegment}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 2**32
+        noise = -math.log(2.0 - 2.0 * u) if u >= 0.5 else math.log(2.0 * u)
+        assert r.noise == round(noise, 4), (r, noise)
+        assert r.noisy_count == round(r.n + noise, 1)
