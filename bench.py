@@ -142,6 +142,9 @@ HEADLINE = [
     "dq_distribution_drift",
     "similarity_rrf_fusion",
     "similarity_mmr_rerank",
+    "stats_bootstrap_poisson",
+    "privacy_dp_laplace_counts",
+    "experiment_cuped_adjusted",
 ]
 
 
@@ -227,13 +230,15 @@ def main() -> None:
                 "host_load_start": load_at_start,
                 "host_load_end": _host_load(),
                 "notes": (
-                    "r7: headline grew to 65 (adds dedup_semantic, "
+                    "r7: headline grew (adds dedup_semantic, "
                     "dedup_substring_spans, similarity_ann_multiprobe, "
                     "watermark_late_replay, semantic_gate_replay_two_epochs, "
                     "dedup_ppjoin_exact, stats_ks_drift, bucketed_join_scan, "
                     "matview_incremental_replay, zorder_routed_scan, "
                     "dq_distribution_drift, similarity_rrf_fusion, "
-                    "similarity_mmr_rerank); "
+                    "similarity_mmr_rerank, stats_bootstrap_poisson, "
+                    "privacy_dp_laplace_counts, experiment_cuped_adjusted"
+                    " — 68 total); "
                     "common22 stays the frozen "
                     "cross-round signal. SCALE probes in docs/SCALING.md: "
                     "~10x read probe (tools/sf1_probe.py) worst ratio "

@@ -1691,8 +1691,13 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, a 32× map-side fan-out collapsed by
     partial aggregation before the 32-group exchange — at 100 TB the
     wire cost is 32 rows per task, never 32× the data."""
+    from qms_datawarehouse_spark.plans.registry import spread
+
     (orders,) = tables(spark, sf_dir, "orders")
-    reps = orders.select(
+    # spread: the 32x md5 fan-out is CPU-bound — a single-file input
+    # would otherwise run it on one core (measured 2x slower at sf0.1
+    # than at 10x the data in a 64-file layout)
+    reps = spread(orders).select(
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
         "o_orderkey",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),

@@ -75,6 +75,9 @@ TOP_OPS = [
     "dq_distribution_drift",
     "similarity_rrf_fusion",
     "similarity_mmr_rerank",
+    "stats_bootstrap_poisson",
+    "privacy_dp_laplace_counts",
+    "experiment_cuped_adjusted",
 ]
 
 # per-table key columns to offset per replica (join consistency);
