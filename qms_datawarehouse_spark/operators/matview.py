@@ -161,6 +161,7 @@ _MV_REPLAY_SQL = """
                     ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
                END AS amount
         FROM events
+        WHERE ((event_id % 2) + 2) % 2 = 0
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -218,7 +219,11 @@ def matview_incremental_replay(spark, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     wh = ParquetWarehouse(spark, root)
 
-    base = events.select(
+    # even-id half of the corpus: the maintenance ALGEBRA being
+    # verified is size-independent, and halving the rows halves the
+    # four table writes this row pays per run (it was the bench's
+    # most expensive entry at sf0.1 on full events)
+    base = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0).select(
         F.col("event_id").cast("string").alias("_id"),
         F.pmod(F.col("event_id"), F.lit(3)).alias("m3"),
         F.pmod(F.col("event_id"), F.lit(5)).alias("m5"),
