@@ -50,6 +50,11 @@ PICKS = {
     "embedding_kmeans_2iter": "Each Lloyd iteration = K-row centroid broadcast + per-row integer fold (no corpus shuffle) then a K*64-row partial-sum exchange — the plan pair repeats unchanged at any corpus size.",
     "bloom_index_point_lookup": "The final fact scan carries the bloom-surviving partition IN-filter plus the exact key predicate — on a partitioned layout both push to the scan, pruned partitions never open.",
     "dedup_ppjoin_exact": "Candidates come from the equi-join on PREFIX shingles only (df-ranked window, per-doc partitioning); the verify re-joins candidates to the shingle table BY DOC KEY — the exhaustive all-shared-shingle join never appears.",
+    "stats_bootstrap_poisson": "The 32x replicate fan-out (explode) and the Poisson-threshold CASE run map-side inside one codegen stage; partial aggregation collapses to 32 rows per task BEFORE the only exchange.",
+    "dq_distribution_drift": "One scan, conditional partial aggregation onto the category domain, a |categories|-row window for the totals — the epoch cut is a pushed literal comparison, not a join.",
+    "experiment_cuped_adjusted": "Per-user conditional aggregate (one user_id exchange) feeds BOTH the 2-row arm aggregate and the 1-row pooled moments; they combine via a bounded broadcast — theta never touches per-user rows.",
+    "privacy_dp_laplace_counts": "Noise is a per-row expression over the O(classes) aggregate output — md5, the CASE-branch ln, and the rounding all inside one projection; no second pass over the corpus.",
+    "similarity_rrf_fusion": "Both rankers keep their plans (posting aggregation + broadcast stats; broadcast query vector + TakeOrdered); the fusion is a full-outer join of two k-row frames.",
     "stats_ks_drift": "One scan partial-aggregates onto the bounded distinct-cents domain; the single-partition cumulative window runs over |domain| rows, not |data| rows; D's max is all-integer.",
     "bucketed_join_scan": "ZERO Exchange nodes end-to-end: both scans read `Bucketed: true`, the SortMergeJoin and the per-order HashAggregate reuse the bucket clustering (the groupBy key IS the bucket key).",
     # dedup_split_leakage is intentionally NOT captured: its plan
