@@ -145,6 +145,7 @@ HEADLINE = [
     "stats_bootstrap_poisson",
     "privacy_dp_laplace_counts",
     "experiment_cuped_adjusted",
+    "curation_coreset_kcenter",
 ]
 
 

@@ -1267,3 +1267,122 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("selected"),
     )
+
+
+# --------------------------------------------------------------------
+# k-center coreset selection (greedy farthest-point traversal)
+# --------------------------------------------------------------------
+
+_KC_K = 8  # representatives to select
+
+
+def _kc_sql() -> str:
+    # greedy farthest-point unrolled into K stages: each stage picks
+    # the vector MAXIMIZING its distance to the nearest already-
+    # selected center (ties to the lowest vec_id); distances are
+    # exact bigint squared-L2 on the shared fixed-point quantization.
+    # Prior selections enter each stage as CROSS-JOINED 1-row CTEs
+    # (DuckDB rejects subqueries inside lambdas), all MATERIALIZED —
+    # inlined CTEs re-expand every prior stage at every reference and
+    # the plan goes exponential in K (measured: hangs at K=8,
+    # 0.1s materialized).
+    stages = []
+    union = "SELECT vec_id, 1 AS rank, 0 AS dist2 FROM sel1"
+    for k in range(2, _KC_K + 1):
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, k)
+        )
+        froms = "".join(f", sel{j} s{j}" for j in range(1, k))
+        mind = "least(" + ", ".join(
+            "list_sum(list_transform(range(1, 65), i -> "
+            f"(e.v[i] - s{j}.v[i]) * (e.v[i] - s{j}.v[i])))"
+            for j in range(1, k)
+        ) + ")"
+        stages.append(
+            f"""sel{k} AS MATERIALIZED (
+        SELECT e.vec_id, e.v, CAST({mind} AS BIGINT) AS dist2
+        FROM q e{froms}
+        WHERE e.vec_id NOT IN ({prev_ids})
+        ORDER BY dist2 DESC, e.vec_id
+        LIMIT 1
+    )"""
+        )
+        union += f" UNION ALL SELECT vec_id, {k} AS rank, dist2 FROM sel{k}"
+    stage_sql = ",\n    ".join(stages)
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor((x + 1.0) * 1000.0) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+    {stage_sql}
+    SELECT CAST(rank AS BIGINT) AS rank,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM ({union})
+    ORDER BY rank
+"""
+
+
+@query("curation_coreset_kcenter", _kc_sql())
+def curation_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center coreset selection: greedy farthest-point traversal
+    (Gonzalez 1985 — the 2-approximation to the k-center cover),
+    the data-selection primitive behind diversity-first coreset
+    sampling: each round adds the vector FARTHEST from its nearest
+    already-chosen representative, so k rounds cover the embedding
+    space's extremes instead of its modes. The complement of k-means
+    (which seeks the modes) and of MMR (which diversifies around a
+    relevance query); the fourth member of the iterative family
+    (Lloyd, PageRank, CC).
+
+    Cross-engine exactness: vectors quantize by the shared
+    fixed-point shift (kmeans_core's floor((x+1)·1000)), distances
+    are bigint squared-L2, each round's argmax is a total order
+    (dist2 desc, vec_id) — the oracle unrolls the SAME greedy into K
+    SQL stages, so the selected set, order, and distances hash-match.
+
+    Scale shape: each round broadcasts the ≤k selected centers as
+    LITERAL arrays into a map-side min-distance fold and cuts with
+    TakeOrdered(1) — k bounded passes over the corpus, one 1-row
+    collect per round (the CC/PageRank per-round-scalar bound), no
+    joins, no shuffle of the embedding table; the k×64-int state
+    rides in the plan itself."""
+    from qms_datawarehouse_spark.operators.kmeans_core import _km_quantized
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    q = _km_quantized(embeddings).persist()
+
+    first = q.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(1, int(first["vec_id"]), 0)]
+    centers = [list(first["v"])]
+    for rank in range(2, _KC_K + 1):
+        cents = F.array(
+            *[F.array(*[F.lit(int(x)) for x in c]) for c in centers]
+        )
+        mind = F.array_min(
+            F.transform(
+                cents,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        row = (
+            q.filter(~F.col("vec_id").isin([p[1] for p in picked]))
+            .select("vec_id", "v", mind.alias("dist2"))
+            .orderBy(F.desc("dist2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((rank, int(row["vec_id"]), int(row["dist2"])))
+        centers.append(list(row["v"]))
+    q.unpersist()
+    return spark.createDataFrame(
+        picked, "rank long, vec_id long, dist2 long"
+    )

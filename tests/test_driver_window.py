@@ -88,6 +88,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "stats_bootstrap_poisson",
     "privacy_dp_laplace_counts",
     "experiment_cuped_adjusted",
+    "curation_coreset_kcenter",
 ]
 
 

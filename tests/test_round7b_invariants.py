@@ -262,3 +262,26 @@ def test_dp_laplace_matches_python_model(spark):
         noise = -math.log(2.0 - 2.0 * u) if u >= 0.5 else math.log(2.0 * u)
         assert r.noise == round(noise, 4), (r, noise)
         assert r.noisy_count == round(r.n + noise, 1)
+
+
+def test_kcenter_greedy_is_monotone_and_covering(spark):
+    """Farthest-point invariants: selection distances are
+    non-increasing (each pick is the global max of a min-distance
+    that only shrinks as centers are added), ids are distinct, and
+    the seed is the lowest vec_id."""
+    from qms_datawarehouse_spark.operators.curation import (
+        curation_coreset_kcenter,
+    )
+
+    rows = sorted(
+        curation_coreset_kcenter(spark, SF_DIR).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, 9))
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 8
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert ids[0] == emb.agg(F.min("vec_id")).first()[0]
+    d = [r.dist2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(d, d[1:]))
+    assert all(x > 0 for x in d)

@@ -78,6 +78,7 @@ TOP_OPS = [
     "stats_bootstrap_poisson",
     "privacy_dp_laplace_counts",
     "experiment_cuped_adjusted",
+    "curation_coreset_kcenter",
 ]
 
 # per-table key columns to offset per replica (join consistency);
