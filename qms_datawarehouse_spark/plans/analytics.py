@@ -1617,6 +1617,19 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum2",
         F.max("cum1").over(wall).alias("n1"),
         F.max("cum2").over(wall).alias("n2"),
+    ).withColumn(
+        # loud on a degenerate split (every order in one snapshot):
+        # Spark would emit a NULL d_stat while DuckDB errors on the
+        # zero division — a silent engine divergence; fail with a
+        # message instead (the kmeans quantization-guard pattern)
+        "n1",
+        F.when(
+            (F.col("n1") == 0) | (F.col("n2") == 0),
+            F.expr(
+                "raise_error('stats_ks_drift: one snapshot is empty"
+                " — move the date cut')"
+            ),
+        ).otherwise(F.col("n1")),
     )
     d = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
     return attached.groupBy("n1", "n2").agg(

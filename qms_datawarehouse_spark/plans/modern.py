@@ -376,6 +376,19 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("10000 * n2").alias("s2"),
         F.sum("n1").over(w).alias("t1"),
         F.sum("n2").over(w).alias("t2"),
+    ).withColumn(
+        # loud on an empty epoch (all events share one timestamp →
+        # the midpoint cut leaves epoch 1 empty): Spark's `div 0`
+        # yields NULL while DuckDB errors — fail with a message
+        # instead of silently diverging from the oracle
+        "t1",
+        F.when(
+            (F.col("t1") == 0) | (F.col("t2") == 0),
+            F.expr(
+                "raise_error('dq_distribution_drift: an epoch is"
+                " empty — event-time range too narrow')"
+            ),
+        ).otherwise(F.col("t1")),
     ).select(
         "event_type",
         F.col("n1").cast("long").alias("n1"),

@@ -285,3 +285,34 @@ def test_kcenter_greedy_is_monotone_and_covering(spark):
     d = [r.dist2 for r in rows[1:]]
     assert all(a >= b for a, b in zip(d, d[1:]))
     assert all(x > 0 for x in d)
+
+
+def test_drift_gates_fail_loudly_on_degenerate_epochs(spark):
+    """The empty-epoch guards must raise with a message, not emit the
+    NULL that would silently diverge from the oracle's zero-division
+    error."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from qms_datawarehouse_spark.plans.analytics import stats_ks_drift
+    from qms_datawarehouse_spark.plans.modern import dq_distribution_drift
+
+    one_date = spark.createDataFrame(
+        [(i, 100.0 + i, "1995-06-01") for i in range(5)],
+        "o_orderkey long, o_totalprice double, d string",
+    ).selectExpr("o_orderkey", "o_totalprice", "CAST(d AS DATE) AS o_orderdate")
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="drift_guard_")
+    one_date.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    with pytest.raises(Exception, match="one snapshot is empty"):
+        stats_ks_drift(spark, tmp).collect()
+
+    one_ts = spark.createDataFrame(
+        [(i, "2024-01-01 12:00:00", "click", 1.0) for i in range(5)],
+        "event_id long, t string, event_type string, value double",
+    ).selectExpr("event_id", "CAST(t AS TIMESTAMP) AS ts", "event_type", "value")
+    one_ts.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    with pytest.raises(Exception, match="an epoch is empty"):
+        dq_distribution_drift(spark, tmp).collect()
