@@ -146,6 +146,7 @@ HEADLINE = [
     "privacy_dp_laplace_counts",
     "experiment_cuped_adjusted",
     "curation_coreset_kcenter",
+    "dq_freshness_sla",
 ]
 
 

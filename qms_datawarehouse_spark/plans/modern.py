@@ -409,3 +409,63 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stable")
         .alias("drift_class"),
     )
+
+
+# --------------------------------------------------------------------
+# Per-feed freshness SLA audit
+# --------------------------------------------------------------------
+
+_FRESH_SLA_MIN = 60  # minutes behind the warehouse high-water mark
+
+_FRESH_SQL = f"""
+    WITH f AS (
+        SELECT event_type, max(epoch_us(ts)) AS feed_hwm,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT max(feed_hwm) AS global_hwm FROM f)
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(feed_hwm AS BIGINT) AS feed_hwm_us,
+           CAST(global_hwm - feed_hwm AS BIGINT) AS lag_us,
+           CAST((global_hwm - feed_hwm) // 60000000 AS BIGINT)
+               AS lag_minutes,
+           (global_hwm - feed_hwm) > CAST({_FRESH_SLA_MIN * 60000000} AS BIGINT)
+               AS violates_sla
+    FROM f, g
+"""
+
+
+@query("dq_freshness_sla", _FRESH_SQL)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness against the warehouse high-water mark: each
+    event type's max timestamp, its lag behind the global max, and an
+    SLA flag (> {_FRESH_SLA_MIN} min behind) — the first page of any
+    warehouse health dashboard, and the gate a scheduler checks
+    before running reports that assume all feeds have landed
+    (reference analog: the sync-metadata freshness the warehouse's
+    checkpoint table tracks per collection, src/services/etl.py's
+    last-synced bookkeeping, surfaced as an audit).
+
+    Exact integers: lags in epoch micros, minutes by floor division.
+    Scale shape: one scan to a per-feed partial MAX (the cheapest
+    aggregate there is), a 1-row global max combined broadcast-side;
+    at 100 TB a real deployment reads the checkpoint metadata table
+    instead of scanning — same output contract."""
+    (events,) = tables(spark, sf_dir, "events")
+    f = events.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("feed_hwm"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    g = f.agg(F.max("feed_hwm").alias("global_hwm"))
+    lag = F.col("global_hwm") - F.col("feed_hwm")
+    return f.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        F.col("feed_hwm").cast("long").alias("feed_hwm_us"),
+        lag.cast("long").alias("lag_us"),
+        F.expr(
+            "CAST((global_hwm - feed_hwm) div 60000000 AS BIGINT)"
+        ).alias("lag_minutes"),
+        (lag > _FRESH_SLA_MIN * 60000000).alias("violates_sla"),
+    )

@@ -89,6 +89,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "privacy_dp_laplace_counts",
     "experiment_cuped_adjusted",
     "curation_coreset_kcenter",
+    "dq_freshness_sla",
 ]
 
 

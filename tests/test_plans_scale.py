@@ -389,6 +389,9 @@ def test_no_unintended_cartesian_anywhere(spark):
         # 1-row pooled-moments broadcast combines with the 2-row arm
         # aggregate
         "experiment_cuped_adjusted",
+        # 1-row global high-water-mark broadcast joins the per-feed
+        # aggregate
+        "dq_freshness_sla",
     }
     offenders = {}
     for name, qd in REGISTRY.items():

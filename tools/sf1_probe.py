@@ -79,6 +79,7 @@ TOP_OPS = [
     "privacy_dp_laplace_counts",
     "experiment_cuped_adjusted",
     "curation_coreset_kcenter",
+    "dq_freshness_sla",
 ]
 
 # per-table key columns to offset per replica (join consistency);
