@@ -113,19 +113,23 @@ def lsh_bucketed(embeddings: DataFrame, n_planes: int = N_HYPERPLANES) -> DataFr
     — reproducible everywhere, no stored model. Vectors whose bucket
     matches a query's bucket (or its near neighbors) are the ANN
     candidate set.
+
+    The components enter the plan as LITERAL doubles computed by the
+    leaf module's ``plane_component`` (hashlib) — bit-identical to
+    the earlier in-plan ``conv(md5(...))`` expressions (int/2³² and
+    −0.5 are exactly representable; the lsh_planes equivalence every
+    oracle already relies on), but WITHOUT shipping 512 md5/conv
+    subtrees through the optimizer: constant-folding that expression
+    forest cost seconds of DRIVER time per planning, the dominant
+    term in every lsh-bucketed query at small corpus sizes.
     """
+    from qms_datawarehouse_spark.operators.lsh_planes import plane_component
+
     dim = 64
-    planes = []
-    for j in range(n_planes):
-        comps = [
-            F.conv(F.md5(F.lit(f"{j}:{i}").cast("binary")).substr(1, 8), 16, 10).cast(
-                "double"
-            )
-            / F.lit(float(16**8))
-            - 0.5
-            for i in range(dim)
-        ]
-        planes.append(F.array(*comps))
+    planes = [
+        F.array(*[F.lit(plane_component(j, i)) for i in range(dim)])
+        for j in range(n_planes)
+    ]
     v = F.col("embedding").cast("array<double>")
     bits = [
         F.when(_dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0"))
@@ -1259,18 +1263,25 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     with B buckets this reads ~(probes/B) of the data — the knob
     trades that fraction against recall with no plan change."""
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    e = embeddings.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
-    bucketed = lsh_bucketed(embeddings).select("vec_id", "bucket")
-    q = (
-        bucketed.join(e, "vec_id")
-        .filter(F.col("vec_id") == QUERY_VEC_ID)
+    # ONE projection carries vector, norm, and bucket: the earlier
+    # form computed the 8-plane bucket projection separately and
+    # joined it back twice (query-row construction + rerank) — three
+    # evaluations of the 512-term fold and two extra joins for the
+    # same values
+    eb = (
+        lsh_bucketed(embeddings)
         .select(
-            F.col("bucket").alias("qb"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
+            "vec_id",
+            "label",
+            "bucket",
+            F.col("embedding").cast("array<double>").alias("v"),
         )
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+    q = eb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("qb"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
 
     def _flip(c, j: int):
@@ -1305,14 +1316,13 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.*")
     cand = (
-        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        eb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(probes), F.col("bucket") == F.col("pb"))
-        .select("vec_id", "hamming")
+        .select("vec_id", "label", "v", "nrm", "hamming")
     )
     cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
     return (
-        cand.join(e, "vec_id")
-        .crossJoin(F.broadcast(q.select("qv", "qn")))
+        cand.crossJoin(F.broadcast(q.select("qv", "qn")))
         .withColumn("cosine", F.round(cos, 4))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
