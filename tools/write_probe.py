@@ -257,6 +257,58 @@ def probe_ingest_semantic(spark, sf_dir: str, k: int) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_matview_refresh(spark, sf_dir: str, n_buckets: int) -> tuple[float, float]:
+    """(incremental refresh sec, full recompute sec) after a
+    one-bucket clustered update batch lands on the base table — the
+    MV maintenance claim: refresh cost tracks TOUCHED buckets, the
+    full recompute tracks the corpus."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.matview import (
+        create_matview,
+        refresh_matview,
+    )
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    root = tf.mkdtemp(prefix="wp_mv_")
+    try:
+        wh = ParquetWarehouse(spark, root)
+        base = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).select(
+            F.col("event_id").cast("string").alias("_id"),
+            F.col("event_type").alias("grp"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("amount"),
+            F.col("ts").alias("updated_at"),
+        )
+        merge_upsert(wh, "f", base, n_buckets=n_buckets)
+        create_matview(wh, "mv", "f", ["grp"], ["amount"])
+        batch = (
+            base.filter(F.expr(f"pmod(xxhash64(_id), {n_buckets}) = 0"))
+            .orderBy("_id")
+            .limit(BATCH_ROWS)
+            .withColumn("amount", F.col("amount") + 1)
+            .withColumn(
+                "updated_at", F.col("updated_at") + F.expr("INTERVAL 1 DAY")
+            )
+        )
+        batch.collect()  # materialize outside the timer
+        merge_upsert(wh, "f", batch, n_buckets=n_buckets)
+        t0 = time.monotonic()
+        mode = refresh_matview(wh, "mv")
+        t_inc = time.monotonic() - t0
+        assert mode == "incremental", mode
+        t0 = time.monotonic()
+        create_matview(wh, "mv_full", "f", ["grp"], ["amount"])
+        t_full = time.monotonic() - t0
+        return t_inc, t_full
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_bloom(spark, sf_dir: str) -> tuple[float, float]:
     """Returns (incremental_refresh_sec, full_rebuild_sec)."""
     import tempfile as tf
@@ -335,6 +387,10 @@ def main(argv: list[str] | None = None) -> int:
             probe_ingest(spark, BASE),
             probe_ingest(spark, scaled),
         )
+        mv1 = probe_matview_refresh(spark, BASE, SEED_BUCKETS)
+        mv10 = probe_matview_refresh(spark, scaled, SEED_BUCKETS)
+        emit("matview_refresh_incremental", mv1[0], mv10[0])
+        emit("matview_full_recompute", mv1[1], mv10[1])
         emit(
             "ingest_semantic_fixed_k",
             probe_ingest_semantic(spark, BASE, 8),
