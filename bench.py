@@ -239,8 +239,9 @@ def main() -> None:
                     "matview_incremental_replay, zorder_routed_scan, "
                     "dq_distribution_drift, similarity_rrf_fusion, "
                     "similarity_mmr_rerank, stats_bootstrap_poisson, "
-                    "privacy_dp_laplace_counts, experiment_cuped_adjusted"
-                    " — 68 total); "
+                    "privacy_dp_laplace_counts, experiment_cuped_adjusted, "
+                    "curation_coreset_kcenter, dq_freshness_sla"
+                    f" — {len(HEADLINE)} total); "
                     "common22 stays the frozen "
                     "cross-round signal. SCALE probes in docs/SCALING.md: "
                     "~10x read probe (tools/sf1_probe.py) worst ratio "

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.operators.changes import changed_partitions
+from qms_datawarehouse_spark.plans.registry import query
 from qms_datawarehouse_spark.warehouse import BUCKET_COL, ParquetWarehouse
 
 
@@ -170,15 +171,7 @@ _MV_REPLAY_SQL = """
 """
 
 
-def _mv_query(name: str, sql: str):
-    # local import: registry pulls plans/__init__, which imports this
-    # module — the lazy import breaks the cycle (package convention)
-    from qms_datawarehouse_spark.plans.registry import query
-
-    return query(name, sql)
-
-
-@_mv_query("matview_incremental_replay", _MV_REPLAY_SQL)
+@query("matview_incremental_replay", _MV_REPLAY_SQL)
 def matview_incremental_replay(spark, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance pinned equal to the
     full recompute the oracle runs — through the REAL write path, not
@@ -204,18 +197,18 @@ def matview_incremental_replay(spark, sf_dir: str) -> DataFrame:
     O(changed buckets)."""
     import os
     import shutil
-    import tempfile
 
     from qms_datawarehouse_spark.operators.merge import merge_upsert
     from qms_datawarehouse_spark.plans.registry import tables
 
     (events,) = tables(spark, sf_dir, "events")
-    # pid in the path: the rmtree + rebuild would race a concurrent
-    # session replaying into one fixed warehouse root
+    # pid in the path (the rmtree + rebuild would race a concurrent
+    # session replaying into one fixed warehouse root) with
+    # stale-sibling cleanup — tmputil.pid_scoped_dir
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), "qms_mv_replay", str(os.getpid()), tag
-    )
+    root = pid_scoped_dir("qms_mv_replay", tag)
     shutil.rmtree(root, ignore_errors=True)
     wh = ParquetWarehouse(spark, root)
 

@@ -1343,7 +1343,11 @@ def _mmr_sql() -> str:
     # greedy selection unrolled into K stages; each stage picks the
     # argmax of 2*rel - max(sim to selected) over the remaining
     # shortlist, ties to the lowest vec_id — the same integer compare
-    # the Python greedy runs
+    # the Python greedy runs. Every CTE is MATERIALIZED: DuckDB
+    # inlines CTEs by default, re-expanding the corpus-scanning
+    # short/pairs subtrees at every reference — measured 1.98s
+    # inlined vs 0.04s materialized at sf0.1, identical results (the
+    # k-center oracle's lesson, applied here too).
     stages = []
     sel_union = "SELECT vec_id, 1 AS rank, 2 * rel AS score FROM sel1"
     for k in range(2, _MMR_K + 1):
@@ -1351,7 +1355,7 @@ def _mmr_sql() -> str:
             f"SELECT vec_id FROM sel{j}" for j in range(1, k)
         )
         stages.append(
-            f"""sel{k} AS (
+            f"""sel{k} AS MATERIALIZED (
         SELECT s.vec_id, s.rel,
                2 * s.rel - (SELECT max(p.sim) FROM pairs p
                             WHERE p.a = s.vec_id
@@ -1374,7 +1378,7 @@ def _mmr_sql() -> str:
         FROM embeddings
     ),
     q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {QUERY_VEC_ID}),
-    short AS (
+    short AS MATERIALIZED (
         SELECT vec_id, v, nrm,
                CAST(floor(list_sum(list_transform(range(1, 65),
                    i -> e.v[i] * q.qv[i])) / (e.nrm * q.qn) * 10000 + 0.5)
@@ -1383,14 +1387,14 @@ def _mmr_sql() -> str:
         ORDER BY rel DESC, vec_id
         LIMIT {_MMR_C}
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.vec_id AS a, b.vec_id AS b,
                CAST(floor(list_sum(list_transform(range(1, 65),
                    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 10000 + 0.5)
                    AS BIGINT) AS sim
         FROM short a, short b WHERE a.vec_id <> b.vec_id
     ),
-    sel1 AS (
+    sel1 AS MATERIALIZED (
         SELECT vec_id, rel FROM short ORDER BY rel DESC, vec_id LIMIT 1
     ),
     {stage_sql}

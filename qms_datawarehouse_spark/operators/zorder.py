@@ -26,8 +26,10 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.plans.registry import query
 
 
 def _rank_code(col: Column, cuts: list[float], bits: int) -> Column:
@@ -137,15 +139,7 @@ _ZROUTE_SQL = """
 """
 
 
-def _zorder_query(name: str, sql: str):
-    # local import: registry pulls plans/__init__, which imports this
-    # module — the lazy import breaks the cycle (package convention)
-    from qms_datawarehouse_spark.plans.registry import query
-
-    return query(name, sql)
-
-
-@_zorder_query("zorder_routed_scan", _ZROUTE_SQL)
+@query("zorder_routed_scan", _ZROUTE_SQL)
 def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A TWO-predicate selective scan routed through a z-ordered
     layout, value-equal to the plain conjunctive filter (the oracle):
@@ -175,7 +169,6 @@ def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     data read opens only multi-predicate-surviving files. At 100 TB
     this is the Delta/Iceberg Z-ORDER read path on plain parquet."""
     import os
-    import tempfile
 
     from qms_datawarehouse_spark.plans.registry import tables
     from qms_datawarehouse_spark.sources.fileskip import (
@@ -195,15 +188,12 @@ def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_cut = ulo + (uhi - ulo) // 4
     v_cut = vlo + (vhi - vlo) / 2
 
-    # per-PROCESS layout dir: a fixed path races when two sessions run
-    # this query concurrently (one harvests the manifest while the
-    # other rewrites — the dir transiently holds both file sets and
-    # every row double-counts). Within one process the dir is still
-    # deterministic and overwritten per run.
-    path = os.path.join(
-        tempfile.gettempdir(),
+    # per-PROCESS layout dir (race isolation) with stale-sibling
+    # cleanup (leak control) — see tmputil.pid_scoped_dir
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+
+    path = pid_scoped_dir(
         "qms_zorder_routed",
-        str(os.getpid()),
         os.path.basename(os.path.normpath(sf_dir)),
         "events",
     )
@@ -212,9 +202,14 @@ def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = prune_files_df_multi(
         manifest, {"user_id": (ulo, u_cut), "value": (v_cut, vhi)}
     )
-    if len(files) >= _ZROUTE_FILES:  # the row's claim IS the skip
+    # compare against the files the layout ACTUALLY produced, not the
+    # requested count: repartitionByRange can emit fewer than
+    # n_files, and a keep-all prune of that smaller set must still
+    # fail the claim
+    n_layout = manifest.count()
+    if len(files) >= n_layout:  # the row's claim IS the skip
         raise AssertionError(
-            f"z-order prune kept all {_ZROUTE_FILES} files — layout degenerate"
+            f"z-order prune kept all {n_layout} files — layout degenerate"
         )
     kept = spark.read.parquet(*files).filter(
         (F.col("user_id") >= ulo)

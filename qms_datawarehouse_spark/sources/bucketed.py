@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from qms_datawarehouse_spark.plans.registry import query
 from qms_datawarehouse_spark.warehouse import validate_table_name
 
 
@@ -97,15 +98,7 @@ _BJOIN_SQL = """
 """
 
 
-def _bucketed_query(name: str, sql: str):
-    # local import: registry pulls plans/__init__, which imports this
-    # module — the lazy import breaks the cycle (package convention)
-    from qms_datawarehouse_spark.plans.registry import query
-
-    return query(name, sql)
-
-
-@_bucketed_query("bucketed_join_scan", _BJOIN_SQL)
+@query("bucketed_join_scan", _BJOIN_SQL)
 def bucketed_join_scan(spark: SparkSession, sf_dir: str):
     """The catalog-bucketed layout's payoff as a VERIFIED row: orders
     and lineitem are written bucketed (8 buckets, same key), the
@@ -128,19 +121,19 @@ def bucketed_join_scan(spark: SparkSession, sf_dir: str):
     Postgres, src/core/db.py:28-32); this is Spark-native physical
     design."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from qms_datawarehouse_spark.plans.registry import tables
 
     orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
-    # pid in the path: two concurrent sessions saving catalog tables
-    # to one fixed external location race each other's overwrites
+    # pid in the path (two concurrent sessions saving catalog tables
+    # to one fixed external location race each other's overwrites)
+    # with stale-sibling cleanup — tmputil.pid_scoped_dir
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), "qms_bucketed_join", str(os.getpid()), tag
-    )
+    root = pid_scoped_dir("qms_bucketed_join", tag)
     t_orders, t_lineitem = f"bj_orders_{tag}", f"bj_lineitem_{tag}"
     write_bucketed_table(
         orders, t_orders, "o_orderkey", 8, os.path.join(root, t_orders)

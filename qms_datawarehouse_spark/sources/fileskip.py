@@ -409,7 +409,6 @@ def fileskip_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     opens ~2 of 16 files for a 1/8th-domain predicate. At 100 TB the
     manifest persists as a table and this query is: filter manifest,
     read survivors — the Delta/Iceberg read path on plain parquet."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -421,15 +420,13 @@ def fileskip_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     lo, hi = int(row["lo"]), int(row["hi"])
     cut = lo + (hi - lo) // 8
-    # per-process per-sf layout dir (overwritten each run; the files
-    # must outlive this call — the returned frame is lazy). The pid
-    # segment keeps concurrent sessions from racing one fixed path
-    # (one harvests the manifest while another rewrites — the dir
-    # transiently holds both file sets and rows double-count).
-    path = os.path.join(
-        tempfile.gettempdir(),
+    # per-process per-sf layout dir (race isolation; the files must
+    # outlive this call — the returned frame is lazy) with
+    # stale-sibling cleanup (leak control) — tmputil.pid_scoped_dir
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+
+    path = pid_scoped_dir(
         "qms_fileskip_routed",
-        str(os.getpid()),
         os.path.basename(os.path.normpath(sf_dir)),
         "orders",
     )

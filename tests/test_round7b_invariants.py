@@ -316,3 +316,23 @@ def test_drift_gates_fail_loudly_on_degenerate_epochs(spark):
     one_ts.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
     with pytest.raises(Exception, match="an epoch is empty"):
         dq_distribution_drift(spark, tmp).collect()
+
+
+def test_pid_scoped_dirs_reap_stale_siblings(tmp_path):
+    import os
+    import shutil
+    import tempfile
+
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+
+    base = os.path.join(tempfile.gettempdir(), "qms_tmputil_t")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(os.path.join(base, "999999"))  # dead pid
+    os.makedirs(os.path.join(base, "1"))  # alive (init)
+    os.makedirs(os.path.join(base, "not_a_pid"))  # ignored
+    p = pid_scoped_dir("qms_tmputil_t", "x")
+    assert not os.path.exists(os.path.join(base, "999999"))
+    assert os.path.exists(os.path.join(base, "1"))
+    assert os.path.exists(os.path.join(base, "not_a_pid"))
+    assert p.endswith(os.path.join(str(os.getpid()), "x"))
+    shutil.rmtree(base, ignore_errors=True)
