@@ -55,6 +55,7 @@ PICKS = {
     "experiment_cuped_adjusted": "Per-user conditional aggregate (one user_id exchange) feeds BOTH the 2-row arm aggregate and the 1-row pooled moments; they combine via a bounded broadcast — theta never touches per-user rows.",
     "privacy_dp_laplace_counts": "Noise is a per-row expression over the O(classes) aggregate output — md5, the CASE-branch ln, and the rounding all inside one projection; no second pass over the corpus.",
     "similarity_rrf_fusion": "Both rankers keep their plans (posting aggregation + broadcast stats; broadcast query vector + TakeOrdered); the fusion is a full-outer join of two k-row frames.",
+    "similarity_ann_multiprobe": "ONE scan projection carries (v, nrm, bucket) — hyperplanes are literal doubles, not expression subtrees; the 37-key probe set broadcasts from one row into a single bucket equi-join; rerank ends in TakeOrderedAndProject.",
     "stats_ks_drift": "One scan partial-aggregates onto the bounded distinct-cents domain; the single-partition cumulative window runs over |domain| rows, not |data| rows; D's max is all-integer.",
     "bucketed_join_scan": "ZERO Exchange nodes end-to-end: both scans read `Bucketed: true`, the SortMergeJoin and the per-order HashAggregate reuse the bucket clustering (the groupBy key IS the bucket key).",
     # dedup_split_leakage is intentionally NOT captured: its plan
