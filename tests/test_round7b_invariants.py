@@ -336,3 +336,84 @@ def test_pid_scoped_dirs_reap_stale_siblings(tmp_path):
     assert os.path.exists(os.path.join(base, "not_a_pid"))
     assert p.endswith(os.path.join(str(os.getpid()), "x"))
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_prefix_filter_theorem_holds_on_random_sets():
+    """Fixture-independent pin of the PPJoin math: for ANY two sets
+    with J >= 4/5 and ANY global total order, the first
+    n - ceil(0.8n) + 1 elements of each (by that order) intersect —
+    with ceil computed by the operator's integer form (4n+4) div 5.
+    Hypothesis searches for a counterexample."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        common=st.sets(st.integers(0, 60), min_size=8, max_size=40),
+        only_a=st.sets(st.integers(61, 80), max_size=3),
+        only_b=st.sets(st.integers(81, 99), max_size=3),
+        seed=st.randoms(use_true_random=False),
+    )
+    def check(common, only_a, only_b, seed):
+        a, b = common | only_a, common | only_b
+        inter = len(a & b)
+        if 9 * inter < 4 * (len(a) + len(b)):  # J < 0.8 — no claim
+            return
+        order = list(range(100))
+        seed.shuffle(order)
+        rank = {v: i for i, v in enumerate(order)}
+
+        def prefix(s):
+            n = len(s)
+            p = n - ((4 * n + 4) // 5) + 1
+            return set(sorted(s, key=lambda v: rank[v])[:p])
+
+        assert prefix(a) & prefix(b), (sorted(a), sorted(b), order)
+
+    check()
+
+
+def test_ks_drift_property_vs_numpy_on_random_data(spark):
+    """Fixture-independent KS pin: random cent values and date splits
+    through the registered query must equal the numpy two-sample
+    statistic exactly (integers end to end)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from qms_datawarehouse_spark.plans.analytics import stats_ks_drift
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(100, 99999), min_size=20, max_size=60
+        ),
+        data=st.data(),
+    )
+    def check(vals, data):
+        n = len(vals)
+        # at least one order on each side of the 1996-01-01 cut
+        n_early = data.draw(st.integers(1, n - 1))
+        rows = []
+        for i, cents in enumerate(vals):
+            d = dt.date(1994, 1, 1) if i < n_early else dt.date(1997, 1, 1)
+            rows.append((i, cents / 100.0, d))
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double, o_orderdate date"
+        )
+        tmp = tempfile.mkdtemp(prefix="ks_prop_")
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+        row = stats_ks_drift(spark, tmp).collect()[0]
+
+        arr = np.floor(np.array(vals, dtype=np.float64) / 100.0 * 100 + 0.5).astype(np.int64)
+        s1, s2 = np.sort(arr[:n_early]), np.sort(arr[n_early:])
+        grid = np.unique(arr)
+        cum1 = np.searchsorted(s1, grid, side="right").astype(np.int64)
+        cum2 = np.searchsorted(s2, grid, side="right").astype(np.int64)
+        d_num = int(np.max(np.abs(cum1 * len(s2) - cum2 * len(s1))))
+        assert (row.n1, row.n2, row.d_num) == (n_early, n - n_early, d_num)
+
+    check()
