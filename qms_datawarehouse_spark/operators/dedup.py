@@ -152,12 +152,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jacc = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
+    out = (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(jacc >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
+    # surviving pairs are tiny: eager-checkpoint, then drop the
+    # shingle cache instead of leaking it until session GC
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------
@@ -303,10 +308,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     withsets = cand.join(sha, "doc_a").join(shb, "doc_b")
     c = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jacc = c * 1.0 / (F.size("sa") + F.size("sb") - c)
-    return (
+    out = (
         withsets.filter(jacc >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
+    # eager-checkpoint the tiny pair set, then drop the shingle cache
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------
@@ -832,7 +841,9 @@ def ingest_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _verify_pairs(cand, sh, sh)
+    out = _verify_pairs(cand, sh, sh).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------
@@ -1353,7 +1364,7 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     n_hit = hit.agg(F.count("*").cast("long").alias("n_recalled"))
-    return (
+    out = (
         n_true.crossJoin(n_cand)
         .crossJoin(n_hit)
         .select(
@@ -1366,6 +1377,10 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_bp"),
         )
     )
+    # one counter row: eager-checkpoint, then drop the shingle cache
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------
@@ -1427,7 +1442,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cont = F.col("c") * 1.0 / F.least("na", "nb")
     jacc = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
+    out = (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(cont >= CONTAINMENT_THRESHOLD)
@@ -1438,6 +1453,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jacc, 4).alias("jaccard"),
         )
     )
+    # eager-checkpoint the tiny pair set, then drop the shingle cache
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------
@@ -1605,7 +1624,7 @@ def ingest_gate_replay_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
             "doc_id", "epoch", F.coalesce("is_rej", F.lit(0)).alias("is_rej")
         )
     )
-    return (
+    out = (
         status.groupBy("epoch")
         .agg(
             F.count("*").cast("long").alias("n_batch"),
@@ -1619,6 +1638,13 @@ def ingest_gate_replay_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("epoch")
     )
+    # two counter rows: eager-checkpoint, then drop both caches (the
+    # shingle frame AND the verified-pair frame) instead of leaking
+    # them until session GC
+    out = out.localCheckpoint(eager=True)
+    ver.unpersist()
+    sh.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------

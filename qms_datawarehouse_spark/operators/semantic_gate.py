@@ -55,6 +55,8 @@ class SemanticIngestResult:
     n_accepted: int
     n_rejected: int
     rejected: list = field(default_factory=list)  # (new_id, old_id)
+    # report only, capped at ``max_rejects`` pairs; counts stay exact
+    rejects_truncated: bool = False
 
 
 def _dup_cond():
@@ -126,10 +128,18 @@ def ingest_semantic(
     batch: DataFrame,
     corpus_table: str = CORPUS_TABLE,
     centroid_table: str = CENTROID_TABLE,
+    max_rejects: int | None = 10_000,
 ) -> SemanticIngestResult:
     """Admit the vectors of ``batch`` (``vec_id``, ``embedding``) that
     are not semantic near-dups (cos >= 0.40) of the stored corpus or
     of a lower-id batch-mate in the same cell; update the corpus.
+
+    ``max_rejects`` bounds the ``rejected`` pair REPORT riding back
+    to the driver (mirroring ``incremental_dedup.ingest_dedup`` — a
+    batch of mutual near-dups otherwise collects O(pairs) tuples):
+    the first ``max_rejects`` pairs in (new_id, old_id) order are
+    returned and ``rejects_truncated`` is set. ``n_rejected`` stays
+    EXACT — it is the uncapped distinct-id count. ``None`` uncaps.
 
     Rejection rule (deterministic, the dedup_semantic policy): a
     batch vector is rejected iff a STORED vector shares its cell at
@@ -194,9 +204,19 @@ def ingest_semantic(
     rej_ids = rejected_pairs.select(
         F.col("new_id").alias("vec_id")
     ).distinct()
-    rejected = sorted(
-        tuple(r) for r in rejected_pairs.orderBy("new_id", "old_id").collect()
-    )
+    # bounded driver-side pair report (admission math never reads it
+    # — the filter below is an anti-join on the full frame)
+    if max_rejects is None:
+        rejected = sorted(tuple(r) for r in rejected_pairs.collect())
+        rejects_truncated = False
+    else:
+        rows = (
+            rejected_pairs.orderBy("new_id", "old_id")
+            .limit(max_rejects + 1)
+            .collect()
+        )
+        rejected = [tuple(r) for r in rows[:max_rejects]]
+        rejects_truncated = len(rows) > max_rejects
     n_rejected = rej_ids.count()
     admitted = mem.join(rej_ids, "vec_id", "left_anti").select(
         "vec_id", F.col("cid").alias(CELL_COL), "w", "nn"
@@ -221,7 +241,9 @@ def ingest_semantic(
             )
     q.unpersist()
     mem.unpersist()
-    return SemanticIngestResult(n_batch, n_accepted, n_rejected, rejected)
+    return SemanticIngestResult(
+        n_batch, n_accepted, n_rejected, rejected, rejects_truncated
+    )
 
 
 # --------------------------------------------------------------------

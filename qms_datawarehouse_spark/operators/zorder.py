@@ -119,15 +119,16 @@ _ZROUTE_FILES = 16
 _ZROUTE_SQL = """
     WITH r AS (
         SELECT min(user_id) AS ulo, max(user_id) AS uhi,
-               min(value) AS vlo, max(value) AS vhi
+               CAST(min(value) AS DOUBLE) AS vlo,
+               CAST(max(value) AS DOUBLE) AS vhi
         FROM events
     ),
     sel AS (
         SELECT e.* FROM events e, r
         WHERE e.user_id >= r.ulo
           AND e.user_id <= r.ulo + (r.uhi - r.ulo) // 4
-          AND e.value >= r.vlo + (r.vhi - r.vlo) / 2
-          AND e.value <= r.vhi
+          AND CAST(e.value AS DOUBLE) >= r.vlo + (r.vhi - r.vlo) / 2
+          AND CAST(e.value AS DOUBLE) <= r.vhi
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -162,7 +163,13 @@ def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the user_id cut is integer floor-division (Spark
     `div` ≡ DuckDB `//` on non-negative ids); the value cut is the
     same IEEE expression vlo + (vhi − vlo)/2 evaluated on identical
-    doubles in both engines.
+    doubles in both engines — the oracle casts the FLOAT32 `value`
+    column to DOUBLE in both the min/max CTE and the comparison
+    (DuckDB otherwise evaluates the whole boundary in FLOAT, which
+    rounds the cut differently from the Spark/Python float64 path
+    and keeps/drops boundary rows data-dependently; float32→float64
+    promotion itself is exact, so casting first makes both engines
+    bit-identical).
 
     Scale shape: layout write amortized per-ingest (rebuilt per run
     like the bloom/fileskip rows); manifest I/O is footer-only; the

@@ -35,7 +35,13 @@ def pid_scoped_dir(family: str, *parts: str) -> str:
     base = os.path.join(tempfile.gettempdir(), family)
     try:
         for entry in os.listdir(base):
-            if not entry.isdigit() or int(entry) == os.getpid():
+            if not entry.isdigit():
+                # pre-pid-isolation leftovers (e.g. a bare sf0.001/):
+                # only this module ever owned the family root, so any
+                # non-pid sibling is a legacy layout — reap it too.
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                continue
+            if int(entry) == os.getpid():
                 continue
             if not _pid_alive(int(entry)):
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)

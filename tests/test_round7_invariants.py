@@ -319,9 +319,14 @@ def test_fileskip_routed_scan_actually_prunes(spark):
         prune_files_df,
     )
 
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+
     sf_dir = "/root/testdata/sf0.001"
     fileskip_routed_scan(spark, sf_dir).collect()  # writes the layout
-    path = "/tmp/qms_fileskip_routed/sf0.001/orders"
+    # same derivation the operator uses — never a hardcoded literal
+    # (the pre-pid-isolation path masked this once: a stale layout in
+    # /tmp let the old literal pass while validating nothing)
+    path = pid_scoped_dir("qms_fileskip_routed", "sf0.001", "orders")
     man = file_manifest_df(spark, path, ["o_orderkey"])
     lo_hi = (
         spark.read.parquet(path)

@@ -1,0 +1,60 @@
+"""Round-8 hardening pins: the r7 ADVICE-flagged failure modes plus
+the new round-8 operators' cross-engine invariants."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ingest_semantic_caps_rejected_report(spark, warehouse):
+    """A batch of mutual near-dups must NOT collect O(pairs) tuples to
+    the driver: the ``rejected`` report is a deterministic prefix of
+    ``max_rejects`` pairs with ``rejects_truncated`` set, while
+    ``n_rejected`` stays the exact uncapped distinct-id count
+    (mirrors incremental_dedup.ingest_dedup)."""
+    from qms_datawarehouse_spark.operators.semantic_gate import (
+        ingest_semantic,
+    )
+
+    # 12 identical unit vectors: every (lower-id, higher-id) pair is a
+    # near-dup, so ids 1..11 are all rejected against id 0
+    dim = 8
+    rows = [(i, [1.0 / (dim ** 0.5)] * dim) for i in range(12)]
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = ingest_semantic(warehouse, batch, max_rejects=3)
+    assert capped.n_rejected == 11  # exact, not the capped 3
+    assert capped.n_accepted == 1
+    assert len(capped.rejected) == 3
+    assert capped.rejects_truncated
+    # deterministic prefix: first 3 pairs in (new_id, old_id) order
+    assert capped.rejected == sorted(capped.rejected)
+
+    # uncapped run on a fresh warehouse sees every pair, no flag
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    wh2 = ParquetWarehouse(spark, warehouse.root + "_uncapped")
+    full = ingest_semantic(wh2, batch, max_rejects=None)
+    assert full.n_rejected == 11
+    assert not full.rejects_truncated
+    assert capped.rejected == full.rejected[:3]
+
+
+def test_tmputil_reaps_legacy_non_pid_dirs(tmp_path, monkeypatch):
+    """Pre-pid-isolation leftovers (a bare sf0.001/ under the family
+    root) must be swept — they are exactly what once masked a test
+    validating a stale layout instead of the one just written."""
+    import tempfile
+
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    legacy = tmp_path / "fam" / "sf0.001" / "orders"
+    legacy.mkdir(parents=True)
+    (legacy / "part-0.parquet").write_bytes(b"x")
+    out = pid_scoped_dir("fam", "sf0.001", "orders")
+    assert not (tmp_path / "fam" / "sf0.001").exists()
+    assert str(tmp_path / "fam") in out and str(os.getpid()) in out
