@@ -19,6 +19,19 @@ from pyspark.sql import functions as F
 
 _KM_K = 8  # clusters; seeds = vec_id < K (deterministic init)
 
+# SemDeDup's own scaling regime: K grows with the corpus so clusters
+# stay ~constant-size and the within-cluster pair term (sum of
+# cluster^2) stays LINEAR in N instead of N^2/K. 64 is the target
+# cluster size; the floor keeps tiny fixtures at the proven K=8.
+_KM_CELL = 64
+
+
+def km_scaled_k(n: int) -> int:
+    """K ∝ N with target cluster size ``_KM_CELL`` and floor
+    ``_KM_K`` — the knob that makes the SemDeDup pair stage linear at
+    scale (K = N/cell ⇒ sum(cluster²) ≈ N·cell)."""
+    return max(_KM_K, n // _KM_CELL)
+
 # cos >= 0.40 expressed in integers: dot > 0 AND dot^2 * 10000 >=
 # 1600 * ||a||^2 * ||b||^2 (tau^2 * 10^4). Shared so every semantic
 # operator agrees on what "semantic near-dup" means.

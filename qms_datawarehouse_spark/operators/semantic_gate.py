@@ -35,12 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.operators.kmeans_core import (
+    _KM_CELL,
     _KM_K,
     _SEM_T2,
     _cos_quantized,
     _km_assign,
     _km_means,
     _km_quantized,
+    km_scaled_k,
 )
 from qms_datawarehouse_spark.plans.registry import query, tables
 
@@ -152,7 +154,13 @@ def ingest_semantic(
 
     q = _km_quantized(batch).persist()
     if not warehouse.table_exists(centroid_table):
-        warehouse.write_version(centroid_table, train_semantic_centroids(q))
+        # K ∝ first-batch size (km_scaled_k): cells stay ~constant
+        # size, so the in-cell pair term is linear in batch size —
+        # the dedup_semantic_scaled knob applied to the gate
+        warehouse.write_version(
+            centroid_table,
+            train_semantic_centroids(q, km_scaled_k(n_batch)),
+        )
     cents = _cents_list(warehouse.read(centroid_table))
 
     mem = _members(batch, cents).persist()
@@ -261,8 +269,11 @@ _SEM_GATE_SQL = f"""
         FROM embeddings WHERE {_EVEN}
     ),
     c0 AS (
-        SELECT vec_id AS cid, v AS cv FROM q1
-        ORDER BY vec_id LIMIT {_KM_K}
+        SELECT vec_id AS cid, v AS cv FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk
+            FROM q1
+        ) WHERE rk <= greatest({_KM_K},
+                               (SELECT count(*) FROM q1) // {_KM_CELL})
     ),
     d1 AS (
         SELECT q1.vec_id, q1.v, c.cid,
@@ -385,7 +396,9 @@ def semantic_gate_replay_two_epochs(
     (emb,) = tables(spark, sf_dir, "embeddings")
     e1 = emb.filter(F.expr(_EVEN))
     q1 = _km_quantized(e1).persist()
-    cents = _cents_list(train_semantic_centroids(q1))
+    # K ∝ epoch-1 size, mirroring ingest_semantic's first-batch
+    # training (the count also materializes the cache)
+    cents = _cents_list(train_semantic_centroids(q1, km_scaled_k(q1.count())))
 
     mem = (
         _members(emb, cents)

@@ -35,12 +35,14 @@ from qms_datawarehouse_spark.operators.lsh_planes import (
     plane_sql_literal,
 )
 from qms_datawarehouse_spark.operators.kmeans_core import (  # noqa: F401
+    _KM_CELL,
     _KM_K,
     _SEM_T2,
     _cos_quantized,
     _km_assign,
     _km_means,
     _km_quantized,
+    km_scaled_k,
 )
 from qms_datawarehouse_spark.plans.registry import query, tables
 
@@ -962,8 +964,12 @@ def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brute-force dedup_embedding_cosine kernel so the two operators agree
 # on what "semantic near-dup" means.
 
-_SEM_SQL = f"""
-    WITH {_KM_CTES},
+def _sem_sql(km_ctes: str) -> str:
+    """The SemDeDup oracle body over any clustering-CTE prefix that
+    ends in ``a2(vec_id, cid, dist)`` — shared by the fixed-K row and
+    the K∝N scaled row so both pin the same prune/keep arithmetic."""
+    return f"""
+    WITH {km_ctes},
     qc AS (
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x ->
@@ -1020,6 +1026,29 @@ _SEM_SQL = f"""
     FROM base LEFT JOIN dp ON base.cid = dp.cid
     ORDER BY cluster_id
 """
+
+
+_SEM_SQL = _sem_sql(_KM_CTES)
+
+# K∝N clustering CTEs: same two Lloyd iterations, but K derives from
+# the corpus row count (greatest(8, n // 64)) and seeds are the K
+# lowest vec_ids by RANK (row_number), so the recipe survives any id
+# domain (probe replicas with offset ids included).
+_K_DYN_SQL = (
+    f"greatest({_KM_K}, (SELECT count(*) FROM embeddings) // {_KM_CELL})"
+)
+_KM_CTES_SCALED = _KM_CTES.replace(
+    f"c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < {_KM_K}),",
+    f"""c0 AS (
+        SELECT vec_id AS cid, v AS cv FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk
+            FROM q
+        ) WHERE rk <= {_K_DYN_SQL}
+    ),""",
+)
+assert _KM_CTES_SCALED != _KM_CTES  # replace() must have matched
+
+_SEM_SQL_SCALED = _sem_sql(_KM_CTES_SCALED)
 
 
 def _km_assignments(q: DataFrame) -> DataFrame:
@@ -1082,6 +1111,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantization and one materialization of the member frame
     q = _km_quantized(emb).persist()
     asn = _km_assignments(q)
+    return _semdedup_from_assignment(emb, q, asn)
+
+
+def _semdedup_from_assignment(
+    emb: DataFrame, q: DataFrame, asn: DataFrame
+) -> DataFrame:
+    """The SemDeDup prune/keep stage over a final (vec_id, cid)
+    assignment: cluster-keyed pair join, integer-exact cosine
+    threshold, keep-first policy, per-cluster stats. ``q`` is the
+    caller's persisted quantized frame — checkpointed away with the
+    member cache before return."""
     w = _cos_quantized(emb)
     nrm = w.select(
         "vec_id",
@@ -1166,6 +1206,52 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.unpersist()
     mem.unpersist()
     return out
+
+
+@query("dedup_semantic_scaled", _SEM_SQL_SCALED)
+def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_semantic`` with the K∝N knob EXECUTED instead of
+    documented: K = greatest(8, n // 64) derives from the corpus row
+    count, so clusters stay ~constant-size and the within-cluster
+    pair stage costs sum(cluster²) ≈ N·64 — linear in N, the SemDeDup
+    paper's own production regime (the fixed-K sibling pins K=8 for
+    the small-fixture determinism story and shows the 1/K knob in
+    test_round7b). Seeds are the K lowest vec_ids by RANK, not by
+    value, so the recipe survives non-contiguous id domains.
+
+    Same integer-exact arithmetic as ``dedup_semantic`` end to end —
+    at sf0.01 (n=500, K=8, contiguous ids) the two rows are
+    value-identical by construction; at sf0.1 (n=2000) this one runs
+    K=31 while the sibling stays at 8.
+
+    Scale shape: identical plans to the sibling; the only additions
+    are one count() (a 1-row action that doubles as cache
+    materialization) and a rank window over the K seed rows. At
+    100 TB the seed rank is the one global-order step — swap in a
+    TakeOrdered(K) shortlist if K grows past driver comfort; K·64
+    centroid rows still ride one broadcast."""
+    from pyspark.sql import Window
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    q = _km_quantized(emb).persist()
+    k = km_scaled_k(q.count())
+    seeds = (
+        q.withColumn("rk", F.row_number().over(Window.orderBy("vec_id")))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    c1 = (
+        _km_means(_km_assign(q, seeds))
+        .select(F.struct("cid", "cv").alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    asn = _km_assign(q, c1).select("vec_id", "cid")
+    return _semdedup_from_assignment(emb, q, asn)
 
 
 # --------------------------------------------------------------------

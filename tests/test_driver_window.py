@@ -64,6 +64,7 @@ def test_anchors_inside_window():
 # at 50 — queued for the r8 window (oracle-checked by the in-repo
 # suite meanwhile, incl. a pin to two real ingest_semantic calls)
 QUEUED_NEXT_WINDOW: list[str] = [
+    "dedup_semantic_scaled",
     "semantic_gate_replay_two_epochs",
     "quality_model_score",
     "curation_dsir_weights",

@@ -329,11 +329,14 @@ def test_pid_scoped_dirs_reap_stale_siblings(tmp_path):
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(os.path.join(base, "999999"))  # dead pid
     os.makedirs(os.path.join(base, "1"))  # alive (init)
-    os.makedirs(os.path.join(base, "not_a_pid"))  # ignored
+    # legacy (pre-pid-isolation) layout dir — reaped too since r8:
+    # only this module ever owned the family root, and these are
+    # exactly the stale layouts that once masked a broken test
+    os.makedirs(os.path.join(base, "not_a_pid"))
     p = pid_scoped_dir("qms_tmputil_t", "x")
     assert not os.path.exists(os.path.join(base, "999999"))
     assert os.path.exists(os.path.join(base, "1"))
-    assert os.path.exists(os.path.join(base, "not_a_pid"))
+    assert not os.path.exists(os.path.join(base, "not_a_pid"))
     assert p.endswith(os.path.join(str(os.getpid()), "x"))
     shutil.rmtree(base, ignore_errors=True)
 

@@ -58,3 +58,31 @@ def test_tmputil_reaps_legacy_non_pid_dirs(tmp_path, monkeypatch):
     out = pid_scoped_dir("fam", "sf0.001", "orders")
     assert not (tmp_path / "fam" / "sf0.001").exists()
     assert str(tmp_path / "fam") in out and str(os.getpid()) in out
+
+
+def test_semdedup_scaled_equals_fixed_k_at_floor(spark):
+    """At the K floor (n//64 < 8 on the sf0.001 fixture, contiguous
+    ids from 0) the K∝N row must be value-identical to dedup_semantic
+    — same seeds, same Lloyd iterations, same prune/keep policy."""
+    from qms_datawarehouse_spark.operators.similarity import (
+        dedup_semantic,
+        dedup_semantic_scaled,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fixed = {tuple(r) for r in dedup_semantic(spark, sf).collect()}
+    scaled = {tuple(r) for r in dedup_semantic_scaled(spark, sf).collect()}
+    assert fixed == scaled
+
+
+def test_km_scaled_k_grows_with_n():
+    from qms_datawarehouse_spark.operators.kmeans_core import (
+        _KM_CELL,
+        _KM_K,
+        km_scaled_k,
+    )
+
+    assert km_scaled_k(0) == _KM_K
+    assert km_scaled_k(500) == _KM_K  # the sf0.01 fixture stays at 8
+    assert km_scaled_k(2000) == 2000 // _KM_CELL  # sf0.1 → 31
+    assert km_scaled_k(20_000) == 20_000 // _KM_CELL  # 10x → 312

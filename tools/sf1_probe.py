@@ -51,6 +51,9 @@ TOP_OPS = [
     # round-7 operators (cluster-pair SemDeDup, stride-1 grams,
     # multi-probe buckets, boundary replay)
     "dedup_semantic",
+    # round-8: the K∝N twin — the probe line that retires the fixed-K
+    # 6.1× caveat (K grows with n, pair term stays linear)
+    "dedup_semantic_scaled",
     "dedup_substring_spans",
     "similarity_ann_multiprobe",
     "watermark_late_replay",
