@@ -235,10 +235,19 @@ def ingest_semantic(
             touched = [
                 r[0] for r in admitted.select(CELL_COL).distinct().collect()
             ]
+            # keyed upsert, not a blind union: a replayed epoch's
+            # vectors are already stored (self-pairs are id-skipped
+            # in the probe, so they re-admit) — anti-join the stored
+            # slice on vec_id so the commit is idempotent
+            # (effectively-once under at-least-once replay, the
+            # stream_ingest_semantic contract)
             part = (
                 warehouse.read(corpus_table)
                 .filter(F.col(CELL_COL).isin(touched))
-                .unionByName(admitted)
+                .join(admitted.select("vec_id"), "vec_id", "left_anti")
+                .unionByName(admitted.select(
+                    "vec_id", CELL_COL, "w", "nn"
+                ))
             )
             warehouse.write_version_partial(
                 corpus_table, part, touched, partition_col=CELL_COL

@@ -209,6 +209,77 @@ def stream_ingest_dedup(
     return writer.start()
 
 
+def stream_ingest_semantic(
+    stream_df: DataFrame,
+    warehouse: ParquetWarehouse,
+    corpus_table: str | None = None,
+    centroid_table: str | None = None,
+    checkpoint_dir: str | None = None,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    available_now: bool = False,
+    on_result=None,
+) -> StreamingQuery:
+    """Streaming embedding ingestion through the SemDeDup admission
+    gate — ``semantic_gate.ingest_semantic`` lifted to a live pipeline
+    exactly as ``stream_ingest_dedup`` lifts the MinHash gate: every
+    micro-batch is assigned to the persistent centroid cells (first
+    epoch trains them, K ∝ batch via km_scaled_k), probed against the
+    STORED members of its touched cells only (cell-partitioned reads,
+    never the corpus), and the admitted vectors commit via a partial
+    write of the touched cells.
+
+    Delivery: at-least-once replay into convergent state. A replayed
+    batch's vectors are already corpus rows sharing their own cell at
+    cos=1.0 — but the gate's cross-corpus probe skips self-pairs by
+    id inequality, the in-batch stage is id-ordered, and the partial
+    write re-derives the same touched-cell content, so replays
+    collapse (effectively-once, T3 — pinned in
+    tests/test_streaming_semantic.py).
+
+    ``on_result(epoch_id, SemanticIngestResult)`` observes per-epoch
+    admission stats (accepted/rejected + capped pair report)."""
+    from qms_datawarehouse_spark.operators import semantic_gate as sg
+
+    corpus_table = corpus_table or sg.CORPUS_TABLE
+    centroid_table = centroid_table or sg.CENTROID_TABLE
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        # same loud-failure contract as stream_ingest_dedup: the
+        # corpus key is a numeric vec_id; non-numeric or NULL ids
+        # fail the epoch before any write (offsets don't commit)
+        bad = batch_df.filter(F.col(id_col).try_cast("long").isNull())
+        bad_row = bad.select(id_col).take(1)
+        if bad_row:
+            raise ValueError(
+                f"stream_ingest_semantic requires numeric {id_col!r} "
+                f"values; got {bad_row[0][0]!r} (epoch {epoch_id})"
+            )
+        vecs = batch_df.select(
+            F.col(id_col).try_cast("long").alias("vec_id"),
+            F.col(embedding_col).alias("embedding"),
+        )
+        res = sg.ingest_semantic(
+            warehouse,
+            vecs,
+            corpus_table=corpus_table,
+            centroid_table=centroid_table,
+        )
+        if on_result is not None:
+            on_result(epoch_id, res)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_apply_changes(
     stream_df: DataFrame,
     warehouse: ParquetWarehouse,
