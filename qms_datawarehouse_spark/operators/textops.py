@@ -1226,6 +1226,241 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# BPE: byte-pair-encoding trained on the corpus, applied per document
+# --------------------------------------------------------------------
+
+# training set bound: top-W words by (freq desc, word) — the
+# TakeOrdered codebook discipline (W·avg_len chars of driver state);
+# M merge rounds, each a pure-integer argmax with lexicographic ties
+_BPE_W = 2048
+_BPE_M = 16
+_BPE_SENTINEL = "\x01"  # never in the corpus alphabet → no-op merge
+
+
+def _bpe_fold_sql(arr_sql: str, a_sql: str, b_sql: str, a_len: str) -> str:
+    """One greedy BPE merge pass as a string-accumulator left fold —
+    the ONLY single-pass form whose semantics match canonical BPE
+    exactly (a plain string replace of ' A B ' misses adjacent merge
+    sites that share a delimiter space, verified in both engines):
+    scan symbols left to right; when the tail symbol equals A and the
+    next equals B, splice them. Emitted for Spark ``aggregate`` (init
+    '') — the DuckDB twin uses ``list_reduce`` (init = first element,
+    same fold)."""
+    return (
+        f"aggregate({arr_sql}, '', (acc, x) -> "
+        f"CASE WHEN acc = '' THEN x "
+        f"WHEN (acc = {a_sql} OR endswith(acc, ' ' || {a_sql})) "
+        f"AND x = {b_sql} "
+        f"THEN left(acc, length(acc) - {a_len}) || {a_sql} || {b_sql} "
+        f"ELSE acc || ' ' || x END)"
+    )
+
+
+def _train_bpe(words: list, m: int) -> list:
+    """Classic BPE training over a (word, freq) table: M rounds of
+    (count adjacent symbol pairs weighted by freq → merge the most
+    frequent, ties to the lexicographically smallest 'A B' string).
+    Pure integers + ASCII ordering — byte-identical to the oracle's
+    unrolled SQL stages. Greedy application mirrors the fold above."""
+    syms = {w: tuple(w) for w, _ in words}
+    freq = dict(words)
+    merges = []
+    for _ in range(m):
+        cnt: dict = {}
+        for w, s in syms.items():
+            n = freq[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                cnt[p] = cnt.get(p, 0) + n
+        if not cnt:
+            break
+        best = min(cnt, key=lambda p: (-cnt[p], p[0] + " " + p[1]))
+        a, b = best
+        merges.append(best)
+        for w, s in syms.items():
+            out: list = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+def _bpe_oracle_sql() -> str:
+    """The whole pipeline unrolled: top-W training table, M
+    (pair-count → argmax → fold) stages, then the encode chain over
+    ALL distinct words and the per-doc reassembly. Every stage CTE is
+    MATERIALIZED (DuckDB re-expands inlined CTEs per reference —
+    exponential in M otherwise); the argmax carries a sentinel row so
+    an exhausted pair table no-ops instead of annihilating the cross
+    join."""
+    stages = []
+    for i in range(_BPE_M):
+        stages.append(f"""
+    p{i} AS MATERIALIZED (
+        SELECT l[j] || ' ' || l[j + 1] AS pair, sum(n) AS cnt
+        FROM (SELECT n, string_split(sym, ' ') AS l FROM tw{i}),
+             UNNEST(range(1, len(l))) AS t(j)
+        GROUP BY 1
+    ),
+    b{i} AS MATERIALIZED (
+        SELECT string_split(pair, ' ')[1] AS a,
+               string_split(pair, ' ')[2] AS b
+        FROM (
+            SELECT pair, 0 AS pr FROM
+                (SELECT pair FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)
+            UNION ALL
+            SELECT '{_BPE_SENTINEL} {_BPE_SENTINEL}', 1
+        ) ORDER BY pr LIMIT 1
+    ),
+    tw{i + 1} AS MATERIALIZED (
+        SELECT word, n,
+               list_reduce(string_split(sym, ' '), (acc, x) ->
+                   CASE WHEN (acc = b{i}.a
+                              OR ends_with(acc, ' ' || b{i}.a))
+                             AND x = b{i}.b
+                        THEN left(acc, length(acc) - length(b{i}.a))
+                             || b{i}.a || b{i}.b
+                        ELSE acc || ' ' || x END) AS sym
+        FROM tw{i}, b{i}
+    ),
+    enc{i + 1} AS MATERIALIZED (
+        SELECT word,
+               list_reduce(string_split(sym, ' '), (acc, x) ->
+                   CASE WHEN (acc = b{i}.a
+                              OR ends_with(acc, ' ' || b{i}.a))
+                             AND x = b{i}.b
+                        THEN left(acc, length(acc) - length(b{i}.a))
+                             || b{i}.a || b{i}.b
+                        ELSE acc || ' ' || x END) AS sym
+        FROM enc{i}, b{i}
+    )""")
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(w) AS word,
+               unnest(range(1, len(w) + 1)) AS pos
+        FROM t
+    ),
+    wf AS MATERIALIZED (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+    tw0 AS MATERIALIZED (
+        SELECT word, n,
+               trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+        FROM (SELECT word, n FROM wf ORDER BY n DESC, word LIMIT {_BPE_W})
+    ),
+    enc0 AS MATERIALIZED (
+        SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+        FROM wf
+    ),{",".join(stages)},
+    mapping AS MATERIALIZED (
+        SELECT word, sym AS pieces,
+               len(string_split(sym, ' ')) AS np
+        FROM enc{_BPE_M}
+    ),
+    perdoc AS (
+        SELECT tok.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(m.np) AS BIGINT) AS n_pieces,
+               CAST(sum(length(tok.word)) AS BIGINT) AS n_chars,
+               md5(array_to_string(list(m.pieces ORDER BY tok.pos), ' '))
+                   AS pieces_md5
+        FROM tok JOIN mapping m ON tok.word = m.word
+        GROUP BY 1
+    )
+    SELECT doc_id, n_words, n_pieces,
+           (10000 * n_pieces) // n_chars AS pieces_per_char_bp,
+           pieces_md5
+    FROM perdoc
+    """
+
+
+@query("text_bpe_encode", _bpe_oracle_sql())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization end to end — the tensorize step
+    ``text_tokenize_ids``'s docstring promised would swap into the
+    same plan shape, executed: train ``_BPE_M`` merges on the top-
+    ``_BPE_W`` word-frequency table (count desc, word asc — fully
+    deterministic), encode EVERY distinct corpus word by applying the
+    merge sequence, reassemble per document. ``pieces_md5`` pins the
+    exact piece stream, so the driver hash verifies training AND
+    encoding cross-engine.
+
+    Training is a driver-side loop over the TakeOrdered top-W table —
+    the bounded-collect discipline of the MMR/k-center rows (W·avg_len
+    chars of driver state, independent of corpus size); each round is
+    a pure-integer pair-count argmax with lexicographic ties, so the
+    Python loop and the oracle's M unrolled SQL stages pick
+    byte-identical merges. Merge application is a string-accumulator
+    left fold (Spark ``aggregate`` / DuckDB ``list_reduce``) — exact
+    greedy left-to-right BPE; a single-pass string replace of
+    ' A B ' would MISS adjacent merge sites sharing a delimiter space
+    (verified in both engines), so the fold is the only correct
+    single-pass form.
+
+    Scale shape: one keyed word count (the tokenize_ids shuffle), a
+    TakeOrdered(W) cut, then everything is map-side: the M-fold
+    encode chain runs over DISTINCT words (amortized across
+    occurrences), the word→pieces mapping joins back to the token
+    stream (broadcast at codebook size, hash join beyond), and the
+    per-doc agg is one doc-keyed shuffle. At 100 TB: W and M are
+    constants; the only corpus-sized work is the word count and the
+    final reassembly — the same two shuffles tokenize_ids pays.
+
+    Reference capability analog: none (the reference stores raw text;
+    this is the LLM-pipeline layer mandated by SURVEY §2.12)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    tok = t.select(
+        "doc_id", F.posexplode("w").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    wf = tok.groupBy("word").agg(F.count("*").alias("n"))
+    top = [
+        (r["word"], r["n"])
+        for r in wf.orderBy(F.desc("n"), "word").limit(_BPE_W).collect()
+    ]
+    merges = _train_bpe(top, _BPE_M)
+
+    # encode chain: nested fold expressions, one per merge, applied
+    # to the distinct-word frame (single map-side projection)
+    expr = "split(trim(regexp_replace(word, '(.)', '$1 ')), ' ')"
+    for a, b in merges:
+        folded = _bpe_fold_sql(expr, f"'{a}'", f"'{b}'", str(len(a)))
+        expr = f"split({folded}, ' ')"
+    mapping = wf.select(
+        "word",
+        F.expr(f"array_join({expr}, ' ')").alias("pieces"),
+        F.expr(f"size({expr})").cast("long").alias("np"),
+    )
+    enc = tok.join(mapping, "word")
+    agg = enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("np").cast("long").alias("n_pieces"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                ),
+            ).cast("binary")
+        ).alias("pieces_md5"),
+    )
+    return agg.selectExpr(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        "(10000 * n_pieces) div n_chars AS pieces_per_char_bp",
+        "pieces_md5",
+    )
+
+
+# --------------------------------------------------------------------
 # Hybrid retrieval: reciprocal-rank fusion of the lexical and vector
 # rankers
 # --------------------------------------------------------------------

@@ -65,6 +65,7 @@ def test_anchors_inside_window():
 # suite meanwhile, incl. a pin to two real ingest_semantic calls)
 QUEUED_NEXT_WINDOW: list[str] = [
     "dedup_semantic_scaled",
+    "text_bpe_encode",
     "semantic_gate_replay_two_epochs",
     "quality_model_score",
     "curation_dsir_weights",

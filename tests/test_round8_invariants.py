@@ -86,3 +86,57 @@ def test_km_scaled_k_grows_with_n():
     assert km_scaled_k(500) == _KM_K  # the sf0.01 fixture stays at 8
     assert km_scaled_k(2000) == 2000 // _KM_CELL  # sf0.1 → 31
     assert km_scaled_k(20_000) == 20_000 // _KM_CELL  # 10x → 312
+
+
+def _py_greedy_merge(s, a, b):
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+@pytest.mark.parametrize(
+    "syms,a,b",
+    [
+        (["a", "b", "a", "b", "a"], "a", "b"),  # adjacent sites
+        (["a", "a", "a"], "a", "a"),  # odd run
+        (["a", "a", "a", "a"], "a", "a"),  # even run
+        (["ab", "b", "a", "b"], "a", "b"),  # multi-char left context
+        (["x"], "a", "b"),  # single symbol
+        (["b", "a"], "a", "b"),  # pair present only reversed
+        (["aa", "a", "a", "aa"], "a", "a"),  # run bounded by merged
+    ],
+)
+def test_bpe_fold_matches_greedy_reference(spark, syms, a, b):
+    """The string-accumulator fold IS canonical greedy left-to-right
+    BPE: pin it against the independent Python two-pointer scan on
+    the overlap shapes where a naive string replace diverges."""
+    from qms_datawarehouse_spark.operators.textops import _bpe_fold_sql
+
+    df = spark.createDataFrame([(syms,)], "l array<string>")
+    fold = _bpe_fold_sql("l", f"'{a}'", f"'{b}'", str(len(a)))
+    got = df.selectExpr(f"{fold} AS m").first()["m"]
+    assert got == " ".join(_py_greedy_merge(syms, a, b))
+
+
+def test_bpe_training_is_deterministic_and_compresses():
+    from qms_datawarehouse_spark.operators.textops import _train_bpe
+
+    words = [("banana", 3), ("bandana", 2), ("nab", 5)]
+    m1 = _train_bpe(words, 6)
+    m2 = _train_bpe(list(words), 6)
+    assert m1 == m2 and len(m1) == 6
+    # round 1: pair counts — an:5, na:5(banana x2... weighted), ab:5,
+    # ba:5, nd:2, da:2; ties break on the lexicographically smallest
+    # 'A B' string among the max-count pairs
+    cnt = {}
+    for w, n in words:
+        for i in range(len(w) - 1):
+            cnt[(w[i], w[i + 1])] = cnt.get((w[i], w[i + 1]), 0) + n
+    best = min(cnt, key=lambda p: (-cnt[p], p[0] + " " + p[1]))
+    assert m1[0] == best
