@@ -1974,6 +1974,41 @@ _PPJOIN_SQL = f"""
 """
 
 
+def _ppjoin_prefix_candidates(tok: DataFrame):
+    """(sizes, candidate pairs) from a (doc_id, t) token table via the
+    PPJoin prefix filter at τ=0.8: rank each doc's tokens rarest-first
+    (df asc, t asc), keep the first n − ceil(0.8n) + 1, self-equi-join
+    the prefix subset. Shared with tools/ppjoin_probe.py so the probe
+    measures the REAL candidate stage, not a re-implementation."""
+    from pyspark.sql.window import Window
+
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    df_counts = tok.groupBy("t").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("t").asc())
+    ranked = (
+        tok.join(df_counts, "t")
+        .select("doc_id", "t", F.row_number().over(w).alias("r"))
+        .join(sizes, "doc_id")
+        # integer-exact prefix length: n - ceil(0.8n) + 1
+        .filter(F.col("r") <= F.expr("n - ((4 * n + 4) div 5) + 1"))
+        .select("doc_id", "t")
+    )
+    pa, pb = ranked.alias("pa"), ranked.alias("pb")
+    cands = (
+        pa.join(
+            pb,
+            (F.col("pa.t") == F.col("pb.t"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return sizes, cands
+
+
 @query("dedup_ppjoin_exact", _PPJOIN_SQL)
 def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT shingle-set Jaccard >= 0.8 join via prefix filtering (the
@@ -2005,40 +2040,13 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-df shingles. Reference analog: the near-dup admission the
     warehouse's `_id` upsert collapses (src/services/etl.py:68-75),
     at exact shingle-set similarity."""
-    from pyspark.sql.window import Window
-
     (documents,) = tables(spark, sf_dir, "documents")
     tok = (
         _shingled(documents)
         .select("doc_id", F.explode("shingles").alias("t"))
         .persist()
     )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    df_counts = tok.groupBy("t").agg(F.count("*").alias("df"))
-
-    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("t").asc())
-    ranked = (
-        tok.join(df_counts, "t")
-        .select("doc_id", "t", F.row_number().over(w).alias("r"))
-        .join(sizes, "doc_id")
-        # integer-exact prefix length: n - ceil(0.8n) + 1
-        .filter(F.col("r") <= F.expr("n - ((4 * n + 4) div 5) + 1"))
-        .select("doc_id", "t")
-    )
-
-    pa, pb = ranked.alias("pa"), ranked.alias("pb")
-    cands = (
-        pa.join(
-            pb,
-            (F.col("pa.t") == F.col("pb.t"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
-        )
-        .select(
-            F.col("pa.doc_id").alias("doc_a"),
-            F.col("pb.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    sizes, cands = _ppjoin_prefix_candidates(tok)
 
     ta = tok.select(F.col("doc_id").alias("doc_a"), "t")
     tb = tok.select(F.col("doc_id").alias("doc_b"), "t")

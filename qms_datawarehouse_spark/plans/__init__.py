@@ -41,83 +41,84 @@ from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 
-# Round-7 rotation: CORRECTNESS_r06 came back 50/50 fully green (with
-# it, all 175 then-registered queries were cumulatively driver-green),
-# so every r6 slot is free to rotate. This window attacks the
-# staleness frontier the r6 verdict named: (a) the four queries ADDED
-# this round (SemDeDup pipeline, sliding-gram substring spans,
-# multi-probe LSH, the T4/T5 late-data replay) — never
-# driver-checked; (b) anchors over code this round touched (flagship
-# always; the kmeans quantization guard, the gate-replay oracle
-# parity fix, the bloom lookup None-guard, and the ingest-gate report
-# rework each keep their query in-window); (c) ALL 29 queries whose
-# last green row is round 2 — after this window lands, no evidence is
-# older than round 3; (d) the 12 oldest round-3 rows (the dedup/
-# similarity scale kernels and the heaviest TPC-H shapes first).
+# Round-8 rotation: CORRECTNESS_r07 came back 50/50 fully green, so
+# every r7 slot is free to rotate. This window retires the evidence
+# debt the r7 verdict quantified: (a) ALL 26 queries queued in
+# QUEUED_NEXT_WINDOW across round 7 (the window froze at 50 before
+# the third/fourth waves landed) plus the two round-8 additions
+# (dedup_semantic_scaled — the K∝N knob executed — and
+# text_bpe_encode); (b) anchors over round-8-touched code (flagship
+# always; dedup_semantic's pipeline body was extracted into the
+# helper the scaled row shares, so it re-proves the refactor);
+# (c) the 20 oldest round-3 rows, oldest families first (the
+# function suites, multimodal, variant/UDTF, sessionization) — the
+# 15 r3 rows that don't fit are explicitly queued for r9, which
+# finishes the tier.
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
-    # ---- never-driver-checked: round-7 additions --------------------
+    # ---- anchor over round-8-touched code ---------------------------
     "dedup_semantic",
-    "dedup_substring_spans",
-    "similarity_ann_multiprobe",
-    "watermark_late_replay",
-    # ---- anchors over round-7-touched code --------------------------
-    "embedding_kmeans_2iter",
-    "ingest_gate_replay_two_epochs",
-    "bloom_index_point_lookup",
-    "ingest_gate_probe",
-    # ---- freshness: every query last green in round 2 ---------------
-    "a1_high_water_mark",
-    "a5_per_staff_totals",
-    "a7_service_duration",
-    "a8_company_sets",
-    "a9_rating_agg",
-    "curation_pack_sequences",
-    "curation_stratified_sample",
-    "d3_union_by_name",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "f3_json_extract",
-    "f7_iso_format",
-    "f_scalar_suite",
-    "j3_lineitem_orders",
-    "j4_part_supplier",
-    "j5_denormalized_orders",
-    "q6_revenue_filter",
-    "quantile_order_value",
-    "rollup_hierarchy_1d",
-    "scd2_user_event_type",
-    "similarity_ann_lsh",
-    "similarity_knn_join_lsh",
-    "t9_sliding_daily",
-    "text_pii_redact",
-    "topk_per_group",
-    "user_activity_report",
-    "w2_recent_topn",
-    "w3_sequential_number",
-    "w4_window_frames",
-    # ---- freshness: the 12 oldest round-3 rows ----------------------
-    "bm25_topk",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "f_scalar_suite2",
-    "q2_min_cost_supplier",
-    "q7_nation_trade",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q20_heavy_shippers",
-    "q22_idle_customers",
-    "similarity_topk_cosine",
-    "sketch_kmv_distinct",
+    # ---- never-driver-checked: round-8 additions --------------------
+    "dedup_semantic_scaled",
+    "text_bpe_encode",
+    # ---- never-driver-checked: the full round-7 queue ---------------
+    "semantic_gate_replay_two_epochs",
+    "quality_model_score",
+    "curation_dsir_weights",
+    "join_salted_skew",
+    "interval_containment_join",
+    "graph_pagerank_2iter",
+    "text_chunking",
+    "fileskip_routed_scan",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "text_tokenize_ids",
+    "dedup_ppjoin_exact",
+    "stats_ks_drift",
+    "bucketed_join_scan",
+    "matview_incremental_replay",
+    "zorder_routed_scan",
+    "dq_distribution_drift",
+    "similarity_rrf_fusion",
+    "similarity_mmr_rerank",
+    "stats_bootstrap_poisson",
+    "privacy_dp_laplace_counts",
+    "experiment_cuped_adjusted",
+    "curation_coreset_kcenter",
+    "dq_freshness_sla",
+    # ---- freshness: the 20 oldest round-3 rows ----------------------
+    "array_functions_suite",
+    "regexp_functions_suite",
+    "datetime_functions_suite",
+    "string_functions_suite",
+    "map_functions_props",
+    "null_semantics_suite",
+    "decimal_arithmetic_suite",
+    "multimodal_pipeline",
+    "multimodal_features_arrow",
+    "variant_props_agg",
+    "udtf_json_pairs",
+    "t9_sessionization",
+    "a2_row_counts",
+    "w4_range_interval",
+    "asof_join_cogroup",
+    "grouped_arrow_zscore",
+    "time_weighted_avg",
+    "heavy_hitters_exact",
+    "dq_constraint_checks",
+    "curation_split_summary",
 ]
 
-# Allocation note: once this window lands green, zero rows remain
-# with round-2-aged evidence (the r6 verdict's staleness frontier);
-# the remaining 35 round-3 rows are the r8 freshness pool. Next-round
-# slots: (a) any red rows from CORRECTNESS_r07, (b) queries added in
-# round 8 (tracked in tests/test_driver_window.py QUEUED_NEXT_WINDOW
-# as they land), (c) the round-3 cohort, oldest first.
+# Allocation note: once this window lands green, the never-checked
+# backlog is ZERO (every registered query has a driver row) and only
+# 15 rows carry round-3-aged evidence — all 15 are explicitly queued
+# in tests/test_driver_window.py QUEUED_NEXT_WINDOW so the r9
+# rotation retires the tier completely. Next-round slots: (a) any red
+# rows from CORRECTNESS_r08, (b) queries added in round 9, (c) the
+# queued 15, (d) the round-5 cohort, oldest first.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

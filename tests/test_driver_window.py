@@ -16,15 +16,14 @@ import os
 
 from qms_datawarehouse_spark.plans import _DRIVER_WINDOW, REGISTRY, queries_map
 
-# r6 anchors: flagship + the two queries over code touched this round
-# (bloom index: r5 CAS/bit-OR refresh rework, first driver row;
-# ingest gate: the max_rejects report-cap rework) + the gate's
-# existing probe query.
+# r8 anchors: flagship + the two queries over code materially
+# reworked this round (dedup_semantic: pipeline body extracted into
+# the helper dedup_semantic_scaled shares; semantic_gate_replay:
+# K∝N centroid training + the keyed-upsert commit rework).
 ANCHORS = [
     "flagship_staff_report",
-    "bloom_index_point_lookup",
-    "ingest_gate_replay_two_epochs",
-    "ingest_gate_probe",
+    "dedup_semantic",
+    "semantic_gate_replay_two_epochs",
 ]
 
 
@@ -57,41 +56,30 @@ def test_anchors_inside_window():
 
 # queries ADDED this round (no driver row possible yet): either
 # already swapped into the window, or queued here for the next window
-# so nothing falls through. Round 7: staging list while the round's
-# operators land — emptied by the end-of-round rotation, which swaps
-# every entry into _DRIVER_WINDOW.
-# semantic_gate_replay_two_epochs landed after the r7 window froze
-# at 50 — queued for the r8 window (oracle-checked by the in-repo
-# suite meanwhile, incl. a pin to two real ingest_semantic calls)
+# so nothing falls through. The r8 rotation emptied the entire r7
+# staging queue (all 26 entries + both r8 additions are in-window).
+# r9 pool: the 15 round-3-aged rows the 50-slot r8 window couldn't
+# fit (the r8 window consumed the entire never-checked backlog plus
+# the 20 oldest r3 rows) — queued per the r7 verdict so the r9
+# rotation retires the round-3 evidence tier completely. All 15 are
+# ever-green (r3), so the invariant doesn't force them; the queue is
+# the bookkeeping that they MUST enter the r9 window.
 QUEUED_NEXT_WINDOW: list[str] = [
-    "dedup_semantic_scaled",
-    "text_bpe_encode",
-    "semantic_gate_replay_two_epochs",
-    "quality_model_score",
-    "curation_dsir_weights",
-    "join_salted_skew",
-    "interval_containment_join",
-    "graph_pagerank_2iter",
-    "text_chunking",
-    "fileskip_routed_scan",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "text_tokenize_ids",
-    "dedup_ppjoin_exact",
-    "stats_ks_drift",
-    "bucketed_join_scan",
-    "matview_incremental_replay",
-    "zorder_routed_scan",
-    "dq_distribution_drift",
-    "similarity_rrf_fusion",
-    "similarity_mmr_rerank",
-    "stats_bootstrap_poisson",
-    "privacy_dp_laplace_counts",
-    "experiment_cuped_adjusted",
-    "curation_coreset_kcenter",
-    "dq_freshness_sla",
+    "curation_domain_mix",
+    "corpus_curation",
+    "text_repetition",
+    "text_inverted_index",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "growth_daily_users",
+    "robust_outliers_mad",
+    "attribution_last_touch",
+    "basket_type_lift",
+    "revenue_share_by_nation",
+    "revenue_yoy_growth",
+    "calendar_fill_gaps",
+    "agg_rollup",
+    "semi_anti_join",
 ]
 
 
