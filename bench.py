@@ -147,6 +147,9 @@ HEADLINE = [
     "experiment_cuped_adjusted",
     "curation_coreset_kcenter",
     "dq_freshness_sla",
+    # round-8 additions (common22 stays frozen — totals comparable)
+    "dedup_semantic_scaled",
+    "text_bpe_encode",
 ]
 
 

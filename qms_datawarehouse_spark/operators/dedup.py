@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.plans.registry import REGISTRY, query, spread, tables
+from qms_datawarehouse_spark.planaudit import checkpoint_result
 
 N_MINHASH = 8  # signature length
 N_BANDS = 4  # bands of 2 rows each
@@ -158,11 +159,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jacc >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
-    # surviving pairs are tiny: eager-checkpoint, then drop the
-    # shingle cache instead of leaking it until session GC
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    # surviving pairs are tiny: eager-checkpoint (plan recorded for
+    # the sweep), then drop the shingle cache
+    return checkpoint_result("dedup_ngram_jaccard", out, sh)
 
 
 # --------------------------------------------------------------------
@@ -313,9 +312,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
     # eager-checkpoint the tiny pair set, then drop the shingle cache
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    return checkpoint_result("dedup_minhash_lsh", out, sh)
 
 
 # --------------------------------------------------------------------
@@ -841,9 +838,9 @@ def ingest_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    out = _verify_pairs(cand, sh, sh).localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    return checkpoint_result(
+        "ingest_gate_probe", _verify_pairs(cand, sh, sh), sh
+    )
 
 
 # --------------------------------------------------------------------
@@ -1378,9 +1375,7 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # one counter row: eager-checkpoint, then drop the shingle cache
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    return checkpoint_result("dedup_minhash_recall_audit", out, sh)
 
 
 # --------------------------------------------------------------------
@@ -1454,9 +1449,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # eager-checkpoint the tiny pair set, then drop the shingle cache
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    return checkpoint_result("dedup_containment", out, sh)
 
 
 # --------------------------------------------------------------------
@@ -1639,12 +1632,8 @@ def ingest_gate_replay_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("epoch")
     )
     # two counter rows: eager-checkpoint, then drop both caches (the
-    # shingle frame AND the verified-pair frame) instead of leaking
-    # them until session GC
-    out = out.localCheckpoint(eager=True)
-    ver.unpersist()
-    sh.unpersist()
-    return out
+    # shingle frame AND the verified-pair frame)
+    return checkpoint_result("ingest_gate_replay_two_epochs", out, ver, sh)
 
 
 # --------------------------------------------------------------------
@@ -1766,9 +1755,7 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist hygiene (the connected_components standard): eagerly
     # materialize the candidate-pair-sized result, then drop the
     # shingle cache instead of leaving it to session GC
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+    return checkpoint_result("dedup_minhash_estimate_audit", out, sh)
 
 
 # --------------------------------------------------------------------
@@ -1939,10 +1926,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # per-doc rows only: eager-checkpoint, then drop the gram caches
-    out = out.localCheckpoint(eager=True)
-    g.unpersist()
-    d.unpersist()
-    return out
+    return checkpoint_result("dedup_substring_spans", out, g, d)
 
 
 # --------------------------------------------------------------------
@@ -2081,6 +2065,4 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # surviving pairs are tiny: eager-checkpoint, then drop the token
     # cache (the estimate-audit hygiene standard)
-    out = out.localCheckpoint(eager=True)
-    tok.unpersist()
-    return out
+    return checkpoint_result("dedup_ppjoin_exact", out, tok)

@@ -498,9 +498,8 @@ def semantic_gate_replay_two_epochs(
         )
         .orderBy("cell")
     )
-    out = out.localCheckpoint(eager=True)
-    q1.unpersist()
-    mem.unpersist()
-    dup.unpersist()
-    st1.unpersist()
-    return out
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result(
+        "semantic_gate_replay_two_epochs", out, q1, mem, dup, st1
+    )

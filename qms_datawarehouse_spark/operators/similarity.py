@@ -1111,17 +1111,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantization and one materialization of the member frame
     q = _km_quantized(emb).persist()
     asn = _km_assignments(q)
-    return _semdedup_from_assignment(emb, q, asn)
+    return _semdedup_from_assignment("dedup_semantic", emb, q, asn)
 
 
 def _semdedup_from_assignment(
-    emb: DataFrame, q: DataFrame, asn: DataFrame
+    name: str, emb: DataFrame, q: DataFrame, asn: DataFrame
 ) -> DataFrame:
     """The SemDeDup prune/keep stage over a final (vec_id, cid)
     assignment: cluster-keyed pair join, integer-exact cosine
     threshold, keep-first policy, per-cluster stats. ``q`` is the
     caller's persisted quantized frame — checkpointed away with the
-    member cache before return."""
+    member cache before return (plan recorded under ``name``)."""
     w = _cos_quantized(emb)
     nrm = w.select(
         "vec_id",
@@ -1202,10 +1202,9 @@ def _semdedup_from_assignment(
         .orderBy("cluster_id")
     )
     # K rows: eager-checkpoint the result, then drop both caches
-    out = out.localCheckpoint(eager=True)
-    q.unpersist()
-    mem.unpersist()
-    return out
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result(name, out, q, mem)
 
 
 @query("dedup_semantic_scaled", _SEM_SQL_SCALED)
@@ -1251,7 +1250,7 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("c").alias("cents"))
     )
     asn = _km_assign(q, c1).select("vec_id", "cid")
-    return _semdedup_from_assignment(emb, q, asn)
+    return _semdedup_from_assignment("dedup_semantic_scaled", emb, q, asn)
 
 
 # --------------------------------------------------------------------

@@ -15,8 +15,15 @@ from conftest import SF_DIR
 
 
 def _plan(spark, name: str) -> str:
+    from qms_datawarehouse_spark.planaudit import PRE_CHECKPOINT_PLANS
+
     df = REGISTRY[name].fn(spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    # eager-checkpoint queries return a Scan ExistingRDD (which would
+    # pass every structural assertion vacuously) — prefer the real
+    # plan checkpoint_result recorded during construction
+    return PRE_CHECKPOINT_PLANS.get(
+        name, df._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def test_point_lookup_pushes_both_predicates(spark):
@@ -373,6 +380,9 @@ def test_no_unintended_cartesian_anywhere(spark):
         # same K-row centroid broadcasts (shared Lloyd stage); the
         # pair stage itself is a cluster-keyed equi-join
         "dedup_semantic",
+        # identical shape with K = n div 64 (still a bounded centroid
+        # codebook riding one broadcast per Lloyd assign)
+        "dedup_semantic_scaled",
         # 1-row query-vector broadcast for the rerank; candidates come
         # from the 37-key bucket equi-join
         "similarity_ann_multiprobe",
