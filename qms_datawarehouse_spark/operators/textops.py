@@ -1418,7 +1418,10 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = t.select(
         "doc_id", F.posexplode("w").alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    wf = tok.groupBy("word").agg(F.count("*").alias("n"))
+    # persisted: the word-frequency table feeds the top-W training
+    # collect AND the encode mapping — without the cache the corpus
+    # tokenizes twice (the top cut materializes it here)
+    wf = tok.groupBy("word").agg(F.count("*").alias("n")).persist()
     top = [
         (r["word"], r["n"])
         for r in wf.orderBy(F.desc("n"), "word").limit(_BPE_W).collect()
@@ -1451,13 +1454,18 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("pieces_md5"),
     )
-    return agg.selectExpr(
+    out = agg.selectExpr(
         "doc_id",
         "n_words",
         "n_pieces",
         "(10000 * n_pieces) div n_chars AS pieces_per_char_bp",
         "pieces_md5",
     )
+    # per-doc rows only: eager-checkpoint (plan recorded for the
+    # sweep), then drop the word-frequency cache
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result("text_bpe_encode", out, wf)
 
 
 # --------------------------------------------------------------------

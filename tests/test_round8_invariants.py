@@ -140,3 +140,53 @@ def test_bpe_training_is_deterministic_and_compresses():
             cnt[(w[i], w[i + 1])] = cnt.get((w[i], w[i + 1]), 0) + n
     best = min(cnt, key=lambda p: (-cnt[p], p[0] + " " + p[1]))
     assert m1[0] == best
+
+
+def test_bpe_encode_chain_matches_python_pipeline(spark):
+    """Property: for random word multisets, the Spark nested-fold
+    encode chain (built from _train_bpe's merges) produces exactly
+    the piece sequences a pure-Python greedy application of the same
+    merges produces — the cross-implementation pin UNDER the oracle
+    (which re-derives the merges independently in SQL)."""
+    import random
+
+    from qms_datawarehouse_spark.operators.textops import (
+        _bpe_fold_sql,
+        _train_bpe,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(8)
+    alphabet = "abcd"  # tiny alphabet → dense pair collisions
+    for trial in range(4):
+        words = sorted(
+            {
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 9))
+                )
+                for _ in range(rng.randint(5, 30))
+            }
+        )
+        freqs = [(w, rng.randint(1, 9)) for w in words]
+        merges = _train_bpe(freqs, 8)
+
+        def py_encode(w):
+            s = list(w)
+            for a, b in merges:
+                s = _py_greedy_merge(s, a, b)
+            return s
+
+        expr = "split(trim(regexp_replace(word, '(.)', '$1 ')), ' ')"
+        for a, b in merges:
+            folded = _bpe_fold_sql(expr, f"'{a}'", f"'{b}'", str(len(a)))
+            expr = f"split({folded}, ' ')"
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {
+            r["word"]: r["p"]
+            for r in df.select(
+                "word", F.expr(f"array_join({expr}, ' ')").alias("p")
+            ).collect()
+        }
+        want = {w: " ".join(py_encode(w)) for w in words}
+        assert got == want, f"trial {trial}: {merges}"
