@@ -58,6 +58,8 @@ PICKS = {
     "similarity_ann_multiprobe": "ONE scan projection carries (v, nrm, bucket) — hyperplanes are literal doubles, not expression subtrees; the 37-key probe set broadcasts from one row into a single bucket equi-join; rerank ends in TakeOrderedAndProject.",
     "stats_ks_drift": "One scan partial-aggregates onto the bounded distinct-cents domain; the single-partition cumulative window runs over |domain| rows, not |data| rows; D's max is all-integer.",
     "bucketed_join_scan": "ZERO Exchange nodes end-to-end: both scans read `Bucketed: true`, the SortMergeJoin and the per-order HashAggregate reuse the bucket clustering (the groupBy key IS the bucket key).",
+    "dedup_semantic_scaled": "Same shape as dedup_semantic with K = n div 64: K-row centroid broadcasts per Lloyd assign (never a corpus shuffle), cluster-keyed pair equi-join, K-row final aggregate — the K knob changes only the broadcast's row count.",
+    "text_bpe_encode": "One corpus tokenization feeds the cached word-frequency table; the 16-merge encode chain is a single map-side projection over DISTINCT words; the word->pieces mapping broadcasts into the token stream; one doc-keyed aggregate ends it.",
     # dedup_split_leakage is intentionally NOT captured: its plan
     # embeds the CC loop's full iterative lineage (thousands of lines,
     # like dedup_clusters) — the audit's own cost is one join + one
@@ -81,12 +83,21 @@ def main() -> None:
 
     spark = get_spark(master="local[4]", shuffle_partitions=4)
     out = [HEADER]
+    from qms_datawarehouse_spark.planaudit import PRE_CHECKPOINT_PLANS
+
     for name, note in PICKS.items():
         df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        out.append(f"## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
+        if name in PRE_CHECKPOINT_PLANS:
+            # eager-checkpoint queries return Scan ExistingRDD —
+            # capture the REAL plan checkpoint_result recorded
+            text = PRE_CHECKPOINT_PLANS[name].strip()
+            note = note + " (pre-checkpoint plan — the returned frame is an eager localCheckpoint)"
+        else:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            text = buf.getvalue().strip()
+        out.append(f"## {name}\n\n{note}\n\n```\n{text}\n```\n")
     with open("docs/PLANS.md", "w") as f:
         f.write("\n".join(out))
 

@@ -83,6 +83,9 @@ TOP_OPS = [
     "experiment_cuped_adjusted",
     "curation_coreset_kcenter",
     "dq_freshness_sla",
+    # round-8: corpus-trained BPE (train on top-W freq table, encode
+    # via broadcast mapping — both ends bounded)
+    "text_bpe_encode",
 ]
 
 # per-table key columns to offset per replica (join consistency);
