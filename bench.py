@@ -150,6 +150,7 @@ HEADLINE = [
     # round-8 additions (common22 stays frozen — totals comparable)
     "dedup_semantic_scaled",
     "text_bpe_encode",
+    "graph_triangles_lsh",
 ]
 
 

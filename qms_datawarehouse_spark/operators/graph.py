@@ -149,3 +149,243 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+# --------------------------------------------------------------------
+# Triangle counting over the LSH-band similarity graph
+# (degree-oriented wedge closure — the canonical MapReduce algorithm)
+# --------------------------------------------------------------------
+
+_TRI_BANDS = 3  # OR-ed bucketings; band b uses plane ids b*16 .. b*16+15
+_TRI_MAX_BITS = 16  # precomputed bucket-string width (bits per band)
+_TRI_MIN_BITS = 8  # width floor (the small-fixture regime)
+_TRI_OCC = 4  # target mean bucket occupancy the width derives from
+
+
+def _tri_width(n: int) -> int:
+    """Adaptive bucket width: the smallest w in [8, 16] with
+    2^w >= n / _TRI_OCC — bucket COUNT grows with the corpus so mean
+    occupancy stays ~constant and the edge join stays linear (a fixed
+    width makes a 10x corpus 10x denser per bucket and the bucket
+    graph quadratic BY CONSTRUCTION — the SemDeDup K∝N knob, LSH
+    edition). Pure integer thresholds, mirrored verbatim as a CASE
+    chain in the oracle."""
+    w = _TRI_MIN_BITS
+    while w < _TRI_MAX_BITS and (1 << w) * _TRI_OCC < n:
+        w += 1
+    return w
+
+
+def _tri_width_sql(n_sql: str) -> str:
+    cases = " ".join(
+        f"WHEN {n_sql} <= {(1 << w) * _TRI_OCC} THEN {w}"
+        for w in range(_TRI_MIN_BITS, _TRI_MAX_BITS)
+    )
+    return f"(CASE {cases} ELSE {_TRI_MAX_BITS} END)"
+
+
+def _tri_sql() -> str:
+    from qms_datawarehouse_spark.operators.lsh_planes import (
+        plane_sql_literal,
+    )
+
+    planes = ",".join(
+        f"({j}, {plane_sql_literal(j)})"
+        for j in range(_TRI_BANDS * _TRI_MAX_BITS)
+    )
+    w_sql = _tri_width_sql("(SELECT count(*) FROM embeddings)")
+    return f"""
+    WITH planes AS (SELECT * FROM (VALUES {planes}) AS t(plane_id, p)),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bits AS (
+        SELECT e.vec_id, pl.plane_id, pl.plane_id // {_TRI_MAX_BITS} AS band,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> e.v[i] * pl.p[i])) > 0
+                    THEN '1' ELSE '0' END AS b
+        FROM e CROSS JOIN planes pl
+    ),
+    bk AS MATERIALIZED (
+        SELECT vec_id, band,
+               substr(string_agg(b, '' ORDER BY plane_id), 1, {w_sql})
+                   AS bucket
+        FROM bits GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    deg AS MATERIALIZED (
+        SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY 1
+    ),
+    o AS MATERIALIZED (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+        FROM edges e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+    ),
+    w AS (
+        SELECT x.s AS a, least(x.t, y.t) AS lo, greatest(x.t, y.t) AS hi
+        FROM o x JOIN o y ON x.s = y.s AND x.t < y.t
+    ),
+    c AS (SELECT least(s, t) AS lo, greatest(s, t) AS hi FROM o),
+    tri AS MATERIALIZED (SELECT w.a, w.lo, w.hi FROM w JOIN c USING (lo, hi)),
+    per_node AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS n FROM tri
+            UNION ALL SELECT lo FROM tri
+            UNION ALL SELECT hi FROM tri
+        ) GROUP BY 1
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_tri_total FROM tri)
+    SELECT per_node.n AS node, CAST(deg.d AS BIGINT) AS degree,
+           per_node.n_triangles, total.n_tri_total
+    FROM per_node JOIN deg ON per_node.n = deg.n CROSS JOIN total
+    ORDER BY per_node.n_triangles DESC, node LIMIT 20
+    """
+
+
+@query("graph_triangles_lsh", _tri_sql())
+def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the LSH-band similarity graph —
+    the mutual-near-neighbor structure graph-based corpus clustering
+    and community detection run on: nodes are vectors, edges connect
+    pairs sharing ANY of {_TRI_BANDS} hyperplane-bucket bands (the
+    minhash OR-construction applied to the cosine sketch — single-band
+    buckets are disjoint cliques; band-ORing makes real cross-clique
+    structure). Bucket WIDTH adapts to the corpus: w = smallest width
+    in [8, 16] with 2^w >= n/4 (integer threshold CASE, identical in
+    Python and the oracle), so bucket COUNT grows with n and mean
+    occupancy stays ~constant — a fixed width makes a 10x corpus 10x
+    denser per bucket and the bucket graph quadratic by construction
+    (the dedup_semantic_scaled K∝N knob, LSH edition). Algorithm is
+    the canonical distributed
+    degree-orientation method: orient every edge from lower to higher
+    (degree, node) rank, generate wedges at each node's oriented
+    out-neighborhood, close them against node-canonical edges — each
+    triangle is found exactly once at its lowest-rank vertex, and the
+    wedge count is bounded by the sum of squared OUT-degrees, the
+    graph's degeneracy bound, never the raw degree square (the hub
+    node that breaks naive node-iterator counting gets rank-high and
+    generates no wedges).
+
+    Output: top-20 nodes by triangle participation (ties by node)
+    with degree and the global triangle count on every row —
+    value-hash pins bucket assignment, edge set, orientation, wedge
+    closure and the rollups end to end.
+
+    Scale shape: bucket assignment is map-side literal-plane folds
+    (the lsh_bucketed discipline); edges are band+bucket equi-joins
+    (Σ bucket² per band); the wedge join and closure are equi-joins
+    on node / canonical pair keys; per-node rollup is one keyed
+    shuffle; the 1-row total rides a broadcast. Everything else is
+    TakeOrdered(20).
+
+    Reference capability analog: none — the graph-analytics member of
+    the LLM-pipeline layer (SemDeDup clusters by centroid; this
+    measures the neighborhood graph's local density directly)."""
+    from qms_datawarehouse_spark.operators.lsh_planes import (
+        plane_component,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    w = _tri_width(emb.count())  # 1-row action; widths mirror the oracle
+    v = F.col("embedding").cast("array<double>")
+
+    def dot(plane):
+        return F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bands = []
+    for bnd in range(_TRI_BANDS):
+        bits = []
+        for j in range(bnd * _TRI_MAX_BITS, bnd * _TRI_MAX_BITS + w):
+            plane = F.array(
+                *[F.lit(plane_component(j, i)) for i in range(64)]
+            )
+            bits.append(
+                F.when(dot(plane) > 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        bands.append(
+            emb.select(
+                "vec_id",
+                F.lit(bnd).alias("band"),
+                F.concat(*bits).alias("bucket"),
+            )
+        )
+    bk = bands[0]
+    for b in bands[1:]:
+        bk = bk.unionByName(b)
+
+    a = bk.select("band", "bucket", F.col("vec_id").alias("u"))
+    b2 = bk.select("band", "bucket", F.col("vec_id").alias("v"))
+    edges = (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .persist()
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .persist()
+    )
+    x = o.select("s", F.col("t").alias("t1"))
+    y = o.select("s", F.col("t").alias("t2"))
+    w = (
+        x.join(y, "s")
+        .filter(F.col("t1") < F.col("t2"))
+        .select(
+            F.col("s").alias("a"),
+            F.least("t1", "t2").alias("lo"),
+            F.greatest("t1", "t2").alias("hi"),
+        )
+    )
+    c = o.select(
+        F.least("s", "t").alias("lo"), F.greatest("s", "t").alias("hi")
+    )
+    tri = w.join(c, ["lo", "hi"]).persist()
+    per_node = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("lo").alias("n")))
+        .unionAll(tri.select(F.col("hi").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    total = tri.agg(F.count("*").cast("long").alias("n_tri_total"))
+    out = (
+        per_node.join(deg, "n")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            "n_triangles",
+            "n_tri_total",
+        )
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(20)
+    )
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result("graph_triangles_lsh", out, edges, deg, o, tri)

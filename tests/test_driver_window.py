@@ -65,6 +65,8 @@ def test_anchors_inside_window():
 # ever-green (r3), so the invariant doesn't force them; the queue is
 # the bookkeeping that they MUST enter the r9 window.
 QUEUED_NEXT_WINDOW: list[str] = [
+    # round-8 late addition (landed after the r8 window froze)
+    "graph_triangles_lsh",
     "curation_domain_mix",
     "corpus_curation",
     "text_repetition",

@@ -392,6 +392,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "semantic_gate_replay_two_epochs",
         # 1-row node-count broadcast per power iteration (r0, r1, r2)
         "graph_pagerank_2iter",
+        # 1-row global-triangle-count broadcast onto the top-20 rows
+        "graph_triangles_lsh",
         # inherits both rankers' bounded broadcasts (1-row corpus
         # stats + 1-row query vector); the fusion join itself is a
         # k-row full-outer equi-join

@@ -86,6 +86,8 @@ TOP_OPS = [
     # round-8: corpus-trained BPE (train on top-W freq table, encode
     # via broadcast mapping — both ends bounded)
     "text_bpe_encode",
+    # round-8: degree-oriented triangle counting over the LSH graph
+    "graph_triangles_lsh",
 ]
 
 # per-table key columns to offset per replica (join consistency);
@@ -142,6 +144,23 @@ def build_scaled_dir(spark, base: str, factor: int) -> str:
                     # so any query doing event_id % k would throw
                     # under ANSI at 10x but pass at 1x)
                     cols.append((F.col(c) + off).alias(c))
+                elif t == "embeddings" and c == "embedding" and r > 0:
+                    # circular-shift each replica's vectors by r
+                    # dimensions: a rotation, so norms and all
+                    # WITHIN-replica dot products (the internal
+                    # near-dup/cluster structure) are exactly
+                    # preserved, while cross-replica vectors
+                    # decorrelate — identical copies made every
+                    # bucket-keyed op (LSH graph, band joins) densify
+                    # quadratically BY CONSTRUCTION, faking 100x
+                    # candidate growth on a 10x corpus (the r6
+                    # shingle-invariance lesson, embedding edition)
+                    cols.append(
+                        F.expr(
+                            f"concat(slice(embedding, {r + 1}, "
+                            f"{64 - r}), slice(embedding, 1, {r}))"
+                        ).alias(c)
+                    )
                 elif t == "events" and c == "ts":
                     # shift each replica by 31 days: a true 10x event
                     # corpus spans 10x the time at constant density.
