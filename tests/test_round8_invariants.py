@@ -190,3 +190,33 @@ def test_bpe_encode_chain_matches_python_pipeline(spark):
         }
         want = {w: " ".join(py_encode(w)) for w in words}
         assert got == want, f"trial {trial}: {merges}"
+
+
+def test_tri_width_python_matches_oracle_case_chain():
+    """The adaptive LSH bucket width must be identical in the Python
+    derivation and the oracle's integer CASE chain — across the
+    boundary values where an off-by-one silently shifts every bucket
+    key and the driver hash with it."""
+    import duckdb
+
+    from qms_datawarehouse_spark.operators.graph import (
+        _TRI_MAX_BITS,
+        _TRI_MIN_BITS,
+        _TRI_OCC,
+        _tri_width,
+        _tri_width_sql,
+    )
+
+    assert _tri_width(0) == _TRI_MIN_BITS
+    assert _tri_width(500) == 8  # the sf0.01 fixture
+    assert _tri_width(2000) == 9  # the sf0.1 fixture
+    assert _tri_width(10**9) == _TRI_MAX_BITS
+    con = duckdb.connect()
+    probes = [0, 1, 500, 2000, 20000, 10**9] + [
+        (1 << w) * _TRI_OCC + d
+        for w in range(_TRI_MIN_BITS, _TRI_MAX_BITS + 1)
+        for d in (-1, 0, 1)
+    ]
+    for n in probes:
+        got = con.sql(f"SELECT {_tri_width_sql(str(n))}").fetchone()[0]
+        assert got == _tri_width(n), n

@@ -60,6 +60,7 @@ PICKS = {
     "bucketed_join_scan": "ZERO Exchange nodes end-to-end: both scans read `Bucketed: true`, the SortMergeJoin and the per-order HashAggregate reuse the bucket clustering (the groupBy key IS the bucket key).",
     "dedup_semantic_scaled": "Same shape as dedup_semantic with K = n div 64: K-row centroid broadcasts per Lloyd assign (never a corpus shuffle), cluster-keyed pair equi-join, K-row final aggregate — the K knob changes only the broadcast's row count.",
     "text_bpe_encode": "One corpus tokenization feeds the cached word-frequency table; the 16-merge encode chain is a single map-side projection over DISTINCT words; the word->pieces mapping broadcasts into the token stream; one doc-keyed aggregate ends it.",
+    "graph_triangles_lsh": "Bucket assignment is map-side literal-plane folds; edges are band+bucket equi-joins; the wedge join and canonical-pair closure are equi-joins; the 1-row global count rides a broadcast; TakeOrderedAndProject(20) ends it.",
     # dedup_split_leakage is intentionally NOT captured: its plan
     # embeds the CC loop's full iterative lineage (thousands of lines,
     # like dedup_clusters) — the audit's own cost is one join + one
