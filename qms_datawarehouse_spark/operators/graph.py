@@ -300,7 +300,11 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    bands = []
+    # all three band buckets from ONE scan/projection, stacked to
+    # (band, bucket) rows — three unioned per-band selects each
+    # re-scan and re-compile their fold forest (measured ~2x the
+    # construction time on local[32])
+    band_cols = []
     for bnd in range(_TRI_BANDS):
         bits = []
         for j in range(bnd * _TRI_MAX_BITS, bnd * _TRI_MAX_BITS + w):
@@ -310,16 +314,12 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits.append(
                 F.when(dot(plane) > 0, F.lit("1")).otherwise(F.lit("0"))
             )
-        bands.append(
-            emb.select(
-                "vec_id",
-                F.lit(bnd).alias("band"),
-                F.concat(*bits).alias("bucket"),
-            )
-        )
-    bk = bands[0]
-    for b in bands[1:]:
-        bk = bk.unionByName(b)
+        band_cols.append(F.concat(*bits).alias(f"b{bnd}"))
+    stack = ", ".join(f"{bnd}, b{bnd}" for bnd in range(_TRI_BANDS))
+    bk = emb.select("vec_id", *band_cols).selectExpr(
+        "vec_id",
+        f"stack({_TRI_BANDS}, {stack}) AS (band, bucket)",
+    )
 
     a = bk.select("band", "bucket", F.col("vec_id").alias("u"))
     b2 = bk.select("band", "bucket", F.col("vec_id").alias("v"))
@@ -372,8 +372,13 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("hi").alias("n")))
         .groupBy("n")
         .agg(F.count("*").cast("long").alias("n_triangles"))
+        .persist()
     )
-    total = tri.agg(F.count("*").cast("long").alias("n_tri_total"))
+    # the global count falls out of the rollup (each triangle adds
+    # exactly 3 participations) — no separate pass over tri
+    total = per_node.agg(
+        F.expr("sum(n_triangles) div 3").cast("long").alias("n_tri_total")
+    )
     out = (
         per_node.join(deg, "n")
         .crossJoin(F.broadcast(total))
@@ -388,4 +393,6 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from qms_datawarehouse_spark.planaudit import checkpoint_result
 
-    return checkpoint_result("graph_triangles_lsh", out, edges, deg, o, tri)
+    return checkpoint_result(
+        "graph_triangles_lsh", out, edges, deg, o, tri, per_node
+    )
