@@ -300,11 +300,11 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    # all three band buckets from ONE scan/projection, stacked to
-    # (band, bucket) rows — three unioned per-band selects each
-    # re-scan and re-compile their fold forest (measured ~2x the
-    # construction time on local[32])
-    band_cols = []
+    # per-band selects union to (band, bucket) rows (A/B-measured
+    # faster than a stack() row-expansion of one wide projection);
+    # persisted — BOTH sides of the edge self-join read it, and the
+    # interpreted plane-fold forest is the expensive projection
+    bands = []
     for bnd in range(_TRI_BANDS):
         bits = []
         for j in range(bnd * _TRI_MAX_BITS, bnd * _TRI_MAX_BITS + w):
@@ -314,12 +314,26 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits.append(
                 F.when(dot(plane) > 0, F.lit("1")).otherwise(F.lit("0"))
             )
-        band_cols.append(F.concat(*bits).alias(f"b{bnd}"))
-    stack = ", ".join(f"{bnd}, b{bnd}" for bnd in range(_TRI_BANDS))
-    bk = emb.select("vec_id", *band_cols).selectExpr(
-        "vec_id",
-        f"stack({_TRI_BANDS}, {stack}) AS (band, bucket)",
-    )
+        bands.append(
+            emb.select(
+                "vec_id",
+                F.lit(bnd).alias("band"),
+                F.concat(*bits).alias("bucket"),
+            )
+        )
+    bk = bands[0]
+    for b in bands[1:]:
+        bk = bk.unionByName(b)
+    # EAGER checkpoint, not persist: the bucket projection carries a
+    # ~1.7k-literal plane forest, and the downstream join tree embeds
+    # this subplan ~18x (edges twice, o three more times, the wedge
+    # closure three times over o, the rollup three times over tri) —
+    # persist dedupes EXECUTION but Catalyst still re-analyzes the
+    # full literal forest per copy, which dominates this query's wall
+    # time on small corpora. Checkpointing truncates the lineage to a
+    # 3n-row scan (the r7 lsh literal-planes lesson: plan-tree size is
+    # a real cost, paid per copy).
+    bk = bk.localCheckpoint(eager=True)
 
     a = bk.select("band", "bucket", F.col("vec_id").alias("u"))
     b2 = bk.select("band", "bucket", F.col("vec_id").alias("v"))
@@ -342,6 +356,10 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # same lineage-truncation call as bk: o is consumed THREE times
+    # (both wedge sides + the closure set), so its edges+deg subplan
+    # would re-analyze per copy — checkpoint the |E|-row frame and the
+    # caches feeding it are droppable immediately
     o = (
         edges.join(du, "u")
         .join(dv, "v")
@@ -349,8 +367,9 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
     x = o.select("s", F.col("t").alias("t1"))
     y = o.select("s", F.col("t").alias("t2"))
     w = (
@@ -365,7 +384,7 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = o.select(
         F.least("s", "t").alias("lo"), F.greatest("s", "t").alias("hi")
     )
-    tri = w.join(c, ["lo", "hi"]).persist()
+    tri = w.join(c, ["lo", "hi"]).persist()  # 3 rollup reads
     per_node = (
         tri.select(F.col("a").alias("n"))
         .unionAll(tri.select(F.col("lo").alias("n")))
@@ -394,5 +413,5 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qms_datawarehouse_spark.planaudit import checkpoint_result
 
     return checkpoint_result(
-        "graph_triangles_lsh", out, edges, deg, o, tri, per_node
+        "graph_triangles_lsh", out, deg, tri, per_node
     )
