@@ -240,7 +240,9 @@ def _tri_sql() -> str:
     ),
     total AS (SELECT CAST(count(*) AS BIGINT) AS n_tri_total FROM tri)
     SELECT per_node.n AS node, CAST(deg.d AS BIGINT) AS degree,
-           per_node.n_triangles, total.n_tri_total
+           per_node.n_triangles, total.n_tri_total,
+           CAST((20000 * per_node.n_triangles)
+                // (deg.d * (deg.d - 1)) AS BIGINT) AS clustering_bp
     FROM per_node JOIN deg ON per_node.n = deg.n CROSS JOIN total
     ORDER BY per_node.n_triangles DESC, node LIMIT 20
     """
@@ -406,6 +408,12 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("long").alias("degree"),
             "n_triangles",
             "n_tri_total",
+            # local clustering coefficient in exact basis points:
+            # 2·tri / (d·(d−1)) — free given the row's two counters
+            # (d >= 2 whenever a node participates in any triangle)
+            F.expr("(20000 * n_triangles) div (d * (d - 1))")
+            .cast("long")
+            .alias("clustering_bp"),
         )
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
