@@ -292,7 +292,9 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    w = _tri_width(emb.count())  # 1-row action; widths mirror the oracle
+    # integer bucket width (named distinctly from the wedge frame
+    # below — the two previously shared the name `w`)
+    width = _tri_width(emb.count())  # 1-row action; mirrors the oracle
     v = F.col("embedding").cast("array<double>")
 
     def dot(plane):
@@ -309,7 +311,7 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = []
     for bnd in range(_TRI_BANDS):
         bits = []
-        for j in range(bnd * _TRI_MAX_BITS, bnd * _TRI_MAX_BITS + w):
+        for j in range(bnd * _TRI_MAX_BITS, bnd * _TRI_MAX_BITS + width):
             plane = F.array(
                 *[F.lit(plane_component(j, i)) for i in range(64)]
             )

@@ -101,14 +101,13 @@ def train_semantic_centroids(q: DataFrame, k: int = _KM_K) -> DataFrame:
     """Two exact Lloyd iterations' centroid table (cid, cv) from a
     quantized frame; seeds are the k lowest vec_ids present (fully
     deterministic — same recipe as embedding_kmeans_2iter, but seeds
-    adapt to whatever ids the first batch carries)."""
-    from pyspark.sql import Window
-
+    adapt to whatever ids the first batch carries). The cut is a
+    distributed TakeOrdered(k) (orderBy + limit → per-partition
+    partial top-k), not a single-partition rank window — no task
+    ever sorts the whole batch."""
     seeds = (
-        q.withColumn(
-            "rk", F.row_number().over(Window.orderBy("vec_id"))
-        )
-        .filter(F.col("rk") <= k)
+        q.orderBy("vec_id")
+        .limit(k)
         .select(
             F.struct(
                 F.col("vec_id").alias("cid"), F.col("v").alias("cv")

@@ -1225,18 +1225,16 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical plans to the sibling; the only additions
     are one count() (a 1-row action that doubles as cache
-    materialization) and a rank window over the K seed rows. At
-    100 TB the seed rank is the one global-order step — swap in a
-    TakeOrdered(K) shortlist if K grows past driver comfort; K·64
-    centroid rows still ride one broadcast."""
-    from pyspark.sql import Window
-
+    materialization) and the K-seed cut, which is a distributed
+    TakeOrdered(K) (per-partition partial top-K, merged on the
+    driver) — NOT a global-sort window, so no task ever holds the
+    whole corpus. K·64 centroid rows still ride one broadcast."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     q = _km_quantized(emb).persist()
     k = km_scaled_k(q.count())
     seeds = (
-        q.withColumn("rk", F.row_number().over(Window.orderBy("vec_id")))
-        .filter(F.col("rk") <= k)
+        q.orderBy("vec_id")
+        .limit(k)
         .select(
             F.struct(
                 F.col("vec_id").alias("cid"), F.col("v").alias("cv")

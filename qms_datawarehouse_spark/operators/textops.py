@@ -300,11 +300,18 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked.
 
     Scale shape: scoring/langid/hash are one map-side pass (no
-    shuffle); dedup is one hash shuffle; the only global structure is
-    the budget's running sum — at 100 TB replace the exact global
-    window with per-partition budgets or quality-threshold binary
-    search (both documented sketch-style relaxations); constants are
-    module-level so a deployment tunes them per corpus."""
+    shuffle); dedup is one hash shuffle; the budget cut is TWO-PASS —
+    quality_bp is integer basis points in [0, 10000], so a bounded
+    ≤10001-row histogram (quality_bp → bucket word sum) computes each
+    bucket's cumulative-word OFFSET (window over the histogram only),
+    broadcasts it back, and filters out every bucket that starts past
+    the budget MAP-SIDE; the exact running sum then runs PARTITIONED
+    BY quality_bp (distributed — only budget-reachable buckets reach
+    it), with the broadcast offset restoring the global cumulative
+    value. No task ever sorts or scans the whole kept corpus; the
+    values are bit-identical to the naive global window the oracle
+    runs. Constants are module-level so a deployment tunes them per
+    corpus."""
     (documents,) = tables(spark, sf_dir, "documents")
     w = _words(F.col("text"))
     m = documents.select(
@@ -340,13 +347,40 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "predicted_lang", "quality_bp", "n_words")
     )
-    wbudget = (
-        Window.orderBy(F.desc("quality_bp"), F.asc("doc_id"))
+    # pass 1: bounded histogram (quality_bp ∈ [0, 10000] by
+    # construction) → per-bucket word offset = words in all strictly
+    # higher-quality buckets; the window runs over ≤10001 rows
+    whist = Window.orderBy(F.desc("quality_bp")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        deduped.groupBy("quality_bp")
+        .agg(F.sum("n_words").alias("bucket_words"))
+        .select(
+            "quality_bp",
+            F.coalesce(F.sum("bucket_words").over(whist), F.lit(0))
+            .cast("long")
+            .alias("bucket_offset"),
+        )
+    )
+    # pass 2: broadcast the offsets back; buckets starting at or past
+    # the budget drop map-side, the exact running sum is per-bucket
+    wbucket = (
+        Window.partitionBy("quality_bp")
+        .orderBy(F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        deduped.withColumn("cum_words", F.sum("n_words").over(wbudget))
+        deduped.join(F.broadcast(offsets), "quality_bp")
+        .filter(F.col("bucket_offset") < _TOKEN_BUDGET)
+        .withColumn(
+            "cum_words",
+            F.col("bucket_offset") + F.sum("n_words").over(wbucket),
+        )
         .filter(F.col("cum_words") <= _TOKEN_BUDGET)
+        .select(
+            "doc_id", "predicted_lang", "quality_bp", "n_words", "cum_words"
+        )
     )
 
 
@@ -1237,6 +1271,15 @@ _BPE_M = 16
 _BPE_SENTINEL = "\x01"  # never in the corpus alphabet → no-op merge
 
 
+def _bpe_sql_str(s: str) -> str:
+    """Spark-SQL single-quoted literal for an arbitrary merge symbol:
+    backslashes and quotes escape (Spark string literals are
+    Hive-style — backslash escapes are live), so corpus words like
+    "don't" or "a\\b" reaching the training table emit valid SQL
+    instead of breaking the fold expression at parse time."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _bpe_fold_sql(arr_sql: str, a_sql: str, b_sql: str, a_len: str) -> str:
     """One greedy BPE merge pass as a string-accumulator left fold —
     the ONLY single-pass form whose semantics match canonical BPE
@@ -1373,7 +1416,7 @@ def _bpe_oracle_sql() -> str:
         GROUP BY 1
     )
     SELECT doc_id, n_words, n_pieces,
-           (10000 * n_pieces) // n_chars AS pieces_per_char_bp,
+           (10000 * n_pieces) // greatest(n_chars, 1) AS pieces_per_char_bp,
            pieces_md5
     FROM perdoc
     """
@@ -1432,7 +1475,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the distinct-word frame (single map-side projection)
     expr = "split(trim(regexp_replace(word, '(.)', '$1 ')), ' ')"
     for a, b in merges:
-        folded = _bpe_fold_sql(expr, f"'{a}'", f"'{b}'", str(len(a)))
+        folded = _bpe_fold_sql(
+            expr, _bpe_sql_str(a), _bpe_sql_str(b), str(len(a))
+        )
         expr = f"split({folded}, ' ')"
     mapping = wf.select(
         "word",
@@ -1458,7 +1503,10 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         "n_pieces",
-        "(10000 * n_pieces) div n_chars AS pieces_per_char_bp",
+        # greatest(n_chars, 1): a whitespace-only document tokenizes
+        # to zero-length words (n_chars = 0) — guarded IDENTICALLY in
+        # the oracle so both engines emit the same row, not NULL/error
+        "(10000 * n_pieces) div greatest(n_chars, 1) AS pieces_per_char_bp",
         "pieces_md5",
     )
     # per-doc rows only: eager-checkpoint (plan recorded for the

@@ -2250,9 +2250,14 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mergeability (the 100 TB property): per-partition state is the k
     smallest (h, in_a, in_b) triples; union-then-keep-k merges
     partials, and segment flags OR together — the same fold as any
-    theta-sketch framework, just deterministic. Here the user set is
-    small, so one membership agg + one global rank pass computes the
-    same state."""
+    theta-sketch framework, just deterministic. The plan IS that
+    fold: the sketch state comes from a distributed TakeOrdered(k)
+    (orderBy + limit → per-partition partial bottom-k, merged on the
+    driver), never a global rank window — a KMV sketch exists
+    precisely so nothing ever sorts the full hash set. The exact
+    union/intersection counters are a plain aggregate over the same
+    persisted user-grain frame, and the two 1-row results combine via
+    a broadcast."""
     (events,) = tables(spark, sf_dir, "events")
     u = (
         events.filter(F.col("event_type").isin("view", "click"))
@@ -2266,26 +2271,33 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_a",
             "in_b",
         )
+        .persist()
     )
-    r = u.withColumn("rn", F.row_number().over(Window.orderBy("h")))
-    s = r.agg(
+    tot = u.agg(
         F.count("*").alias("n_union"),
         F.sum((F.col("in_a") & F.col("in_b")).cast("long"))
         .cast("long")
         .alias("n_inter"),
-        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
-        F.sum(
-            (
-                (F.col("rn") <= _KMV_K) & F.col("in_a") & F.col("in_b")
-            ).cast("long")
-        )
-        .cast("long")
-        .alias("jacc_num"),
     )
+    # the k-minimum-values frame: when fewer than K hashes exist the
+    # frame is the whole set, so jacc_num degrades to n_inter exactly
+    # as the rank formulation did (kth is then unused — the estimate
+    # branches on n_union >= K)
+    bot = (
+        u.orderBy("h")
+        .limit(_KMV_K)
+        .agg(
+            F.max("h").alias("kth"),
+            F.sum((F.col("in_a") & F.col("in_b")).cast("long"))
+            .cast("long")
+            .alias("jacc_num"),
+        )
+    )
+    s = tot.crossJoin(F.broadcast(bot))
     union_kmv = F.expr(
         f"(({_KMV_K} - 1) * 4294967296) div greatest(kth, 1)"
     )
-    return s.select(
+    out = s.select(
         F.col("n_union").alias("union_exact"),
         F.col("n_inter").alias("inter_exact"),
         "jacc_num",
@@ -2302,6 +2314,9 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_inter"))
         .alias("inter_kmv"),
     )
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result("sketch_kmv_setops", out, u)
 
 
 # --------------------------------------------------------------------

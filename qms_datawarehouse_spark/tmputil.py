@@ -38,7 +38,17 @@ def pid_scoped_dir(family: str, *parts: str) -> str:
             if not entry.isdigit():
                 # pre-pid-isolation leftovers (e.g. a bare sf0.001/):
                 # only this module ever owned the family root, so any
-                # non-pid sibling is a legacy layout — reap it too.
+                # non-pid sibling is a legacy layout — reap it, but
+                # LOUDLY, so a future writer that breaks the
+                # module-owns-the-root invariant fails visibly
+                # instead of losing data silently
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "tmputil: reaping legacy non-pid entry %s under %s",
+                    entry,
+                    base,
+                )
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
                 continue
             if int(entry) == os.getpid():

@@ -145,6 +145,15 @@ def build_scaled_dir(spark, base: str, factor: int) -> str:
                     # under ANSI at 10x but pass at 1x)
                     cols.append((F.col(c) + off).alias(c))
                 elif t == "embeddings" and c == "embedding" and r > 0:
+                    # rotation amount must stay inside the 64-dim
+                    # vector: slice(embedding, r+1, 64-r) with r >= 64
+                    # yields empty/garbage replicas that silently
+                    # corrupt the scaling measurement
+                    assert r < 64, (
+                        f"--factor {r + 1} > 64: the circular-shift "
+                        "replica construction only supports factors "
+                        "<= 64 (one rotation per dimension)"
+                    )
                     # circular-shift each replica's vectors by r
                     # dimensions: a rotation, so norms and all
                     # WITHIN-replica dot products (the internal
