@@ -1437,12 +1437,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical quintiles (standard SQL ntile: first n%5 buckets take
     the extra row).
 
-    Scale shape: orders reduce to one row per customer FIRST (the
+    Scale shape — NAMED DECISION (docs/SCALING.md "Global-window
+    policy"): orders reduce to one row per customer FIRST (the
     ~1000x cardinality drop), and the global ntile runs over that
-    aggregate. The oracle-exact global sort is the honest cost of
-    exact quintiles; at 100 TB you swap ntile for precomputed
-    approx-quantile boundaries (one pass + broadcast thresholds) and
-    accept boundary fuzz — same downstream schema."""
+    customer-grain aggregate. The single-task sort is retained ON
+    PURPOSE: exactness is this row's point (stable, reproducible
+    segment labels), and the input is the reduced grain, not the
+    fact table — it carries a rationale entry in the
+    no-global-window plan sweep's allowlist. At a customer grain too
+    large for one task, swap ntile for precomputed approx-quantile
+    boundaries (one pass + broadcast the 4 cut points + map-side
+    CASE) and accept boundary fuzz — same downstream schema."""
     (orders,) = tables(spark, sf_dir, "orders")
     m = orders.agg(F.max("o_orderdate").alias("maxd"))
     c = (

@@ -465,3 +465,101 @@ def test_temporal_split_is_map_side_case(spark):
     plan = _plan(spark, "curation_temporal_split")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # agg partials
+
+
+# --------------------------------------------------------------------
+# No-unbounded-global-window sweep (the round-9 playbook addition —
+# same spirit as the no-cartesian sweep above)
+# --------------------------------------------------------------------
+
+def _global_window_nodes(plan: str) -> list[str]:
+    """Window nodes with an EMPTY partition spec — the plan shape that
+    exchanges the node's whole input to ONE task (WindowExec warns
+    'No Partition Defined ... Moving all data to a single partition').
+
+    Physical-plan text format: ``Window [exprs], [part], [order]``
+    with the partition group OMITTED when empty — so a global ordered
+    window prints exactly two top-level bracket groups and the second
+    carries sort directions, while a partitioned-unordered window
+    also prints two groups but its second group has no ASC/DESC."""
+    import re
+
+    hits = []
+    for line in plan.splitlines():
+        t = re.sub(r"^[\s:+\-*()\d]*", "", line)
+        if not t.startswith("Window "):
+            continue
+        groups, depth, cur = [], 0, ""
+        for ch in t[len("Window "):]:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = ""
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    continue
+            if depth >= 1:
+                cur += ch
+        if len(groups) == 2 and (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            hits.append(t[:160])
+    return hits
+
+
+def test_no_unbounded_global_window_anywhere(spark):
+    """Global plan invariant over the ENTIRE registry: no query may
+    run a Window with an empty partition spec over unbounded input —
+    the single-task sort that killed dedup_semantic_scaled's seed
+    rank, the semantic-gate training, corpus_curation's budget cut,
+    and sketch_kmv_setops' global rank (all rewritten round 9 as
+    TakeOrdered cuts / two-pass histogram plans). A new query that
+    reaches for row_number().over(Window.orderBy(...)) on corpus-
+    sized input fails here BY NAME at authoring time.
+
+    Exemptions, each with the boundedness argument:
+    - rank-family global windows that Spark bounded with a
+      WindowGroupLimit (partial mode runs before the exchange, so at
+      most k rows per partition cross the wire) pass automatically;
+    - the allowlist below names windows whose INPUT is bounded by
+      construction (a grain much smaller than the data: days, years,
+      a k-row shortlist, an integer-bp histogram)."""
+    allowed = {
+        # windows over ≤10001-row quality_bp histograms (integer basis
+        # points — the domain, not the corpus, bounds the input)
+        "corpus_curation",
+        # cumulative sum over the per-DAY grain (O(days) rows)
+        "growth_daily_users",
+        # lag over the per-YEAR grain (O(years) rows)
+        "revenue_yoy_growth",
+        # exact ntile quantiles over the CUSTOMER grain — much smaller
+        # than the fact table and exactness is the row's point; the
+        # approx-threshold relaxation is documented in docs/SCALING.md
+        "rfm_segments",
+        # ECDF cumulative sums over the DISTINCT-CENTS domain (bounded
+        # by the price range, not the row count — see its docstring)
+        "stats_ks_drift",
+        # both rank windows run over top-k shortlists (each ranker
+        # ends in a GlobalLimit before the window)
+        "similarity_rrf_fusion",
+        # vocab-id rank over the limit(_VOCAB_V) word table
+        "text_tokenize_ids",
+    }
+    rank_fns = ("row_number()", "rank(", "dense_rank(")
+    offenders = {}
+    for name in REGISTRY:
+        plan = _plan(spark, name)
+        nodes = _global_window_nodes(plan)
+        if not nodes:
+            continue
+        if name in allowed:
+            continue
+        if "WindowGroupLimit" in plan and all(
+            any(fn in n for fn in rank_fns) for n in nodes
+        ):
+            continue  # group-limit-bounded rank windows are fine
+        offenders[name] = nodes
+    assert not offenders, offenders
