@@ -151,6 +151,8 @@ HEADLINE = [
     "dedup_semantic_scaled",
     "text_bpe_encode",
     "graph_triangles_lsh",
+    # round-9 addition
+    "dedup_image_phash",
 ]
 
 

@@ -351,3 +351,234 @@ def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     blobs = with_binary_content(documents).filter(F.length("content") > 0)
     return blobs.mapInArrow(extract_features_arrow, schema=FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# Perceptual-hash near-dup over the binary payload (dHash + banded
+# Hamming LSH) — the dedup/similarity member of the multimodal family
+# --------------------------------------------------------------------
+
+IMAGE_GRID_W = 9  # thumbnail columns (dHash compares 8 neighbor pairs)
+IMAGE_GRID_H = 8  # thumbnail rows → 64 difference bits
+_PHASH_BANDS = 4  # 16 bits per band
+_PHASH_T = 3  # max Hamming distance for a near-dup pair; see below
+
+PHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def fake_image_grid(content: bytes) -> list[int]:
+    """STUB 'decode + thumbnail': a deterministic 8x9 grid of ints in
+    [0, 255] from the payload bytes — the contract a real codec
+    satisfies with an actual grayscale downsample (``pil_image_grid``
+    below). The stub must be edit-robust the way a real thumbnail is
+    (a small image edit perturbs few cells), so it cannot sample byte
+    OFFSETS (any insertion shifts every later byte): it builds the
+    bag of byte-bigram hashes (shift-invariant), sorts it, and takes
+    72 quantile samples — near-identical payloads give near-identical
+    grids, unrelated payloads decorrelate."""
+    if len(content) < 2:
+        content = content + b"\x00"
+    v = sorted(
+        (content[i] * 31 + content[i + 1]) % 256
+        for i in range(len(content) - 1)
+    )
+    n = len(v)
+    cells = IMAGE_GRID_W * IMAGE_GRID_H
+    return [v[(n * k) // cells] for k in range(cells)]
+
+
+def pil_image_grid(content: bytes) -> list[int]:
+    """REAL thumbnail via Pillow — same 72-int contract as the stub,
+    so it slots straight into ``dhash_bands_with``. Importable only
+    when the codec library exists in the image (auto-skipped test,
+    same seam as ``pil_decode``)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(content)) as im:
+        g = im.convert("L").resize((IMAGE_GRID_W, IMAGE_GRID_H))
+        return list(g.getdata())
+
+
+def dhash_bands_with(grid_fn):
+    """dHash kernel with the pluggable thumbnail step: per payload,
+    64 neighbor-comparison bits (cell[r][c] < cell[r][c+1]) packed as
+    FOUR 16-bit band integers — never a signed-64 hash, so banding,
+    XOR and bit_count behave identically in Spark and DuckDB. The bit
+    math is vectorized numpy over the Arrow batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # bit j (0-based, j = r*8 + c) compares grid cell r*9+c with
+        # its right neighbor; within band j//16 its weight is 2^(j%16)
+        left = (np.arange(64) // 8) * IMAGE_GRID_W + (np.arange(64) % 8)
+        weights = np.int64(1) << (np.arange(64) % 16)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "b0": [], "b1": [],
+                     "b2": [], "b3": []}
+                )
+                continue
+            G = np.stack(pdf["content"].map(grid_fn).to_numpy())
+            bits = (G[:, left] < G[:, left + 1]).astype(np.int64)
+            out = {"doc_id": pdf["doc_id"]}
+            for i in range(_PHASH_BANDS):
+                sl = slice(16 * i, 16 * (i + 1))
+                out[f"b{i}"] = (bits[:, sl] * weights[sl]).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+dhash_bands = dhash_bands_with(fake_image_grid)
+
+
+def _phash_oracle_sql() -> str:
+    """The stub pipeline re-derived in SQL: byte-bigram bag from the
+    hex dump, sorted, 72 quantile samples, 64 dHash bits, 4 band ints,
+    then the brute-force Hamming join (the oracle may go all-pairs;
+    the Spark plan must not)."""
+    cells = IMAGE_GRID_W * IMAGE_GRID_H
+    byte = (
+        "CAST('0x' || substr(h, 2 * CAST({i} AS INT) + 1, 2) AS INT)"
+    )
+    return f"""
+    WITH raw AS (
+        SELECT doc_id,
+               hex(CASE WHEN octet_length(encode(text)) < 2
+                        THEN encode(text) || '\\x00'::BLOB
+                        ELSE encode(text) END) AS h
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    ),
+    bg AS (
+        SELECT doc_id,
+               list_sort(list_transform(
+                   range(0, octet_length(from_hex(h)) - 1),
+                   i -> ({byte.format(i="i")} * 31
+                         + {byte.format(i="i + 1")}) % 256)) AS v
+        FROM raw
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, {cells}),
+                   k -> v[CAST((len(v) * k) // {cells} AS INT) + 1]) AS s
+        FROM bg
+    ),
+    bits AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), j ->
+                   CASE WHEN s[(j // 8) * {IMAGE_GRID_W} + (j % 8) + 1]
+                             < s[(j // 8) * {IMAGE_GRID_W} + (j % 8) + 2]
+                        THEN 1 ELSE 0 END) AS bit
+        FROM g
+    ),
+    bands AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16),
+                   j -> bit[j + 1] * (1 << j))) AS INT) AS b0,
+               CAST(list_sum(list_transform(range(16, 32),
+                   j -> bit[j + 1] * (1 << (j % 16)))) AS INT) AS b1,
+               CAST(list_sum(list_transform(range(32, 48),
+                   j -> bit[j + 1] * (1 << (j % 16)))) AS INT) AS b2,
+               CAST(list_sum(list_transform(range(48, 64),
+                   j -> bit[j + 1] * (1 << (j % 16)))) AS INT) AS b3
+        FROM bits
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS BIGINT) AS hamming
+    FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        <= {_PHASH_T}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_image_phash", _phash_oracle_sql())
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the BINARY
+    payload column — the image-dedup member of the multimodal family
+    (typed pipeline and feature extraction live above; this row adds
+    the dedup/similarity capability the LLM-pipeline brief asks for).
+
+    Pipeline: pluggable thumbnail decode (``fake_image_grid`` stub /
+    ``pil_image_grid`` real codec — the ``extract_features_with``
+    seam) → dHash (64 neighbor-comparison bits over the 8x9 grid,
+    packed as four 16-bit band ints) → banded LSH candidates → exact
+    Hamming verify at T=3 (``_PHASH_T``).
+
+    Banding is LOSSLESS here by pigeonhole: two hashes within Hamming
+    distance 3 differ in at most 3 of the 4 bands, so at least one
+    band matches exactly — the band equi-join generates every true
+    pair, and the verify filter makes the banded plan value-identical
+    to the oracle's brute-force all-pairs join.
+
+    Scale shape: the decode+hash stage is one Arrow-batched map pass
+    (metadata filter pushed before it); candidates come from a
+    (band, value) equi-join over 4 rows/doc — sum(bucket^2) work,
+    never all-pairs (measured max bucket occupancy 7 on the 500-doc
+    fixture); the verify joins are doc-keyed equi-joins over the
+    candidate set. The 64-bit hash never materializes as a signed
+    bigint, so Spark and DuckDB agree bit for bit.
+
+    Reference capability analog: none (reference stores raw blobs in
+    Mongo, src/core/db.py; this is SURVEY §2.12's multimodal layer)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    blobs = (
+        with_binary_content(documents)
+        .filter(F.length("content") > 0)
+        .select("doc_id", "content")
+    )
+    ph = blobs.mapInPandas(dhash_bands, schema=PHASH_SCHEMA).persist()
+    bands = ph.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"b{i}").alias("v")
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "v")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "v"),
+            ["band", "v"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = ph.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_PHASH_BANDS)],
+    )
+    hb = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_PHASH_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(_PHASH_BANDS)
+    )
+    out = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= _PHASH_T)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result("dedup_image_phash", out, ph)

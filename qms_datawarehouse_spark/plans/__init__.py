@@ -41,84 +41,82 @@ from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 
-# Round-8 rotation: CORRECTNESS_r07 came back 50/50 fully green, so
-# every r7 slot is free to rotate. This window retires the evidence
-# debt the r7 verdict quantified: (a) ALL 26 queries queued in
-# QUEUED_NEXT_WINDOW across round 7 (the window froze at 50 before
-# the third/fourth waves landed) plus the two round-8 additions
-# (dedup_semantic_scaled — the K∝N knob executed — and
-# text_bpe_encode); (b) anchors over round-8-touched code (flagship
-# always; dedup_semantic's pipeline body was extracted into the
-# helper the scaled row shares, so it re-proves the refactor);
-# (c) the 20 oldest round-3 rows, oldest families first (the
-# function suites, multimodal, variant/UDTF, sessionization) — the
-# 15 r3 rows that don't fit are explicitly queued for r9, which
-# finishes the tier.
+# Round-9 rotation: CORRECTNESS_r08 came back 50/50 fully green, so
+# every r8 slot is free to rotate. This window (a) retires the LAST
+# round-3-aged evidence (all 15 rows queued by r8 — after this green,
+# nothing in the registry has evidence older than round 5); (b) takes
+# the two never-driver-checked rows (graph_triangles_lsh, landed
+# after the r8 freeze, and the round-9 addition dedup_image_phash);
+# (c) anchors every query whose CODE changed this round — the four
+# single-partition-window rewrites (dedup_semantic_scaled /
+# semantic-gate seed cuts, corpus_curation two-pass budget,
+# sketch_kmv_setops bottom-K) and the BPE escaping/zero-div hardening
+# (text_bpe_encode); (d) fills the remaining 28 slots with the oldest
+# round-5-cohort rows, CORRECTNESS_r05 order.
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
-    # ---- anchor over round-8-touched code ---------------------------
-    "dedup_semantic",
-    # ---- never-driver-checked: round-8 additions --------------------
+    # ---- never-driver-checked -----------------------------------
+    "graph_triangles_lsh",
+    "dedup_image_phash",
+    # ---- anchors over round-9-touched code -----------------------
     "dedup_semantic_scaled",
-    "text_bpe_encode",
-    # ---- never-driver-checked: the full round-7 queue ---------------
     "semantic_gate_replay_two_epochs",
-    "quality_model_score",
-    "curation_dsir_weights",
-    "join_salted_skew",
-    "interval_containment_join",
-    "graph_pagerank_2iter",
-    "text_chunking",
-    "fileskip_routed_scan",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "text_tokenize_ids",
-    "dedup_ppjoin_exact",
-    "stats_ks_drift",
-    "bucketed_join_scan",
-    "matview_incremental_replay",
-    "zorder_routed_scan",
-    "dq_distribution_drift",
-    "similarity_rrf_fusion",
-    "similarity_mmr_rerank",
-    "stats_bootstrap_poisson",
-    "privacy_dp_laplace_counts",
-    "experiment_cuped_adjusted",
-    "curation_coreset_kcenter",
-    "dq_freshness_sla",
-    # ---- freshness: the 20 oldest round-3 rows ----------------------
-    "array_functions_suite",
-    "regexp_functions_suite",
-    "datetime_functions_suite",
-    "string_functions_suite",
-    "map_functions_props",
-    "null_semantics_suite",
-    "decimal_arithmetic_suite",
-    "multimodal_pipeline",
-    "multimodal_features_arrow",
-    "variant_props_agg",
-    "udtf_json_pairs",
-    "t9_sessionization",
-    "a2_row_counts",
-    "w4_range_interval",
-    "asof_join_cogroup",
-    "grouped_arrow_zscore",
-    "time_weighted_avg",
-    "heavy_hitters_exact",
-    "dq_constraint_checks",
-    "curation_split_summary",
+    "text_bpe_encode",
+    "sketch_kmv_setops",
+    # ---- the full round-8 queue: the last 15 round-3-aged rows ----
+    "corpus_curation",  # ALSO round-9-touched (two-pass budget cut)
+    "curation_domain_mix",
+    "text_repetition",
+    "text_inverted_index",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "growth_daily_users",
+    "robust_outliers_mad",
+    "attribution_last_touch",
+    "basket_type_lift",
+    "revenue_share_by_nation",
+    "revenue_yoy_growth",
+    "calendar_fill_gaps",
+    "agg_rollup",
+    "semi_anti_join",
+    # ---- freshness: the 28 oldest round-5 rows --------------------
+    "cdc_resolution_probe",
+    "cdc_replay_two_epochs",
+    "curation_sample_exact_k",
+    "entity_match_blocked",
+    "curation_shuffle_shards",
+    "curation_repeat_upsample",
+    "curation_temperature_mix",
+    "curation_temporal_split",
+    "privacy_k_anonymity",
+    "curation_quality_weighted_sample",
+    "dedup_clusters",
+    "dedup_passages",
+    "dedup_canonical",
+    "dedup_split_leakage",
+    "curation_split_by_cluster",
+    "dedup_cross_source_matrix",
+    "dedup_minhash_recall_audit",
+    "dedup_containment",
+    "similarity_pq_adc",
+    "similarity_ivfpq",
+    "profile_orders",
+    "similarity_truncated_rerank",
+    "scd2_asof_lookup",
+    "event_transitions",
+    "text_tfidf_topk",
+    "text_top_bigrams",
+    "text_normalize",
+    "text_bigram_lm_score",
 ]
 
-# Allocation note: once this window lands green, the never-checked
-# backlog is ZERO (every registered query has a driver row) and only
-# 15 rows carry round-3-aged evidence — all 15 are explicitly queued
-# in tests/test_driver_window.py QUEUED_NEXT_WINDOW so the r9
-# rotation retires the tier completely. Next-round slots: (a) any red
-# rows from CORRECTNESS_r08, (b) queries added in round 9, (c) the
-# queued 15, (d) the round-5 cohort, oldest first.
+# Allocation note: once this window lands green, the staleness ledger
+# reads: nothing older than round 5, and exactly 20 round-5 rows
+# remain (queued in tests/test_driver_window.py QUEUED_NEXT_WINDOW
+# for r10 — one more rotation retires the r5 tier). Next-round
+# slots: (a) any red rows from CORRECTNESS_r09, (b) queries added in
+# round 10, (c) the queued 20, (d) the round-6 cohort, oldest first.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

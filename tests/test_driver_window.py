@@ -16,14 +16,16 @@ import os
 
 from qms_datawarehouse_spark.plans import _DRIVER_WINDOW, REGISTRY, queries_map
 
-# r8 anchors: flagship + the two queries over code materially
-# reworked this round (dedup_semantic: pipeline body extracted into
-# the helper dedup_semantic_scaled shares; semantic_gate_replay:
-# K∝N centroid training + the keyed-upsert commit rework).
+# r9 anchors: flagship + every query whose code materially changed
+# this round — the four single-partition-window rewrites and the BPE
+# escaping/zero-division hardening.
 ANCHORS = [
     "flagship_staff_report",
-    "dedup_semantic",
+    "dedup_semantic_scaled",
     "semantic_gate_replay_two_epochs",
+    "text_bpe_encode",
+    "sketch_kmv_setops",
+    "corpus_curation",
 ]
 
 
@@ -56,32 +58,34 @@ def test_anchors_inside_window():
 
 # queries ADDED this round (no driver row possible yet): either
 # already swapped into the window, or queued here for the next window
-# so nothing falls through. The r8 rotation emptied the entire r7
-# staging queue (all 26 entries + both r8 additions are in-window).
-# r9 pool: the 15 round-3-aged rows the 50-slot r8 window couldn't
-# fit (the r8 window consumed the entire never-checked backlog plus
-# the 20 oldest r3 rows) — queued per the r7 verdict so the r9
-# rotation retires the round-3 evidence tier completely. All 15 are
-# ever-green (r3), so the invariant doesn't force them; the queue is
-# the bookkeeping that they MUST enter the r9 window.
+# so nothing falls through. The r9 rotation emptied the entire r8
+# staging queue (all 16 entries — graph_triangles_lsh + the 15
+# round-3-aged rows — are in-window, as is the round-9 addition
+# dedup_image_phash). r10 pool: the 20 round-5-aged rows the 50-slot
+# r9 window couldn't fit — all ever-green (r5), so the invariant
+# doesn't force them; the queue is the bookkeeping that they MUST
+# enter the r10 window, which retires the round-5 evidence tier.
 QUEUED_NEXT_WINDOW: list[str] = [
-    # round-8 late addition (landed after the r8 window froze)
-    "graph_triangles_lsh",
-    "curation_domain_mix",
-    "corpus_curation",
-    "text_repetition",
-    "text_inverted_index",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "growth_daily_users",
-    "robust_outliers_mad",
-    "attribution_last_touch",
-    "basket_type_lift",
-    "revenue_share_by_nation",
-    "revenue_yoy_growth",
-    "calendar_fill_gaps",
-    "agg_rollup",
-    "semi_anti_join",
+    "w4_dist_functions",
+    "agg_mode_exact",
+    "events_gap_islands",
+    "sketch_cms_heavy_hitters",
+    "sketch_bottomk_quantiles",
+    "a6_daily_rate_stats",
+    "s1_incremental_scan",
+    "d1_dedup_last_write",
+    "histogram_order_value",
+    "rfm_segments",
+    "stats_sufficient_moments",
+    "timeseries_ohlc_daily",
+    "experiment_ab_ttest",
+    "rolling_7d_active_users",
+    "json_schema_profile",
+    "j2_orders_customer",
+    "p4_projection",
+    "q1_pricing_summary",
+    "dq_referential_integrity",
+    "session_path_analysis",
 ]
 
 

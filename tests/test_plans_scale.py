@@ -386,6 +386,9 @@ def test_no_unintended_cartesian_anywhere(spark):
         # 1-row query-vector broadcast for the rerank; candidates come
         # from the 37-key bucket equi-join
         "similarity_ann_multiprobe",
+        # two 1-row aggregates combine (exact counters x bottom-K
+        # sketch frame) via a broadcast
+        "sketch_kmv_setops",
         # 1-row high-water-mark broadcast x 3-row mode-constant list
         "watermark_late_replay",
         # K-row centroid broadcasts (the shared Lloyd assign stage)

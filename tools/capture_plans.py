@@ -58,7 +58,10 @@ PICKS = {
     "similarity_ann_multiprobe": "ONE scan projection carries (v, nrm, bucket) — hyperplanes are literal doubles, not expression subtrees; the 37-key probe set broadcasts from one row into a single bucket equi-join; rerank ends in TakeOrderedAndProject.",
     "stats_ks_drift": "One scan partial-aggregates onto the bounded distinct-cents domain; the single-partition cumulative window runs over |domain| rows, not |data| rows; D's max is all-integer.",
     "bucketed_join_scan": "ZERO Exchange nodes end-to-end: both scans read `Bucketed: true`, the SortMergeJoin and the per-order HashAggregate reuse the bucket clustering (the groupBy key IS the bucket key).",
-    "dedup_semantic_scaled": "Same shape as dedup_semantic with K = n div 64: K-row centroid broadcasts per Lloyd assign (never a corpus shuffle), cluster-keyed pair equi-join, K-row final aggregate — the K knob changes only the broadcast's row count.",
+    "dedup_semantic_scaled": "Same shape as dedup_semantic with K = n div 64: K-row centroid broadcasts per Lloyd assign (never a corpus shuffle), cluster-keyed pair equi-join, K-row final aggregate — the K knob changes only the broadcast's row count. The K-seed cut is a TakeOrderedAndProject (distributed partial top-K), NOT a single-partition rank window.",
+    "corpus_curation": "The token-budget cut is two-pass: a bounded quality-bp histogram (its cumulative window runs over <=10001 rows) broadcasts per-bucket offsets back; past-budget buckets drop map-side; the exact running sum is PARTITIONED BY quality_bp — no unbounded single-partition window anywhere.",
+    "sketch_kmv_setops": "Exact union/intersection counters are one plain aggregate; the KMV state (kth, jacc_num) comes from orderBy(h).limit(K) — a distributed TakeOrdered bottom-K, the per-partition merge a theta-sketch framework does; the two 1-row frames combine via broadcast.",
+    "dedup_image_phash": "Decode+dHash is ONE Arrow-batched map pass (four 16-bit band ints per payload); candidates are a (band,value) equi-join over 4 rows/doc — sum(bucket^2), never all-pairs; the Hamming verify joins candidates back BY DOC KEY; banding is pigeonhole-lossless at T=3.",
     "text_bpe_encode": "One corpus tokenization feeds the cached word-frequency table; the 16-merge encode chain is a single map-side projection over DISTINCT words; the word->pieces mapping broadcasts into the token stream; one doc-keyed aggregate ends it.",
     "graph_triangles_lsh": "Bucket assignment is map-side literal-plane folds; edges are band+bucket equi-joins; the wedge join and canonical-pair closure are equi-joins; the 1-row global count rides a broadcast; TakeOrderedAndProject(20) ends it.",
     # dedup_split_leakage is intentionally NOT captured: its plan

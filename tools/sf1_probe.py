@@ -88,6 +88,12 @@ TOP_OPS = [
     "text_bpe_encode",
     # round-8: degree-oriented triangle counting over the LSH graph
     "graph_triangles_lsh",
+    # round-9: perceptual-hash near-dup over the binary payload
+    # (banded Hamming LSH) + the two global-window rewrites that
+    # previously had no probe line of their own
+    "dedup_image_phash",
+    "corpus_curation",
+    "sketch_kmv_setops",
 ]
 
 # per-table key columns to offset per replica (join consistency);
@@ -124,17 +130,30 @@ def build_scaled_dir(spark, base: str, factor: int) -> str:
                 if c in keys:
                     cols.append((F.col(c) + off).alias(c))
                 elif t == "documents" and c == "text":
-                    # suffix EVERY token with the replica tag: token
-                    # and shingle COUNTS are unchanged (a true 10x
-                    # corpus — an earlier ' '->' rN ' variant doubled
-                    # tokens and inflated text-op work 2x per replica)
-                    # while every shingle differs across replicas, so
-                    # replicas are NOT near-dups of each other and the
-                    # base corpus's internal near-dup families survive
-                    # the same transformation intact
+                    # Caesar-rotate the letters by r per replica: a
+                    # character BIJECTION, so token/shingle counts AND
+                    # byte lengths are invariant (a true 10x corpus),
+                    # every word differs across replicas (replicas are
+                    # NOT near-dups of each other in shingle space),
+                    # the base corpus's internal near-dup families
+                    # survive the same transformation intact, AND the
+                    # byte/bigram VALUE distribution stays diverse —
+                    # the earlier token-suffix variant ('$1rN')
+                    # injected identical 'rN' bigram mass into every
+                    # document of a replica, collapsing byte-signature
+                    # diversity so bigram-bag hashes (dedup_image_
+                    # phash) faked a quadratic bucket densification
+                    # (the r6 shingle-invariance lesson, byte edition;
+                    # same class as the r8 embedding circular-shift
+                    # fix)
+                    assert r < 26, (
+                        f"--factor {r + 1} > 26: letter rotation "
+                        "wraps — replicas would alias the base text"
+                    )
+                    alpha = "abcdefghijklmnopqrstuvwxyz"
                     cols.append(
-                        F.regexp_replace(
-                            F.col("text"), r"(\S+)", f"$1r{r}"
+                        F.translate(
+                            F.col("text"), alpha, alpha[r:] + alpha[:r]
                         ).alias("text")
                     )
                 elif t == "events" and c == "event_id":
