@@ -1485,6 +1485,180 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# RFM, the 100 TB plan: histogram-threshold quintiles (no global sort)
+# --------------------------------------------------------------------
+
+# monetary quantization for the bounded histogram: $1000 buckets keep
+# the domain at O(max_order_value / 1000) rows regardless of customer
+# count — the deliberate approximation this sibling trades for losing
+# the single-task ntile sort
+_RFM_MONEY_BUCKET = 100_000  # cents
+
+
+def _rfm_quintile_threshold_sql(metric: str, src: str) -> str:
+    """DuckDB CTE chain: bounded histogram of ascending metric
+    ``metric`` over ``src`` → cumulative counts → the four quintile
+    cut values (min v with 5*cum >= i*N — the all-integer form of
+    cum >= ceil(i*N/5))."""
+    return f"""
+    h_{metric} AS (SELECT {metric} AS v, count(*) AS cnt FROM {src} GROUP BY 1),
+    c_{metric} AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h_{metric}),
+    t_{metric} AS (
+        SELECT max(CASE WHEN i = 1 THEN t END) AS t1,
+               max(CASE WHEN i = 2 THEN t END) AS t2,
+               max(CASE WHEN i = 3 THEN t END) AS t3,
+               max(CASE WHEN i = 4 THEN t END) AS t4
+        FROM (
+            SELECT i, min(v) AS t
+            FROM c_{metric} CROSS JOIN range(1, 5) s(i) CROSS JOIN nn
+            WHERE 5 * cum >= i * n
+            GROUP BY 1
+        )
+    )"""
+
+
+_RFM_APPROX_SQL = f"""
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    c AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), any_value(maxd))
+                   AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders CROSS JOIN mx
+        GROUP BY 1
+    ),
+    a AS (
+        SELECT o_custkey,
+               recency_days AS ar,
+               -frequency AS af,
+               -(monetary_cents // {_RFM_MONEY_BUCKET}) AS am
+        FROM c
+    ),
+    nn AS (SELECT count(*) AS n FROM a),
+    {_rfm_quintile_threshold_sql("ar", "a")},
+    {_rfm_quintile_threshold_sql("af", "a")},
+    {_rfm_quintile_threshold_sql("am", "a")}
+    SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+        SELECT CAST(1 + (ar > t_ar.t1)::INT + (ar > t_ar.t2)::INT
+                      + (ar > t_ar.t3)::INT + (ar > t_ar.t4)::INT
+               AS BIGINT) AS r_q,
+               CAST(1 + (af > t_af.t1)::INT + (af > t_af.t2)::INT
+                      + (af > t_af.t3)::INT + (af > t_af.t4)::INT
+               AS BIGINT) AS f_q,
+               CAST(1 + (am > t_am.t1)::INT + (am > t_am.t2)::INT
+                      + (am > t_am.t3)::INT + (am > t_am.t4)::INT
+               AS BIGINT) AS m_q
+        FROM a CROSS JOIN t_ar CROSS JOIN t_af CROSS JOIN t_am
+    )
+    GROUP BY 1, 2, 3
+"""
+
+
+def _rfm_thresholds(a: DataFrame, col: str, n: DataFrame) -> DataFrame:
+    """One-row (t1..t4) quintile-threshold frame for ascending metric
+    ``col``: bounded histogram → cumulative window (over the DOMAIN,
+    not the customers) → min cut value per quintile index — the
+    corpus_curation two-pass recipe applied to ranking."""
+    hist = a.groupBy(col).agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col(col).alias("v"), F.sum("cnt").over(wcum).alias("cum")
+    )
+    cuts = (
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "v",
+            "cum",
+            "n",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias(
+                "i"
+            ),
+        )
+        .filter(F.col("cum") * 5 >= F.col("i") * F.col("n"))
+        .groupBy("i")
+        .agg(F.min("v").alias("t"))
+    )
+    return cuts.agg(
+        *[
+            F.max(F.when(F.col("i") == i, F.col("t"))).alias(f"t{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+
+
+@query("rfm_segments_approx", _RFM_APPROX_SQL)
+def rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rfm_segments``' 100 TB plan, registered: quintile THRESHOLDS
+    from bounded histograms (recency: O(days) domain; frequency:
+    O(max order count); monetary: $1000 buckets — the named
+    approximation), broadcast back as four cut values per metric, and
+    a map-side CASE assigns segments. No global sort anywhere: the
+    only windows run over the bounded metric DOMAINS (the
+    corpus_curation two-pass recipe applied to ranking), and the
+    customer frame is touched by one aggregation plus one broadcast
+    join. Deterministic — both engines compute identical integer
+    thresholds, so this "approx" variant is still hash-checked.
+
+    vs the exact sibling: ntile guarantees equal-size buckets (ties
+    split by customer id); thresholds put all ties in one bucket, so
+    bucket sizes wobble by the tie mass at each cut — the standard
+    trade of every quantile-sketch segmentation at scale
+    (docs/SCALING.md "Global-window policy" documents the decision
+    pair)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    c = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+    )
+    a = c.select(
+        "o_custkey",
+        F.datediff("maxd", "lastd").cast("long").alias("ar"),
+        (-F.col("frequency")).cast("long").alias("af"),
+        F.expr(f"-(monetary_cents div {_RFM_MONEY_BUCKET})")
+        .cast("long")
+        .alias("am"),
+    ).persist()
+    n = a.agg(F.count("*").alias("n"))
+    q = a
+    for metric in ("ar", "af", "am"):
+        thr = _rfm_thresholds(a, metric, n).select(
+            *[F.col(f"t{i}").alias(f"{metric}_t{i}") for i in (1, 2, 3, 4)]
+        )
+        q = q.crossJoin(F.broadcast(thr))
+    seg = q.select(
+        *[
+            (
+                F.lit(1)
+                + sum(
+                    (F.col(metric) > F.col(f"{metric}_t{i}")).cast("int")
+                    for i in (1, 2, 3, 4)
+                )
+            )
+            .cast("long")
+            .alias(alias)
+            for metric, alias in (("ar", "r_q"), ("af", "f_q"), ("am", "m_q"))
+        ]
+    )
+    out = seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result("rfm_segments_approx", out, a)
+
+
+# --------------------------------------------------------------------
 # Sufficient statistics (distributed moments)
 # --------------------------------------------------------------------
 

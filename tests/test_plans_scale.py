@@ -357,6 +357,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "q11_important_parts",
         # 1-row corpus-stats broadcasts (n_docs / total_len / n_users)
         "rfm_segments",
+        # 1-row customer-count + three 1-row threshold broadcasts
+        "rfm_segments_approx",
         "text_inverted_index",
         "bm25_topk",
         "basket_type_lift",
@@ -540,8 +542,12 @@ def test_no_unbounded_global_window_anywhere(spark):
         "revenue_yoy_growth",
         # exact ntile quantiles over the CUSTOMER grain — much smaller
         # than the fact table and exactness is the row's point; the
-        # approx-threshold relaxation is documented in docs/SCALING.md
+        # approx-threshold relaxation is REGISTERED as the sibling row
+        # rfm_segments_approx and documented in docs/SCALING.md
         "rfm_segments",
+        # cumulative windows over the bounded metric DOMAINS (days /
+        # order counts / $1000 buckets), never the customer frame
+        "rfm_segments_approx",
         # ECDF cumulative sums over the DISTINCT-CENTS domain (bounded
         # by the price range, not the row count — see its docstring)
         "stats_ks_drift",
