@@ -332,3 +332,75 @@ def test_semantic_gate_training_has_no_global_window(spark):
     assert "TakeOrdered" in plan
     assert _global_window_nodes(plan) == []
     assert cents.count() > 0
+
+
+# --------------------------------------------------------------------
+# Scale-probe replica construction: the rotation invariants
+# --------------------------------------------------------------------
+
+
+def test_probe_rotation_construction_invariants(spark):
+    """The sf1_probe document replicas are per-replica Caesar
+    rotations. Pin the properties the probe's validity rests on:
+    (a) byte lengths and token counts are INVARIANT (a true Nx
+    corpus, no inflated text-op work); (b) replicas are reversible
+    rotations of the base (so within-replica near-dup structure is
+    exactly the base's); (c) replica texts DIFFER from the base for
+    r > 0 (no cross-replica aliasing). The old token-suffix
+    construction satisfied (a) and (c) but collapsed byte-bigram
+    diversity — the dedup_image_phash 8.0x artifact."""
+    import importlib.util
+    import os
+    import shutil
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "sf1_probe_mod", os.path.join(root, "tools", "sf1_probe.py")
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    out = sp.build_scaled_dir(spark, SF_DIR, 3)
+    try:
+        base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        scaled = spark.read.parquet(f"{out}/documents.parquet")
+        n = base.count()
+        assert scaled.count() == 3 * n
+
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        for r in (1, 2):
+            rep = scaled.filter(
+                (F.col("doc_id") >= r * sp.OFFSET)
+                & (F.col("doc_id") < (r + 1) * sp.OFFSET)
+            ).select(
+                (F.col("doc_id") - r * sp.OFFSET).alias("doc_id"),
+                F.col("text").alias("rt"),
+            )
+            j = base.select("doc_id", "text").join(rep, "doc_id")
+            assert j.count() == n
+            # (a) lengths and token counts invariant
+            assert (
+                j.filter(
+                    (F.length("rt") != F.length("text"))
+                    | (
+                        F.size(F.split("rt", " ", -1))
+                        != F.size(F.split("text", " ", -1))
+                    )
+                ).count()
+                == 0
+            )
+            # (b) rotating BACK by r reproduces the base text exactly
+            back = F.translate(
+                F.col("rt"), alpha[r:] + alpha[:r], alpha
+            )
+            assert j.filter(back != F.col("text")).count() == 0
+            # (c) no aliasing: every doc with a letter differs
+            assert (
+                j.filter(
+                    F.col("text").rlike("[a-z]")
+                    & (F.col("rt") == F.col("text"))
+                ).count()
+                == 0
+            )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
