@@ -151,8 +151,9 @@ HEADLINE = [
     "dedup_semantic_scaled",
     "text_bpe_encode",
     "graph_triangles_lsh",
-    # round-9 addition
+    # round-9 additions
     "dedup_image_phash",
+    "similarity_image_phash_topk",
 ]
 
 

@@ -436,17 +436,16 @@ def dhash_bands_with(grid_fn):
 dhash_bands = dhash_bands_with(fake_image_grid)
 
 
-def _phash_oracle_sql() -> str:
-    """The stub pipeline re-derived in SQL: byte-bigram bag from the
-    hex dump, sorted, 72 quantile samples, 64 dHash bits, 4 band ints,
-    then the brute-force Hamming join (the oracle may go all-pairs;
-    the Spark plan must not)."""
+def _phash_bands_cte() -> str:
+    """The stub pipeline re-derived in SQL, through the ``bands`` CTE:
+    byte-bigram bag from the hex dump, sorted, 72 quantile samples,
+    64 dHash bits, 4 band ints — shared by the dedup oracle (pair
+    join) and the top-k oracle (probe query)."""
     cells = IMAGE_GRID_W * IMAGE_GRID_H
     byte = (
         "CAST('0x' || substr(h, 2 * CAST({i} AS INT) + 1, 2) AS INT)"
     )
-    return f"""
-    WITH raw AS (
+    return f"""raw AS (
         SELECT doc_id,
                hex(CASE WHEN octet_length(encode(text)) < 2
                         THEN encode(text) || '\\x00'::BLOB
@@ -487,7 +486,15 @@ def _phash_oracle_sql() -> str:
                CAST(list_sum(list_transform(range(48, 64),
                    j -> bit[j + 1] * (1 << (j % 16)))) AS INT) AS b3
         FROM bits
-    )
+    )"""
+
+
+def _phash_oracle_sql() -> str:
+    """Dedup oracle: the shared band pipeline + the brute-force
+    Hamming pair join (the oracle may go all-pairs; the Spark plan
+    must not)."""
+    return f"""
+    WITH {_phash_bands_cte()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
@@ -582,3 +589,104 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qms_datawarehouse_spark.planaudit import checkpoint_result
 
     return checkpoint_result("dedup_image_phash", out, ph)
+
+
+# --------------------------------------------------------------------
+# Perceptual-hash similarity SEARCH: banded probe + Hamming top-k
+# --------------------------------------------------------------------
+
+# fixture query payload: doc_id present at every sf AND sharing at
+# least one band with neighbors at every sf (doc 7 had ZERO banded
+# candidates at sf0.001 — an empty result verifies nothing)
+_PHASH_QUERY_DOC = 2
+_PHASH_TOPK = 10
+
+
+def _phash_topk_sql() -> str:
+    """Top-k oracle: the shared band pipeline, then the SAME banded
+    candidate rule the Spark plan uses (share >= 1 of the 4 bands
+    with the query payload) so both engines rank the identical
+    candidate set — a banded probe is the retrieval contract, not an
+    approximation of some other query."""
+    return f"""
+    WITH {_phash_bands_cte()},
+    q AS (SELECT b0, b1, b2, b3 FROM bands
+          WHERE doc_id = {_PHASH_QUERY_DOC}),
+    cand AS (
+        SELECT b.doc_id, b.b0, b.b1, b.b2, b.b3
+        FROM bands b CROSS JOIN q
+        WHERE b.doc_id <> {_PHASH_QUERY_DOC}
+          AND (b.b0 = q.b0 OR b.b1 = q.b1 OR b.b2 = q.b2 OR b.b3 = q.b3)
+    )
+    SELECT c.doc_id,
+           CAST(bit_count(xor(c.b0, q.b0)) + bit_count(xor(c.b1, q.b1))
+              + bit_count(xor(c.b2, q.b2)) + bit_count(xor(c.b3, q.b3))
+               AS BIGINT) AS hamming
+    FROM cand c CROSS JOIN q
+    ORDER BY hamming, doc_id
+    LIMIT {_PHASH_TOPK}
+    """
+
+
+@query("similarity_image_phash_topk", _phash_topk_sql())
+def similarity_image_phash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash similarity SEARCH over the binary payload —
+    the retrieval twin of ``dedup_image_phash``: given one query
+    payload, return the top-k most similar payloads by dHash Hamming
+    distance, candidates generated by the banded probe (share >= 1 of
+    4 bands). The banded candidate rule IS the retrieval contract
+    (both engines rank the identical candidate set), the multi-probe
+    LSH posture of ``similarity_ann_multiprobe`` applied to the
+    image-hash domain.
+
+    Scale shape: the query's 4 (band, value) rows BROADCAST into an
+    equi-join against the corpus band table (only matching buckets
+    are read — at 100 TB with a band index this is a 4-bucket point
+    probe); the Hamming rank is a TakeOrdered(k) over the bounded
+    candidate set, never a global sort; the 1-row query hash rides a
+    broadcast. Same Arrow-batched decode seam as the dedup row."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    blobs = (
+        with_binary_content(documents)
+        .filter(F.length("content") > 0)
+        .select("doc_id", "content")
+    )
+    ph = blobs.mapInPandas(dhash_bands, schema=PHASH_SCHEMA).persist()
+    bands = ph.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"b{i}").alias("v")
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    qb = bands.filter(F.col("doc_id") == _PHASH_QUERY_DOC).select("band", "v")
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "v"])
+        .filter(F.col("doc_id") != _PHASH_QUERY_DOC)
+        .select("doc_id")
+        .distinct()
+    )
+    qh = ph.filter(F.col("doc_id") == _PHASH_QUERY_DOC).select(
+        *[F.col(f"b{i}").alias(f"q{i}") for i in range(_PHASH_BANDS)]
+    )
+    ham = sum(
+        F.bit_count(F.col(f"b{i}").bitwiseXOR(F.col(f"q{i}")))
+        for i in range(_PHASH_BANDS)
+    )
+    out = (
+        cand.join(ph, "doc_id")
+        .crossJoin(F.broadcast(qh))
+        .withColumn("hamming", ham.cast("long"))
+        .select("doc_id", "hamming")
+        .orderBy("hamming", "doc_id")
+        .limit(_PHASH_TOPK)
+    )
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result("similarity_image_phash_topk", out, ph)

@@ -66,9 +66,11 @@ def test_anchors_inside_window():
 # doesn't force them; the queue is the bookkeeping that they MUST
 # enter the r10 window, which retires the round-5 evidence tier.
 QUEUED_NEXT_WINDOW: list[str] = [
-    # round-9 late addition (landed after the r9 window froze): the
-    # histogram-threshold sibling of rfm_segments
+    # round-9 late additions (landed after the r9 window froze): the
+    # histogram-threshold sibling of rfm_segments and the retrieval
+    # twin of dedup_image_phash
     "rfm_segments_approx",
+    "similarity_image_phash_topk",
     "w4_dist_functions",
     "agg_mode_exact",
     "events_gap_islands",

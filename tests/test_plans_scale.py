@@ -391,6 +391,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         # two 1-row aggregates combine (exact counters x bottom-K
         # sketch frame) via a broadcast
         "sketch_kmv_setops",
+        # 1-row query-hash broadcast onto the banded candidate set
+        "similarity_image_phash_topk",
         # 1-row high-water-mark broadcast x 3-row mode-constant list
         "watermark_late_replay",
         # K-row centroid broadcasts (the shared Lloyd assign stage)

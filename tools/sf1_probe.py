@@ -92,6 +92,7 @@ TOP_OPS = [
     # (banded Hamming LSH) + the two global-window rewrites that
     # previously had no probe line of their own
     "dedup_image_phash",
+    "similarity_image_phash_topk",
     "corpus_curation",
     "sketch_kmv_setops",
 ]
