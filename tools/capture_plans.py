@@ -62,6 +62,7 @@ PICKS = {
     "corpus_curation": "The token-budget cut is two-pass: a bounded quality-bp histogram (its cumulative window runs over <=10001 rows) broadcasts per-bucket offsets back; past-budget buckets drop map-side; the exact running sum is PARTITIONED BY quality_bp — no unbounded single-partition window anywhere.",
     "sketch_kmv_setops": "Exact union/intersection counters are one plain aggregate; the KMV state (kth, jacc_num) comes from orderBy(h).limit(K) — a distributed TakeOrdered bottom-K, the per-partition merge a theta-sketch framework does; the two 1-row frames combine via broadcast.",
     "dedup_image_phash": "Decode+dHash is ONE Arrow-batched map pass (four 16-bit band ints per payload); candidates are a (band,value) equi-join over 4 rows/doc — sum(bucket^2), never all-pairs; the Hamming verify joins candidates back BY DOC KEY; banding is pigeonhole-lossless at T=3.",
+    "similarity_image_phash_topk": "The query's 4 (band,value) rows broadcast into the corpus band equi-join (4-bucket point probe); the Hamming rank over the bounded candidate set is a TakeOrderedAndProject(k); the 1-row query hash rides a broadcast.",
     "text_bpe_encode": "One corpus tokenization feeds the cached word-frequency table; the 16-merge encode chain is a single map-side projection over DISTINCT words; the word->pieces mapping broadcasts into the token stream; one doc-keyed aggregate ends it.",
     "graph_triangles_lsh": "Bucket assignment is map-side literal-plane folds; edges are band+bucket equi-joins; the wedge join and canonical-pair closure are equi-joins; the 1-row global count rides a broadcast; TakeOrderedAndProject(20) ends it.",
     # dedup_split_leakage is intentionally NOT captured: its plan
