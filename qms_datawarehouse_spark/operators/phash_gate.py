@@ -1,0 +1,262 @@
+"""Perceptual-hash ingest gate: admit binary payloads that are not
+image near-dups (dHash Hamming <= T) of the stored corpus — the
+multimodal member of the admission-gate family (MinHash gate for
+text: operators/incremental_dedup.py; SemDeDup gate for embeddings:
+operators/semantic_gate.py; this module for image payloads).
+
+Storage layout mirrors the MinHash gate: a keyed corpus table holding
+each payload's four 16-bit dHash band integers (the hash IS the
+stored state — payload bytes never persist here), plus a band-value
+index physically partitioned by a bv-derived bucket so the per-batch
+probe prunes to the batch's touched partitions — O(batch) reads at
+any corpus size. Commit is a keyed upsert (re-ingested ids replace
+their row) and the index rebuild drops the replaced ids' stale band
+rows, reusing ``incremental_dedup._index_append`` verbatim — the
+band-index maintenance problem is identical once columns share names.
+
+Reference capability analog: none (reference stores raw blobs in
+Mongo, src/core/db.py:28-32; this is SURVEY §2.12's multimodal
+dedup applied at ingest time).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+from qms_datawarehouse_spark.operators.merge import merge_upsert
+
+# NOTE: the dHash kernel imports lazily inside functions — a
+# module-level import of operators.multimodal here forms a cycle when
+# a user imports multimodal directly (multimodal → registry →
+# plans/__init__ → this module → multimodal, partially initialized).
+
+CORPUS_TABLE = "image_phash_corpus"
+INDEX_TABLE = "image_phash_bands"
+
+
+@dataclass
+class PhashIngestResult:
+    n_batch: int
+    n_accepted: int
+    n_rejected: int
+    rejected: list = field(default_factory=list)  # (new_id, old_id, hamming)
+    # report only, capped at ``max_rejects`` pairs; counts stay exact
+    rejects_truncated: bool = False
+
+
+def _hash_batch(batch: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) via the Arrow-batched dHash kernel — the same
+    pluggable-decode seam the query rows use (stub byte-bigram grid
+    today, a real codec thumbnail when the library exists)."""
+    from qms_datawarehouse_spark.operators.multimodal import (
+        PHASH_SCHEMA,
+        dhash_bands,
+    )
+
+    return batch.select("doc_id", "content").mapInPandas(
+        dhash_bands, schema=PHASH_SCHEMA
+    )
+
+
+def _band_rows(ph: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bv): four index rows per payload — the same
+    column names the MinHash gate's index uses, so its partitioned
+    append/rebuild helper applies unchanged."""
+    from qms_datawarehouse_spark.operators.multimodal import _PHASH_BANDS
+
+    return ph.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.col(f"b{i}").cast("long").alias("bv"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band_id").alias("band_id"), F.col("e.bv").alias("bv"))
+
+
+def _verify_hamming(cand: DataFrame, new_ph: DataFrame, old_ph: DataFrame) -> DataFrame:
+    """Exact Hamming distance on the four band ints for candidate
+    (new, old) pairs; keeps pairs at <= T."""
+    from qms_datawarehouse_spark.operators.multimodal import (
+        _PHASH_BANDS,
+        _PHASH_T,
+    )
+
+    a = new_ph.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_PHASH_BANDS)],
+    )
+    b = old_ph.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_PHASH_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(_PHASH_BANDS)
+    )
+    return (
+        cand.join(a, "new_id")
+        .join(b, "old_id")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= _PHASH_T)
+        .select("new_id", "old_id", "hamming")
+    )
+
+
+def ingest_image_phash(
+    warehouse: ParquetWarehouse,
+    batch: DataFrame,
+    corpus_table: str = CORPUS_TABLE,
+    index_table: str = INDEX_TABLE,
+    n_buckets: int = 64,
+    max_rejects: int | None = 10_000,
+) -> PhashIngestResult:
+    """Admit ``batch`` payloads (``doc_id``, ``content``) whose dHash
+    is not within Hamming T of the stored corpus or of a lower-id
+    batch-mate; upsert the admitted hashes and their index rows.
+
+    Rejection rule (deterministic, the gate-family policy): a batch
+    payload is rejected iff a STORED payload shares >= 1 band at
+    Hamming <= T, or a LOWER-id batch payload does. Banding is
+    pigeonhole-lossless at T=3 (<= 3 differing bits leave >= 1 of 4
+    bands exact), so the banded probe misses no true pair.
+
+    ``max_rejects`` bounds the ``rejected`` pair REPORT riding back
+    to the driver; ``n_accepted``/``n_rejected`` stay EXACT
+    (DataFrame counts, never the capped list). Replay-safe: a
+    re-sent admitted id self-pairs only with its own stored row,
+    which the probe's id-inequality skips, and the commit is a keyed
+    upsert — at-least-once delivery converges."""
+    from qms_datawarehouse_spark.operators.incremental_dedup import (
+        BVB_COL,
+        _bv_bucket,
+        _index_append,
+    )
+
+    n_batch = batch.count()
+    if n_batch == 0:
+        return PhashIngestResult(0, 0, 0, [])
+
+    ph = _hash_batch(
+        batch.filter(F.length("content") > 0)
+    ).persist()
+    bands = _band_rows(ph).persist()
+
+    rejected: list[tuple] = []
+    truncated = False
+
+    def _report(df, room):
+        if room is None:
+            return [tuple(r) for r in df.collect()], False
+        if room <= 0:
+            return [], bool(df.take(1))
+        rows = df.orderBy("new_id", "old_id").limit(room + 1).collect()
+        return [tuple(r) for r in rows[:room]], len(rows) > room
+
+    # -- in-batch canonicalization: lowest doc_id survives ------------
+    a, b = bands.alias("a"), bands.alias("b")
+    in_batch = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("new_id"), F.col("a.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    in_batch_dups = _verify_hamming(in_batch, ph, ph).persist()
+    got, trunc = _report(in_batch_dups, max_rejects)
+    rejected += got
+    truncated |= trunc
+    batch_dup_ids = {
+        r[0] for r in in_batch_dups.select("new_id").distinct().collect()
+    }
+    dup_ids = in_batch_dups.select(F.col("new_id").alias("doc_id"))
+
+    # -- cross-corpus probe: partition-pruned band index ---------------
+    if warehouse.table_exists(index_table):
+        touched_bvb = [
+            r[0]
+            for r in bands.select(_bv_bucket().alias("b")).distinct().collect()
+        ]
+        index = warehouse.read(index_table).filter(
+            F.col(BVB_COL).isin(touched_bvb)
+        )
+        cand = (
+            index.join(
+                F.broadcast(bands),
+                (bands["band_id"] == index["band_id"])
+                & (bands["bv"] == index["bv"])
+                & (bands["doc_id"] != index["doc_id"]),
+            )
+            .select(
+                bands["doc_id"].alias("new_id"),
+                index["doc_id"].alias("old_id"),
+            )
+            .distinct()
+        )
+        cand_old_ids = cand.select(F.col("old_id").alias("doc_id")).distinct()
+        old_ph = warehouse.read(corpus_table).join(
+            cand_old_ids, "doc_id", "left_semi"
+        )
+        cross_dups = _verify_hamming(cand, ph, old_ph).persist()
+        room = None if max_rejects is None else max_rejects - len(rejected)
+        cross, trunc = _report(cross_dups, room)
+        rejected += [r for r in cross if r[0] not in batch_dup_ids]
+        truncated |= trunc
+        dup_ids = dup_ids.unionByName(
+            cross_dups.select(F.col("new_id").alias("doc_id"))
+        )
+
+    n_rejected = dup_ids.distinct().count()
+    accepted_ph = ph.join(dup_ids.distinct(), "doc_id", "left_anti")
+    n_accepted = n_batch - n_rejected
+
+    # -- commit: hash rows + index entries, both keyed ------------------
+    if n_accepted:
+        stale_bands = None
+        if warehouse.table_exists(corpus_table):
+            # re-ingestion: the replaced row's OLD band values are
+            # read straight off the stored hash (no recompute), which
+            # pins exactly which index partitions hold the stale rows
+            prior = warehouse.read(corpus_table).join(
+                accepted_ph.select("doc_id"), "doc_id", "left_semi"
+            )
+            if prior.take(1):
+                stale_bands = (
+                    _band_rows(prior).withColumn(BVB_COL, _bv_bucket()).persist()
+                )
+                stale_bands.count()  # pin before the corpus version swaps
+        merge_upsert(
+            warehouse,
+            corpus_table,
+            accepted_ph.withColumn("_id", F.col("doc_id").cast("string")),
+            key="_id",
+            order_col=None,
+            n_buckets=n_buckets,
+        )
+        new_entries = bands.join(
+            accepted_ph.select("doc_id"), "doc_id", "left_semi"
+        ).withColumn(BVB_COL, _bv_bucket())
+        _index_append(warehouse, index_table, new_entries, stale_bands)
+        if stale_bands is not None:
+            stale_bands.unpersist()
+    in_batch_dups.unpersist()
+    ph.unpersist()
+    bands.unpersist()
+    return PhashIngestResult(
+        n_batch, n_accepted, n_rejected, sorted(rejected), truncated
+    )

@@ -280,6 +280,73 @@ def stream_ingest_semantic(
     return writer.start()
 
 
+def stream_ingest_image_phash(
+    stream_df: DataFrame,
+    warehouse: ParquetWarehouse,
+    corpus_table: str | None = None,
+    index_table: str | None = None,
+    checkpoint_dir: str | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    available_now: bool = False,
+    on_result=None,
+) -> StreamingQuery:
+    """Streaming binary-payload ingestion through the perceptual-hash
+    admission gate — ``phash_gate.ingest_image_phash`` lifted to a
+    live pipeline exactly as the MinHash and SemDeDup gates are:
+    every micro-batch dHashes its payloads (Arrow-batched, the
+    pluggable decode seam), probes ONLY the band-index partitions its
+    band values hash into, and the admitted hashes commit via keyed
+    upsert + index rebuild.
+
+    Delivery: at-least-once replay into convergent state — a replayed
+    payload's only Hamming-0 stored neighbor is its own row, which
+    the probe's id-inequality skips, and the keyed upsert re-derives
+    identical state (effectively-once, T3 — pinned in
+    tests/test_phash_gate.py).
+
+    ``on_result(epoch_id, PhashIngestResult)`` observes per-epoch
+    admission stats."""
+    from qms_datawarehouse_spark.operators import phash_gate as pg
+
+    corpus_table = corpus_table or pg.CORPUS_TABLE
+    index_table = index_table or pg.INDEX_TABLE
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        # same loud-failure contract as the other gates: numeric ids
+        # only; the epoch fails before any write (offsets don't commit)
+        bad = batch_df.filter(F.col(id_col).try_cast("long").isNull())
+        bad_row = bad.select(id_col).take(1)
+        if bad_row:
+            raise ValueError(
+                f"stream_ingest_image_phash requires numeric {id_col!r} "
+                f"values; got {bad_row[0][0]!r} (epoch {epoch_id})"
+            )
+        payloads = batch_df.select(
+            F.col(id_col).try_cast("long").alias("doc_id"),
+            F.col(content_col).cast("binary").alias("content"),
+        )
+        res = pg.ingest_image_phash(
+            warehouse,
+            payloads,
+            corpus_table=corpus_table,
+            index_table=index_table,
+        )
+        if on_result is not None:
+            on_result(epoch_id, res)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_apply_changes(
     stream_df: DataFrame,
     warehouse: ParquetWarehouse,
