@@ -59,6 +59,20 @@ class IngestResult:
     rejects_truncated: bool = False
 
 
+def _bounded_pair_report(df: DataFrame, room: int | None):
+    """Bounded driver-side pair report shared by every ingest gate
+    (MinHash, SemDeDup-adjacent phash): a deterministic (ordered)
+    prefix of ``room`` (new_id, old_id, ...) rows plus a saw-more
+    flag. Admission filters never read this — they stay anti-joins on
+    the full DataFrame; only the human-facing report is capped."""
+    if room is None:
+        return [tuple(r) for r in df.collect()], False
+    if room <= 0:
+        return [], bool(df.take(1))
+    rows = df.orderBy("new_id", "old_id").limit(room + 1).collect()
+    return [tuple(r) for r in rows[:room]], len(rows) > room
+
+
 def _verify_pairs(
     cand: DataFrame, new_sh: DataFrame, old_sh: DataFrame
 ) -> DataFrame:
@@ -108,17 +122,7 @@ def ingest_dedup(
     rejected: list[tuple] = []
     truncated = False
 
-    def _report(df, room):
-        """Bounded driver-side pair report: a deterministic (ordered)
-        prefix of ``room`` pairs plus a saw-more flag. The admission
-        filter never reads this — it stays an anti-join on the full
-        DataFrame."""
-        if room is None:
-            return [tuple(r) for r in df.collect()], False
-        if room <= 0:
-            return [], bool(df.take(1))
-        rows = df.orderBy("new_id", "old_id").limit(room + 1).collect()
-        return [tuple(r) for r in rows[:room]], len(rows) > room
+    _report = _bounded_pair_report
 
     # -- in-batch canonicalization: lowest doc_id survives ------------
     a, b = bands.alias("a"), bands.alias("b")

@@ -375,9 +375,14 @@ def fake_image_grid(content: bytes) -> list[int]:
     OFFSETS (any insertion shifts every later byte): it builds the
     bag of byte-bigram hashes (shift-invariant), sorts it, and takes
     72 quantile samples — near-identical payloads give near-identical
-    grids, unrelated payloads decorrelate."""
+    grids, unrelated payloads decorrelate.
+
+    Total over ALL payloads including b"": short inputs pad with NUL
+    bytes to the 2 bytes one bigram needs (an empty payload grids to
+    all-zeros, so every empty payload is a Hamming-0 dup of every
+    other — the right dedup semantics), never an IndexError."""
     if len(content) < 2:
-        content = content + b"\x00"
+        content = (content + b"\x00\x00")[:2]
     v = sorted(
         (content[i] * 31 + content[i + 1]) % 256
         for i in range(len(content) - 1)
@@ -434,6 +439,35 @@ def dhash_bands_with(grid_fn):
 
 
 dhash_bands = dhash_bands_with(fake_image_grid)
+
+
+def band_rows(
+    ph: DataFrame, band_col: str = "band", value_col: str = "v"
+) -> DataFrame:
+    """(doc_id, <band_col>, <value_col>): four rows per payload from a
+    (doc_id, b0..b3) hash frame — the ONE derivation of the band
+    layout, shared by the dedup query, the top-k probe, and the
+    ingest gate's index (which renames to the MinHash-index column
+    contract). Values cast to long so index hashing (xxhash64 is
+    type-sensitive) sees one type everywhere."""
+    return ph.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias(band_col),
+                        F.col(f"b{i}").cast("long").alias(value_col),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "doc_id",
+        F.col(f"e.{band_col}").alias(band_col),
+        F.col(f"e.{value_col}").alias(value_col),
+    )
 
 
 def _phash_bands_cte() -> str:
@@ -543,19 +577,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content")
     )
     ph = blobs.mapInPandas(dhash_bands, schema=PHASH_SCHEMA).persist()
-    bands = ph.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"), F.col(f"b{i}").alias("v")
-                    )
-                    for i in range(_PHASH_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    bands = band_rows(ph)
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "v")
         .join(
@@ -652,19 +674,7 @@ def similarity_image_phash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content")
     )
     ph = blobs.mapInPandas(dhash_bands, schema=PHASH_SCHEMA).persist()
-    bands = ph.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"), F.col(f"b{i}").alias("v")
-                    )
-                    for i in range(_PHASH_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    bands = band_rows(ph)
     qb = bands.filter(F.col("doc_id") == _PHASH_QUERY_DOC).select("band", "v")
     cand = (
         bands.join(F.broadcast(qb), ["band", "v"])

@@ -51,37 +51,31 @@ class PhashIngestResult:
 def _hash_batch(batch: DataFrame) -> DataFrame:
     """(doc_id, b0..b3) via the Arrow-batched dHash kernel — the same
     pluggable-decode seam the query rows use (stub byte-bigram grid
-    today, a real codec thumbnail when the library exists)."""
+    today, a real codec thumbnail when the library exists). TOTAL
+    over the batch: NULL content coalesces to b"" and the stub grid
+    is defined for empty payloads (all-zero bands — empty payloads
+    are Hamming-0 dups of each other), so every batch row is hashed,
+    admitted-or-rejected, and counted — the EXACT-counts contract
+    never silently drops a row."""
     from qms_datawarehouse_spark.operators.multimodal import (
         PHASH_SCHEMA,
         dhash_bands,
     )
 
-    return batch.select("doc_id", "content").mapInPandas(
-        dhash_bands, schema=PHASH_SCHEMA
-    )
+    return batch.select(
+        "doc_id",
+        F.coalesce(F.col("content"), F.lit(b"")).alias("content"),
+    ).mapInPandas(dhash_bands, schema=PHASH_SCHEMA)
 
 
 def _band_rows(ph: DataFrame) -> DataFrame:
-    """(doc_id, band_id, bv): four index rows per payload — the same
-    column names the MinHash gate's index uses, so its partitioned
+    """(doc_id, band_id, bv): four index rows per payload — the ONE
+    shared band derivation (multimodal.band_rows), renamed to the
+    MinHash gate's index column contract so its partitioned
     append/rebuild helper applies unchanged."""
-    from qms_datawarehouse_spark.operators.multimodal import _PHASH_BANDS
+    from qms_datawarehouse_spark.operators.multimodal import band_rows
 
-    return ph.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.col(f"b{i}").cast("long").alias("bv"),
-                    )
-                    for i in range(_PHASH_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.band_id").alias("band_id"), F.col("e.bv").alias("bv"))
+    return band_rows(ph, band_col="band_id", value_col="bv")
 
 
 def _verify_hamming(cand: DataFrame, new_ph: DataFrame, old_ph: DataFrame) -> DataFrame:
@@ -139,6 +133,7 @@ def ingest_image_phash(
     upsert — at-least-once delivery converges."""
     from qms_datawarehouse_spark.operators.incremental_dedup import (
         BVB_COL,
+        _bounded_pair_report,
         _bv_bucket,
         _index_append,
     )
@@ -147,21 +142,12 @@ def ingest_image_phash(
     if n_batch == 0:
         return PhashIngestResult(0, 0, 0, [])
 
-    ph = _hash_batch(
-        batch.filter(F.length("content") > 0)
-    ).persist()
+    ph = _hash_batch(batch).persist()
     bands = _band_rows(ph).persist()
 
     rejected: list[tuple] = []
     truncated = False
-
-    def _report(df, room):
-        if room is None:
-            return [tuple(r) for r in df.collect()], False
-        if room <= 0:
-            return [], bool(df.take(1))
-        rows = df.orderBy("new_id", "old_id").limit(room + 1).collect()
-        return [tuple(r) for r in rows[:room]], len(rows) > room
+    _report = _bounded_pair_report
 
     # -- in-batch canonicalization: lowest doc_id survives ------------
     a, b = bands.alias("a"), bands.alias("b")
@@ -187,6 +173,7 @@ def ingest_image_phash(
     dup_ids = in_batch_dups.select(F.col("new_id").alias("doc_id"))
 
     # -- cross-corpus probe: partition-pruned band index ---------------
+    cross_dups = None
     if warehouse.table_exists(index_table):
         touched_bvb = [
             r[0]
@@ -254,6 +241,8 @@ def ingest_image_phash(
         _index_append(warehouse, index_table, new_entries, stale_bands)
         if stale_bands is not None:
             stale_bands.unpersist()
+    if cross_dups is not None:
+        cross_dups.unpersist()
     in_batch_dups.unpersist()
     ph.unpersist()
     bands.unpersist()

@@ -56,6 +56,25 @@ def _batch(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, content binary")
 
 
+def test_empty_and_null_payloads_counted_exactly(spark, warehouse):
+    """Empty/NULL content must not silently vanish from the counts:
+    the stub grid is total (b'' hashes to all-zero bands), so empty
+    payloads are Hamming-0 dups of EACH OTHER — lowest id admitted,
+    the rest rejected, and corpus rows == n_accepted exactly."""
+    rows = [(1, b""), (2, None), (3, _T1), (4, b"")]
+    res = ingest_image_phash(
+        warehouse,
+        spark.createDataFrame(rows, "doc_id long, content binary"),
+    )
+    assert res.n_batch == 4
+    # doc 1 (empty) admitted; 2 (NULL→empty) and 4 (empty) reject vs 1
+    # (the PAIR report also names 4's match with its lower batch-mate
+    # 2 — pair semantics, same as the MinHash gate; counts are per-id)
+    assert (res.n_accepted, res.n_rejected) == (2, 2)
+    assert res.rejected == [(2, 1, 0), (4, 1, 0), (4, 2, 0)]
+    assert warehouse.read(CORPUS_TABLE).count() == res.n_accepted
+
+
 def test_in_batch_dedup_lowest_id_wins(spark, warehouse):
     res = ingest_image_phash(
         warehouse, _batch(spark, [(1, _T1), (2, _T1), (3, _T3)])

@@ -123,6 +123,21 @@ def build_scaled_dir(spark, base: str, factor: int) -> str:
         )
     for t, keys in KEY_COLS.items():
         df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+        if t == "documents":
+            # the rotation only translates a-z: any doc with chars
+            # outside [a-z ] would replicate byte-identically across
+            # replicas, re-introducing the cross-replica aliasing the
+            # rotation exists to prevent — fail LOUDLY rather than
+            # skew the scaling verdicts silently
+            n_bad = df.filter(
+                ~F.coalesce(F.col("text"), F.lit("")).rlike("^[a-z ]*$")
+            ).count()
+            if n_bad:
+                raise ValueError(
+                    f"{n_bad} documents contain characters outside "
+                    "[a-z ]: extend the rotation alphabet before "
+                    "probing, or those replicas alias the base text"
+                )
         parts = []
         for r in range(factor):
             off = r * OFFSET
