@@ -244,3 +244,37 @@ def test_stream_gate_rejects_non_numeric_ids(spark, tmp_path):
     except pyspark.errors.exceptions.captured.StreamingQueryException:
         raised = True
     assert raised
+
+
+# --------------------------------------------------------------------
+# Property: 4-band banding is LOSSLESS at the Hamming-3 threshold
+# --------------------------------------------------------------------
+
+
+def test_banding_lossless_at_threshold_property():
+    """The pigeonhole claim every phash row rests on, pinned as a
+    property: for ANY two 64-bit hashes within Hamming distance
+    _PHASH_T (=3) of each other, at least one of the four 16-bit
+    bands matches exactly — so the banded candidate join generates
+    every true pair. Also witnesses the bound is TIGHT: 4 differing
+    bits CAN touch all 4 bands."""
+    import random
+
+    from qms_datawarehouse_spark.operators.multimodal import (
+        _PHASH_BANDS,
+        _PHASH_T,
+    )
+
+    rng = random.Random(9)
+    for _ in range(500):
+        base = [rng.randrange(1 << 16) for _ in range(_PHASH_BANDS)]
+        ham = rng.randint(0, _PHASH_T)
+        flips = rng.sample(range(64), ham)
+        other = list(base)
+        for j in flips:
+            other[j // 16] ^= 1 << (j % 16)
+        assert any(a == b for a, b in zip(base, other)), (base, flips)
+    # tightness witness: one flip per band defeats banding at ham=4
+    base = [0, 0, 0, 0]
+    other = [1, 1, 1, 1]
+    assert not any(a == b for a, b in zip(base, other))
