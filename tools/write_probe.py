@@ -202,6 +202,73 @@ def probe_ingest(spark, sf_dir: str) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_ingest_phash(spark, sf_dir: str) -> float:
+    """Seed the image-phash gate state directly (hash-row corpus +
+    bv-partitioned band index — identical to what batched ingestion
+    leaves behind, without paying the untimed in-batch stage), then
+    time one fixed 50-payload batch through ``ingest_image_phash``.
+    The probe prunes to the batch's bv-partitions, so the claim under
+    test is per-batch cost O(batch) — flat at any corpus size."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.incremental_dedup import (
+        BVB_COL,
+        _bv_bucket,
+    )
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.operators.phash_gate import (
+        CORPUS_TABLE,
+        INDEX_TABLE,
+        _band_rows,
+        _hash_batch,
+        ingest_image_phash,
+    )
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    root = tf.mkdtemp(prefix="wp_phash_")
+    try:
+        wh = ParquetWarehouse(spark, root)
+        payloads = _docs(spark, sf_dir).select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+        )
+        hashes = _hash_batch(payloads)
+        merge_upsert(
+            wh,
+            CORPUS_TABLE,
+            hashes.withColumn("_id", F.col("doc_id").cast("string")),
+            key="_id",
+            order_col=None,
+            n_buckets=SEED_BUCKETS,
+        )
+        wh.write_version(
+            INDEX_TABLE,
+            _band_rows(hashes).withColumn(BVB_COL, _bv_bucket()),
+            partition_by=[BVB_COL],
+        )
+        # fresh batch: REVERSED text decorrelates the bigram bag (the
+        # hash (a*31+b)%256 does not commute with reversal), so the
+        # batch carries no constructed near-dups of its source docs
+        batch = (
+            _docs(spark, sf_dir)
+            .orderBy("doc_id")
+            .limit(50)
+            .select(
+                (F.col("doc_id") + 10**12).alias("doc_id"),
+                F.encode(F.reverse(F.col("text")), "UTF-8").alias(
+                    "content"
+                ),
+            )
+        )
+        batch.collect()
+        t0 = time.monotonic()
+        ingest_image_phash(wh, batch)
+        return time.monotonic() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_ingest_semantic(spark, sf_dir: str, k: int) -> float:
     """Seed the semantic-gate state (centroids + cell-partitioned
     corpus) directly — O(corpus), no untimed pair stage — then time
@@ -344,6 +411,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default=None)
     ap.add_argument("--master", default="local[32]")
+    ap.add_argument(
+        "--ops",
+        nargs="*",
+        default=None,
+        help="probe only these op names (default: all)",
+    )
     args = ap.parse_args(argv)
 
     from qms_datawarehouse_spark.session import get_spark
@@ -356,6 +429,9 @@ def main(argv: list[str] | None = None) -> int:
 
     results = []
 
+    def wanted(op):
+        return args.ops is None or op in args.ops
+
     def emit(op, t1, t10):
         row = {
             "op": op,
@@ -367,44 +443,62 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(row), flush=True)
 
     try:
-        emit(
-            "merge_partial_fixed_buckets",
-            probe_merge(spark, BASE, SEED_BUCKETS),
-            probe_merge(spark, scaled, SEED_BUCKETS),
-        )
-        emit(
-            "merge_partial_scaled_buckets",
-            probe_merge(spark, BASE, SEED_BUCKETS),
-            probe_merge(spark, scaled, SEED_BUCKETS * args.factor),
-        )
-        emit(
-            "apply_changes_one_bucket",
-            probe_apply_changes(spark, BASE, SEED_BUCKETS),
-            probe_apply_changes(spark, scaled, SEED_BUCKETS),
-        )
-        emit(
-            "ingest_dedup_fixed_batch",
-            probe_ingest(spark, BASE),
-            probe_ingest(spark, scaled),
-        )
-        mv1 = probe_matview_refresh(spark, BASE, SEED_BUCKETS)
-        mv10 = probe_matview_refresh(spark, scaled, SEED_BUCKETS)
-        emit("matview_refresh_incremental", mv1[0], mv10[0])
-        emit("matview_full_recompute", mv1[1], mv10[1])
-        emit(
-            "ingest_semantic_fixed_k",
-            probe_ingest_semantic(spark, BASE, 8),
-            probe_ingest_semantic(spark, scaled, 8),
-        )
-        emit(
-            "ingest_semantic_scaled_k",
-            probe_ingest_semantic(spark, BASE, 8),
-            probe_ingest_semantic(spark, scaled, 8 * args.factor),
-        )
-        i1, f1 = probe_bloom(spark, BASE)
-        i10, f10 = probe_bloom(spark, scaled)
-        emit("bloom_refresh_incremental", i1, i10)
-        emit("bloom_rebuild_full", f1, f10)
+        if wanted("merge_partial_fixed_buckets"):
+            emit(
+                "merge_partial_fixed_buckets",
+                probe_merge(spark, BASE, SEED_BUCKETS),
+                probe_merge(spark, scaled, SEED_BUCKETS),
+            )
+        if wanted("merge_partial_scaled_buckets"):
+            emit(
+                "merge_partial_scaled_buckets",
+                probe_merge(spark, BASE, SEED_BUCKETS),
+                probe_merge(spark, scaled, SEED_BUCKETS * args.factor),
+            )
+        if wanted("apply_changes_one_bucket"):
+            emit(
+                "apply_changes_one_bucket",
+                probe_apply_changes(spark, BASE, SEED_BUCKETS),
+                probe_apply_changes(spark, scaled, SEED_BUCKETS),
+            )
+        if wanted("ingest_dedup_fixed_batch"):
+            emit(
+                "ingest_dedup_fixed_batch",
+                probe_ingest(spark, BASE),
+                probe_ingest(spark, scaled),
+            )
+        if wanted("matview_refresh_incremental") or wanted(
+            "matview_full_recompute"
+        ):
+            mv1 = probe_matview_refresh(spark, BASE, SEED_BUCKETS)
+            mv10 = probe_matview_refresh(spark, scaled, SEED_BUCKETS)
+            emit("matview_refresh_incremental", mv1[0], mv10[0])
+            emit("matview_full_recompute", mv1[1], mv10[1])
+        if wanted("ingest_semantic_fixed_k"):
+            emit(
+                "ingest_semantic_fixed_k",
+                probe_ingest_semantic(spark, BASE, 8),
+                probe_ingest_semantic(spark, scaled, 8),
+            )
+        if wanted("ingest_semantic_scaled_k"):
+            emit(
+                "ingest_semantic_scaled_k",
+                probe_ingest_semantic(spark, BASE, 8),
+                probe_ingest_semantic(spark, scaled, 8 * args.factor),
+            )
+        if wanted("ingest_phash_fixed_batch"):
+            emit(
+                "ingest_phash_fixed_batch",
+                probe_ingest_phash(spark, BASE),
+                probe_ingest_phash(spark, scaled),
+            )
+        if wanted("bloom_refresh_incremental") or wanted(
+            "bloom_rebuild_full"
+        ):
+            i1, f1 = probe_bloom(spark, BASE)
+            i10, f10 = probe_bloom(spark, scaled)
+            emit("bloom_refresh_incremental", i1, i10)
+            emit("bloom_rebuild_full", f1, f10)
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
     if args.out:
