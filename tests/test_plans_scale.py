@@ -514,6 +514,12 @@ def _global_window_nodes(plan: str) -> list[str]:
             " ASC" in groups[1] or " DESC" in groups[1]
         ):
             hits.append(t[:160])
+        elif len(groups) >= 3 and "#" not in groups[1]:
+            # constant partition spec (e.g. partitionBy(lit(1))) — the
+            # same single-task shape; Catalyst usually folds these to
+            # an empty spec (registry measured ZERO such nodes), this
+            # arm future-proofs the sweep against ones it keeps
+            hits.append(t[:160])
     return hits
 
 
