@@ -106,11 +106,37 @@ def ingest_dedup(
     tuple per pair): the first ``max_rejects`` pairs in (new_id,
     old_id) order are returned and ``rejects_truncated`` is set.
     ``n_accepted``/``n_rejected`` stay EXACT — they are computed as
-    DataFrame counts, never from the capped list. ``None`` uncaps."""
+    DataFrame counts, never from the capped list. ``None`` uncaps.
+
+    Intra-batch id duplicates: byte-identical repeats of one row
+    collapse to one BEFORE anything hashes (at-least-once upstreams
+    replay inside a micro-batch), so the counts speak in documents,
+    not deliveries; the same doc_id with DIFFERENT row content in one
+    batch fails loudly — merge_upsert(order_col=None) would otherwise
+    pick an arbitrary winner.
+
+    Crash window: the corpus upsert commits before the index rebuild;
+    a crash between them leaves admitted docs invisible to the band
+    probe until re-ingested. Recovery story: the corpus row carries
+    the text, so missing band rows are recomputable (the banding
+    kernels are deterministic) — ``phash_gate.reconcile_phash_index``
+    is the pattern, with ``minhash_bands(_shingled(missing))`` as the
+    re-derivation step here."""
     from qms_datawarehouse_spark.operators.dedup import (
         _shingled,
         minhash_bands,
     )
+
+    batch = batch.dropDuplicates()
+    conflict = (
+        batch.groupBy("doc_id").count().filter(F.col("count") > 1).take(1)
+    )
+    if conflict:
+        raise ValueError(
+            "ingest_dedup: doc_id "
+            f"{conflict[0][0]!r} appears in this batch with more than one "
+            "distinct row — no deterministic winner; dedupe upstream"
+        )
 
     n_batch = batch.count()
     if n_batch == 0:

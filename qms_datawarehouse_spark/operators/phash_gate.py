@@ -14,6 +14,15 @@ their row) and the index rebuild drops the replaced ids' stale band
 rows, reusing ``incremental_dedup._index_append`` verbatim — the
 band-index maintenance problem is identical once columns share names.
 
+Crash window (the gate-family commit order): corpus upsert lands
+BEFORE the index rebuild, so a crash between the two leaves accepted
+hash rows invisible to the band probe — near-dups of those payloads
+would be admitted until the index catches up. Because the hash IS
+the stored state, recovery is free: ``reconcile_phash_index`` derives
+the missing band rows straight off the corpus hash columns (no
+payload re-decode) and appends them; the streaming twin runs it once
+at startup so a restarted pipeline self-heals before its first epoch.
+
 Reference capability analog: none (reference stores raw blobs in
 Mongo, src/core/db.py:28-32; this is SURVEY §2.12's multimodal
 dedup applied at ingest time).
@@ -130,13 +139,35 @@ def ingest_image_phash(
     (DataFrame counts, never the capped list). Replay-safe: a
     re-sent admitted id self-pairs only with its own stored row,
     which the probe's id-inequality skips, and the commit is a keyed
-    upsert — at-least-once delivery converges."""
+    upsert — at-least-once delivery converges.
+
+    Intra-batch id duplicates: byte-identical repeats of one
+    (doc_id, content) row collapse to one row BEFORE hashing (an
+    at-least-once upstream may replay inside one micro-batch), so
+    ``n_batch``/``n_accepted`` count payloads, not deliveries, and
+    the "corpus rows == Σ n_accepted" invariant holds. The same id
+    carrying DIFFERENT content in one batch has no deterministic
+    winner — that fails loudly instead of letting the keyed upsert
+    pick one arbitrarily."""
     from qms_datawarehouse_spark.operators.incremental_dedup import (
         BVB_COL,
         _bounded_pair_report,
         _bv_bucket,
         _index_append,
     )
+
+    batch = batch.select(
+        "doc_id", F.coalesce(F.col("content"), F.lit(b"")).alias("content")
+    ).dropDuplicates()
+    conflict = (
+        batch.groupBy("doc_id").count().filter(F.col("count") > 1).take(1)
+    )
+    if conflict:
+        raise ValueError(
+            "ingest_image_phash: doc_id "
+            f"{conflict[0][0]!r} appears in this batch with more than one "
+            "distinct payload — no deterministic winner; dedupe upstream"
+        )
 
     n_batch = batch.count()
     if n_batch == 0:
@@ -218,9 +249,32 @@ def ingest_image_phash(
         if warehouse.table_exists(corpus_table):
             # re-ingestion: the replaced row's OLD band values are
             # read straight off the stored hash (no recompute), which
-            # pins exactly which index partitions hold the stale rows
-            prior = warehouse.read(corpus_table).join(
-                accepted_ph.select("doc_id"), "doc_id", "left_semi"
+            # pins exactly which index partitions hold the stale rows.
+            # The corpus read is bucket-pruned to the accepted ids'
+            # key buckets (the MinHash gate's acc_buckets recipe,
+            # incremental_dedup.py) — O(batch) reads, never a full
+            # corpus scan per batch; no re-ingestion → zero rows and
+            # the rebuild is a no-op.
+            from qms_datawarehouse_spark.warehouse import BUCKET_COL
+
+            meta_buckets = int(
+                warehouse.read_meta(corpus_table).get("n_buckets", n_buckets)
+            )
+            acc_buckets = [
+                r[0]
+                for r in accepted_ph.select(
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id").cast("string")),
+                        F.lit(meta_buckets),
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            prior = (
+                warehouse.read(corpus_table)
+                .filter(F.col(BUCKET_COL).isin(acc_buckets))
+                .join(accepted_ph.select("doc_id"), "doc_id", "left_semi")
             )
             if prior.take(1):
                 stale_bands = (
@@ -249,3 +303,43 @@ def ingest_image_phash(
     return PhashIngestResult(
         n_batch, n_accepted, n_rejected, sorted(rejected), truncated
     )
+
+
+def reconcile_phash_index(
+    warehouse: ParquetWarehouse,
+    corpus_table: str = CORPUS_TABLE,
+    index_table: str = INDEX_TABLE,
+) -> int:
+    """Repair the crash window between the two gate commits: corpus
+    rows whose doc_id has NO band rows in the index (the state a crash
+    after the corpus upsert but before the index rebuild leaves
+    behind) get their four band rows re-derived from the STORED hash
+    columns — the hash is the stored state, so this never re-decodes
+    a payload — and appended through the same partitioned
+    ``_index_append`` the ingest path uses. Returns the number of
+    corpus rows healed (0 when corpus and index agree).
+
+    Cost: one distinct-id pass over the index — a STARTUP/recovery
+    scan, deliberately not on the per-batch path (which stays
+    O(batch) via partition pruning). The streaming twin calls this
+    once before its first epoch."""
+    from qms_datawarehouse_spark.operators.incremental_dedup import (
+        BVB_COL,
+        _bv_bucket,
+        _index_append,
+    )
+
+    if not warehouse.table_exists(corpus_table):
+        return 0
+    corpus = warehouse.read(corpus_table)
+    if warehouse.table_exists(index_table):
+        indexed = warehouse.read(index_table).select("doc_id").distinct()
+        missing = corpus.join(indexed, "doc_id", "left_anti").persist()
+    else:
+        missing = corpus.persist()
+    n_missing = missing.count()
+    if n_missing:
+        entries = _band_rows(missing).withColumn(BVB_COL, _bv_bucket())
+        _index_append(warehouse, index_table, entries)
+    missing.unpersist()
+    return n_missing

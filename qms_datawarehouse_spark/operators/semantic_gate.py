@@ -146,7 +146,24 @@ def ingest_semantic(
     batch vector is rejected iff a STORED vector shares its cell at
     cos >= tau, or a LOWER-id batch vector shares its cell at
     cos >= tau. Stored rows live partitioned by cell, so the probe
-    reads only the batch's touched cells."""
+    reads only the batch's touched cells.
+
+    Intra-batch id duplicates follow the gate-family contract
+    (``ingest_dedup``): byte-identical repeats of one (vec_id,
+    embedding) row collapse before anything is scored; the same
+    vec_id with a DIFFERENT embedding in one batch fails loudly —
+    the in-cell probe's ``va < vb`` id order would otherwise make
+    the admission itself nondeterministic."""
+    batch = batch.select("vec_id", "embedding").dropDuplicates()
+    conflict = (
+        batch.groupBy("vec_id").count().filter(F.col("count") > 1).take(1)
+    )
+    if conflict:
+        raise ValueError(
+            "ingest_semantic: vec_id "
+            f"{conflict[0][0]!r} appears in this batch with more than one "
+            "distinct embedding — no deterministic winner; dedupe upstream"
+        )
     n_batch = batch.count()
     if n_batch == 0:
         return SemanticIngestResult(0, 0, 0, [])

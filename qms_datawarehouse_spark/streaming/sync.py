@@ -303,7 +303,11 @@ def stream_ingest_image_phash(
     payload's only Hamming-0 stored neighbor is its own row, which
     the probe's id-inequality skips, and the keyed upsert re-derives
     identical state (effectively-once, T3 — pinned in
-    tests/test_phash_gate.py).
+    tests/test_phash_gate.py). Startup self-heal: the gate's two
+    commits (corpus upsert, then index rebuild) are not atomic, so a
+    crash between them leaves hash rows the band probe can't see;
+    ``reconcile_phash_index`` runs ONCE here, before the first epoch,
+    and re-derives any missing band rows from the stored hashes.
 
     ``on_result(epoch_id, PhashIngestResult)`` observes per-epoch
     admission stats."""
@@ -311,6 +315,9 @@ def stream_ingest_image_phash(
 
     corpus_table = corpus_table or pg.CORPUS_TABLE
     index_table = index_table or pg.INDEX_TABLE
+    pg.reconcile_phash_index(
+        warehouse, corpus_table=corpus_table, index_table=index_table
+    )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F

@@ -64,6 +64,27 @@ def test_reingest_same_doc_id_is_upsert_not_dup(spark, warehouse):
     assert warehouse.read("corpus_docs").count() == 1
 
 
+def test_intra_batch_duplicate_rows_collapse(spark, warehouse):
+    """Byte-identical replays of one row inside a single batch
+    (at-least-once upstream) collapse before hashing — counts speak
+    in documents, not deliveries."""
+    res = ingest_dedup(
+        warehouse, _docs(spark, [(1, BASE), (1, BASE), (2, OTHER)])
+    )
+    assert (res.n_batch, res.n_accepted, res.n_rejected) == (2, 2, 0)
+    assert warehouse.read("corpus_docs").count() == 2
+
+
+def test_intra_batch_conflicting_rows_fail_loudly(spark, warehouse):
+    """Same doc_id, different text, one batch: no deterministic
+    winner — the gate refuses before any write."""
+    import pytest
+
+    with pytest.raises(ValueError, match="more than one distinct row"):
+        ingest_dedup(warehouse, _docs(spark, [(1, BASE), (1, OTHER)]))
+    assert not warehouse.table_exists("corpus_docs")
+
+
 def test_short_doc_without_shingles_is_admitted(spark, warehouse):
     ingest_dedup(warehouse, _docs(spark, [(1, BASE)]))
     res = ingest_dedup(warehouse, _docs(spark, [(2, "two words")]))

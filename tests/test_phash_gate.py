@@ -247,6 +247,102 @@ def test_stream_gate_rejects_non_numeric_ids(spark, tmp_path):
 
 
 # --------------------------------------------------------------------
+# Intra-batch id duplicates: collapse byte-identical, refuse conflicts
+# --------------------------------------------------------------------
+
+
+def test_intra_batch_duplicate_rows_collapse(spark, warehouse):
+    """The same (doc_id, content) delivered twice inside one batch
+    (at-least-once upstream) collapses to one payload BEFORE hashing:
+    counts speak in payloads, and corpus rows == n_accepted holds."""
+    res = ingest_image_phash(
+        warehouse, _batch(spark, [(1, _T1), (1, _T1), (3, _T3)])
+    )
+    assert (res.n_batch, res.n_accepted, res.n_rejected) == (2, 2, 0)
+    assert warehouse.read(CORPUS_TABLE).count() == 2
+
+
+def test_intra_batch_conflicting_content_fails_loudly(spark, warehouse):
+    """One doc_id, two DIFFERENT payloads in one batch: no
+    deterministic winner exists — refuse before any write."""
+    import pytest
+
+    with pytest.raises(ValueError, match="more than one distinct payload"):
+        ingest_image_phash(warehouse, _batch(spark, [(1, _T1), (1, _T3)]))
+    assert not warehouse.table_exists(CORPUS_TABLE)
+
+
+# --------------------------------------------------------------------
+# Crash-window reconciliation: corpus committed, index rebuild lost
+# --------------------------------------------------------------------
+
+
+def test_reconcile_heals_crash_window(spark, warehouse):
+    """Simulate a crash between the gate's two commits (corpus upsert
+    landed, index rebuild didn't): the band probe is blind to the
+    stranded row until ``reconcile_phash_index`` re-derives its band
+    rows from the stored hash — no payload re-decode."""
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.operators.phash_gate import (
+        _hash_batch,
+        reconcile_phash_index,
+    )
+
+    ingest_image_phash(warehouse, _batch(spark, [(1, _T1)]))
+    # the crash: doc 3's hash row reaches the corpus, never the index
+    ph3 = _hash_batch(_batch(spark, [(3, _T3)]))
+    merge_upsert(
+        warehouse,
+        CORPUS_TABLE,
+        ph3.withColumn("_id", F.col("doc_id").cast("string")),
+        key="_id",
+        order_col=None,
+    )
+    assert warehouse.read(INDEX_TABLE).filter("doc_id = 3").count() == 0
+
+    assert reconcile_phash_index(warehouse) == 1
+    assert warehouse.read(INDEX_TABLE).filter("doc_id = 3").count() == 4
+    # the healed index sees doc 3 again: its dup is rejected
+    res = ingest_image_phash(warehouse, _batch(spark, [(4, _T3)]))
+    assert (res.n_accepted, res.n_rejected) == (0, 1)
+    assert res.rejected == [(4, 3, 0)]
+
+
+def test_reconcile_noop_when_consistent(spark, warehouse):
+    from qms_datawarehouse_spark.operators.phash_gate import (
+        reconcile_phash_index,
+    )
+
+    ingest_image_phash(warehouse, _batch(spark, [(1, _T1), (3, _T3)]))
+    assert reconcile_phash_index(warehouse) == 0
+    assert warehouse.read(INDEX_TABLE).count() == 8
+
+
+def test_reconcile_builds_index_from_scratch(spark, warehouse):
+    """Crash before the FIRST index write: corpus exists, index table
+    doesn't — reconcile derives the whole index from stored hashes."""
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.operators.phash_gate import (
+        _hash_batch,
+        reconcile_phash_index,
+    )
+
+    ph = _hash_batch(_batch(spark, [(1, _T1), (3, _T3)]))
+    merge_upsert(
+        warehouse,
+        CORPUS_TABLE,
+        ph.withColumn("_id", F.col("doc_id").cast("string")),
+        key="_id",
+        order_col=None,
+    )
+    assert not warehouse.table_exists(INDEX_TABLE)
+    assert reconcile_phash_index(warehouse) == 2
+    assert warehouse.read(INDEX_TABLE).count() == 8
+    res = ingest_image_phash(warehouse, _batch(spark, [(4, _T1)]))
+    assert (res.n_accepted, res.n_rejected) == (0, 1)
+
+
+# --------------------------------------------------------------------
 # Property: 4-band banding is LOSSLESS at the Hamming-3 threshold
 # --------------------------------------------------------------------
 

@@ -24,6 +24,33 @@ def _corpus_state(wh):
     return sorted((r.vec_id, r.cid) for r in rows)
 
 
+def test_intra_batch_duplicate_rows_collapse(spark, tmp_path):
+    """Gate-family contract: byte-identical (vec_id, embedding)
+    repeats inside one batch collapse before scoring."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    v, w = [0.10] * 8, [-0.35] * 8
+    batch = spark.createDataFrame(
+        [(1, v), (1, v), (2, w)], "vec_id long, embedding array<double>"
+    )
+    res = ingest_semantic(wh, batch)
+    assert res.n_batch == 2
+    assert res.n_accepted + res.n_rejected == 2
+
+
+def test_intra_batch_id_conflict_fails_loudly(spark, tmp_path):
+    """Same vec_id, two different embeddings, one batch: the in-cell
+    id-order probe would be nondeterministic — refuse before any
+    write."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    batch = spark.createDataFrame(
+        [(1, [0.10] * 8), (1, [0.20] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="more than one distinct embedding"):
+        ingest_semantic(wh, batch)
+    assert not wh.table_exists(CORPUS_TABLE)
+
+
 def test_stream_gate_matches_sequential_batch_calls(spark, tmp_path):
     """Two availableNow micro-batch runs over a file stream must land
     the same corpus (ids + cells) and the same per-epoch admission
