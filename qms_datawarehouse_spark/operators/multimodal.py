@@ -610,7 +610,17 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from qms_datawarehouse_spark.planaudit import checkpoint_result
 
-    return checkpoint_result("dedup_image_phash", out, ph)
+    res = checkpoint_result("dedup_image_phash", out, ph)
+    # evidence guard (same contract as the top-k row): the fixture
+    # carries real near-dup structure at every sf — an EMPTY pair set
+    # hash-matching an empty oracle would be a vacuous green
+    if not res.take(1):
+        raise AssertionError(
+            "dedup_image_phash: zero verified pairs — the fixture has "
+            "near-dup structure at every sf; suspect a band-layout or "
+            "thumbnail-kernel regression"
+        )
+    return res
 
 
 # --------------------------------------------------------------------
@@ -622,6 +632,11 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates at sf0.001 — an empty result verifies nothing)
 _PHASH_QUERY_DOC = 2
 _PHASH_TOPK = 10
+# evidence floor: the banded probe must yield at least this many
+# candidates or the query FAILS instead of returning a trivially-
+# small result that would hash-match an equally-trivial oracle
+# (measured: 8 candidates at sf0.001, 6 at sf0.01, 57 at sf0.1)
+_PHASH_MIN_CANDIDATES = 3
 
 
 def _phash_topk_sql() -> str:
@@ -682,6 +697,21 @@ def similarity_image_phash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+    # evidence guard: a layout/hashing regression that empties (or
+    # near-empties) the banded candidate set must fail LOUDLY, not
+    # hash-match a trivial oracle result. The count is over the
+    # bounded candidate set (the persisted hash frame feeds it), and
+    # it must run as an ACTION here — a row-expression guard cannot
+    # fire when zero rows flow through the plan.
+    n_cand = cand.count()
+    if n_cand < _PHASH_MIN_CANDIDATES:
+        raise AssertionError(
+            f"similarity_image_phash_topk: banded probe yielded only "
+            f"{n_cand} candidates (< {_PHASH_MIN_CANDIDATES}) for query "
+            f"doc {_PHASH_QUERY_DOC} — the result would be too small to "
+            "carry hash-check evidence; suspect a band-layout or "
+            "thumbnail-kernel regression"
+        )
     qh = ph.filter(F.col("doc_id") == _PHASH_QUERY_DOC).select(
         *[F.col(f"b{i}").alias(f"q{i}") for i in range(_PHASH_BANDS)]
     )
@@ -700,3 +730,236 @@ def similarity_image_phash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qms_datawarehouse_spark.planaudit import checkpoint_result
 
     return checkpoint_result("similarity_image_phash_topk", out, ph)
+
+
+# --------------------------------------------------------------------
+# Audio fingerprint dedup: chromaprint-style energy-delta bits over
+# the binary payload, banded-LSH candidates, exact Hamming verify —
+# the audio member of the multimodal dedup family (image: dHash above)
+# --------------------------------------------------------------------
+
+AUDIO_FP_CELLS = 65  # energy-profile samples -> 64 delta bits
+_AUDIO_FP_BANDS = 4  # 16 bits per band (shared pigeonhole recipe)
+_AUDIO_FP_T = 3  # max Hamming distance for a near-dup pair
+
+AUDIO_FP_SCHEMA = PHASH_SCHEMA  # (doc_id, b0..b3) — same band shape
+
+
+def fake_audio_energy_profile(content: bytes) -> list[int]:
+    """STUB 'decode + energy profile': a deterministic 65-sample
+    loudness profile from the payload bytes — the contract a real
+    fingerprinter satisfies with decoded PCM (chromaprint computes
+    per-frame chroma energies; ``chromaprint_energy_profile`` below is
+    the gated real-codec twin's seam). Per micro-frame energy = the
+    3-byte moving-window sum mod 256; the BAG of energies is sorted
+    and quantile-sampled, the order-invariance standing in for the
+    re-encode robustness a real fingerprint gets from time-aligned
+    PCM (position-locked frames put this corpus's near-identical
+    payloads at Hamming >= 16 — measured; the same lesson as the
+    image stub's shift-invariant bigram bag, multimodal.py above).
+
+    Deliberately a DIFFERENT feature than the image kernel (window
+    SUM of three samples — a smooth low-pass "energy", vs the image's
+    multiplicative bigram hash): the two fingerprints disagree on
+    unrelated payloads, so the two dedup rows carry independent
+    evidence. Total over all payloads: < 3 bytes pads with NULs to 3
+    (b'' profiles to all-zeros — empty clips are Hamming-0 dups of
+    each other), never an IndexError."""
+    if len(content) < 3:
+        content = content + b"\x00" * (3 - len(content))
+    v = sorted(
+        (content[i] + content[i + 1] + content[i + 2]) % 256
+        for i in range(len(content) - 2)
+    )
+    n = len(v)
+    return [v[(n * k) // AUDIO_FP_CELLS] for k in range(AUDIO_FP_CELLS)]
+
+
+def chromaprint_energy_profile(content: bytes) -> list[int]:
+    """REAL fingerprint seam: decode + per-frame chroma energy via a
+    codec library (librosa/chromaprint), reduced to the same 65-int
+    profile contract as the stub so it slots into
+    ``audio_fp_bands_with`` unchanged. The library is not in this
+    image — importable the moment it exists, the ``pil_image_grid``
+    pattern."""
+    import librosa  # noqa: F401 — the dependency IS the seam
+
+    raise NotImplementedError(
+        "chromaprint_energy_profile: wire librosa frame energies to "
+        "the 65-sample profile contract when the codec lib lands"
+    )
+
+
+def audio_fp_bands_with(profile_fn):
+    """Fingerprint kernel with the pluggable profile step: per
+    payload, 64 energy-delta bits (profile[k] < profile[k+1]) packed
+    as FOUR 16-bit band integers — the same never-signed-64 packing
+    as the dHash kernel, so banding, XOR and bit_count agree between
+    Spark and DuckDB. Vectorized numpy over the Arrow batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = np.int64(1) << (np.arange(64) % 16)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "b0": [], "b1": [],
+                     "b2": [], "b3": []}
+                )
+                continue
+            P = np.stack(pdf["content"].map(profile_fn).to_numpy())
+            bits = (P[:, :-1] < P[:, 1:]).astype(np.int64)
+            out = {"doc_id": pdf["doc_id"]}
+            for i in range(_AUDIO_FP_BANDS):
+                sl = slice(16 * i, 16 * (i + 1))
+                out[f"b{i}"] = (bits[:, sl] * weights[sl]).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+audio_fp_bands = audio_fp_bands_with(fake_audio_energy_profile)
+
+
+def _audio_fp_bands_cte() -> str:
+    """The stub fingerprint re-derived in SQL: 3-byte moving-window
+    sums mod 256 from the hex dump, sorted, 65 quantile samples, 64
+    delta bits, 4 band ints — the audio twin of ``_phash_bands_cte``."""
+    byte = "CAST('0x' || substr(h, 2 * CAST({i} AS INT) + 1, 2) AS INT)"
+    return f"""raw AS (
+        SELECT doc_id,
+               hex(CASE WHEN octet_length(encode(text)) < 3
+                        THEN encode(text) ||
+                             repeat('\\x00'::BLOB,
+                                    3 - octet_length(encode(text)))
+                        ELSE encode(text) END) AS h
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    ),
+    bg AS (
+        SELECT doc_id,
+               list_sort(list_transform(
+                   range(0, octet_length(from_hex(h)) - 2),
+                   i -> ({byte.format(i="i")} + {byte.format(i="i + 1")}
+                         + {byte.format(i="i + 2")}) % 256)) AS v
+        FROM raw
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, {AUDIO_FP_CELLS}),
+                   k -> v[CAST((len(v) * k) // {AUDIO_FP_CELLS} AS INT)
+                          + 1]) AS s
+        FROM bg
+    ),
+    bits AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), j ->
+                   CASE WHEN s[j + 1] < s[j + 2] THEN 1 ELSE 0 END) AS bit
+        FROM g
+    ),
+    bands AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16),
+                   j -> bit[j + 1] * (1 << j))) AS INT) AS b0,
+               CAST(list_sum(list_transform(range(16, 32),
+                   j -> bit[j + 1] * (1 << (j % 16)))) AS INT) AS b1,
+               CAST(list_sum(list_transform(range(32, 48),
+                   j -> bit[j + 1] * (1 << (j % 16)))) AS INT) AS b2,
+               CAST(list_sum(list_transform(range(48, 64),
+                   j -> bit[j + 1] * (1 << (j % 16)))) AS INT) AS b3
+        FROM bits
+    )"""
+
+
+def _audio_fp_oracle_sql() -> str:
+    """Dedup oracle: shared fingerprint pipeline + brute-force Hamming
+    pair join (the oracle may go all-pairs; the Spark plan must not)."""
+    return f"""
+    WITH {_audio_fp_bands_cte()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS BIGINT) AS hamming
+    FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        <= {_AUDIO_FP_T}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_audio_fingerprint", _audio_fp_oracle_sql())
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint near-duplicate detection over the BINARY
+    payload column — the audio member of the multimodal dedup family
+    (``dedup_image_phash`` is the image member; this row completes
+    the "multimodal columns" brief for the audio modality).
+
+    Pipeline: pluggable fingerprint decode (``fake_audio_energy_
+    profile`` stub / ``chromaprint_energy_profile`` real-codec seam)
+    → 64 energy-delta bits packed as four 16-bit band ints → banded
+    LSH candidates → exact Hamming verify at T=3 (``_AUDIO_FP_T``).
+    Banding is pigeonhole-LOSSLESS at T=3 with 4 bands (the property
+    test_phash_gate pins for this packing), so the banded plan is
+    value-identical to the oracle's brute-force pair join.
+
+    Scale shape: decode+fingerprint is one Arrow-batched map pass;
+    candidates come from a (band, value) equi-join over 4 rows/doc —
+    sum(bucket^2) work, never all-pairs; verify joins are doc-keyed
+    equi-joins over the candidate set. Fingerprints never materialize
+    as signed 64-bit values, so Spark and DuckDB agree bit for bit.
+
+    Reference capability analog: none (reference stores raw blobs in
+    Mongo, src/core/db.py; SURVEY §2.12's multimodal layer)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    blobs = (
+        with_binary_content(documents)
+        .filter(F.length("content") > 0)
+        .select("doc_id", "content")
+    )
+    fp = blobs.mapInPandas(audio_fp_bands, schema=AUDIO_FP_SCHEMA).persist()
+    bands = band_rows(fp)
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "v")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "v"),
+            ["band", "v"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_AUDIO_FP_BANDS)],
+    )
+    hb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_AUDIO_FP_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(_AUDIO_FP_BANDS)
+    )
+    out = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= _AUDIO_FP_T)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    res = checkpoint_result("dedup_audio_fingerprint", out, fp)
+    # evidence guard (family contract): the fixture carries real
+    # near-dup structure at every sf — an empty pair set would be a
+    # vacuous hash-match
+    if not res.take(1):
+        raise AssertionError(
+            "dedup_audio_fingerprint: zero verified pairs — the fixture "
+            "has near-dup structure at every sf; suspect an energy-"
+            "profile or band-packing regression"
+        )
+    return res

@@ -41,82 +41,83 @@ from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 
-# Round-9 rotation: CORRECTNESS_r08 came back 50/50 fully green, so
-# every r8 slot is free to rotate. This window (a) retires the LAST
-# round-3-aged evidence (all 15 rows queued by r8 — after this green,
-# nothing in the registry has evidence older than round 5); (b) takes
-# the two never-driver-checked rows (graph_triangles_lsh, landed
-# after the r8 freeze, and the round-9 addition dedup_image_phash);
-# (c) anchors every query whose CODE changed this round — the four
-# single-partition-window rewrites (dedup_semantic_scaled /
-# semantic-gate seed cuts, corpus_curation two-pass budget,
-# sketch_kmv_setops bottom-K) and the BPE escaping/zero-div hardening
-# (text_bpe_encode); (d) fills the remaining 28 slots with the oldest
-# round-5-cohort rows, CORRECTNESS_r05 order.
+# Round-10 rotation: CORRECTNESS_r09 came back 50/50 fully green, so
+# every r9 slot is free to rotate. This window (a) RETIRES THE
+# ROUND-5 EVIDENCE TIER — all 22 rows queued by r9 enter (the two
+# never-checked round-9 late additions rfm_segments_approx /
+# similarity_image_phash_topk plus the 20 r5-aged rows), after which
+# nothing in the registry carries evidence older than round 6;
+# (b) takes the round-10 addition dedup_audio_fingerprint
+# (never-checked); (c) anchors every query over round-10-touched
+# code — the gate-family hardening (incremental_dedup/semantic_gate:
+# ingest_gate_probe + semantic_gate_replay_two_epochs) and the phash
+# evidence guards (multimodal.py: dedup_image_phash; the top-k twin
+# is already in via the queue); (d) fills the remaining 23 slots
+# with the oldest round-6-cohort rows, CORRECTNESS_r06 order.
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
     # ---- never-driver-checked -----------------------------------
-    "graph_triangles_lsh",
+    "dedup_audio_fingerprint",
+    "rfm_segments_approx",
+    "similarity_image_phash_topk",  # ALSO r10-touched (min-cand guard)
+    # ---- anchors over round-10-touched code -----------------------
     "dedup_image_phash",
-    # ---- anchors over round-9-touched code -----------------------
-    "dedup_semantic_scaled",
+    "ingest_gate_probe",
     "semantic_gate_replay_two_epochs",
-    "text_bpe_encode",
-    "sketch_kmv_setops",
-    # ---- the full round-8 queue: the last 15 round-3-aged rows ----
-    "corpus_curation",  # ALSO round-9-touched (two-pass budget cut)
-    "curation_domain_mix",
-    "text_repetition",
-    "text_inverted_index",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "growth_daily_users",
-    "robust_outliers_mad",
-    "attribution_last_touch",
-    "basket_type_lift",
-    "revenue_share_by_nation",
-    "revenue_yoy_growth",
-    "calendar_fill_gaps",
-    "agg_rollup",
-    "semi_anti_join",
-    # ---- freshness: the 28 oldest round-5 rows --------------------
-    "cdc_resolution_probe",
-    "cdc_replay_two_epochs",
-    "curation_sample_exact_k",
-    "entity_match_blocked",
-    "curation_shuffle_shards",
-    "curation_repeat_upsample",
-    "curation_temperature_mix",
-    "curation_temporal_split",
-    "privacy_k_anonymity",
-    "curation_quality_weighted_sample",
-    "dedup_clusters",
-    "dedup_passages",
-    "dedup_canonical",
-    "dedup_split_leakage",
-    "curation_split_by_cluster",
-    "dedup_cross_source_matrix",
-    "dedup_minhash_recall_audit",
-    "dedup_containment",
-    "similarity_pq_adc",
-    "similarity_ivfpq",
-    "profile_orders",
-    "similarity_truncated_rerank",
-    "scd2_asof_lookup",
-    "event_transitions",
-    "text_tfidf_topk",
-    "text_top_bigrams",
-    "text_normalize",
-    "text_bigram_lm_score",
+    # ---- the full round-9 queue: the last 20 round-5-aged rows ----
+    "w4_dist_functions",
+    "agg_mode_exact",
+    "events_gap_islands",
+    "sketch_cms_heavy_hitters",
+    "sketch_bottomk_quantiles",
+    "a6_daily_rate_stats",
+    "s1_incremental_scan",
+    "d1_dedup_last_write",
+    "histogram_order_value",
+    "rfm_segments",
+    "stats_sufficient_moments",
+    "timeseries_ohlc_daily",
+    "experiment_ab_ttest",
+    "rolling_7d_active_users",
+    "json_schema_profile",
+    "j2_orders_customer",
+    "p4_projection",
+    "q1_pricing_summary",
+    "dq_referential_integrity",
+    "session_path_analysis",
+    # ---- freshness: the 23 oldest round-6 rows --------------------
+    "embedding_label_coherence",
+    "seasonality_dow_index",
+    "funnel_time_to_convert",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "asof_join_last_purchase",
+    "d3_set_ops",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "grouped_pandas_zscore",
+    "pivot_status_by_year",
+    "q10_returned_revenue",
+    "q12_priority_lines",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q21_sole_late_supplier",
+    "q3_shipping_priority",
 ]
 
 # Allocation note: once this window lands green, the staleness ledger
-# reads: nothing older than round 5, and exactly 20 round-5 rows
+# reads: nothing older than round 6, and exactly 22 round-6 rows
 # remain (queued in tests/test_driver_window.py QUEUED_NEXT_WINDOW
-# for r10 — one more rotation retires the r5 tier). Next-round
-# slots: (a) any red rows from CORRECTNESS_r09, (b) queries added in
-# round 10, (c) the queued 20, (d) the round-6 cohort, oldest first.
+# for r11 — one more rotation retires the r6 tier). Next-round
+# slots: (a) any red rows from CORRECTNESS_r10, (b) queries added in
+# round 11, (c) the queued 22, (d) the round-7 cohort, oldest first.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

@@ -16,16 +16,18 @@ import os
 
 from qms_datawarehouse_spark.plans import _DRIVER_WINDOW, REGISTRY, queries_map
 
-# r9 anchors: flagship + every query whose code materially changed
-# this round — the four single-partition-window rewrites and the BPE
-# escaping/zero-division hardening.
+# r10 anchors: flagship + every query whose code materially changed
+# this round — the gate-family hardening (intra-batch dup handling in
+# incremental_dedup/semantic_gate; the phash gate itself has no
+# registered query, its pytest suite covers it) and the phash
+# evidence guards in multimodal.py.
 ANCHORS = [
     "flagship_staff_report",
-    "dedup_semantic_scaled",
+    "ingest_gate_probe",
     "semantic_gate_replay_two_epochs",
-    "text_bpe_encode",
-    "sketch_kmv_setops",
-    "corpus_curation",
+    "dedup_image_phash",
+    "similarity_image_phash_topk",
+    "dedup_audio_fingerprint",
 ]
 
 
@@ -58,39 +60,38 @@ def test_anchors_inside_window():
 
 # queries ADDED this round (no driver row possible yet): either
 # already swapped into the window, or queued here for the next window
-# so nothing falls through. The r9 rotation emptied the entire r8
-# staging queue (all 16 entries — graph_triangles_lsh + the 15
-# round-3-aged rows — are in-window, as is the round-9 addition
-# dedup_image_phash). r10 pool: the 20 round-5-aged rows the 50-slot
-# r9 window couldn't fit — all ever-green (r5), so the invariant
-# doesn't force them; the queue is the bookkeeping that they MUST
-# enter the r10 window, which retires the round-5 evidence tier.
+# so nothing falls through. The r10 rotation emptied the entire r9
+# staging queue (all 22 entries — rfm_segments_approx,
+# similarity_image_phash_topk, and the 20 round-5-aged rows — are
+# in-window, as is the round-10 addition dedup_audio_fingerprint,
+# which retires the round-5 evidence tier when green). r11 pool: the
+# 22 round-6-cohort rows the 50-slot r10 window couldn't fit — all
+# ever-green (r6), so the invariant doesn't force them; the queue is
+# the bookkeeping that they MUST enter the r11 window, which retires
+# the round-6 evidence tier.
 QUEUED_NEXT_WINDOW: list[str] = [
-    # round-9 late additions (landed after the r9 window froze): the
-    # histogram-threshold sibling of rfm_segments and the retrieval
-    # twin of dedup_image_phash
-    "rfm_segments_approx",
-    "similarity_image_phash_topk",
-    "w4_dist_functions",
-    "agg_mode_exact",
-    "events_gap_islands",
-    "sketch_cms_heavy_hitters",
-    "sketch_bottomk_quantiles",
-    "a6_daily_rate_stats",
-    "s1_incremental_scan",
-    "d1_dedup_last_write",
-    "histogram_order_value",
-    "rfm_segments",
-    "stats_sufficient_moments",
-    "timeseries_ohlc_daily",
-    "experiment_ab_ttest",
-    "rolling_7d_active_users",
-    "json_schema_profile",
-    "j2_orders_customer",
-    "p4_projection",
-    "q1_pricing_summary",
-    "dq_referential_integrity",
-    "session_path_analysis",
+    "q4_priority_late_ship",
+    "q5_region_revenue",
+    "q8_market_share",
+    "range_join_purchases_1h",
+    "scalar_subquery",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    "unpivot_status_counts",
+    "w4_first_last",
+    "w4_lag_lead",
+    "w4_rank_family",
+    "attribution_position_weighted",
+    "privacy_l_diversity",
+    "dedup_minhash_estimate_audit",
+    "dq_content_checksum",
+    "similarity_ivf_probe",
+    "curation_contamination",
+    "multimodal_features",
+    "t9_tumbling_hourly",
+    "s8_point_lookup",
 ]
 
 

@@ -95,6 +95,10 @@ TOP_OPS = [
     "similarity_image_phash_topk",
     "corpus_curation",
     "sketch_kmv_setops",
+    # round-10: audio-fingerprint near-dup (banded Hamming LSH over
+    # the energy-profile bands — same rotation-preserving replica
+    # argument as the image row)
+    "dedup_audio_fingerprint",
 ]
 
 # per-table key columns to offset per replica (join consistency);
