@@ -100,6 +100,51 @@ def test_curate_cli_ingest_gate(spark, tmp_path, capsys):
     assert m and m2 and m.group(1) == m2.group(1)
 
 
+def test_curate_cli_phash_gate(spark, tmp_path, capsys):
+    """--phash-gate drops image near-dup payloads before publishing,
+    maintains the gate's warehouse state, and a replayed run converges
+    (keyed upsert: same published row count, nothing re-admitted)."""
+    import re
+
+    import tools.curate as curate
+    from qms_datawarehouse_spark.operators.phash_gate import (
+        CORPUS_TABLE,
+        INDEX_TABLE,
+    )
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    wh_dir = str(tmp_path / "wh")
+    argv = ["--input", src, "--warehouse", wh_dir, "--out", "curated",
+            "--phash-gate", "--master", "local[4]"]
+    assert curate.main(argv) == 0
+    first = capsys.readouterr().out
+    m = re.search(
+        r"phash-gate: (\d+) payloads, (\d+) admitted, (\d+) image near-dups",
+        first,
+    )
+    assert m, first
+    n_batch, n_adm, n_rej = map(int, m.groups())
+    assert n_batch == n_adm + n_rej
+    assert n_rej > 0  # the fixture has phash near-dup structure
+
+    wh = ParquetWarehouse(spark, wh_dir)
+    # published table excludes the rejected payloads
+    assert wh.read("curated").count() == 500 - n_rej
+    # gate state maintained: hash corpus == admitted, 4 bands each
+    assert wh.read(CORPUS_TABLE).count() == n_adm
+    assert wh.read(INDEX_TABLE).count() == 4 * n_adm
+
+    # replay: re-sent ids self-pair only with their own stored rows
+    # (id-inequality skip) — same published count, same gate state
+    assert curate.main(argv) == 0
+    out = capsys.readouterr().out
+    m2 = re.search(r"curated curated: \d+ -> (\d+) rows", out)
+    m1 = re.search(r"curated curated: \d+ -> (\d+) rows", first)
+    assert m1 and m2 and m1.group(1) == m2.group(1)
+    assert wh.read(CORPUS_TABLE).count() == n_adm
+
+
 def test_apply_cdc_cli_end_to_end(spark, tmp_path, capsys):
     import tools.apply_cdc as apply_cdc
 

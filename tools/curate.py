@@ -16,6 +16,10 @@ docs/SCALING.md "Curation layer"):
    ``{out}_sequences`` with the (shard, seq) → docs layout)
 6. profile report     (``--profile``; one-scan column statistics of
    the published table, printed per column)
+7. admission gates    (``--ingest-gate``: text MinHash near-dup gate;
+   ``--phash-gate``: image perceptual-hash gate over the binary
+   payload — both maintain their warehouse state tables and compose,
+   phash filtering first)
 
 Usage:
     python tools/curate.py --input /root/testdata/sf0.01/documents.parquet \
@@ -101,6 +105,16 @@ def main(argv: list[str] | None = None) -> int:
         "corpus (corpus_docs/corpus_lsh tables) instead of writing "
         "the batch unconditionally",
     )
+    ap.add_argument(
+        "--phash-gate",
+        action="store_true",
+        help="ALSO gate the binary payload through the image "
+        "perceptual-hash near-dup gate (image_phash_corpus/_bands "
+        "tables): payloads whose dHash is within Hamming 3 of the "
+        "stored corpus (or a lower-id batch-mate) are dropped before "
+        "publishing; composes with --ingest-gate (phash filters "
+        "first, the text gate admits the remainder)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -174,6 +188,32 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.split:
         df = assign_split(df)
+
+    if args.phash_gate:
+        # multimodal admission: the image-phash gate maintains its own
+        # hash-corpus + band-index state in the warehouse and reports
+        # exact counts; rejected ids come back as the UNCAPPED pair
+        # report (bounded by the batch — the CLI processes one batch,
+        # unlike the streaming twin) and drop via a broadcast anti-join
+        from qms_datawarehouse_spark.operators.multimodal import (
+            with_binary_content,
+        )
+        from qms_datawarehouse_spark.operators.phash_gate import (
+            ingest_image_phash,
+        )
+
+        payloads = with_binary_content(df).select("doc_id", "content")
+        pres = ingest_image_phash(wh, payloads, max_rejects=None)
+        print(
+            f"phash-gate: {pres.n_batch} payloads, "
+            f"{pres.n_accepted} admitted, {pres.n_rejected} image near-dups"
+        )
+        rej_ids = sorted({r[0] for r in pres.rejected})
+        if rej_ids:
+            rej_df = spark.createDataFrame(
+                [(i,) for i in rej_ids], "doc_id long"
+            )
+            df = df.join(F.broadcast(rej_df), "doc_id", "left_anti")
 
     if args.k_anon:
         # audit BEFORE anything is written: this is the release gate,
