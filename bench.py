@@ -156,6 +156,7 @@ HEADLINE = [
     "similarity_image_phash_topk",
     # round-10 additions
     "dedup_audio_fingerprint",
+    "phash_gate_replay_two_epochs",
 ]
 
 

@@ -963,3 +963,194 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "profile or band-packing regression"
         )
     return res
+
+
+# --------------------------------------------------------------------
+# Phash-gate replay: the image admission gate's math as a stateless,
+# driver-verifiable two-epoch program (the ingest_gate_replay mold)
+# --------------------------------------------------------------------
+
+
+def _phash_gate_replay_sql() -> str:
+    """Two-epoch replay oracle: the shared band pipeline, Hamming
+    pairs at T (banding is pigeonhole-lossless, so the brute-force
+    pair join IS the gate's banded candidate+verify), then the gate
+    family's admission scaffold — epoch 1 (even ids) canonicalizes
+    in-batch (lowest id wins), admitted docs become the corpus;
+    epoch 2 (odd ids) rejects in-batch the same way plus against
+    epoch-1 ADMITTED docs only (rejected docs never enter the index,
+    so they cannot veto). The ``((x % 2) + 2) % 2`` form mirrors
+    Spark's pmod (DuckDB's % truncates toward zero)."""
+    return f"""
+    WITH {_phash_bands_cte()},
+    ver AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            <= {_PHASH_T}
+    ),
+    ep AS (
+        SELECT doc_id,
+               CAST(((doc_id % 2) + 2) % 2 AS INT) AS odd
+        FROM raw
+    ),
+    vere AS (
+        SELECT v.da, v.db, ea.odd AS oa, eb.odd AS ob
+        FROM ver v
+        JOIN ep ea ON v.da = ea.doc_id
+        JOIN ep eb ON v.db = eb.doc_id
+    ),
+    rej1 AS (SELECT DISTINCT db AS doc_id FROM vere WHERE oa = 0 AND ob = 0),
+    adm1 AS (
+        SELECT doc_id FROM ep WHERE odd = 0
+        AND doc_id NOT IN (SELECT doc_id FROM rej1)
+    ),
+    rej2in AS (SELECT DISTINCT db AS doc_id FROM vere WHERE oa = 1 AND ob = 1),
+    sym AS (
+        SELECT da AS x, db AS y FROM ver
+        UNION ALL SELECT db AS x, da AS y FROM ver
+    ),
+    rej2cross AS (
+        SELECT DISTINCT s.x AS doc_id
+        FROM sym s
+        JOIN ep e2 ON s.x = e2.doc_id AND e2.odd = 1
+        JOIN adm1 a ON s.y = a.doc_id
+    ),
+    rej AS (
+        SELECT doc_id FROM rej1
+        UNION SELECT doc_id FROM rej2in
+        UNION SELECT doc_id FROM rej2cross
+    ),
+    status AS (
+        SELECT e.doc_id, e.odd + 1 AS epoch,
+               CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rej
+        FROM ep e LEFT JOIN rej r ON e.doc_id = r.doc_id
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(1 - is_rej) AS BIGINT) AS n_accepted,
+           CAST(sum(is_rej) AS BIGINT) AS n_rejected,
+           CAST(COALESCE(sum(CASE WHEN is_rej = 1 THEN doc_id END), 0)
+                AS BIGINT) AS rejected_ids_sum
+    FROM status GROUP BY epoch ORDER BY epoch
+    """
+
+
+@query("phash_gate_replay_two_epochs", _phash_gate_replay_sql())
+def phash_gate_replay_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-phash admission gate's math (operators/phash_gate.
+    ingest_image_phash, driven per-epoch by streaming/sync.
+    stream_ingest_image_phash) as a stateless, value-checked two-epoch
+    replay — the mold ``ingest_gate_replay_two_epochs`` (MinHash) and
+    ``semantic_gate_replay_two_epochs`` (SemDeDup) set, completing
+    driver-verifiable coverage for all three gate-family members.
+
+    Non-empty payloads split by doc_id parity: EVEN ids land as
+    epoch 1, ODD as epoch 2. Epoch 1 canonicalizes in-batch (a doc is
+    rejected iff a Hamming<=T pair links it to a LOWER in-batch id —
+    the gate's rule, not transitive); admitted docs become the
+    corpus + band index. Epoch 2 rejects in-batch the same way PLUS
+    any doc within Hamming T of an epoch-1 ADMITTED doc (the index
+    holds only admitted entries, so epoch-1 rejects cannot veto).
+    Near-dup = banded candidate then exact Hamming <= T — banding is
+    pigeonhole-lossless at T=3, so the oracle's brute-force pair join
+    computes the identical pair set. Output = per-epoch admission
+    stats with the rejected id-set checksum IN the value hash.
+
+    Scale shape: candidates from the (band, value) equi-join only
+    (never all-pairs on the Spark side); the admission scaffold is
+    id-keyed semi/anti joins over the bounded verified-pair set; the
+    per-doc status frame aggregates to two rows in one shuffle."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    blobs = (
+        with_binary_content(documents)
+        .filter(F.length("content") > 0)
+        .select("doc_id", "content")
+    )
+    ph = blobs.mapInPandas(dhash_bands, schema=PHASH_SCHEMA).persist()
+    bands = band_rows(ph)
+    cand = (
+        bands.select(F.col("doc_id").alias("da"), "band", "v")
+        .join(
+            bands.select(F.col("doc_id").alias("db"), "band", "v"),
+            ["band", "v"],
+        )
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    ha = ph.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_PHASH_BANDS)],
+    )
+    hb = ph.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_PHASH_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(_PHASH_BANDS)
+    )
+    ver = (
+        cand.join(ha, "da")
+        .join(hb, "db")
+        .filter(ham.cast("long") <= _PHASH_T)
+        .select("da", "db")
+        .persist()
+    )
+
+    ep = blobs.select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("odd")
+    )
+    ea = ep.select(F.col("doc_id").alias("da"), F.col("odd").alias("oa"))
+    eb = ep.select(F.col("doc_id").alias("db"), F.col("odd").alias("ob"))
+    vere = ver.join(ea, "da").join(eb, "db")
+
+    rej1 = (
+        vere.filter((F.col("oa") == 0) & (F.col("ob") == 0))
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    adm1 = ep.filter(F.col("odd") == 0).join(rej1, "doc_id", "left_anti")
+    rej2_in = vere.filter((F.col("oa") == 1) & (F.col("ob") == 1)).select(
+        F.col("db").alias("doc_id")
+    )
+    sym = ver.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionByName(ver.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    rej2_cross = (
+        sym.join(
+            ep.filter(F.col("odd") == 1).select(F.col("doc_id").alias("x")),
+            "x",
+            "left_semi",
+        )
+        .join(adm1.select(F.col("doc_id").alias("y")), "y", "left_semi")
+        .select(F.col("x").alias("doc_id"))
+    )
+    rej = rej1.unionByName(rej2_in).unionByName(rej2_cross).distinct()
+
+    status = (
+        ep.withColumn("epoch", (F.col("odd") + 1).cast("int"))
+        .join(rej.withColumn("is_rej", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id", "epoch", F.coalesce("is_rej", F.lit(0)).alias("is_rej")
+        )
+    )
+    out = (
+        status.groupBy("epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_batch"),
+            F.sum(1 - F.col("is_rej")).cast("long").alias("n_accepted"),
+            F.sum("is_rej").cast("long").alias("n_rejected"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_rej") == 1, F.col("doc_id"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("rejected_ids_sum"),
+        )
+        .orderBy("epoch")
+    )
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result("phash_gate_replay_two_epochs", out, ver, ph)

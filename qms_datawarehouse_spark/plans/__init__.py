@@ -47,18 +47,22 @@ from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, que
 # never-checked round-9 late additions rfm_segments_approx /
 # similarity_image_phash_topk plus the 20 r5-aged rows), after which
 # nothing in the registry carries evidence older than round 6;
-# (b) takes the round-10 addition dedup_audio_fingerprint
-# (never-checked); (c) anchors every query over round-10-touched
-# code — the gate-family hardening (incremental_dedup/semantic_gate:
-# ingest_gate_probe + semantic_gate_replay_two_epochs) and the phash
-# evidence guards (multimodal.py: dedup_image_phash; the top-k twin
-# is already in via the queue); (d) fills the remaining 23 slots
-# with the oldest round-6-cohort rows, CORRECTNESS_r06 order.
+# (b) takes the two round-10 additions — dedup_audio_fingerprint and
+# phash_gate_replay_two_epochs (both never-checked); (c) anchors
+# every query over round-10-touched code — the gate-family hardening
+# (incremental_dedup/semantic_gate: ingest_gate_probe +
+# semantic_gate_replay_two_epochs) and the phash evidence guards
+# (multimodal.py: dedup_image_phash; the top-k twin is already in
+# via the queue); (d) fills the remaining 22 slots with the oldest
+# round-6-cohort rows, CORRECTNESS_r06 order (q3_shipping_priority,
+# the 23rd-oldest, yields its slot to the replay row and heads the
+# r11 queue).
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
     # ---- never-driver-checked -----------------------------------
     "dedup_audio_fingerprint",
+    "phash_gate_replay_two_epochs",
     "rfm_segments_approx",
     "similarity_image_phash_topk",  # ALSO r10-touched (min-cand guard)
     # ---- anchors over round-10-touched code -----------------------
@@ -109,7 +113,6 @@ _DRIVER_WINDOW = [
     "q18_large_orders",
     "q19_bracket_revenue",
     "q21_sole_late_supplier",
-    "q3_shipping_priority",
 ]
 
 # Allocation note: once this window lands green, the staleness ledger

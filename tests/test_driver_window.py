@@ -64,12 +64,14 @@ def test_anchors_inside_window():
 # staging queue (all 22 entries — rfm_segments_approx,
 # similarity_image_phash_topk, and the 20 round-5-aged rows — are
 # in-window, as is the round-10 addition dedup_audio_fingerprint,
-# which retires the round-5 evidence tier when green). r11 pool: the
-# 22 round-6-cohort rows the 50-slot r10 window couldn't fit — all
-# ever-green (r6), so the invariant doesn't force them; the queue is
-# the bookkeeping that they MUST enter the r11 window, which retires
-# the round-6 evidence tier.
+# which retires the round-5 evidence tier when green; the second r10
+# addition phash_gate_replay_two_epochs is in-window too). r11 pool:
+# the 23 round-6-cohort rows the 50-slot r10 window couldn't fit —
+# all ever-green (r6), so the invariant doesn't force them; the
+# queue is the bookkeeping that they MUST enter the r11 window,
+# which retires the round-6 evidence tier.
 QUEUED_NEXT_WINDOW: list[str] = [
+    "q3_shipping_priority",
     "q4_priority_late_ship",
     "q5_region_revenue",
     "q8_market_share",

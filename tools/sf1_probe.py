@@ -97,8 +97,9 @@ TOP_OPS = [
     "sketch_kmv_setops",
     # round-10: audio-fingerprint near-dup (banded Hamming LSH over
     # the energy-profile bands — same rotation-preserving replica
-    # argument as the image row)
+    # argument as the image row) + the phash gate's stateless replay
     "dedup_audio_fingerprint",
+    "phash_gate_replay_two_epochs",
 ]
 
 # per-table key columns to offset per replica (join consistency);
