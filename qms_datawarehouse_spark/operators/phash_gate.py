@@ -16,12 +16,15 @@ band-index maintenance problem is identical once columns share names.
 
 Crash window (the gate-family commit order): corpus upsert lands
 BEFORE the index rebuild, so a crash between the two leaves accepted
-hash rows invisible to the band probe — near-dups of those payloads
+hash rows invisible to the band probe (first ingest) or visible under
+the REPLACED content's stale band values (re-ingestion) — near-dups
 would be admitted until the index catches up. Because the hash IS
-the stored state, recovery is free: ``reconcile_phash_index`` derives
-the missing band rows straight off the corpus hash columns (no
-payload re-decode) and appends them; the streaming twin runs it once
-at startup so a restarted pipeline self-heals before its first epoch.
+the stored state, recovery is free: ``reconcile_phash_index`` diffs
+the expected band rows (re-derived from the corpus hash columns — no
+payload re-decode) against the index at (doc_id, band_id, bv)
+granularity and rewrites every disagreeing doc's rows; the streaming
+twin runs it once at startup so a restarted pipeline self-heals
+before its first epoch.
 
 Reference capability analog: none (reference stores raw blobs in
 Mongo, src/core/db.py:28-32; this is SURVEY §2.12's multimodal
@@ -55,6 +58,10 @@ class PhashIngestResult:
     rejected: list = field(default_factory=list)  # (new_id, old_id, hamming)
     # report only, capped at ``max_rejects`` pairs; counts stay exact
     rejects_truncated: bool = False
+    # EXACT distinct rejected ids, sorted — O(batch) driver memory by
+    # construction (ids, never pairs), so consumers filtering the
+    # batch (the curate CLI) need not uncap the quadratic pair report
+    rejected_ids: list = field(default_factory=list)
 
 
 def _hash_batch(batch: DataFrame) -> DataFrame:
@@ -239,7 +246,11 @@ def ingest_image_phash(
             cross_dups.select(F.col("new_id").alias("doc_id"))
         )
 
-    n_rejected = dup_ids.distinct().count()
+    # one bounded collect serves both the exact count and the exact
+    # id report (ids are <= batch size — never the pair report's
+    # quadratic worst case)
+    rejected_ids = sorted(r[0] for r in dup_ids.distinct().collect())
+    n_rejected = len(rejected_ids)
     accepted_ph = ph.join(dup_ids.distinct(), "doc_id", "left_anti")
     n_accepted = n_batch - n_rejected
 
@@ -301,7 +312,12 @@ def ingest_image_phash(
     ph.unpersist()
     bands.unpersist()
     return PhashIngestResult(
-        n_batch, n_accepted, n_rejected, sorted(rejected), truncated
+        n_batch,
+        n_accepted,
+        n_rejected,
+        sorted(rejected),
+        truncated,
+        rejected_ids=rejected_ids,
     )
 
 
@@ -310,19 +326,25 @@ def reconcile_phash_index(
     corpus_table: str = CORPUS_TABLE,
     index_table: str = INDEX_TABLE,
 ) -> int:
-    """Repair the crash window between the two gate commits: corpus
-    rows whose doc_id has NO band rows in the index (the state a crash
-    after the corpus upsert but before the index rebuild leaves
-    behind) get their four band rows re-derived from the STORED hash
-    columns — the hash is the stored state, so this never re-decodes
-    a payload — and appended through the same partitioned
-    ``_index_append`` the ingest path uses. Returns the number of
-    corpus rows healed (0 when corpus and index agree).
+    """Repair the crash window between the two gate commits: diff the
+    EXPECTED band rows (re-derived from the stored hash columns — the
+    hash is the stored state, so this never re-decodes a payload)
+    against the index at (doc_id, band_id, bv) granularity, and
+    rewrite the index rows of every disagreeing doc through the same
+    partitioned ``_index_append`` the ingest path uses. Tuple-level
+    diffing matters: a crash after a RE-INGESTION's corpus upsert
+    leaves the doc_id present in the index but under the OLD
+    content's band values — an id-presence check would call that
+    healthy while near-dups of the new content sail through (and
+    near-dups of the replaced content keep matching). Covers all
+    three divergences: missing docs (first-ingest crash), stale band
+    values (re-ingestion crash), and orphaned index docs (no corpus
+    row). Returns the number of docs healed (0 when the two agree).
 
-    Cost: one distinct-id pass over the index — a STARTUP/recovery
-    scan, deliberately not on the per-batch path (which stays
-    O(batch) via partition pruning). The streaming twin calls this
-    once before its first epoch."""
+    Cost: one pass over the index plus the corpus-derived expected
+    rows — a STARTUP/recovery scan, deliberately not on the per-batch
+    path (which stays O(batch) via partition pruning). The streaming
+    twin calls this once before its first epoch."""
     from qms_datawarehouse_spark.operators.incremental_dedup import (
         BVB_COL,
         _bv_bucket,
@@ -332,14 +354,44 @@ def reconcile_phash_index(
     if not warehouse.table_exists(corpus_table):
         return 0
     corpus = warehouse.read(corpus_table)
-    if warehouse.table_exists(index_table):
-        indexed = warehouse.read(index_table).select("doc_id").distinct()
-        missing = corpus.join(indexed, "doc_id", "left_anti").persist()
-    else:
-        missing = corpus.persist()
-    n_missing = missing.count()
-    if n_missing:
-        entries = _band_rows(missing).withColumn(BVB_COL, _bv_bucket())
-        _index_append(warehouse, index_table, entries)
-    missing.unpersist()
-    return n_missing
+    expected = _band_rows(corpus)
+    if not warehouse.table_exists(index_table):
+        affected = expected.select("doc_id").distinct().persist()
+        n_affected = affected.count()
+        if n_affected:
+            _index_append(
+                warehouse,
+                index_table,
+                expected.withColumn(BVB_COL, _bv_bucket()),
+            )
+        affected.unpersist()
+        return n_affected
+    index = warehouse.read(index_table)
+    keys = ["doc_id", "band_id", "bv"]
+    missing = expected.join(index.select(*keys), keys, "left_anti")
+    stale = index.select(*keys).join(expected, keys, "left_anti")
+    affected = (
+        missing.select("doc_id")
+        .unionByName(stale.select("doc_id"))
+        .distinct()
+        .persist()
+    )
+    n_affected = affected.count()
+    if n_affected:
+        new_entries = expected.join(
+            affected, "doc_id", "left_semi"
+        ).withColumn(BVB_COL, _bv_bucket())
+        # the affected docs' CURRENT index rows pin every partition
+        # their stray entries can live in; _index_append drops all
+        # rows of those doc_ids there before the fresh rows land
+        stale_entries = (
+            index.join(affected, "doc_id", "left_semi")
+            .select(*keys)
+            .withColumn(BVB_COL, _bv_bucket())
+            .persist()
+        )
+        stale_entries.count()  # pin before the index version swaps
+        _index_append(warehouse, index_table, new_entries, stale_entries)
+        stale_entries.unpersist()
+    affected.unpersist()
+    return n_affected

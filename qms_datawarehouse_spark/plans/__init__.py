@@ -116,11 +116,11 @@ _DRIVER_WINDOW = [
 ]
 
 # Allocation note: once this window lands green, the staleness ledger
-# reads: nothing older than round 6, and exactly 22 round-6 rows
+# reads: nothing older than round 6, and exactly 23 round-6 rows
 # remain (queued in tests/test_driver_window.py QUEUED_NEXT_WINDOW
 # for r11 — one more rotation retires the r6 tier). Next-round
 # slots: (a) any red rows from CORRECTNESS_r10, (b) queries added in
-# round 11, (c) the queued 22, (d) the round-7 cohort, oldest first.
+# round 11, (c) the queued 23, (d) the round-7 cohort, oldest first.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

@@ -308,6 +308,55 @@ def test_reconcile_heals_crash_window(spark, warehouse):
     assert res.rejected == [(4, 3, 0)]
 
 
+def test_reconcile_heals_reingestion_crash(spark, warehouse):
+    """The subtler crash: a RE-INGESTED doc's corpus upsert lands but
+    the index rebuild doesn't — the doc_id is still present in the
+    index, just under the OLD content's band values. An id-presence
+    check would call that healthy; the tuple-level diff rewrites the
+    doc's rows, so dups of the NEW content reject and dups of the
+    REPLACED content admit again."""
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.operators.phash_gate import (
+        _hash_batch,
+        reconcile_phash_index,
+    )
+
+    ingest_image_phash(warehouse, _batch(spark, [(7, _T4)]))
+    # the crash: corpus now says 7 == hash(_T5); index still bands(_T4)
+    ph_new = _hash_batch(_batch(spark, [(7, _T5)]))
+    merge_upsert(
+        warehouse,
+        CORPUS_TABLE,
+        ph_new.withColumn("_id", F.col("doc_id").cast("string")),
+        key="_id",
+        order_col=None,
+    )
+    assert reconcile_phash_index(warehouse) == 1
+    assert warehouse.read(INDEX_TABLE).count() == 4  # old rows replaced
+
+    res_new = ingest_image_phash(warehouse, _batch(spark, [(8, _T5)]))
+    assert (res_new.n_accepted, res_new.n_rejected) == (0, 1)
+    assert res_new.rejected == [(8, 7, 0)]
+    assert res_new.rejected_ids == [8]
+    res_old = ingest_image_phash(warehouse, _batch(spark, [(9, _T4)]))
+    assert (res_old.n_accepted, res_old.n_rejected) == (1, 0)
+
+
+def test_rejected_ids_exact_under_capped_pair_report(spark, warehouse):
+    """rejected_ids stays EXACT (distinct ids, O(batch)) even when the
+    pair REPORT is capped to fewer entries than there are pairs."""
+    rows = [(1, b""), (2, None), (3, _T1), (4, b"")]
+    res = ingest_image_phash(
+        warehouse,
+        spark.createDataFrame(rows, "doc_id long, content binary"),
+        max_rejects=1,
+    )
+    assert res.rejects_truncated
+    assert len(res.rejected) == 1
+    assert res.rejected_ids == [2, 4]
+    assert res.n_rejected == 2
+
+
 def test_reconcile_noop_when_consistent(spark, warehouse):
     from qms_datawarehouse_spark.operators.phash_gate import (
         reconcile_phash_index,

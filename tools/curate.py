@@ -189,32 +189,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.split:
         df = assign_split(df)
 
-    if args.phash_gate:
-        # multimodal admission: the image-phash gate maintains its own
-        # hash-corpus + band-index state in the warehouse and reports
-        # exact counts; rejected ids come back as the UNCAPPED pair
-        # report (bounded by the batch — the CLI processes one batch,
-        # unlike the streaming twin) and drop via a broadcast anti-join
-        from qms_datawarehouse_spark.operators.multimodal import (
-            with_binary_content,
-        )
-        from qms_datawarehouse_spark.operators.phash_gate import (
-            ingest_image_phash,
-        )
-
-        payloads = with_binary_content(df).select("doc_id", "content")
-        pres = ingest_image_phash(wh, payloads, max_rejects=None)
-        print(
-            f"phash-gate: {pres.n_batch} payloads, "
-            f"{pres.n_accepted} admitted, {pres.n_rejected} image near-dups"
-        )
-        rej_ids = sorted({r[0] for r in pres.rejected})
-        if rej_ids:
-            rej_df = spark.createDataFrame(
-                [(i,) for i in rej_ids], "doc_id long"
-            )
-            df = df.join(F.broadcast(rej_df), "doc_id", "left_anti")
-
     if args.k_anon:
         # audit BEFORE anything is written: this is the release gate,
         # not a post-mortem. k comes from the operator module (imported
@@ -235,6 +209,33 @@ def main(argv: list[str] | None = None) -> int:
         if viol and args.k_anon_enforce:
             print(f"refusing to publish {args.out} (--k-anon-enforce)")
             return 2
+
+    if args.phash_gate:
+        # multimodal admission — placed AFTER the k-anon release gate
+        # (like --ingest-gate below) so a refused publication writes
+        # NOTHING, gate state included. The gate maintains its
+        # hash-corpus + band-index tables and reports exact counts;
+        # the exact rejected-id list is O(batch) by construction
+        # (never the pair report, whose dup-clustered worst case is
+        # quadratic) and drops rows via a broadcast anti-join.
+        from qms_datawarehouse_spark.operators.multimodal import (
+            with_binary_content,
+        )
+        from qms_datawarehouse_spark.operators.phash_gate import (
+            ingest_image_phash,
+        )
+
+        payloads = with_binary_content(df).select("doc_id", "content")
+        pres = ingest_image_phash(wh, payloads)
+        print(
+            f"phash-gate: {pres.n_batch} payloads, "
+            f"{pres.n_accepted} admitted, {pres.n_rejected} image near-dups"
+        )
+        if pres.rejected_ids:
+            rej_df = spark.createDataFrame(
+                [(i,) for i in pres.rejected_ids], "doc_id long"
+            )
+            df = df.join(F.broadcast(rej_df), "doc_id", "left_anti")
 
     if args.ingest_gate:
         from qms_datawarehouse_spark.operators.incremental_dedup import (
