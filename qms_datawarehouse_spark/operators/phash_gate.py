@@ -48,6 +48,10 @@ from qms_datawarehouse_spark.operators.merge import merge_upsert
 
 CORPUS_TABLE = "image_phash_corpus"
 INDEX_TABLE = "image_phash_bands"
+# the audio twin's state tables (same layout: four 16-bit band ints
+# per payload + the bv-partitioned band index)
+AUDIO_CORPUS_TABLE = "audio_fp_corpus"
+AUDIO_INDEX_TABLE = "audio_fp_bands"
 
 
 @dataclass
@@ -64,15 +68,17 @@ class PhashIngestResult:
     rejected_ids: list = field(default_factory=list)
 
 
-def _hash_batch(batch: DataFrame) -> DataFrame:
-    """(doc_id, b0..b3) via the Arrow-batched dHash kernel — the same
-    pluggable-decode seam the query rows use (stub byte-bigram grid
-    today, a real codec thumbnail when the library exists). TOTAL
-    over the batch: NULL content coalesces to b"" and the stub grid
-    is defined for empty payloads (all-zero bands — empty payloads
-    are Hamming-0 dups of each other), so every batch row is hashed,
-    admitted-or-rejected, and counted — the EXACT-counts contract
-    never silently drops a row."""
+def _hash_batch(batch: DataFrame, kernel=None) -> DataFrame:
+    """(doc_id, b0..b3) via an Arrow-batched banded-hash kernel — the
+    same pluggable-decode seam the query rows use (stub byte-bigram
+    grid / audio energy profile today, a real codec when the library
+    exists). ``kernel`` defaults to the image dHash; the audio gate
+    passes ``audio_fp_bands``. TOTAL over the batch: NULL content
+    coalesces to b"" and both stub kernels are defined for empty
+    payloads (all-zero bands — empty payloads are Hamming-0 dups of
+    each other), so every batch row is hashed, admitted-or-rejected,
+    and counted — the EXACT-counts contract never silently drops a
+    row."""
     from qms_datawarehouse_spark.operators.multimodal import (
         PHASH_SCHEMA,
         dhash_bands,
@@ -81,7 +87,7 @@ def _hash_batch(batch: DataFrame) -> DataFrame:
     return batch.select(
         "doc_id",
         F.coalesce(F.col("content"), F.lit(b"")).alias("content"),
-    ).mapInPandas(dhash_bands, schema=PHASH_SCHEMA)
+    ).mapInPandas(kernel or dhash_bands, schema=PHASH_SCHEMA)
 
 
 def _band_rows(ph: DataFrame) -> DataFrame:
@@ -130,6 +136,8 @@ def ingest_image_phash(
     index_table: str = INDEX_TABLE,
     n_buckets: int = 64,
     max_rejects: int | None = 10_000,
+    kernel=None,
+    op_name: str = "ingest_image_phash",
 ) -> PhashIngestResult:
     """Admit ``batch`` payloads (``doc_id``, ``content``) whose dHash
     is not within Hamming T of the stored corpus or of a lower-id
@@ -171,7 +179,7 @@ def ingest_image_phash(
     )
     if conflict:
         raise ValueError(
-            "ingest_image_phash: doc_id "
+            f"{op_name}: doc_id "
             f"{conflict[0][0]!r} appears in this batch with more than one "
             "distinct payload — no deterministic winner; dedupe upstream"
         )
@@ -180,7 +188,7 @@ def ingest_image_phash(
     if n_batch == 0:
         return PhashIngestResult(0, 0, 0, [])
 
-    ph = _hash_batch(batch).persist()
+    ph = _hash_batch(batch, kernel).persist()
     bands = _band_rows(ph).persist()
 
     rejected: list[tuple] = []
@@ -318,6 +326,37 @@ def ingest_image_phash(
         sorted(rejected),
         truncated,
         rejected_ids=rejected_ids,
+    )
+
+
+def ingest_audio_fingerprint(
+    warehouse: ParquetWarehouse,
+    batch: DataFrame,
+    corpus_table: str = AUDIO_CORPUS_TABLE,
+    index_table: str = AUDIO_INDEX_TABLE,
+    n_buckets: int = 64,
+    max_rejects: int | None = 10_000,
+) -> PhashIngestResult:
+    """The AUDIO member of the banded-hash admission gate: identical
+    storage layout, probe, commit, replay and reconcile semantics as
+    the image gate above — only the Arrow-batched kernel differs
+    (``audio_fp_bands``: chromaprint-style energy-delta bits, the
+    ``dedup_audio_fingerprint`` row's fingerprint). Both fingerprints
+    pack as four 16-bit band ints at T=3, so the pigeonhole-lossless
+    banding argument and every downstream mechanism (bv-partitioned
+    index, keyed upsert, tuple-level reconcile) are shared code, not
+    parallel copies."""
+    from qms_datawarehouse_spark.operators.multimodal import audio_fp_bands
+
+    return ingest_image_phash(
+        warehouse,
+        batch,
+        corpus_table=corpus_table,
+        index_table=index_table,
+        n_buckets=n_buckets,
+        max_rejects=max_rejects,
+        kernel=audio_fp_bands,
+        op_name="ingest_audio_fingerprint",
     )
 
 

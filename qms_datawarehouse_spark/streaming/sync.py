@@ -354,6 +354,66 @@ def stream_ingest_image_phash(
     return writer.start()
 
 
+def stream_ingest_audio_fingerprint(
+    stream_df: DataFrame,
+    warehouse: ParquetWarehouse,
+    corpus_table: str | None = None,
+    index_table: str | None = None,
+    checkpoint_dir: str | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    available_now: bool = False,
+    on_result=None,
+) -> StreamingQuery:
+    """Streaming audio-payload ingestion through the fingerprint
+    admission gate — ``phash_gate.ingest_audio_fingerprint`` lifted to
+    a live pipeline exactly as the image twin above: same delivery
+    contract (at-least-once replay into convergent state), same
+    startup self-heal (``reconcile_phash_index`` over the AUDIO state
+    tables — the reconcile is kernel-independent because the hash IS
+    the stored state), different Arrow-batched kernel."""
+    from qms_datawarehouse_spark.operators import phash_gate as pg
+
+    corpus_table = corpus_table or pg.AUDIO_CORPUS_TABLE
+    index_table = index_table or pg.AUDIO_INDEX_TABLE
+    pg.reconcile_phash_index(
+        warehouse, corpus_table=corpus_table, index_table=index_table
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        bad = batch_df.filter(F.col(id_col).try_cast("long").isNull())
+        bad_row = bad.select(id_col).take(1)
+        if bad_row:
+            raise ValueError(
+                f"stream_ingest_audio_fingerprint requires numeric "
+                f"{id_col!r} values; got {bad_row[0][0]!r} "
+                f"(epoch {epoch_id})"
+            )
+        payloads = batch_df.select(
+            F.col(id_col).try_cast("long").alias("doc_id"),
+            F.col(content_col).cast("binary").alias("content"),
+        )
+        res = pg.ingest_audio_fingerprint(
+            warehouse,
+            payloads,
+            corpus_table=corpus_table,
+            index_table=index_table,
+        )
+        if on_result is not None:
+            on_result(epoch_id, res)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_apply_changes(
     stream_df: DataFrame,
     warehouse: ParquetWarehouse,

@@ -145,6 +145,41 @@ def test_curate_cli_phash_gate(spark, tmp_path, capsys):
     assert wh.read(CORPUS_TABLE).count() == n_adm
 
 
+def test_curate_cli_audio_gate(spark, tmp_path, capsys):
+    """--audio-gate: the phash-gate contract under the audio kernel —
+    rejections counted, gate state in the AUDIO tables, published
+    table excludes the rejected payloads."""
+    import re
+
+    import tools.curate as curate
+    from qms_datawarehouse_spark.operators.phash_gate import (
+        AUDIO_CORPUS_TABLE,
+        AUDIO_INDEX_TABLE,
+    )
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    wh_dir = str(tmp_path / "wh")
+    rc = curate.main(
+        ["--input", src, "--warehouse", wh_dir, "--out", "curated",
+         "--audio-gate", "--master", "local[4]"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    m = re.search(
+        r"audio-gate: (\d+) payloads, (\d+) admitted, (\d+) audio near-dups",
+        out,
+    )
+    assert m, out
+    n_batch, n_adm, n_rej = map(int, m.groups())
+    assert n_batch == n_adm + n_rej and n_rej > 0
+
+    wh = ParquetWarehouse(spark, wh_dir)
+    assert wh.read("curated").count() == 500 - n_rej
+    assert wh.read(AUDIO_CORPUS_TABLE).count() == n_adm
+    assert wh.read(AUDIO_INDEX_TABLE).count() == 4 * n_adm
+
+
 def test_apply_cdc_cli_end_to_end(spark, tmp_path, capsys):
     import tools.apply_cdc as apply_cdc
 

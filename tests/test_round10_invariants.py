@@ -103,6 +103,25 @@ def test_audio_dedup_returns_nonempty_verified_pairs(spark):
         assert r.hamming <= mm._AUDIO_FP_T
 
 
+def test_audio_kernel_is_reversal_invariant_image_kernel_is_not():
+    """The two multimodal fingerprints differ in a PROVABLE way, not
+    just by constants: the audio energy bag (commutative 3-byte
+    window sums) is invariant under payload reversal, while the image
+    bigram hash (a*31 + b, non-commutative) is not — this is why the
+    audio write probe decorrelates its batch with a letter rotation
+    where the image probe can use reversal."""
+    from qms_datawarehouse_spark.operators.multimodal import (
+        fake_audio_energy_profile,
+        fake_image_grid,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog " * 12).encode()
+    assert fake_audio_energy_profile(base) == fake_audio_energy_profile(
+        base[::-1]
+    )
+    assert fake_image_grid(base) != fake_image_grid(base[::-1])
+
+
 def test_chromaprint_seam_gated_on_library():
     """The real-codec twin raises the DEPENDENCY when librosa is
     absent (auto-activates the moment the image gains the lib)."""

@@ -115,6 +115,13 @@ def main(argv: list[str] | None = None) -> int:
         "publishing; composes with --ingest-gate (phash filters "
         "first, the text gate admits the remainder)",
     )
+    ap.add_argument(
+        "--audio-gate",
+        action="store_true",
+        help="ALSO gate the binary payload through the audio "
+        "fingerprint near-dup gate (audio_fp_corpus/_bands tables) — "
+        "the --phash-gate contract with the energy-fingerprint kernel",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -210,10 +217,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"refusing to publish {args.out} (--k-anon-enforce)")
             return 2
 
-    if args.phash_gate:
+    def _payload_gate(frame, gate_fn, label, noun):
         # multimodal admission — placed AFTER the k-anon release gate
         # (like --ingest-gate below) so a refused publication writes
-        # NOTHING, gate state included. The gate maintains its
+        # NOTHING, gate state included. Each gate maintains its own
         # hash-corpus + band-index tables and reports exact counts;
         # the exact rejected-id list is O(batch) by construction
         # (never the pair report, whose dup-clustered worst case is
@@ -221,21 +228,35 @@ def main(argv: list[str] | None = None) -> int:
         from qms_datawarehouse_spark.operators.multimodal import (
             with_binary_content,
         )
+
+        payloads = with_binary_content(frame).select("doc_id", "content")
+        res = gate_fn(wh, payloads)
+        print(
+            f"{label}: {res.n_batch} payloads, "
+            f"{res.n_accepted} admitted, {res.n_rejected} {noun} near-dups"
+        )
+        if res.rejected_ids:
+            rej_df = spark.createDataFrame(
+                [(i,) for i in res.rejected_ids], "doc_id long"
+            )
+            frame = frame.join(F.broadcast(rej_df), "doc_id", "left_anti")
+        return frame
+
+    if args.phash_gate:
         from qms_datawarehouse_spark.operators.phash_gate import (
             ingest_image_phash,
         )
 
-        payloads = with_binary_content(df).select("doc_id", "content")
-        pres = ingest_image_phash(wh, payloads)
-        print(
-            f"phash-gate: {pres.n_batch} payloads, "
-            f"{pres.n_accepted} admitted, {pres.n_rejected} image near-dups"
+        df = _payload_gate(df, ingest_image_phash, "phash-gate", "image")
+
+    if args.audio_gate:
+        from qms_datawarehouse_spark.operators.phash_gate import (
+            ingest_audio_fingerprint,
         )
-        if pres.rejected_ids:
-            rej_df = spark.createDataFrame(
-                [(i,) for i in pres.rejected_ids], "doc_id long"
-            )
-            df = df.join(F.broadcast(rej_df), "doc_id", "left_anti")
+
+        df = _payload_gate(
+            df, ingest_audio_fingerprint, "audio-gate", "audio"
+        )
 
     if args.ingest_gate:
         from qms_datawarehouse_spark.operators.incremental_dedup import (

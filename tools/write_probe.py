@@ -269,6 +269,76 @@ def probe_ingest_phash(spark, sf_dir: str) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_ingest_audio(spark, sf_dir: str) -> float:
+    """The phash write probe under the AUDIO kernel (shared gate core,
+    different fingerprint): seed the audio gate state, then time one
+    fixed 50-payload batch through ``ingest_audio_fingerprint``.
+    Decorrelation transform differs from the image probe's REVERSAL
+    because the 3-byte window SUM is commutative — a reversed payload
+    has the IDENTICAL energy bag (Hamming 0, measured), so reversed
+    batches would be 100%% constructed near-dups; a Caesar-13 letter
+    rotation is non-linear on byte values (wrap) and measures min
+    self-distance 13."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.incremental_dedup import (
+        BVB_COL,
+        _bv_bucket,
+    )
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.operators.multimodal import audio_fp_bands
+    from qms_datawarehouse_spark.operators.phash_gate import (
+        AUDIO_CORPUS_TABLE,
+        AUDIO_INDEX_TABLE,
+        _band_rows,
+        _hash_batch,
+        ingest_audio_fingerprint,
+    )
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    root = tf.mkdtemp(prefix="wp_audio_")
+    try:
+        wh = ParquetWarehouse(spark, root)
+        payloads = _docs(spark, sf_dir).select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+        )
+        hashes = _hash_batch(payloads, kernel=audio_fp_bands)
+        merge_upsert(
+            wh,
+            AUDIO_CORPUS_TABLE,
+            hashes.withColumn("_id", F.col("doc_id").cast("string")),
+            key="_id",
+            order_col=None,
+            n_buckets=SEED_BUCKETS,
+        )
+        wh.write_version(
+            AUDIO_INDEX_TABLE,
+            _band_rows(hashes).withColumn(BVB_COL, _bv_bucket()),
+            partition_by=[BVB_COL],
+        )
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        batch = (
+            _docs(spark, sf_dir)
+            .orderBy("doc_id")
+            .limit(50)
+            .select(
+                (F.col("doc_id") + 10**12).alias("doc_id"),
+                F.encode(
+                    F.translate(F.col("text"), alpha, alpha[13:] + alpha[:13]),
+                    "UTF-8",
+                ).alias("content"),
+            )
+        )
+        batch.collect()
+        t0 = time.monotonic()
+        ingest_audio_fingerprint(wh, batch)
+        return time.monotonic() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_ingest_semantic(spark, sf_dir: str, k: int) -> float:
     """Seed the semantic-gate state (centroids + cell-partitioned
     corpus) directly — O(corpus), no untimed pair stage — then time
@@ -491,6 +561,12 @@ def main(argv: list[str] | None = None) -> int:
                 "ingest_phash_fixed_batch",
                 probe_ingest_phash(spark, BASE),
                 probe_ingest_phash(spark, scaled),
+            )
+        if wanted("ingest_audio_fixed_batch"):
+            emit(
+                "ingest_audio_fixed_batch",
+                probe_ingest_audio(spark, BASE),
+                probe_ingest_audio(spark, scaled),
             )
         if wanted("bloom_refresh_incremental") or wanted(
             "bloom_rebuild_full"
