@@ -966,6 +966,112 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Audio-fingerprint similarity SEARCH: banded probe + Hamming top-k —
+# the retrieval twin of dedup_audio_fingerprint (image twin above)
+# --------------------------------------------------------------------
+
+# fixture query payload: present with >= _AUDIO_FP_MIN_CANDIDATES
+# banded neighbors at EVERY sf (measured via the oracle CTE in DuckDB:
+# 24 candidates at sf0.001, 17 at sf0.01, 6 at sf0.1 — sf-specific
+# corpora, so the count is not monotone in sf)
+_AUDIO_FP_QUERY_DOC = 409
+_AUDIO_FP_TOPK = 10
+# evidence floor (family contract, same as the image topk row): a
+# starved banded probe FAILS instead of hash-matching a trivial oracle
+_AUDIO_FP_MIN_CANDIDATES = 3
+
+
+def _audio_fp_topk_sql() -> str:
+    """Top-k oracle: the shared fingerprint pipeline, then the SAME
+    banded candidate rule the Spark plan uses (share >= 1 of 4 bands
+    with the query payload) — the banded probe is the retrieval
+    CONTRACT, so both engines rank the identical candidate set."""
+    return f"""
+    WITH {_audio_fp_bands_cte()},
+    q AS (SELECT b0, b1, b2, b3 FROM bands
+          WHERE doc_id = {_AUDIO_FP_QUERY_DOC}),
+    cand AS (
+        SELECT b.doc_id, b.b0, b.b1, b.b2, b.b3
+        FROM bands b CROSS JOIN q
+        WHERE b.doc_id <> {_AUDIO_FP_QUERY_DOC}
+          AND (b.b0 = q.b0 OR b.b1 = q.b1 OR b.b2 = q.b2 OR b.b3 = q.b3)
+    )
+    SELECT c.doc_id,
+           CAST(bit_count(xor(c.b0, q.b0)) + bit_count(xor(c.b1, q.b1))
+              + bit_count(xor(c.b2, q.b2)) + bit_count(xor(c.b3, q.b3))
+               AS BIGINT) AS hamming
+    FROM cand c CROSS JOIN q
+    ORDER BY hamming, doc_id
+    LIMIT {_AUDIO_FP_TOPK}
+    """
+
+
+@query("similarity_audio_fp_topk", _audio_fp_topk_sql())
+def similarity_audio_fp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint similarity SEARCH over the binary payload —
+    the retrieval twin of ``dedup_audio_fingerprint``, completing the
+    dedup + retrieval + ingest-gate triple for the audio modality the
+    same way ``similarity_image_phash_topk`` did for images: given one
+    query payload, return the top-k most similar payloads by
+    energy-delta-fingerprint Hamming distance, candidates generated by
+    the banded probe (share >= 1 of 4 bands — the retrieval contract,
+    shared with the oracle).
+
+    Scale shape: the query's 4 (band, value) rows BROADCAST into an
+    equi-join against the corpus band table (at 100 TB with the
+    ``audio_fp_bands`` index this is a 4-bucket point probe — the
+    ingest gate maintains exactly that layout); the Hamming rank is a
+    TakeOrdered(k) over the bounded candidate set, never a global
+    sort. Same Arrow-batched fingerprint seam as the dedup row."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    blobs = (
+        with_binary_content(documents)
+        .filter(F.length("content") > 0)
+        .select("doc_id", "content")
+    )
+    fp = blobs.mapInPandas(audio_fp_bands, schema=AUDIO_FP_SCHEMA).persist()
+    bands = band_rows(fp)
+    qb = bands.filter(F.col("doc_id") == _AUDIO_FP_QUERY_DOC).select(
+        "band", "v"
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["band", "v"])
+        .filter(F.col("doc_id") != _AUDIO_FP_QUERY_DOC)
+        .select("doc_id")
+        .distinct()
+    )
+    # evidence guard (family contract): must run as an ACTION — a
+    # row-expression guard cannot fire when zero rows flow through
+    n_cand = cand.count()
+    if n_cand < _AUDIO_FP_MIN_CANDIDATES:
+        raise AssertionError(
+            f"similarity_audio_fp_topk: banded probe yielded only "
+            f"{n_cand} candidates (< {_AUDIO_FP_MIN_CANDIDATES}) for "
+            f"query doc {_AUDIO_FP_QUERY_DOC} — the result would be too "
+            "small to carry hash-check evidence; suspect an energy-"
+            "profile or band-packing regression"
+        )
+    qh = fp.filter(F.col("doc_id") == _AUDIO_FP_QUERY_DOC).select(
+        *[F.col(f"b{i}").alias(f"q{i}") for i in range(_AUDIO_FP_BANDS)]
+    )
+    ham = sum(
+        F.bit_count(F.col(f"b{i}").bitwiseXOR(F.col(f"q{i}")))
+        for i in range(_AUDIO_FP_BANDS)
+    )
+    out = (
+        cand.join(fp, "doc_id")
+        .crossJoin(F.broadcast(qh))
+        .withColumn("hamming", ham.cast("long"))
+        .select("doc_id", "hamming")
+        .orderBy("hamming", "doc_id")
+        .limit(_AUDIO_FP_TOPK)
+    )
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result("similarity_audio_fp_topk", out, fp)
+
+
+# --------------------------------------------------------------------
 # Phash-gate replay: the image admission gate's math as a stateless,
 # driver-verifiable two-epoch program (the ingest_gate_replay mold)
 # --------------------------------------------------------------------

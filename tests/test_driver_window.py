@@ -94,6 +94,10 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "multimodal_features",
     "t9_tumbling_hourly",
     "s8_point_lookup",
+    # round-10 late addition (landed after the r10 window froze): the
+    # audio retrieval twin, completing the dedup+retrieval+gate triple
+    # for the audio modality
+    "similarity_audio_fp_topk",
 ]
 
 

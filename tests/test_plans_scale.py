@@ -393,6 +393,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "sketch_kmv_setops",
         # 1-row query-hash broadcast onto the banded candidate set
         "similarity_image_phash_topk",
+        # same shape, audio fingerprint domain
+        "similarity_audio_fp_topk",
         # 1-row high-water-mark broadcast x 3-row mode-constant list
         "watermark_late_replay",
         # K-row centroid broadcasts (the shared Lloyd assign stage)

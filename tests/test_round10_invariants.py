@@ -143,6 +143,29 @@ def test_chromaprint_seam_gated_on_library():
             chromaprint_energy_profile(b"payload")
 
 
+def test_audio_topk_guard_fires_on_starved_candidate_set(spark, monkeypatch):
+    """Same regression class as the image twin: an energy-profile or
+    band-packing change that empties the banded probe must FAIL the
+    query, not return a tiny hash-matchable result."""
+    from qms_datawarehouse_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_AUDIO_FP_MIN_CANDIDATES", 10**6)
+    with pytest.raises(AssertionError, match="banded probe yielded only"):
+        mm.similarity_audio_fp_topk(spark, SF_DIR)
+
+
+def test_audio_topk_returns_nontrivial_result(spark):
+    from qms_datawarehouse_spark.operators import multimodal as mm
+
+    rows = mm.similarity_audio_fp_topk(spark, SF_DIR).collect()
+    assert len(rows) >= mm._AUDIO_FP_MIN_CANDIDATES
+    assert {"doc_id", "hamming"} == set(rows[0].asDict())
+    # ranked ascending, deterministic tiebreak
+    assert [
+        (r.hamming, r.doc_id) for r in rows
+    ] == sorted((r.hamming, r.doc_id) for r in rows)
+
+
 def test_phash_dedup_returns_nonempty_pairs(spark):
     """The dedup row's evidence guard passed == the result is
     non-empty; also re-pin pair sanity (a < b, hamming <= T)."""

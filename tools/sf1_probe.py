@@ -100,6 +100,9 @@ TOP_OPS = [
     # argument as the image row) + the phash gate's stateless replay
     "dedup_audio_fingerprint",
     "phash_gate_replay_two_epochs",
+    # round-10 late addition: the audio retrieval twin (4-bucket point
+    # probe — expected ~1.0x, the image topk's posture)
+    "similarity_audio_fp_topk",
 ]
 
 # per-table key columns to offset per replica (join consistency);
