@@ -158,6 +158,7 @@ HEADLINE = [
     "dedup_audio_fingerprint",
     "phash_gate_replay_two_epochs",
     "similarity_audio_fp_topk",
+    "dedup_cross_modal_agreement",
 ]
 
 
@@ -276,8 +277,9 @@ def main() -> None:
                 "host_load_end": _host_load(),
                 "notes": (
                     f"r10: {len(HEADLINE)}-query headline (adds "
-                    "dedup_audio_fingerprint, phash_gate_replay_two_epochs "
-                    "AND similarity_audio_fp_topk); common22 stays the frozen "
+                    "dedup_audio_fingerprint, phash_gate_replay_two_epochs, "
+                    "similarity_audio_fp_topk AND "
+                    "dedup_cross_modal_agreement); common22 stays the frozen "
                     "cross-round signal. NEW: bounded settle-wait before "
                     "timing (poll until loadavg_1m < 1, give up after "
                     "10 min and stamp contaminated=true) — every r7-r9 "

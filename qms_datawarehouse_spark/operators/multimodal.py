@@ -1072,6 +1072,198 @@ def similarity_audio_fp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Cross-modal agreement audit: do the TEXT near-dup detector (n-gram
+# Jaccard) and the PAYLOAD near-dup detector (perceptual hash) agree?
+# --------------------------------------------------------------------
+
+# evidence floor: the audit must see enough pairs AND a real class
+# split (measured: 28 pairs / 2 classes at sf0.001, 25 / 2 at sf0.01,
+# 262 / 3 at sf0.1 — 'image_only' needs corpus mass to appear)
+_XMODAL_MIN_PAIRS = 10
+_XMODAL_MIN_CLASSES = 2
+
+
+def _cross_modal_sql() -> str:
+    """Oracle: the two dedup rows' own pair rules (shared CTEs),
+    full-outer joined on the pair key. jacc_bp is EXACT integer basis
+    points (c * 10000 integer-div union size) — the repo-wide
+    float-avoidance pattern, so both engines hash bit-identically."""
+    from qms_datawarehouse_spark.operators.dedup import (
+        _SHINGLE_CTE,
+        JACCARD_THRESHOLD,
+    )
+
+    return f"""
+    WITH {_SHINGLE_CTE},
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sx a JOIN sx b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    tpairs AS (
+        SELECT doc_a, doc_b,
+               CAST((c * 10000) // (na.n + nb.n - c) AS BIGINT) AS jacc_bp
+        FROM common
+        JOIN sizes na ON common.doc_a = na.doc_id
+        JOIN sizes nb ON common.doc_b = nb.doc_id
+        WHERE c * 1.0 / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    {_phash_bands_cte()},
+    ppairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                  + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                   AS BIGINT) AS hamming
+        FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            <= {_PHASH_T}
+    )
+    SELECT COALESCE(t.doc_a, p.doc_a) AS doc_a,
+           COALESCE(t.doc_b, p.doc_b) AS doc_b,
+           CASE WHEN t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL
+                THEN 'both'
+                WHEN t.doc_a IS NOT NULL THEN 'text_only'
+                ELSE 'image_only' END AS agreement,
+           t.jacc_bp, p.hamming
+    FROM tpairs t FULL OUTER JOIN ppairs p
+      ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_cross_modal_agreement", _cross_modal_sql())
+def dedup_cross_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup AGREEMENT audit — the training-pipeline
+    question the per-modality dedup rows can't answer alone: for every
+    pair flagged by EITHER detector, did the text detector (3-word
+    shingle n-gram Jaccard >= 0.5, ``dedup_ngram_jaccard``'s rule) and
+    the payload detector (dHash Hamming <= T, ``dedup_image_phash``'s
+    rule) agree? 'text_only' pairs are re-encoded/re-rendered payload
+    variants a payload-level gate would wrongly admit; 'image_only'
+    pairs are template documents whose byte signature collides while
+    the wording diverges — each class feeds a different curation
+    policy, which is why the audit reports pairs, not counts.
+
+    Scale shape: both pair generators are the dedup rows' own
+    candidate plans (shingle-keyed and band-keyed equi-joins — never
+    all-pairs; phash banding is pigeonhole-lossless at T=3 so the
+    Spark pair set equals the oracle's brute-force join); the
+    agreement combine is ONE pair-keyed full-outer equi-join over two
+    already-small verified-pair sets."""
+    from qms_datawarehouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _shingled,
+    )
+
+    (documents,) = tables(spark, sf_dir, "documents")
+
+    # -- text pairs: shingle-keyed candidates, exact Jaccard verify ----
+    sh = _shingled(documents).persist()
+    sx = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a, b = sx.alias("a"), sx.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    union_size = F.col("na") + F.col("nb") - F.col("c")
+    tpairs = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.col("c") * 1.0 / union_size >= JACCARD_THRESHOLD)
+        # integral DIV, never float-divide-then-truncate: both engines
+        # compute the exact same basis points (the repo-wide pattern)
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST((c * 10000) DIV (na + nb - c) AS BIGINT) AS jacc_bp",
+        )
+    )
+
+    # -- payload pairs: banded candidates, exact Hamming verify --------
+    blobs = (
+        with_binary_content(documents)
+        .filter(F.length("content") > 0)
+        .select("doc_id", "content")
+    )
+    ph = blobs.mapInPandas(dhash_bands, schema=PHASH_SCHEMA).persist()
+    bands = band_rows(ph)
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "v")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "v"),
+            ["band", "v"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = ph.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_PHASH_BANDS)],
+    )
+    hb = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_PHASH_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(_PHASH_BANDS)
+    )
+    ppairs = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= _PHASH_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+    # -- agreement: one pair-keyed full-outer equi-join -----------------
+    t = tpairs.withColumn("_t", F.lit(1))
+    out = (
+        t.join(ppairs, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(
+                F.col("_t").isNotNull() & F.col("hamming").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("_t").isNotNull(), F.lit("text_only"))
+            .otherwise(F.lit("image_only"))
+            .alias("agreement"),
+            "jacc_bp",
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    res = checkpoint_result("dedup_cross_modal_agreement", out, sh, ph)
+    rows = res.collect()
+    n_classes = len({r["agreement"] for r in rows})
+    if len(rows) < _XMODAL_MIN_PAIRS or n_classes < _XMODAL_MIN_CLASSES:
+        raise AssertionError(
+            f"dedup_cross_modal_agreement: {len(rows)} pairs / "
+            f"{n_classes} agreement classes (need >= {_XMODAL_MIN_PAIRS} "
+            f"/ {_XMODAL_MIN_CLASSES}) — the fixture carries a real "
+            "cross-modal split at every sf; suspect a shingle or "
+            "band-layout regression"
+        )
+    return res
+
+
+# --------------------------------------------------------------------
 # Phash-gate replay: the image admission gate's math as a stateless,
 # driver-verifiable two-epoch program (the ingest_gate_replay mold)
 # --------------------------------------------------------------------

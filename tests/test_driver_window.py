@@ -94,10 +94,11 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "multimodal_features",
     "t9_tumbling_hourly",
     "s8_point_lookup",
-    # round-10 late addition (landed after the r10 window froze): the
+    # round-10 late additions (landed after the r10 window froze): the
     # audio retrieval twin, completing the dedup+retrieval+gate triple
-    # for the audio modality
+    # for the audio modality; and the cross-modal agreement audit
     "similarity_audio_fp_topk",
+    "dedup_cross_modal_agreement",
 ]
 
 

@@ -166,6 +166,41 @@ def test_audio_topk_returns_nontrivial_result(spark):
     ] == sorted((r.hamming, r.doc_id) for r in rows)
 
 
+def test_cross_modal_guard_fires_on_degenerate_split(spark, monkeypatch):
+    """A regression that collapses either pair generator (or the
+    class split) must FAIL the audit, not ship a vacuous result."""
+    from qms_datawarehouse_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_XMODAL_MIN_PAIRS", 10**6)
+    with pytest.raises(AssertionError, match="agreement classes"):
+        mm.dedup_cross_modal_agreement(spark, SF_DIR)
+
+
+def test_cross_modal_agreement_classes_and_bounds(spark):
+    """Per-pair sanity: class label consistent with which metric is
+    present; jacc_bp >= 5000 (the 0.5 threshold in basis points) on
+    text-flagged pairs; hamming <= T on image-flagged pairs."""
+    from qms_datawarehouse_spark.operators import multimodal as mm
+
+    rows = mm.dedup_cross_modal_agreement(spark, SF_DIR).collect()
+    assert len(rows) >= mm._XMODAL_MIN_PAIRS
+    classes = {r.agreement for r in rows}
+    assert len(classes) >= mm._XMODAL_MIN_CLASSES
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        if r.agreement == "both":
+            assert r.jacc_bp is not None and r.hamming is not None
+        elif r.agreement == "text_only":
+            assert r.jacc_bp is not None and r.hamming is None
+        else:
+            assert r.agreement == "image_only"
+            assert r.jacc_bp is None and r.hamming is not None
+        if r.jacc_bp is not None:
+            assert r.jacc_bp >= 5000
+        if r.hamming is not None:
+            assert r.hamming <= mm._PHASH_T
+
+
 def test_phash_dedup_returns_nonempty_pairs(spark):
     """The dedup row's evidence guard passed == the result is
     non-empty; also re-pin pair sanity (a < b, hamming <= T)."""

@@ -100,9 +100,12 @@ TOP_OPS = [
     # argument as the image row) + the phash gate's stateless replay
     "dedup_audio_fingerprint",
     "phash_gate_replay_two_epochs",
-    # round-10 late addition: the audio retrieval twin (4-bucket point
-    # probe — expected ~1.0x, the image topk's posture)
+    # round-10 late additions: the audio retrieval twin (4-bucket
+    # point probe — expected ~1.0x, the image topk's posture) and the
+    # cross-modal agreement audit (two equi-join pair generators +
+    # one pair-keyed combine)
     "similarity_audio_fp_topk",
+    "dedup_cross_modal_agreement",
 ]
 
 # per-table key columns to offset per replica (join consistency);
