@@ -65,6 +65,9 @@ PICKS = {
     "similarity_image_phash_topk": "The query's 4 (band,value) rows broadcast into the corpus band equi-join (4-bucket point probe); the Hamming rank over the bounded candidate set is a TakeOrderedAndProject(k); the 1-row query hash rides a broadcast.",
     "text_bpe_encode": "One corpus tokenization feeds the cached word-frequency table; the 16-merge encode chain is a single map-side projection over DISTINCT words; the word->pieces mapping broadcasts into the token stream; one doc-keyed aggregate ends it.",
     "graph_triangles_lsh": "Bucket assignment is map-side literal-plane folds; edges are band+bucket equi-joins; the wedge join and canonical-pair closure are equi-joins; the 1-row global count rides a broadcast; TakeOrderedAndProject(20) ends it.",
+    "dedup_audio_fingerprint": "Same banded-Hamming shape as dedup_image_phash with the audio energy-delta kernel: one Arrow-batched fingerprint pass, (band,value) equi-join candidates, doc-keyed Hamming verify — never all-pairs.",
+    "similarity_audio_fp_topk": "The audio twin of the image topk: the query's 4 (band,value) rows broadcast into the corpus band equi-join (4-bucket point probe); Hamming rank is a TakeOrderedAndProject(k).",
+    "dedup_cross_modal_agreement": "Both pair generators keep their dedup rows' equi-join plans (shingle-keyed Jaccard, band-keyed Hamming); the agreement combine is ONE pair-keyed full-outer equi-join over two verified-pair sets; jacc_bp is integral DIV, no float truncation.",
     # dedup_split_leakage is intentionally NOT captured: its plan
     # embeds the CC loop's full iterative lineage (thousands of lines,
     # like dedup_clusters) — the audit's own cost is one join + one
