@@ -1250,12 +1250,16 @@ def dedup_cross_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qms_datawarehouse_spark.planaudit import checkpoint_result
 
     res = checkpoint_result("dedup_cross_modal_agreement", out, sh, ph)
-    rows = res.collect()
-    n_classes = len({r["agreement"] for r in rows})
-    if len(rows) < _XMODAL_MIN_PAIRS or n_classes < _XMODAL_MIN_CLASSES:
+    # evidence guard as a ONE-ROW aggregate (never a full collect —
+    # the pair set is small at test sf but corpus-dependent at scale)
+    g = res.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("agreement").alias("k"),
+    ).first()
+    if g["n"] < _XMODAL_MIN_PAIRS or g["k"] < _XMODAL_MIN_CLASSES:
         raise AssertionError(
-            f"dedup_cross_modal_agreement: {len(rows)} pairs / "
-            f"{n_classes} agreement classes (need >= {_XMODAL_MIN_PAIRS} "
+            f"dedup_cross_modal_agreement: {g['n']} pairs / "
+            f"{g['k']} agreement classes (need >= {_XMODAL_MIN_PAIRS} "
             f"/ {_XMODAL_MIN_CLASSES}) — the fixture carries a real "
             "cross-modal split at every sf; suspect a shingle or "
             "band-layout regression"
