@@ -166,6 +166,44 @@ def test_audio_topk_returns_nontrivial_result(spark):
     ] == sorted((r.hamming, r.doc_id) for r in rows)
 
 
+def test_audio_kernel_property_vectorized_equals_scalar():
+    """Hypothesis: over ARBITRARY byte payloads (not just fixture
+    text) the vectorized Arrow kernel and the scalar python reference
+    agree band-for-band — padding, plateau bits, and the 16-bit pack
+    have no payload-shape edge cases. Runs the pandas generator
+    directly (no Spark session needed)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pandas as pd
+
+    from qms_datawarehouse_spark.operators.multimodal import (
+        audio_fp_bands,
+        fake_audio_energy_profile,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=8)
+    )
+    def check(payloads):
+        pdf = pd.DataFrame(
+            {"doc_id": range(len(payloads)), "content": payloads}
+        )
+        (out,) = list(audio_fp_bands(iter([pdf])))
+        for i, content in enumerate(payloads):
+            p = fake_audio_energy_profile(content)
+            bands = [0, 0, 0, 0]
+            for j in range(64):
+                bands[j // 16] |= (1 if p[j] < p[j + 1] else 0) << (j % 16)
+            got = [int(out[f"b{k}"].iloc[i]) for k in range(4)]
+            assert got == bands, (content, got, bands)
+            # 16-bit pack invariant: never a signed-64 value
+            assert all(0 <= b < 65536 for b in got)
+
+    check()
+
+
 def test_cross_modal_guard_fires_on_degenerate_split(spark, monkeypatch):
     """A regression that collapses either pair generator (or the
     class split) must FAIL the audit, not ship a vacuous result."""
