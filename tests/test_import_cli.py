@@ -180,6 +180,56 @@ def test_curate_cli_audio_gate(spark, tmp_path, capsys):
     assert wh.read(AUDIO_INDEX_TABLE).count() == 4 * n_adm
 
 
+def test_curate_cli_all_gates_compose(spark, tmp_path, capsys):
+    """All three admission gates in ONE run (documented order: phash,
+    then audio, then the text MinHash gate): each gate's rejections
+    come out of the PREVIOUS gate's survivors, every gate's state
+    table ends at exactly its own admitted count, and the published
+    row count is the batch minus all three gates' rejections."""
+    import re
+
+    import tools.curate as curate
+    from qms_datawarehouse_spark.operators.phash_gate import (
+        AUDIO_CORPUS_TABLE,
+        CORPUS_TABLE as IMG_CORPUS,
+    )
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    wh_dir = str(tmp_path / "wh")
+    rc = curate.main(
+        ["--input", src, "--warehouse", wh_dir, "--out", "curated",
+         "--phash-gate", "--audio-gate", "--ingest-gate",
+         "--master", "local[4]"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    mp = re.search(
+        r"phash-gate: (\d+) payloads, (\d+) admitted, (\d+)", out
+    )
+    ma = re.search(
+        r"audio-gate: (\d+) payloads, (\d+) admitted, (\d+)", out
+    )
+    mt = re.search(
+        r"ingest-gated curated: (\d+) in, (\d+) admitted, (\d+)", out
+    )
+    assert mp and ma and mt, out
+    p_batch, p_adm, p_rej = map(int, mp.groups())
+    a_batch, a_adm, a_rej = map(int, ma.groups())
+    t_batch, t_adm, t_rej = map(int, mt.groups())
+    # chained admission: each gate sees only the previous survivors
+    assert p_batch == 500
+    assert a_batch == p_adm
+    assert t_batch == a_adm
+    assert p_rej > 0 and a_rej > 0 and t_rej > 0
+
+    wh = ParquetWarehouse(spark, wh_dir)
+    # with --ingest-gate the published table IS the text gate's corpus
+    assert wh.read("curated").count() == t_adm
+    assert wh.read(IMG_CORPUS).count() == p_adm
+    assert wh.read(AUDIO_CORPUS_TABLE).count() == a_adm
+
+
 def test_apply_cdc_cli_end_to_end(spark, tmp_path, capsys):
     import tools.apply_cdc as apply_cdc
 
