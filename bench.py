@@ -159,6 +159,7 @@ HEADLINE = [
     "phash_gate_replay_two_epochs",
     "similarity_audio_fp_topk",
     "dedup_cross_modal_agreement",
+    "join_matview_incremental_replay",
 ]
 
 
@@ -278,8 +279,9 @@ def main() -> None:
                 "notes": (
                     f"r10: {len(HEADLINE)}-query headline (adds "
                     "dedup_audio_fingerprint, phash_gate_replay_two_epochs, "
-                    "similarity_audio_fp_topk AND "
-                    "dedup_cross_modal_agreement); common22 stays the frozen "
+                    "similarity_audio_fp_topk, dedup_cross_modal_agreement "
+                    "AND join_matview_incremental_replay); common22 stays "
+                    "the frozen "
                     "cross-round signal. NEW: bounded settle-wait before "
                     "timing (poll until loadavg_1m < 1, give up after "
                     "10 min and stamp contaminated=true) — every r7-r9 "

@@ -19,6 +19,7 @@ from qms_datawarehouse_spark.operators import (  # noqa: F401
     dedup,
     graph,
     grouped_pandas,
+    join_matview,
     matview,
     multimodal,
     pq,

@@ -101,6 +101,7 @@ QUEUED_NEXT_WINDOW: list[str] = [
     # for the audio modality; and the cross-modal agreement audit
     "similarity_audio_fp_topk",
     "dedup_cross_modal_agreement",
+    "join_matview_incremental_replay",
 ]
 
 

@@ -1,0 +1,170 @@
+"""Join-MV maintenance: create ≡ direct join; fact deltas rewrite
+only their buckets; dim deltas propagate by EXACT changed key (and
+only rewrite the fact buckets holding those keys); dim-key removal
+drops joined rows (inner-join semantics); degraded inputs fall back
+to a correct full recompute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.operators.join_matview import (
+    JoinRefreshResult,
+    create_join_matview,
+    is_join_stale,
+    refresh_join_matview,
+)
+from qms_datawarehouse_spark.operators.merge import merge_upsert, with_bucket
+from qms_datawarehouse_spark.warehouse import BUCKET_COL
+
+N_BUCKETS = 8
+
+
+def _seed(spark, wh, n_facts=200, n_dims=20):
+    facts = spark.range(n_facts).select(
+        F.col("id").cast("string").alias("_id"),
+        (F.col("id") % n_dims).alias("cust_id"),
+        (F.col("id") * 10).alias("cents"),
+        F.lit("2024-01-01").cast("timestamp").alias("updated_at"),
+    )
+    dims = spark.range(n_dims).select(
+        F.col("id").cast("string").alias("_id"),
+        F.col("id").alias("cust_id"),
+        (F.col("id") % 5).alias("segment"),
+        F.lit("2024-01-01").cast("timestamp").alias("updated_at"),
+    )
+    merge_upsert(wh, "facts", facts, n_buckets=N_BUCKETS)
+    merge_upsert(wh, "dims", dims, n_buckets=N_BUCKETS)
+    create_join_matview(
+        wh, "mv", "facts", "dims", dim_key="cust_id", dim_cols=["segment"]
+    )
+
+
+def _mv_rows(wh):
+    return {
+        (r["_id"], r["cust_id"], r["cents"], r["segment"])
+        for r in wh.read("mv")
+        .select("_id", "cust_id", "cents", "segment")
+        .collect()
+    }
+
+
+def _expected(wh):
+    return {
+        (r["_id"], r["cust_id"], r["cents"], r["segment"])
+        for r in wh.read("facts")
+        .join(wh.read("dims").select("cust_id", "segment"), "cust_id")
+        .select("_id", "cust_id", "cents", "segment")
+        .collect()
+    }
+
+
+def test_create_equals_direct_join(spark, warehouse):
+    _seed(spark, warehouse)
+    assert _mv_rows(warehouse) == _expected(warehouse)
+    assert not is_join_stale(warehouse, "mv")
+    assert refresh_join_matview(warehouse, "mv").mode == "fresh"
+
+
+def test_fact_delta_rewrites_only_its_buckets(spark, warehouse):
+    _seed(spark, warehouse)
+    # one updated + one inserted fact — at most 2 touched buckets
+    batch = spark.createDataFrame(
+        [("7", 7 % 20, 99999, "2024-02-01"), ("9000", 3, 11, "2024-02-01")],
+        "`_id` string, cust_id long, cents long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "facts", batch, n_buckets=N_BUCKETS)
+    assert is_join_stale(warehouse, "mv")
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "incremental"
+    assert 0 < res.touched_buckets <= 2 < res.total_buckets
+    assert _mv_rows(warehouse) == _expected(warehouse)
+
+
+def test_dim_delta_propagates_by_exact_key(spark, warehouse):
+    _seed(spark, warehouse)
+    # ONE dim key changes segment: only the fact buckets holding that
+    # key's facts may be rewritten (10 facts of cust 13 over 8
+    # buckets — strictly fewer than all when they cluster, and the
+    # VALUES must move regardless)
+    moved = spark.createDataFrame(
+        [("13", 13, 77, "2024-02-01")],
+        "`_id` string, cust_id long, segment long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "dims", moved, n_buckets=N_BUCKETS)
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "incremental"
+    # the touched set is the OWNING buckets of cust 13's facts, not
+    # every bucket of the changed dim partition's other keys
+    owning = {
+        int(r[0])
+        for r in warehouse.read("facts")
+        .filter(F.col("cust_id") == 13)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    }
+    assert res.touched_buckets == len(owning)
+    got = _mv_rows(warehouse)
+    assert got == _expected(warehouse)
+    assert all(seg == 77 for (_, c, _, seg) in got if c == 13)
+
+
+def test_dim_key_removal_drops_joined_rows(spark, warehouse):
+    _seed(spark, warehouse)
+    # destructive dim rewrite WITHOUT key 5, keeping the bucket
+    # layout: every dim bucket's inode changes, but the row diff
+    # still isolates the ONE vanished key
+    survivors = warehouse.read("dims").filter(F.col("cust_id") != 5)
+    warehouse.write_version("dims", survivors, partition_by=[BUCKET_COL])
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "incremental"
+    got = _mv_rows(warehouse)
+    assert got == _expected(warehouse)
+    assert not any(c == 5 for (_, c, _, _) in got)
+
+
+def test_both_sides_change_in_one_refresh(spark, warehouse):
+    _seed(spark, warehouse)
+    fact_batch = spark.createDataFrame(
+        [("9001", 4, 1234, "2024-02-01")],
+        "`_id` string, cust_id long, cents long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "facts", fact_batch, n_buckets=N_BUCKETS)
+    moved = spark.createDataFrame(
+        [("2", 2, 42, "2024-02-01")],
+        "`_id` string, cust_id long, segment long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "dims", moved, n_buckets=N_BUCKETS)
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "incremental"
+    assert _mv_rows(warehouse) == _expected(warehouse)
+
+
+def test_dim_layout_loss_falls_back_to_full(spark, warehouse):
+    _seed(spark, warehouse)
+    # a dim rewrite that DROPS the bucket layout: the inode diff is
+    # impossible, refresh must recompute fully — and still be right
+    flat = warehouse.read("dims").withColumn(
+        "segment", F.col("segment") + 100
+    )
+    warehouse.write_version("dims", flat)  # no partition_by
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "full"
+    assert _mv_rows(warehouse) == _expected(warehouse)
+
+
+def test_oversized_dim_diff_falls_back_to_full(spark, warehouse):
+    _seed(spark, warehouse)
+    moved = warehouse.read("dims").withColumn(
+        "segment", F.col("segment") + 7
+    )
+    warehouse.write_version("dims", moved, partition_by=[BUCKET_COL])
+    res = refresh_join_matview(warehouse, "mv", max_dim_keys=3)
+    assert res.mode == "full"
+    assert _mv_rows(warehouse) == _expected(warehouse)
+
+
+def test_refresh_result_shape():
+    r = JoinRefreshResult("fresh", 0, 8)
+    assert (r.mode, r.touched_buckets, r.total_buckets) == ("fresh", 0, 8)

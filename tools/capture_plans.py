@@ -75,6 +75,9 @@ PICKS = {
     # matview_incremental_replay is NOT captured either: the returned
     # frame is just the MV read — the interesting plans are the write
     # path's (merge partial + delta agg), pinned in tests instead.
+    # join_matview_incremental_replay follows the same rule (returned
+    # frame = MV read + groupBy; the delta plans are pinned in
+    # tests/test_join_matview.py).
 }
 
 HEADER = """# Physical plans (captured)

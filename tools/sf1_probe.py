@@ -106,6 +106,9 @@ TOP_OPS = [
     # one pair-keyed combine)
     "similarity_audio_fp_topk",
     "dedup_cross_modal_agreement",
+    # round-10 late addition: join-MV maintenance through the real
+    # write path (two bucketed merges + create + refresh per run)
+    "join_matview_incremental_replay",
 ]
 
 # per-table key columns to offset per replica (join consistency);
