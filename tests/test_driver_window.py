@@ -69,9 +69,9 @@ def test_anchors_inside_window():
 # the 23 round-6-cohort rows the 50-slot r10 window couldn't fit —
 # all ever-green (r6), so the invariant doesn't force them; the
 # queue is the bookkeeping that they MUST enter the r11 window,
-# which retires the round-6 evidence tier — plus the two late
+# which retires the round-6 evidence tier — plus the three late
 # round-10 additions (never-checked, so the invariant DOES force
-# them), 25 queued total.
+# them), 26 queued total.
 QUEUED_NEXT_WINDOW: list[str] = [
     "q3_shipping_priority",
     "q4_priority_late_ship",
