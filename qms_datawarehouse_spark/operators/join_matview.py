@@ -151,12 +151,16 @@ def _changed_dim_keys(
     new = warehouse.read(dim_table, version=new_version).filter(
         F.col(BUCKET_COL).isin(vals)
     )
-    cols = [c for c in new.columns]
-    gone_or_edited = old.join(new, cols, "left_anti").select(dim_key)
-    added_or_edited = new.join(old, cols, "left_anti").select(dim_key)
+    # exceptAll, not a column-list anti-join: NULL attribute values
+    # must compare EQUAL to themselves, or a dim row carrying a null
+    # is re-flagged as "changed" on every refresh forever
+    cols = sorted(set(old.columns) & set(new.columns))
+    gone_or_edited = old.select(*cols).exceptAll(new.select(*cols))
+    added_or_edited = new.select(*cols).exceptAll(old.select(*cols))
     return [
         r[0]
-        for r in gone_or_edited.unionByName(added_or_edited)
+        for r in gone_or_edited.select(dim_key)
+        .unionByName(added_or_edited.select(dim_key))
         .distinct()
         .collect()
     ]

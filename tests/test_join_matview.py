@@ -165,6 +165,41 @@ def test_oversized_dim_diff_falls_back_to_full(spark, warehouse):
     assert _mv_rows(warehouse) == _expected(warehouse)
 
 
+def test_null_dim_attribute_not_reflagged(spark, warehouse):
+    """A dim row with a NULL attribute must compare equal to itself
+    across versions (exceptAll, not an anti-join on columns): after a
+    dim rewrite that changes ONLY key 13, the null-attribute key 11
+    must not be in the changed-key set — its facts' buckets stay
+    untouched unless they overlap key 13's."""
+    _seed(spark, warehouse)
+    nulled = spark.createDataFrame(
+        [("11", 11, None, "2024-01-15")],
+        "`_id` string, cust_id long, segment long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "dims", nulled, n_buckets=N_BUCKETS)
+    assert refresh_join_matview(warehouse, "mv").mode == "incremental"
+    # now change ONLY key 13
+    moved = spark.createDataFrame(
+        [("13", 13, 88, "2024-02-01")],
+        "`_id` string, cust_id long, segment long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "dims", moved, n_buckets=N_BUCKETS)
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "incremental"
+    owning_13 = {
+        int(r[0])
+        for r in warehouse.read("facts")
+        .filter(F.col("cust_id") == 13)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    }
+    # exactly key 13's owning buckets — the null-attribute key 11
+    # did not inflate the changed-key set
+    assert res.touched_buckets == len(owning_13)
+    assert _mv_rows(warehouse) == _expected(warehouse)
+
+
 def test_refresh_result_shape():
     r = JoinRefreshResult("fresh", 0, 8)
     assert (r.mode, r.touched_buckets, r.total_buckets) == ("fresh", 0, 8)
