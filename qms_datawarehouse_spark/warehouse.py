@@ -413,6 +413,15 @@ class ParquetWarehouse:
         base they read.
         """
         version, vdir = self._new_version_dir(table)
+        if partition_by:
+            # cluster rows by the partition key before the partitioned
+            # write: without this, EVERY upstream task writes its own
+            # file into every partition dir it holds rows for (32
+            # tasks x N dirs of small files per commit — the classic
+            # small-files problem, and most of the commit latency on
+            # the write-heavy replay rows). One exchange of the
+            # written rows buys ~one file per partition dir.
+            df = df.repartition(*partition_by)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -505,7 +514,12 @@ class ParquetWarehouse:
                 f"lose untouched data — write a full version instead"
             )
         version, vdir = self._new_version_dir(table)
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
+        # same clustering as write_version's partitioned branch: the
+        # touched-bucket rows are one bounded exchange, and each
+        # rewritten dir lands as ~one file instead of one per task
+        df.repartition(partition_col).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(vdir)
 
         touched_dirs = {f"{partition_col}={v}" for v in touched}
         for entry in os.listdir(prev):

@@ -115,9 +115,14 @@ def test_invalid_table_names_rejected(spark, warehouse):
 def test_partial_compaction_touches_only_fragmented_buckets(spark, warehouse):
     """only_fragmented compaction rewrites multi-file buckets into unit
     files and hardlink-inherits already-unit buckets."""
-    # seed writes land multiple shuffle files per bucket dir; the
-    # follow-up merge rewrites one bucket into a unit file — leaving a
-    # mix of fragmented and already-compact buckets
+    # the write path now clusters rows by bucket before partitioned
+    # writes, so commits land ~one file per dir and small fixtures
+    # can't fragment organically (at scale, AQE skew-splits and
+    # maxRecordsPerFile still can) — manufacture the fragmentation:
+    # split two bucket dirs' unit files into two row-disjoint halves
+    # each, same rows, fragmented layout
+    import os
+
     merge_upsert(warehouse, "t", _seed(spark), key="_id", n_buckets=N_BUCKETS)
     upd = spark.createDataFrame(
         [(7, 2, "v2")], "_id long, updated_at int, payload string"
@@ -125,6 +130,29 @@ def test_partial_compaction_touches_only_fragmented_buckets(spark, warehouse):
     merge_upsert(warehouse, "t", upd, key="_id")
 
     vdir = warehouse.current_version_dir("t")
+    for bucket_val in (0, 1):
+        bdir = os.path.join(vdir, f"{BUCKET_COL}={bucket_val}")
+        rows = spark.read.parquet(bdir).cache()
+        rows.count()
+        half = rows.filter(F.col("_id") % 2 == 0)
+        rest = rows.filter(F.col("_id") % 2 != 0)
+        for fn in os.listdir(bdir):
+            if fn.endswith(".parquet"):
+                os.remove(os.path.join(bdir, fn))
+        for i, part in enumerate((half, rest)):
+            tmp = os.path.join(vdir, f"_frag{bucket_val}_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for fn in os.listdir(tmp):
+                if fn.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(tmp, fn),
+                        os.path.join(bdir, f"part-frag-{i}.parquet"),
+                    )
+            import shutil as _sh
+
+            _sh.rmtree(tmp, ignore_errors=True)
+        rows.unpersist()
+
     before = _inodes_by_bucket(vdir)
     frag = warehouse.fragmented_partitions("t")
     assert frag and len(frag) < N_BUCKETS, "need a mix to test partial compaction"
