@@ -28,7 +28,13 @@ delta rule, specialized to the warehouse's physical layout:
 - staleness is two version-name compares; if either recorded base
   version was garbage-collected, or a base lost its bucket layout, or
   the dim diff exceeds ``max_dim_keys``, refresh falls back to a full
-  recompute — correct, just not incremental.
+  recompute — correct, just not incremental;
+- the version/meta commit pair shares the MV family's crash window
+  (data lands before the meta repoints), but unlike the aggregate
+  layer's additive partials (operators/matview.py — see its named
+  window), a replayed join refresh rewrites the same buckets with the
+  same absolute content: re-processing a delta is IDEMPOTENT here, so
+  the window costs a redundant rewrite, never wrong values.
 
 At 100 TB: a sync that touched 40 of 8192 fact buckets rewrites 40
 MV partitions; a dim batch updating 200 keys reads the changed dim

@@ -24,6 +24,19 @@ layer provides that over any key-bucketed warehouse table:
   passed), refresh falls back to a full recompute — correct, just not
   incremental.
 
+Crash window (named, the gate-family convention): the refreshed MV
+version commits BEFORE the meta records the new base version. A crash
+between the two leaves aggregates that already include the delta
+under a meta that still names the old base — the next refresh would
+merge the SAME delta again and double-count (additive partials are
+not idempotent, unlike the join-MV layer's absolute bucket rewrites,
+operators/join_matview.py). Recovery story: the fallback recompute is
+always safe — a consumer that observes a suspect MV (e.g. after an
+unclean shutdown) forces one with ``create_matview`` over the current
+base; the structural fix, if the window ever matters operationally,
+is recording the base version inside the MV version directory so data
+and lineage commit in one pointer swap.
+
 At 100 TB: staleness checks are free; a sync that touched 40 of 8192
 buckets makes the MV refresh read those 40 buckets twice (old + new
 version — both retained snapshots) and shuffle only their group keys.
