@@ -42,86 +42,85 @@ from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 
-# Round-10 rotation: CORRECTNESS_r09 came back 50/50 fully green, so
-# every r9 slot is free to rotate. This window (a) RETIRES THE
-# ROUND-5 EVIDENCE TIER — all 22 rows queued by r9 enter (the two
-# never-checked round-9 late additions rfm_segments_approx /
-# similarity_image_phash_topk plus the 20 r5-aged rows), after which
-# nothing in the registry carries evidence older than round 6;
-# (b) takes the two round-10 additions — dedup_audio_fingerprint and
-# phash_gate_replay_two_epochs (both never-checked); (c) anchors
-# every query over round-10-touched code — the gate-family hardening
-# (incremental_dedup/semantic_gate: ingest_gate_probe +
-# semantic_gate_replay_two_epochs) and the phash evidence guards
-# (multimodal.py: dedup_image_phash; the top-k twin is already in
-# via the queue); (d) fills the remaining 22 slots with the oldest
-# round-6-cohort rows, CORRECTNESS_r06 order (q3_shipping_priority,
-# the 23rd-oldest, yields its slot to the replay row and heads the
-# r11 queue).
+# Round-11 rotation: CORRECTNESS_r10 came back 50/50 fully green, so
+# every r10 slot is free to rotate. This window (a) takes the THREE
+# never-driver-checked round-10 late additions the invariant forces
+# (similarity_audio_fp_topk, dedup_cross_modal_agreement,
+# join_matview_incremental_replay); (b) RETIRES THE ROUND-6 EVIDENCE
+# TIER — all 23 round-6-cohort rows queued by r10 enter, after which
+# nothing in the registry carries evidence older than round 7;
+# (c) anchors every query over round-11-touched code — the MV
+# single-pointer-swap commit (matview.py: matview_incremental_replay;
+# join_matview.py: the replay row, already in via (a)) and the
+# warehouse write-path clustering rework (warehouse.py:
+# ingest_gate_replay_two_epochs + watermark_late_replay ride the
+# partial-write path and enter via (d) anyway); (d) fills the
+# remaining 22 slots with the oldest round-7-cohort rows,
+# CORRECTNESS_r07 order.
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
-    # ---- never-driver-checked -----------------------------------
-    "dedup_audio_fingerprint",
-    "phash_gate_replay_two_epochs",
-    "rfm_segments_approx",
-    "similarity_image_phash_topk",  # ALSO r10-touched (min-cand guard)
-    # ---- anchors over round-10-touched code -----------------------
-    "dedup_image_phash",
-    "ingest_gate_probe",
-    "semantic_gate_replay_two_epochs",
-    # ---- the full round-9 queue: the last 20 round-5-aged rows ----
-    "w4_dist_functions",
-    "agg_mode_exact",
-    "events_gap_islands",
-    "sketch_cms_heavy_hitters",
-    "sketch_bottomk_quantiles",
-    "a6_daily_rate_stats",
-    "s1_incremental_scan",
-    "d1_dedup_last_write",
-    "histogram_order_value",
-    "rfm_segments",
-    "stats_sufficient_moments",
-    "timeseries_ohlc_daily",
-    "experiment_ab_ttest",
-    "rolling_7d_active_users",
-    "json_schema_profile",
-    "j2_orders_customer",
-    "p4_projection",
-    "q1_pricing_summary",
-    "dq_referential_integrity",
-    "session_path_analysis",
-    # ---- freshness: the 23 oldest round-6 rows --------------------
-    "embedding_label_coherence",
-    "seasonality_dow_index",
-    "funnel_time_to_convert",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "asof_join_last_purchase",
-    "d3_set_ops",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "grouped_pandas_zscore",
-    "pivot_status_by_year",
-    "q10_returned_revenue",
-    "q12_priority_lines",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q21_sole_late_supplier",
+    # ---- never-driver-checked (r10 late additions) ----------------
+    "similarity_audio_fp_topk",
+    "dedup_cross_modal_agreement",
+    "join_matview_incremental_replay",  # ALSO r11-touched (semi-join)
+    # ---- anchor over round-11-touched code ------------------------
+    "matview_incremental_replay",  # single-pointer-swap MV commit
+    # ---- the full round-10 queue: the 23 round-6-aged rows --------
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "q5_region_revenue",
+    "q8_market_share",
+    "range_join_purchases_1h",
+    "scalar_subquery",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    "unpivot_status_counts",
+    "w4_first_last",
+    "w4_lag_lead",
+    "w4_rank_family",
+    "attribution_position_weighted",
+    "privacy_l_diversity",
+    "dedup_minhash_estimate_audit",
+    "dq_content_checksum",
+    "similarity_ivf_probe",
+    "curation_contamination",
+    "multimodal_features",
+    "t9_tumbling_hourly",
+    "s8_point_lookup",
+    # ---- freshness: the 22 oldest round-7 rows --------------------
+    "dedup_substring_spans",
+    "similarity_ann_multiprobe",
+    "watermark_late_replay",  # r11-touched (partial-write signature)
+    "embedding_kmeans_2iter",
+    "ingest_gate_replay_two_epochs",  # r11-touched (same)
+    "bloom_index_point_lookup",
+    "a1_high_water_mark",
+    "a5_per_staff_totals",
+    "a7_service_duration",
+    "a8_company_sets",
+    "a9_rating_agg",
+    "curation_pack_sequences",
+    "curation_stratified_sample",
+    "d3_union_by_name",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "f3_json_extract",
+    "f7_iso_format",
+    "f_scalar_suite",
+    "j3_lineitem_orders",
+    "j4_part_supplier",
+    "j5_denormalized_orders",
 ]
 
 # Allocation note: once this window lands green, the staleness ledger
-# reads: nothing older than round 6, and exactly 23 round-6 rows
+# reads: nothing older than round 7, and exactly 25 round-7 rows
 # remain (queued in tests/test_driver_window.py QUEUED_NEXT_WINDOW
-# for r11 — one more rotation retires the r6 tier). Next-round
-# slots: (a) any red rows from CORRECTNESS_r10, (b) queries added in
-# round 11, (c) the queued 23, (d) the round-7 cohort, oldest first.
+# for r12 — one more rotation retires the r7 tier). Next-round
+# slots: (a) any red rows from CORRECTNESS_r11, (b) queries added in
+# round 12, (c) the queued 25, (d) the round-8 cohort, oldest first.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

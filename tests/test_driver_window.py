@@ -16,18 +16,18 @@ import os
 
 from qms_datawarehouse_spark.plans import _DRIVER_WINDOW, REGISTRY, queries_map
 
-# r10 anchors: flagship + every query whose code materially changed
-# this round — the gate-family hardening (intra-batch dup handling in
-# incremental_dedup/semantic_gate; the phash gate itself has no
-# registered query, its pytest suite covers it) and the phash
-# evidence guards in multimodal.py.
+# r11 anchors: flagship + every query whose code materially changed
+# this round — the MV single-pointer-swap commit (matview.py /
+# join_matview.py replay rows), the join-MV broadcast-semi-join dim
+# propagation, and the warehouse write-path clustering rework
+# (partial-write riders: the two replay rows below plus the gate
+# replays already anchored via the r7-cohort fill).
 ANCHORS = [
     "flagship_staff_report",
-    "ingest_gate_probe",
-    "semantic_gate_replay_two_epochs",
-    "dedup_image_phash",
-    "similarity_image_phash_topk",
-    "dedup_audio_fingerprint",
+    "matview_incremental_replay",
+    "join_matview_incremental_replay",
+    "ingest_gate_replay_two_epochs",
+    "watermark_late_replay",
 ]
 
 
@@ -60,48 +60,41 @@ def test_anchors_inside_window():
 
 # queries ADDED this round (no driver row possible yet): either
 # already swapped into the window, or queued here for the next window
-# so nothing falls through. The r10 rotation emptied the entire r9
-# staging queue (all 22 entries — rfm_segments_approx,
-# similarity_image_phash_topk, and the 20 round-5-aged rows — are
-# in-window, as is the round-10 addition dedup_audio_fingerprint,
-# which retires the round-5 evidence tier when green; the second r10
-# addition phash_gate_replay_two_epochs is in-window too). r11 pool:
-# the 23 round-6-cohort rows the 50-slot r10 window couldn't fit —
-# all ever-green (r6), so the invariant doesn't force them; the
-# queue is the bookkeeping that they MUST enter the r11 window,
-# which retires the round-6 evidence tier — plus the three late
-# round-10 additions (never-checked, so the invariant DOES force
-# them), 26 queued total.
+# so nothing falls through. The r11 rotation emptied the entire r10
+# staging queue (all 26 entries — the three never-checked r10 late
+# additions plus the 23 round-6-cohort rows — are in-window), which
+# retires the round-6 evidence tier when green. r12 pool: the 25
+# round-7-cohort rows the 50-slot r11 window couldn't fit — all
+# ever-green (r7), so the invariant doesn't force them; the queue is
+# the bookkeeping that they MUST enter the r12 window, which retires
+# the round-7 evidence tier. No new queries were registered in round
+# 11 (a consolidation round), so nothing here is invariant-forced.
 QUEUED_NEXT_WINDOW: list[str] = [
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q5_region_revenue",
-    "q8_market_share",
-    "range_join_purchases_1h",
-    "scalar_subquery",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_token_stats",
-    "unpivot_status_counts",
-    "w4_first_last",
-    "w4_lag_lead",
-    "w4_rank_family",
-    "attribution_position_weighted",
-    "privacy_l_diversity",
-    "dedup_minhash_estimate_audit",
-    "dq_content_checksum",
-    "similarity_ivf_probe",
-    "curation_contamination",
-    "multimodal_features",
-    "t9_tumbling_hourly",
-    "s8_point_lookup",
-    # round-10 late additions (landed after the r10 window froze): the
-    # audio retrieval twin, completing the dedup+retrieval+gate triple
-    # for the audio modality; and the cross-modal agreement audit
-    "similarity_audio_fp_topk",
-    "dedup_cross_modal_agreement",
-    "join_matview_incremental_replay",
+    "q6_revenue_filter",
+    "quantile_order_value",
+    "rollup_hierarchy_1d",
+    "scd2_user_event_type",
+    "similarity_ann_lsh",
+    "similarity_knn_join_lsh",
+    "t9_sliding_daily",
+    "text_pii_redact",
+    "topk_per_group",
+    "user_activity_report",
+    "w2_recent_topn",
+    "w3_sequential_number",
+    "w4_window_frames",
+    "bm25_topk",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "f_scalar_suite2",
+    "q2_min_cost_supplier",
+    "q7_nation_trade",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q20_heavy_shippers",
+    "q22_idle_customers",
+    "similarity_topk_cosine",
+    "sketch_kmv_distinct",
 ]
 
 
