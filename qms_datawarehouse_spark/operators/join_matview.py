@@ -16,31 +16,40 @@ delta rule, specialized to the warehouse's physical layout:
   buckets are recomputed — every other partition dir hardlink-inherits
   from the previous MV version;
 - **dim-side delta**: the changed dim buckets are read at BOTH
-  retained versions and row-diffed (two anti-joins) to the EXACT set
-  of changed dim keys — bucket-level over-approximation is useless
-  here, because one dim bucket's keys fan out across every fact
-  bucket. The exact key set (a dimension update batch — small by
-  assumption, capped by ``max_dim_keys``) drives one pushed-filter
-  scan of the fact's dim_key column to find the fact buckets that
-  actually hold those keys; only those buckets are rewritten. Keys
-  that VANISHED from the dim drop their joined rows in the same
-  rewrite (inner-join semantics, no special delete path);
+  retained versions and row-diffed (two ``exceptAll``s) to the EXACT
+  set of changed dim keys — bucket-level over-approximation is
+  useless here, because one dim bucket's keys fan out across every
+  fact bucket. The changed-key set stays a DataFrame end to end
+  (never collected): it broadcast-left-semi-joins against a
+  column-pruned scan of the fact's (dim_key, bucket) columns to find
+  the fact buckets that actually hold those keys; only those buckets
+  are rewritten, and only their VALUES (bounded by the bucket count)
+  are ever collected. ``max_dim_keys`` is a count-based guard, not a
+  collect cap. Keys that VANISHED from the dim drop their joined
+  rows in the same rewrite (inner-join semantics, no special delete
+  path);
 - staleness is two version-name compares; if either recorded base
   version was garbage-collected, or a base lost its bucket layout, or
-  the dim diff exceeds ``max_dim_keys``, refresh falls back to a full
-  recompute — correct, just not incremental;
-- the version/meta commit pair shares the MV family's crash window
-  (data lands before the meta repoints), but unlike the aggregate
-  layer's additive partials (operators/matview.py — see its named
-  window), a replayed join refresh rewrites the same buckets with the
-  same absolute content: re-processing a delta is IDEMPOTENT here, so
-  the window costs a redundant rewrite, never wrong values.
+  the dim diff exceeds ``max_dim_keys``, or the MV's current version
+  cannot take a partial write (e.g. it holds zero rows and therefore
+  no partition dirs), refresh falls back to a full recompute —
+  correct, just not incremental;
+- commit protocol (round 11, shared with the aggregate layer): the
+  reflected base versions ride INSIDE the MV version
+  (``extra_meta`` → one atomic pointer swap), so there is no
+  data-before-meta window at all. Join refreshes were already
+  idempotent under the old two-commit protocol (absolute bucket
+  rewrites), so the single swap here removes a redundant-rewrite
+  cost, not a correctness hazard; a refresh that touches ZERO buckets
+  advances the lineage record in place
+  (``update_version_meta`` — an atomic rename, idempotent on crash).
 
 At 100 TB: a sync that touched 40 of 8192 fact buckets rewrites 40
 MV partitions; a dim batch updating 200 keys reads the changed dim
 buckets twice (both snapshots), then one column-pruned fact scan
-(dim_key + _bucket only, the isin filter pushed to parquet) names the
-buckets to rewrite. The join inside a bucket rewrite is fact-bucket ⋈
+(dim_key + _bucket only, probed by the broadcast changed-key frame —
+Spark's runtime bloom/semi-join filtering applies where enabled)
+names the buckets to rewrite. The join inside a bucket rewrite is fact-bucket ⋈
 whole-dim — Catalyst broadcasts the dim when it is small (the normal
 dimension-table case) and falls back to a shuffle join when it is
 not; neither choice is forced here.
@@ -60,7 +69,11 @@ from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.operators.changes import changed_partitions
 from qms_datawarehouse_spark.plans.registry import query
-from qms_datawarehouse_spark.warehouse import BUCKET_COL, ParquetWarehouse
+from qms_datawarehouse_spark.warehouse import (
+    BUCKET_COL,
+    ConcurrentWriteError,
+    ParquetWarehouse,
+)
 
 
 @dataclass
@@ -107,27 +120,45 @@ def create_join_matview(
             "the join MV's partial refresh is bucket-addressed"
         )
     mv = _joined(fact, dim, dim_key, dim_cols)
-    warehouse.write_version(name, mv, partition_by=[BUCKET_COL])
+    # reflected base versions ride the same pointer swap as the rows
+    warehouse.write_version(
+        name,
+        mv,
+        partition_by=[BUCKET_COL],
+        extra_meta={
+            "jmv_fact_version": fact_version,
+            "jmv_dim_version": dim_version,
+        },
+    )
     warehouse.write_meta(
         name,
         {
             "jmv_fact": fact_table,
             "jmv_dim": dim_table,
-            "jmv_fact_version": fact_version,
-            "jmv_dim_version": dim_version,
             "jmv_dim_key": dim_key,
             "jmv_dim_cols": dim_cols,
         },
     )
 
 
+def _recorded_versions(
+    warehouse: ParquetWarehouse, name: str, meta: dict
+) -> tuple[str | None, str | None]:
+    """(fact_version, dim_version) the CURRENT MV version reflects:
+    from the version's own meta (single-swap protocol), falling back
+    to the table meta for MVs written before round 11."""
+    vmeta = warehouse.read_version_meta(name)
+    if vmeta is not None and "jmv_fact_version" in vmeta:
+        return vmeta["jmv_fact_version"], vmeta["jmv_dim_version"]
+    return meta.get("jmv_fact_version"), meta.get("jmv_dim_version")
+
+
 def is_join_stale(warehouse: ParquetWarehouse, name: str) -> bool:
     meta = warehouse.read_meta(name)
+    rec_fact, rec_dim = _recorded_versions(warehouse, name, meta)
     return (
-        warehouse.current_version_name(meta["jmv_fact"])
-        != meta["jmv_fact_version"]
-        or warehouse.current_version_name(meta["jmv_dim"])
-        != meta["jmv_dim_version"]
+        warehouse.current_version_name(meta["jmv_fact"]) != rec_fact
+        or warehouse.current_version_name(meta["jmv_dim"]) != rec_dim
     )
 
 
@@ -137,19 +168,18 @@ def _changed_dim_keys(
     dim_key: str,
     old_version: str,
     new_version: str,
-) -> list | None:
+) -> DataFrame | None:
     """EXACT dim keys whose row changed / appeared / vanished between
-    two retained versions: inode-diff names the changed dim buckets,
-    then ONLY those buckets are read at both snapshots and row-diffed
-    with two anti-joins. Returns None when the dim lacks the bucket
-    layout at either version (caller falls back to full)."""
+    two retained versions, AS A DATAFRAME (one distinct key per row —
+    never collected; the caller broadcast-joins it): inode-diff names
+    the changed dim buckets, then ONLY those buckets are read at both
+    snapshots and row-diffed. Returns None when the dim lacks the
+    bucket layout at either version (caller falls back to full)."""
     changed = changed_partitions(
         warehouse, dim_table, old_version, to_version=new_version
     )
     if changed is None:
         return None
-    if not changed:
-        return []
     vals = [int(v) for v in changed]
     old = warehouse.read(dim_table, version=old_version).filter(
         F.col(BUCKET_COL).isin(vals)
@@ -163,13 +193,11 @@ def _changed_dim_keys(
     cols = sorted(set(old.columns) & set(new.columns))
     gone_or_edited = old.select(*cols).exceptAll(new.select(*cols))
     added_or_edited = new.select(*cols).exceptAll(old.select(*cols))
-    return [
-        r[0]
-        for r in gone_or_edited.select(dim_key)
+    return (
+        gone_or_edited.select(dim_key)
         .unionByName(added_or_edited.select(dim_key))
         .distinct()
-        .collect()
-    ]
+    )
 
 
 def refresh_join_matview(
@@ -187,20 +215,24 @@ def refresh_join_matview(
     path. Every untouched MV partition hardlink-inherits.
 
     Falls back to a full recompute when either base's recorded
-    version is gone, either lacks the bucket layout, or the dim diff
-    exceeds ``max_dim_keys`` (at that batch size the pushed-filter
-    fact scan stops being cheaper than the rewrite)."""
+    version is gone, either lacks the bucket layout, the dim diff
+    exceeds ``max_dim_keys`` (at that batch size the semi-joined
+    fact scan stops being cheaper than the rewrite), or the MV's
+    current version cannot take a partial write (no partition dirs /
+    concurrently advanced) — the fallback is always correct."""
     import os
 
     meta = warehouse.read_meta(name)
     fact_table, dim_table = meta["jmv_fact"], meta["jmv_dim"]
     dim_key = meta["jmv_dim_key"]
     dim_cols = list(meta["jmv_dim_cols"])
-    rec_fact, rec_dim = meta["jmv_fact_version"], meta["jmv_dim_version"]
+    rec_fact, rec_dim = _recorded_versions(warehouse, name, meta)
     cur_fact = warehouse.current_version_name(fact_table)
     cur_dim = warehouse.current_version_name(dim_table)
     if cur_fact == rec_fact and cur_dim == rec_dim:
         return JoinRefreshResult("fresh", 0, _n_buckets(warehouse, name))
+
+    lineage = {"jmv_fact_version": cur_fact, "jmv_dim_version": cur_dim}
 
     def _full() -> JoinRefreshResult:
         mv = _joined(
@@ -209,10 +241,8 @@ def refresh_join_matview(
             dim_key,
             dim_cols,
         )
-        warehouse.write_version(name, mv, partition_by=[BUCKET_COL])
-        warehouse.write_meta(
-            name,
-            {**meta, "jmv_fact_version": cur_fact, "jmv_dim_version": cur_dim},
+        warehouse.write_version(
+            name, mv, partition_by=[BUCKET_COL], extra_meta=lineage
         )
         return JoinRefreshResult("full", 0, _n_buckets(warehouse, name))
 
@@ -237,40 +267,63 @@ def refresh_join_matview(
         keys = _changed_dim_keys(
             warehouse, dim_table, dim_key, rec_dim, cur_dim
         )
-        if keys is None or len(keys) > max_dim_keys:
+        if keys is None:
             return _full()
-        if keys:
-            # one column-pruned fact scan: (dim_key, _bucket) with the
-            # isin filter pushed to parquet; the collect is bounded by
-            # the bucket count
-            affected = (
+        keys = keys.persist()
+        try:
+            if keys.count() > max_dim_keys:
+                return _full()
+            # one column-pruned fact scan (dim_key, _bucket) probed by
+            # the broadcast changed-key frame — the key set never
+            # round-trips through the driver, so there is no
+            # literal-predicate size cliff at the cap; only the
+            # affected BUCKET VALUES are collected (≤ bucket count)
+            probe = (
                 warehouse.read(fact_table, version=cur_fact)
-                .filter(F.col(dim_key).isin(keys))
+                .select(dim_key, BUCKET_COL)
+                .join(F.broadcast(keys), dim_key, "left_semi")
                 .select(BUCKET_COL)
                 .distinct()
-                .collect()
             )
-            touched.update(int(r[0]) for r in affected)
+            # plan capture (planaudit convention): the broadcast-semi
+            # probe shape is pinned by tests/test_join_matview.py
+            from qms_datawarehouse_spark.planaudit import (
+                PRE_CHECKPOINT_PLANS,
+            )
+
+            PRE_CHECKPOINT_PLANS["join_matview:dim_probe"] = (
+                probe._jdf.queryExecution().executedPlan().toString()
+            )
+            touched.update(int(r[0]) for r in probe.collect())
+        finally:
+            keys.unpersist()
 
     total = _n_buckets(warehouse, name)
     mv_base = warehouse.current_version_name(name)
-    if touched:
-        tl = sorted(touched)
-        rows = _joined(
-            warehouse.read(fact_table, version=cur_fact).filter(
-                F.col(BUCKET_COL).isin(tl)
-            ),
-            warehouse.read(dim_table, version=cur_dim),
-            dim_key,
-            dim_cols,
-        )
-        warehouse.write_version_partial(
-            name, rows, tl, base_version=mv_base
-        )
-    warehouse.write_meta(
-        name,
-        {**meta, "jmv_fact_version": cur_fact, "jmv_dim_version": cur_dim},
+    if not touched:
+        # lineage-only advance: the stored rows are already correct
+        # (e.g. a dim rewrite that changed zero keys); record the new
+        # base versions in place — one atomic rename, idempotent
+        warehouse.update_version_meta(name, lineage)
+        return JoinRefreshResult("incremental", 0, total)
+    tl = sorted(touched)
+    rows = _joined(
+        warehouse.read(fact_table, version=cur_fact).filter(
+            F.col(BUCKET_COL).isin(tl)
+        ),
+        warehouse.read(dim_table, version=cur_dim),
+        dim_key,
+        dim_cols,
     )
+    try:
+        warehouse.write_version_partial(
+            name, rows, tl, base_version=mv_base, extra_meta=lineage
+        )
+    except (ValueError, ConcurrentWriteError):
+        # no partition dirs to inherit (zero-row MV) or the MV version
+        # advanced under us — the documented contract: the fallback is
+        # always correct
+        return _full()
     return JoinRefreshResult("incremental", len(touched), total)
 
 
@@ -407,9 +460,18 @@ def join_matview_incremental_replay(spark, sf_dir: str) -> DataFrame:
         )
         .withColumn("updated_at", F.lit("2024-02-01").cast("timestamp"))
     )
+    n_moved = moved.count()
     merge_upsert(wh, "dim_customer", moved, n_buckets=16)
 
-    res = refresh_join_matview(wh, "mv_orders_cust")
+    # max_dim_keys sized to the fixture: the moved-key set grows with
+    # the corpus (≈ n_customers/100), and above ~sf7 it would trip the
+    # default 10k full-recompute guard — turning this row's asserted
+    # incremental branch into a hard failure. The guard's job HERE is
+    # branch determinism, not batch-size policy, so the cap tracks the
+    # actual delta (2x headroom keeps the guard meaningful).
+    res = refresh_join_matview(
+        wh, "mv_orders_cust", max_dim_keys=max(10_000, 2 * n_moved)
+    )
     if res.mode != "incremental":  # the row's claim IS the delta path
         raise AssertionError(
             f"join-MV refresh took the {res.mode!r} branch — this row "

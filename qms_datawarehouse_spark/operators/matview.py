@@ -24,18 +24,22 @@ layer provides that over any key-bucketed warehouse table:
   passed), refresh falls back to a full recompute — correct, just not
   incremental.
 
-Crash window (named, the gate-family convention): the refreshed MV
-version commits BEFORE the meta records the new base version. A crash
-between the two leaves aggregates that already include the delta
-under a meta that still names the old base — the next refresh would
-merge the SAME delta again and double-count (additive partials are
-not idempotent, unlike the join-MV layer's absolute bucket rewrites,
-operators/join_matview.py). Recovery story: the fallback recompute is
-always safe — a consumer that observes a suspect MV (e.g. after an
-unclean shutdown) forces one with ``create_matview`` over the current
-base; the structural fix, if the window ever matters operationally,
-is recording the base version inside the MV version directory so data
-and lineage commit in one pointer swap.
+Commit protocol (round 11 — the crash window is CLOSED): the base
+version the stored aggregates reflect is recorded INSIDE the MV
+version directory (``warehouse.write_version(extra_meta=...)`` →
+``_VERSION_META.json``), so data and lineage commit in ONE atomic
+pointer swap. The round-7..10 design wrote the data version first and
+repointed a separate table-level meta second; a crash between the two
+left aggregates that already included the delta under a meta naming
+the old base, and the next refresh merged the SAME delta again —
+additive partials are not idempotent (unlike the join-MV layer's
+absolute bucket rewrites, operators/join_matview.py). Now a crash
+before the swap leaves the old version (old data + old base, both
+consistent) and a crash after the swap leaves the new pair — there is
+no state from which a double-count is reachable; the invariant is
+pinned by crash-injection tests (tests/test_matview.py). MVs written
+by the old protocol (base version only in table meta) are still
+readable — the lookup falls back to the table meta.
 
 At 100 TB: staleness checks are free; a sync that touched 40 of 8192
 buckets makes the MV refresh read those 40 buckets twice (old + new
@@ -91,21 +95,37 @@ def create_matview(
     mv = _aggregate(
         warehouse.read(base_table, version=base_version), group_cols, sum_cols
     )
-    warehouse.write_version(name, mv)
+    # the reflected base version rides the SAME pointer swap as the
+    # aggregates (extra_meta → _VERSION_META.json in the version dir);
+    # the table meta keeps only the static definition
+    warehouse.write_version(
+        name, mv, extra_meta={"mv_base_version": base_version}
+    )
     warehouse.write_meta(
         name,
         {
             "mv_base": base_table,
-            "mv_base_version": base_version,
             "mv_group_cols": group_cols,
             "mv_sum_cols": sum_cols,
         },
     )
 
 
+def _recorded_base_version(warehouse: ParquetWarehouse, name: str,
+                           meta: dict) -> str | None:
+    """The base version the CURRENT MV version reflects: from the
+    version's own meta (single-swap protocol), falling back to the
+    table meta for MVs written before round 11."""
+    vmeta = warehouse.read_version_meta(name)
+    if vmeta is not None and "mv_base_version" in vmeta:
+        return vmeta["mv_base_version"]
+    return meta.get("mv_base_version")
+
+
 def is_stale(warehouse: ParquetWarehouse, name: str) -> bool:
     meta = warehouse.read_meta(name)
-    return warehouse.current_version_name(meta["mv_base"]) != meta["mv_base_version"]
+    recorded = _recorded_base_version(warehouse, name, meta)
+    return warehouse.current_version_name(meta["mv_base"]) != recorded
 
 
 def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
@@ -119,7 +139,7 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     base = meta["mv_base"]
     group_cols = list(meta["mv_group_cols"])
     sum_cols = list(meta["mv_sum_cols"])
-    recorded = meta["mv_base_version"]
+    recorded = _recorded_base_version(warehouse, name, meta)
     current = warehouse.current_version_name(base)
     if current == recorded:
         return "fresh"
@@ -134,13 +154,15 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
         else None
     )
     if changed is None:
-        # pinned to `current` captured above — meta and data must name
-        # the same version even if a sync lands mid-refresh
+        # pinned to `current` captured above — the version meta and
+        # data name the same base even if a sync lands mid-refresh,
+        # and they commit in the same pointer swap
         mv = _aggregate(
             warehouse.read(base, version=current), group_cols, sum_cols
         )
-        warehouse.write_version(name, mv)
-        warehouse.write_meta(name, {**meta, "mv_base_version": current})
+        warehouse.write_version(
+            name, mv, extra_meta={"mv_base_version": current}
+        )
         return "full"
 
     vals = [int(v) for v in changed]
@@ -153,11 +175,19 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     delta = _aggregate(new_rows, group_cols, sum_cols).unionByName(
         _aggregate(old_rows, group_cols, sum_cols, sign=-1)
     )
+    # read-modify-write on the stored partials: CAS on the MV version
+    # we read, so a concurrent refresh can't have its merge silently
+    # overwritten (ConcurrentWriteError tells the loser to re-read)
+    mv_version = warehouse.current_version_name(name)
     merged = _merge_partials(
-        warehouse.read(name), delta, group_cols, sum_cols
+        warehouse.read(name, version=mv_version), delta, group_cols, sum_cols
     )
-    warehouse.write_version(name, merged)
-    warehouse.write_meta(name, {**meta, "mv_base_version": current})
+    warehouse.write_version(
+        name,
+        merged,
+        expect_base=mv_version,
+        extra_meta={"mv_base_version": current},
+    )
     return "incremental"
 
 

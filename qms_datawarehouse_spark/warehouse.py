@@ -50,6 +50,7 @@ CURRENT_POINTER = "_CURRENT"
 BUCKET_COL = "_bucket"
 META_FILE = "_META.json"
 SCHEMA_FILE = "_SCHEMA.json"
+VERSION_META_FILE = "_VERSION_META.json"
 VERSIONS_LOG = "_VERSIONS.jsonl"
 LOCK_FILE = "_LOCK"
 
@@ -395,6 +396,8 @@ class ParquetWarehouse:
         partition_by: list[str] | None = None,
         keep_versions: int = 2,
         expect_base=_UNCHECKED,
+        cluster: bool = True,
+        extra_meta: dict | None = None,
     ) -> str:
         """Write ``df`` as a fresh immutable version and atomically
         repoint ``_CURRENT`` at it. Returns the version dir.
@@ -411,9 +414,21 @@ class ParquetWarehouse:
         default — full rewrites (destructive reload) replace whatever
         is current by design; read-modify-write callers must pass the
         base they read.
+
+        ``cluster=False`` skips the pre-write repartition for callers
+        that already arranged their own physical layout (``compact``
+        sorts within explicitly-sized partitions; time-partitioned
+        writes range-cluster) — a blind re-shuffle here would destroy
+        that clustering and silently force ~one file per dir.
+
+        ``extra_meta`` commits a dict INSIDE the version dir
+        (``_VERSION_META.json``) before the pointer swap — lineage
+        that must be atomic with the data (e.g. a materialized view's
+        base version) rides the same single pointer swap instead of a
+        separate meta write with a crash window between the two.
         """
         version, vdir = self._new_version_dir(table)
-        if partition_by:
+        if partition_by and cluster:
             # cluster rows by the partition key before the partitioned
             # write: without this, EVERY upstream task writes its own
             # file into every partition dir it holds rows for (32
@@ -427,8 +442,52 @@ class ParquetWarehouse:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(vdir)
         self._write_schema_file(vdir, df.schema)
+        if extra_meta is not None:
+            self._write_version_meta(vdir, extra_meta)
         self._swap_pointer(table, version, keep_versions, expect_base)
         return vdir
+
+    @staticmethod
+    def _write_version_meta(vdir: str, meta: dict) -> None:
+        with open(os.path.join(vdir, VERSION_META_FILE), "w") as f:
+            json.dump(meta, f)
+
+    def read_version_meta(
+        self, table: str, version: str | None = None
+    ) -> dict | None:
+        """The ``extra_meta`` committed with a version (current by
+        default), or None if that version carries none. Because the
+        file lands in the version dir BEFORE the pointer swap, a
+        reader that resolves a version always sees its meta — there is
+        no window where data is live but lineage is not."""
+        if version is None:
+            vdir = self.current_version_dir(table)
+        else:
+            vdir = os.path.join(self.table_dir(table), version)
+        if vdir is None:
+            return None
+        path = os.path.join(vdir, VERSION_META_FILE)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def update_version_meta(self, table: str, meta: dict) -> None:
+        """Atomically replace the CURRENT version's lineage meta
+        without writing data — for refreshes that observe base-version
+        churn which touched zero partitions (the stored content is
+        byte-identical, only the reflected-base record advances). The
+        os.replace is the whole commit; a crash before it leaves the
+        old record, and redoing the no-op advance is idempotent."""
+        vdir = self.current_version_dir(table)
+        if vdir is None:
+            raise FileNotFoundError(f"warehouse table not found: {table}")
+        tmp = os.path.join(
+            vdir, VERSION_META_FILE + f".tmp.{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(vdir, VERSION_META_FILE))
 
     def write_version_partial(
         self,
@@ -438,6 +497,8 @@ class ParquetWarehouse:
         partition_col: str = BUCKET_COL,
         keep_versions: int = 2,
         base_version: str | None = None,
+        cluster: bool = True,
+        extra_meta: dict | None = None,
     ) -> str:
         """Incremental version: write ONLY the ``touched`` partition
         values of ``partition_col`` from ``df``; inherit every other
@@ -470,8 +531,12 @@ class ParquetWarehouse:
         dropped that writer's rows (the lost-update TOCTOU).
         """
         version, base = self._stage_version_partial(
-            table, df, touched, partition_col, base_version
+            table, df, touched, partition_col, base_version, cluster=cluster
         )
+        if extra_meta is not None:
+            self._write_version_meta(
+                os.path.join(self.table_dir(table), version), extra_meta
+            )
         self._swap_pointer(table, version, keep_versions, expect_base=base)
         return os.path.join(self.table_dir(table), version)
 
@@ -482,6 +547,7 @@ class ParquetWarehouse:
         touched: list,
         partition_col: str = BUCKET_COL,
         base_version: str | None = None,
+        cluster: bool = True,
     ) -> tuple[str, str]:
         """The staging half of ``write_version_partial`` — write the
         touched partitions, hardlink-inherit the rest, write the
@@ -516,10 +582,13 @@ class ParquetWarehouse:
         version, vdir = self._new_version_dir(table)
         # same clustering as write_version's partitioned branch: the
         # touched-bucket rows are one bounded exchange, and each
-        # rewritten dir lands as ~one file instead of one per task
-        df.repartition(partition_col).write.mode("overwrite").partitionBy(
-            partition_col
-        ).parquet(vdir)
+        # rewritten dir lands as ~one file instead of one per task.
+        # cluster=False for callers (compact's fragmented branch) that
+        # already sized and sorted their partitions — re-shuffling
+        # here would undo their sortWithinPartitions clustering.
+        if cluster:
+            df = df.repartition(partition_col)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
 
         touched_dirs = {f"{partition_col}={v}" for v in touched}
         for entry in os.listdir(prev):
@@ -587,16 +656,34 @@ class ParquetWarehouse:
         1/retention of the table before any row is touched. Combine
         with bucket-partitioning only when a table needs BOTH keyed
         merges and time pruning (partitionBy(date, bucket)).
+
+        Physical layout: rows are RANGE-clustered on (date, ts) —
+        ``repartitionByRange`` samples the data and cuts
+        ``spark.sql.shuffle.partitions`` contiguous spans, so a
+        multi-day backfill writes with full configured parallelism (a
+        hot day spans many tasks → many right-sized files; quiet days
+        coalesce into shared tasks → ~one file each). Hashing on the
+        date alone would serialize each day into a single task and a
+        single potentially-huge file. The in-task sort makes every
+        file's ts column monotone, so parquet row-group min/max stats
+        give intra-day time-range skipping on top of the directory
+        pruning.
         """
         from pyspark.sql import functions as F
 
         part = {"day": F.to_date(ts_col), "month": F.date_trunc("month", ts_col)}[
             grain
         ].cast("date")
+        out = (
+            df.withColumn("_event_date", part)
+            .repartitionByRange(F_col("_event_date"), F_col(ts_col))
+            .sortWithinPartitions("_event_date", ts_col)
+        )
         return self.write_version(
             table,
-            df.withColumn("_event_date", part),
+            out,
             partition_by=["_event_date"],
+            cluster=False,
         )
 
     # -- maintenance ---------------------------------------------------
@@ -720,8 +807,11 @@ class ParquetWarehouse:
             )
             if sort_col is not None:
                 sub = sub.sortWithinPartitions(part_col, sort_col)
+            # cluster=False: the repartition(files_per_partition, col)
+            # + sortWithinPartitions above IS the layout being
+            # committed — the write path must not re-shuffle it
             return self.write_version_partial(
-                table, sub, vals, partition_col=part_col
+                table, sub, vals, partition_col=part_col, cluster=False
             )
 
         if part_col is not None:
@@ -732,5 +822,8 @@ class ParquetWarehouse:
             cols = ([part_col] if part_col else []) + [sort_col]
             df = df.sortWithinPartitions(*cols)
         return self.write_version(
-            table, df, partition_by=[part_col] if part_col else None
+            table,
+            df,
+            partition_by=[part_col] if part_col else None,
+            cluster=False,
         )

@@ -203,3 +203,137 @@ def test_null_dim_attribute_not_reflagged(spark, warehouse):
 def test_refresh_result_shape():
     r = JoinRefreshResult("fresh", 0, 8)
     assert (r.mode, r.touched_buckets, r.total_buckets) == ("fresh", 0, 8)
+
+
+# ---------------------------------------------------------------------
+# Round 11: broadcast-semi dim probe (no driver round-trip for the
+# changed-key set), zero-row-MV fallback, and single-swap lineage.
+# ---------------------------------------------------------------------
+
+
+def test_dim_probe_is_broadcast_semi_join_column_pruned(spark, warehouse):
+    """The changed-dim-key set must reach the fact scan as a
+    broadcast left-semi probe over ONLY (dim_key, bucket) — never as
+    driver-collected literals (the 10k-literal predicate cliff), and
+    never widening the scan to full rows."""
+    from qms_datawarehouse_spark.planaudit import PRE_CHECKPOINT_PLANS
+
+    _seed(spark, warehouse)
+    moved = spark.createDataFrame(
+        [("13", 13, 77, "2024-02-01")],
+        "`_id` string, cust_id long, segment long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "dims", moved, n_buckets=N_BUCKETS)
+    PRE_CHECKPOINT_PLANS.pop("join_matview:dim_probe", None)
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "incremental"
+
+    plan = PRE_CHECKPOINT_PLANS["join_matview:dim_probe"]
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # column pruning: the fact side appears as a scan reading exactly
+    # cust_id (+ the bucket partition value) — and NO scan anywhere in
+    # the probe reads the fact payload columns (Location paths are
+    # truncated in plan text, so scans are identified by schema)
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any(
+        "ReadSchema:struct<cust_id:bigint>" in ln.replace(" ", "")
+        for ln in scans
+    ), "no column-pruned (cust_id, bucket) fact scan in the probe plan"
+    assert not any("cents" in ln for ln in scans), (
+        "a probe scan reads fact payload columns"
+    )
+
+
+def test_zero_row_mv_incremental_falls_back_to_full(spark, warehouse):
+    """A join MV whose create-time join produced ZERO rows has no
+    partition dirs to inherit; the first real refresh must take the
+    documented full-recompute fallback, not die in
+    write_version_partial's loud no-partition-dirs guard."""
+    facts = spark.range(50).select(
+        F.col("id").cast("string").alias("_id"),
+        (F.col("id") % 10 + 1000).alias("cust_id"),  # no dim match
+        (F.col("id") * 10).alias("cents"),
+        F.lit("2024-01-01").cast("timestamp").alias("updated_at"),
+    )
+    dims = spark.range(10).select(
+        F.col("id").cast("string").alias("_id"),
+        F.col("id").alias("cust_id"),
+        (F.col("id") % 5).alias("segment"),
+        F.lit("2024-01-01").cast("timestamp").alias("updated_at"),
+    )
+    merge_upsert(warehouse, "facts", facts, n_buckets=N_BUCKETS)
+    merge_upsert(warehouse, "dims", dims, n_buckets=N_BUCKETS)
+    create_join_matview(
+        warehouse, "mv", "facts", "dims", dim_key="cust_id",
+        dim_cols=["segment"],
+    )
+    assert warehouse.read("mv").count() == 0
+
+    # epoch 2: facts that DO match -> non-empty touched set against a
+    # partitionless MV version
+    batch = spark.range(5).select(
+        (F.col("id") + 9000).cast("string").alias("_id"),
+        F.col("id").alias("cust_id"),
+        F.lit(42).cast("long").alias("cents"),
+        F.lit("2024-02-01").cast("timestamp").alias("updated_at"),
+    )
+    merge_upsert(warehouse, "facts", batch, n_buckets=N_BUCKETS)
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "full"
+    assert _mv_rows(warehouse) == _expected(warehouse)
+    assert warehouse.read("mv").count() == 5
+
+
+def test_refresh_commits_without_separate_meta_write(spark, warehouse):
+    """Single-swap lineage: a refresh must not depend on any
+    post-data table-meta write (the aggregate layer's old crash
+    window) — kill write_meta during refresh and everything still
+    lands, replays staying no-ops."""
+    from unittest import mock
+
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    _seed(spark, warehouse)
+    batch = spark.createDataFrame(
+        [("9100", 4, 7, "2024-02-01")],
+        "`_id` string, cust_id long, cents long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "facts", batch, n_buckets=N_BUCKETS)
+
+    with mock.patch.object(
+        ParquetWarehouse, "write_meta",
+        side_effect=AssertionError("refresh wrote table meta after data"),
+    ):
+        assert refresh_join_matview(warehouse, "mv").mode == "incremental"
+    assert _mv_rows(warehouse) == _expected(warehouse)
+    assert refresh_join_matview(warehouse, "mv").mode == "fresh"
+
+
+def test_legacy_table_meta_jmv_still_refreshes(spark, warehouse):
+    """A join MV written by the pre-round-11 protocol (base versions
+    in table meta only) stays refreshable; the first refresh upgrades
+    it to version-meta lineage."""
+    import os
+
+    from qms_datawarehouse_spark.warehouse import VERSION_META_FILE
+
+    _seed(spark, warehouse)
+    vmeta = warehouse.read_version_meta("mv")
+    os.unlink(
+        os.path.join(warehouse.current_version_dir("mv"), VERSION_META_FILE)
+    )
+    warehouse.write_meta("mv", {**warehouse.read_meta("mv"), **vmeta})
+
+    assert not is_join_stale(warehouse, "mv")
+    batch = spark.createDataFrame(
+        [("9200", 3, 5, "2024-02-01")],
+        "`_id` string, cust_id long, cents long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "facts", batch, n_buckets=N_BUCKETS)
+    assert is_join_stale(warehouse, "mv")
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "incremental"
+    assert _mv_rows(warehouse) == _expected(warehouse)
+    assert warehouse.read_version_meta("mv") is not None
+    assert refresh_join_matview(warehouse, "mv").mode == "fresh"

@@ -91,7 +91,7 @@ def test_full_fallback_when_base_version_gone(spark, warehouse):
 
     _seed(spark, warehouse)
     create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
-    recorded = warehouse.read_meta("mv_by_grp")["mv_base_version"]
+    recorded = warehouse.read_version_meta("mv_by_grp")["mv_base_version"]
     merge_upsert(
         warehouse, "fact", _batch(spark, [("f", "g2", 100, TS2)]), n_buckets=8,
     )
@@ -213,3 +213,156 @@ def test_create_matview_reads_pinned_snapshot(spark, warehouse):
     state = {r.grp: (r._mv_n, r.amount_sum)
              for r in warehouse.read("mv_pin").collect()}
     assert state["g1"] == (3, 130)
+
+
+# ---------------------------------------------------------------------
+# Round 11: the data/meta crash window is closed — the base version
+# commits INSIDE the MV version (one pointer swap). These injections
+# kill the refresh at every point the old two-commit protocol was
+# vulnerable and assert no state ever double-counts the delta.
+# ---------------------------------------------------------------------
+
+
+def test_crash_after_refresh_commit_cannot_double_count(spark, warehouse):
+    """The old protocol's fatal point: data version committed, crash
+    before the separate meta write → next refresh re-merged the same
+    delta. Now the base version rides the same swap, so a completed
+    write_version IS a completed refresh: any meta write after it
+    (there is none — asserted here) can be lost harmlessly, and a
+    re-refresh is a no-op with the correct (not doubled) values."""
+    from unittest import mock
+
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    merge_upsert(
+        warehouse, "fact",
+        _batch(spark, [("b", "g1", 25, TS2), ("e", "g4", 3, TS2)]),
+        n_buckets=8,
+    )
+
+    # refresh must not depend on any post-swap table-meta write: make
+    # one crash the process if attempted
+    with mock.patch.object(
+        ParquetWarehouse, "write_meta",
+        side_effect=AssertionError("refresh wrote table meta after data"),
+    ):
+        assert refresh_matview(warehouse, "mv_by_grp") == "incremental"
+
+    expected = {"g1": (2, 35), "g2": (1, 5), "g3": (1, 7), "g4": (1, 3)}
+    assert _mv_state(warehouse) == expected
+    # the would-be "lost meta" replay: refresh again — fresh, unchanged
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
+    assert _mv_state(warehouse) == expected
+
+
+def test_crash_before_swap_leaves_old_consistent_pair(spark, warehouse):
+    """Kill between staging the new version (data + version meta on
+    disk) and the pointer swap: readers still resolve the OLD
+    version with its OLD base meta — consistent — and a re-refresh
+    recomputes the same delta once."""
+    from unittest import mock
+
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    base_v0 = warehouse.read_version_meta("mv_by_grp")["mv_base_version"]
+    merge_upsert(
+        warehouse, "fact",
+        _batch(spark, [("b", "g1", 25, TS2), ("e", "g4", 3, TS2)]),
+        n_buckets=8,
+    )
+
+    import pytest
+
+    with mock.patch.object(
+        ParquetWarehouse, "_swap_pointer",
+        side_effect=RuntimeError("injected crash"),
+    ):
+        with pytest.raises(RuntimeError, match="injected crash"):
+            refresh_matview(warehouse, "mv_by_grp")
+
+    # old pair intact: old aggregates under the old recorded base
+    assert _mv_state(warehouse) == {"g1": (2, 30), "g2": (1, 5), "g3": (1, 7)}
+    assert warehouse.read_version_meta("mv_by_grp")["mv_base_version"] == base_v0
+    assert is_stale(warehouse, "mv_by_grp")
+
+    # recovery is just refresh again — delta applied exactly once
+    assert refresh_matview(warehouse, "mv_by_grp") == "incremental"
+    assert _mv_state(warehouse) == {
+        "g1": (2, 35), "g2": (1, 5), "g3": (1, 7), "g4": (1, 3),
+    }
+
+
+def test_legacy_table_meta_mv_still_refreshes(spark, warehouse):
+    """An MV written by the pre-round-11 protocol (base version only
+    in the table-level meta, none in the version dir) must stay
+    readable and refreshable — the lookup falls back to table meta,
+    and the first refresh upgrades it to the single-swap protocol."""
+    import os
+
+    from qms_datawarehouse_spark.warehouse import VERSION_META_FILE
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    # rewrite history into the legacy shape: strip the version meta,
+    # put the base version in the table meta
+    vdir = warehouse.current_version_dir("mv_by_grp")
+    vmeta = warehouse.read_version_meta("mv_by_grp")
+    os.unlink(os.path.join(vdir, VERSION_META_FILE))
+    warehouse.write_meta(
+        "mv_by_grp",
+        {**warehouse.read_meta("mv_by_grp"),
+         "mv_base_version": vmeta["mv_base_version"]},
+    )
+
+    assert not is_stale(warehouse, "mv_by_grp")
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("e", "g4", 3, TS2)]), n_buckets=8,
+    )
+    assert is_stale(warehouse, "mv_by_grp")
+    assert refresh_matview(warehouse, "mv_by_grp") == "incremental"
+    assert _mv_state(warehouse)["g4"] == (1, 3)
+    # upgraded: the new version carries its own base meta
+    assert warehouse.read_version_meta("mv_by_grp") is not None
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
+
+
+def test_concurrent_refresh_loser_gets_conflict(spark, warehouse):
+    """The incremental merge is a read-modify-write of the stored
+    partials; a refresh racing a committed writer must surface
+    ConcurrentWriteError, not silently drop the other's merge."""
+    from unittest import mock
+
+    import pytest
+
+    from qms_datawarehouse_spark.warehouse import (
+        ConcurrentWriteError,
+        ParquetWarehouse,
+    )
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("e", "g4", 3, TS2)]), n_buckets=8,
+    )
+
+    real_write = ParquetWarehouse.write_version
+    fired = {"done": False}
+
+    def racing_write(self, table, df, **kw):
+        # before OUR commit lands, a rival refresh completes
+        if table == "mv_by_grp" and not fired["done"]:
+            fired["done"] = True
+            refresh_matview(warehouse, "mv_by_grp")
+        return real_write(self, table, df, **kw)
+
+    with mock.patch.object(ParquetWarehouse, "write_version", racing_write):
+        with pytest.raises(ConcurrentWriteError):
+            refresh_matview(warehouse, "mv_by_grp")
+
+    # the rival's refresh is intact and the MV is current
+    assert _mv_state(warehouse)["g4"] == (1, 3)
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
