@@ -291,24 +291,29 @@ def main() -> None:
                 "host_load_start": load_at_start,
                 "host_load_end": _host_load(),
                 "notes": (
-                    f"r10: {len(HEADLINE)}-query headline (adds "
-                    "dedup_audio_fingerprint, phash_gate_replay_two_epochs, "
-                    "similarity_audio_fp_topk, dedup_cross_modal_agreement "
-                    "AND join_matview_incremental_replay); common22 stays "
-                    "the frozen "
-                    "cross-round signal. NEW: bounded settle-wait before "
-                    "timing (poll until loadavg_1m < 1, give up after "
-                    "10 min and stamp contaminated=true) — every r7-r9 "
-                    "driver capture was load-contaminated per its own "
-                    "telemetry. SCALE probes in docs/SCALING.md: ~10x "
-                    "read probe (tools/sf1_probe.py), ~10x WRITE-path "
-                    "probe (tools/write_probe.py) covering merge partial "
-                    "fixed/scaled buckets, apply_changes, ingest gates. "
+                    f"r11: {len(HEADLINE)}-query headline; common22 stays "
+                    "the frozen cross-round signal. Settle gate now "
+                    "requires loadavg_1m < 1 AND loadavg_5m < 1.5 and "
+                    "records settle_residual_5m (the r10 capture passed "
+                    "the 1m-only gate while 5m was 2.18 and read ~1.5x "
+                    "idle). CAUTION — absolute wall-times track the HOST, "
+                    "not just the code: on 2026-08-16 the same box read "
+                    "common22 13.9 s running the UNCHANGED r10-closing "
+                    "code (git ed73f64) minutes apart from 14.3 s on r11 "
+                    "code (median per-query ratio 0.98 across 87 rows), "
+                    "vs 10.2 s for that identical r10 code at its own "
+                    "round close — a ~1.4x whole-box swing invisible to "
+                    "loadavg/steal. When a round-over-round common22 "
+                    "moves, A/B the prior round's commit on the same box "
+                    "before reading it as a regression. SCALE probes in "
+                    "docs/SCALING.md: ~10x read probe (tools/sf1_probe.py),"
+                    " ~10x WRITE-path probe (tools/write_probe.py). "
                     "host_load_start/_end embed loadavg+uptime. Idle-box "
                     "common22 history: r1 13.99s, r3 11.93s, r4 11.37s, "
                     "r5 10.99s, r6 11.01s, r7 10.25s, r8 10.74s, r9 "
-                    "10.45s. Compare common22 only, and check "
-                    "contaminated/host_load first."
+                    "10.45s, r10 10.20s (r11 same-session A/B above). "
+                    "Compare common22 only, and check contaminated/"
+                    "host_load first."
                 ),
                 "merge": _merge_bench(spark),
             }

@@ -337,3 +337,29 @@ def test_legacy_table_meta_jmv_still_refreshes(spark, warehouse):
     assert _mv_rows(warehouse) == _expected(warehouse)
     assert warehouse.read_version_meta("mv") is not None
     assert refresh_join_matview(warehouse, "mv").mode == "fresh"
+
+
+def test_identical_dim_rewrite_advances_lineage_only(spark, warehouse):
+    """A dim commit whose rows are byte-identical (version advanced,
+    zero changed keys) must advance the MV's lineage WITHOUT writing a
+    data version: the stored rows are already correct, so the refresh
+    records the new base in place (update_version_meta) and a second
+    refresh is fresh."""
+    _seed(spark, warehouse)
+    mv_version = warehouse.current_version_name("mv")
+
+    # rewrite the dim with the SAME rows (new version, same content,
+    # same bucket layout)
+    same = warehouse.read("dims")
+    warehouse.write_version("dims", same, partition_by=[BUCKET_COL])
+    assert is_join_stale(warehouse, "mv")
+
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "incremental"
+    assert res.touched_buckets == 0
+    # no new MV data version was written
+    assert warehouse.current_version_name("mv") == mv_version
+    # lineage advanced: now fresh, and values intact
+    assert not is_join_stale(warehouse, "mv")
+    assert refresh_join_matview(warehouse, "mv").mode == "fresh"
+    assert _mv_rows(warehouse) == _expected(warehouse)
