@@ -290,6 +290,7 @@ def main() -> None:
                 "contaminated": settle["contaminated"],
                 "host_load_start": load_at_start,
                 "host_load_end": _host_load(),
+                "calibration": _calibration(spark),
                 "notes": (
                     f"r11: {len(HEADLINE)}-query headline; common22 stays "
                     "the frozen cross-round signal. Settle gate now "
@@ -304,8 +305,10 @@ def main() -> None:
                     "vs 10.2 s for that identical r10 code at its own "
                     "round close — a ~1.4x whole-box swing invisible to "
                     "loadavg/steal. When a round-over-round common22 "
-                    "moves, A/B the prior round's commit on the same box "
-                    "before reading it as a regression. SCALE probes in "
+                    "moves, first check the calibration anchors (fixed "
+                    "4M-row sha2 compute + 1024-key shuffle workloads, "
+                    "new r11) against prior rounds and only then A/B the "
+                    "prior commit. SCALE probes in "
                     "docs/SCALING.md: ~10x read probe (tools/sf1_probe.py),"
                     " ~10x WRITE-path probe (tools/write_probe.py). "
                     "host_load_start/_end embed loadavg+uptime. Idle-box "
@@ -319,6 +322,47 @@ def main() -> None:
             }
         )
     )
+
+
+def _calibration(spark) -> dict:
+    """Fixed synthetic workloads (warm min-of-3 each), data-independent
+    and code-stable across rounds: box-speed anchors. The r11 A/B
+    found the host swings ~1.4x session-to-session with loadavg/steal
+    both clean — dividing common22 by these separates code regressions
+    from box weather without re-running an old commit. Two anchors
+    because the swing sources differ: ``compute_sec`` (sha2 over 4M
+    rows) prices raw cores; ``shuffle_sec`` (groupBy over 4M rows,
+    1024 keys, one exchange) prices the memory/IPC bandwidth the real
+    queries lean on."""
+    from pyspark.sql import functions as F
+
+    def timed(fn) -> float:
+        fn()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
+    def compute():
+        (
+            spark.range(4_000_000)
+            .select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+            .select(F.max("h"))
+            .collect()
+        )
+
+    def shuffle():
+        (
+            spark.range(4_000_000)
+            .groupBy((F.col("id") % 1024).alias("k"))
+            .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+            .select(F.max("s"), F.sum("n"))
+            .collect()
+        )
+
+    return {"compute_sec": timed(compute), "shuffle_sec": timed(shuffle)}
 
 
 def _merge_bench(spark) -> dict:
