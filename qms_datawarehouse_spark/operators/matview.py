@@ -44,6 +44,16 @@ readable — the lookup falls back to the table meta.
 At 100 TB: staleness checks are free; a sync that touched 40 of 8192
 buckets makes the MV refresh read those 40 buckets twice (old + new
 version — both retained snapshots) and shuffle only their group keys.
+
+Round 11 adds the WRITE side of that asymptotic story: an MV created
+with ``n_buckets`` is itself hash-partitioned on its group key
+(``_mv_bucket``), and refresh rewrites ONLY the MV buckets holding
+delta-touched groups — stored partials outside them are never read
+(partition-pruned scan) and their dirs hardlink-inherit. Without it
+every refresh rewrites the full MV, which is O(group cardinality): a
+1-bucket base change against a billion-group MV would cost a full MV
+rewrite. Unbucketed stays the default for small MVs (one file, no
+layout overhead).
 """
 
 from __future__ import annotations
@@ -55,7 +65,16 @@ from pyspark.sql import functions as F
 
 from qms_datawarehouse_spark.operators.changes import changed_partitions
 from qms_datawarehouse_spark.plans.registry import query
-from qms_datawarehouse_spark.warehouse import BUCKET_COL, ParquetWarehouse
+from qms_datawarehouse_spark.warehouse import (
+    BUCKET_COL,
+    ConcurrentWriteError,
+    ParquetWarehouse,
+)
+
+# the MV's OWN partition column (hash of the group key), distinct from
+# the base table's BUCKET_COL: base buckets shard ROWS by merge key,
+# MV buckets shard GROUPS — the two layouts are unrelated
+MV_BUCKET_COL = "_mv_bucket"
 
 
 def _aggregate(df: DataFrame, group_cols: list[str], sum_cols: list[str],
@@ -64,6 +83,17 @@ def _aggregate(df: DataFrame, group_cols: list[str], sum_cols: list[str],
     for c in sum_cols:
         aggs.append((F.sum(F.col(c)) * sign).alias(f"{c}_sum"))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def _with_mv_bucket(df: DataFrame, group_cols: list[str],
+                    n_buckets: int) -> DataFrame:
+    """Stable hash-bucket of the GROUP key (merge.with_bucket's
+    convention — xxhash64 is seed-stable, so a group's MV bucket never
+    changes across refreshes)."""
+    return df.withColumn(
+        MV_BUCKET_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in group_cols]), F.lit(n_buckets)),
+    )
 
 
 def _merge_partials(stored: DataFrame, delta: DataFrame,
@@ -81,10 +111,21 @@ def create_matview(
     base_table: str,
     group_cols: list[str],
     sum_cols: list[str],
+    n_buckets: int | None = None,
 ) -> None:
     """Materialize ``SELECT group_cols, count(*), sum(sum_cols…) FROM
     base_table GROUP BY group_cols`` and record the base version it
-    reflects."""
+    reflects.
+
+    ``n_buckets`` opts the MV into its own hash-bucketed layout
+    (``_mv_bucket = pmod(xxhash64(group key), n)`` partition dirs).
+    Without it, every refresh rewrites the whole MV — fine while the
+    MV is small, O(group cardinality) when it is not. Bucketed,
+    refresh rewrites ONLY the MV buckets holding groups the delta
+    touched; every other partition hardlink-inherits — the refresh
+    cost becomes O(delta groups + their bucket bytes), independent of
+    total MV size. Size n_buckets like a merge table's: total MV bytes
+    / target partition size."""
     base_version = warehouse.current_version_name(base_table)
     if base_version is None:
         raise FileNotFoundError(f"base table not found: {base_table}")
@@ -98,15 +139,24 @@ def create_matview(
     # the reflected base version rides the SAME pointer swap as the
     # aggregates (extra_meta → _VERSION_META.json in the version dir);
     # the table meta keeps only the static definition
-    warehouse.write_version(
-        name, mv, extra_meta={"mv_base_version": base_version}
-    )
+    if n_buckets:
+        warehouse.write_version(
+            name,
+            _with_mv_bucket(mv, group_cols, n_buckets),
+            partition_by=[MV_BUCKET_COL],
+            extra_meta={"mv_base_version": base_version},
+        )
+    else:
+        warehouse.write_version(
+            name, mv, extra_meta={"mv_base_version": base_version}
+        )
     warehouse.write_meta(
         name,
         {
             "mv_base": base_table,
             "mv_group_cols": group_cols,
             "mv_sum_cols": sum_cols,
+            **({"mv_n_buckets": n_buckets} if n_buckets else {}),
         },
     )
 
@@ -153,17 +203,31 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
         if os.path.isdir(old_dir)
         else None
     )
-    if changed is None:
+    n_buckets = meta.get("mv_n_buckets")
+
+    def _full() -> str:
         # pinned to `current` captured above — the version meta and
         # data name the same base even if a sync lands mid-refresh,
-        # and they commit in the same pointer swap
+        # and they commit in the same pointer swap; a bucketed MV
+        # keeps its layout so later refreshes stay partial
         mv = _aggregate(
             warehouse.read(base, version=current), group_cols, sum_cols
         )
-        warehouse.write_version(
-            name, mv, extra_meta={"mv_base_version": current}
-        )
+        if n_buckets:
+            warehouse.write_version(
+                name,
+                _with_mv_bucket(mv, group_cols, n_buckets),
+                partition_by=[MV_BUCKET_COL],
+                extra_meta={"mv_base_version": current},
+            )
+        else:
+            warehouse.write_version(
+                name, mv, extra_meta={"mv_base_version": current}
+            )
         return "full"
+
+    if changed is None:
+        return _full()
 
     vals = [int(v) for v in changed]
     old_rows = warehouse.read(base, version=recorded).filter(
@@ -176,9 +240,71 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
         _aggregate(old_rows, group_cols, sum_cols, sign=-1)
     )
     # read-modify-write on the stored partials: CAS on the MV version
-    # we read, so a concurrent refresh can't have its merge silently
-    # overwritten (ConcurrentWriteError tells the loser to re-read)
+    # we read (write_version's expect_base / write_version_partial's
+    # base_version), so a concurrent refresh can't have its merge
+    # silently overwritten (ConcurrentWriteError tells the loser to
+    # re-read)
     mv_version = warehouse.current_version_name(name)
+
+    if n_buckets:
+        # O(delta) path: only the MV buckets holding delta-touched
+        # groups are read (partition-pruned) and rewritten; the
+        # collect is bounded by n_buckets.
+        # NET the delta first — agg(changed@new) ∪ -agg(changed@old)
+        # names EVERY group living in a changed base bucket, with
+        # cancelling partials for the untouched ones; without netting,
+        # 'touched' would balloon to all groups co-resident with the
+        # change (measured: one updated row rewrote all 8 MV buckets)
+        net_aggs = [F.sum("_mv_n").cast("long").alias("_mv_n")]
+        for c in sum_cols:
+            net_aggs.append(F.sum(f"{c}_sum").alias(f"{c}_sum"))
+        nonzero = F.col("_mv_n") != 0
+        for c in sum_cols:
+            nonzero = nonzero | (F.coalesce(F.col(f"{c}_sum"), F.lit(0)) != 0)
+        net = delta.groupBy(*group_cols).agg(*net_aggs).filter(nonzero)
+        delta_b = _with_mv_bucket(net, group_cols, n_buckets).persist()
+        try:
+            touched = sorted(
+                int(r[0])
+                for r in delta_b.select(MV_BUCKET_COL).distinct().collect()
+            )
+            if not touched:
+                # both snapshots aggregate identically (e.g. a
+                # compaction-style rewrite) — lineage-only advance
+                warehouse.update_version_meta(
+                    name, {"mv_base_version": current}
+                )
+                return "incremental"
+            stored = warehouse.read(name, version=mv_version).filter(
+                F.col(MV_BUCKET_COL).isin(touched)
+            )
+            merged = _with_mv_bucket(
+                _merge_partials(
+                    stored.drop(MV_BUCKET_COL),
+                    delta_b.drop(MV_BUCKET_COL),
+                    group_cols,
+                    sum_cols,
+                ),
+                group_cols,
+                n_buckets,
+            )
+            try:
+                warehouse.write_version_partial(
+                    name,
+                    merged,
+                    touched,
+                    partition_col=MV_BUCKET_COL,
+                    base_version=mv_version,
+                    extra_meta={"mv_base_version": current},
+                )
+            except (ValueError, ConcurrentWriteError):
+                # no partition dirs to inherit (empty create) or the
+                # MV advanced under us — fallback is always correct
+                return _full()
+            return "incremental"
+        finally:
+            delta_b.unpersist()
+
     merged = _merge_partials(
         warehouse.read(name, version=mv_version), delta, group_cols, sum_cols
     )

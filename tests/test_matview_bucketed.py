@@ -1,0 +1,210 @@
+"""Bucketed aggregate MVs (round 11): an MV created with n_buckets is
+hash-partitioned on its group key, and refresh rewrites ONLY the MV
+buckets holding delta-touched groups — the O(delta) write-side twin of
+the read side's changed-base-bucket pruning. Values must stay
+identical to the unbucketed path and to a full recompute."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from qms_datawarehouse_spark.operators.matview import (
+    MV_BUCKET_COL,
+    create_matview,
+    is_stale,
+    refresh_matview,
+)
+from qms_datawarehouse_spark.operators.merge import merge_upsert
+
+N_MV_BUCKETS = 8
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "_id string, grp string, amount long, updated_at timestamp"
+    )
+
+
+def _seed(spark, warehouse, n=120, groups=24):
+    import datetime as dt
+
+    rows = [
+        (f"r{i}", f"g{i % groups:02d}", (i * 7) % 50, dt.datetime(2024, 1, 1))
+        for i in range(n)
+    ]
+    merge_upsert(warehouse, "fact", _batch(spark, rows), n_buckets=8)
+
+
+def _state(warehouse, name="mv_b"):
+    return {
+        r.grp: (r._mv_n, r.amount_sum)
+        for r in warehouse.read(name).collect()
+    }
+
+
+def _expected(warehouse):
+    return {
+        r.grp: (r.n, r.s)
+        for r in warehouse.read("fact")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("amount").alias("s"))
+        .collect()
+    }
+
+
+def _inodes_by_dir(vdir):
+    out = {}
+    for entry in os.listdir(vdir):
+        if not entry.startswith(f"{MV_BUCKET_COL}="):
+            continue
+        pdir = os.path.join(vdir, entry)
+        out[entry] = {
+            os.stat(os.path.join(pdir, f)).st_ino
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_bucketed_create_matches_unbucketed(spark, warehouse):
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_b", "fact", ["grp"], ["amount"],
+                   n_buckets=N_MV_BUCKETS)
+    create_matview(warehouse, "mv_flat", "fact", ["grp"], ["amount"])
+    assert _state(warehouse, "mv_b") == _state(warehouse, "mv_flat")
+    assert _state(warehouse, "mv_b") == _expected(warehouse)
+    # the layout is real: _mv_bucket= partition dirs on disk
+    vdir = warehouse.current_version_dir("mv_b")
+    assert any(e.startswith(f"{MV_BUCKET_COL}=") for e in os.listdir(vdir))
+
+
+def test_refresh_rewrites_only_touched_mv_buckets(spark, warehouse):
+    import datetime as dt
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_b", "fact", ["grp"], ["amount"],
+                   n_buckets=N_MV_BUCKETS)
+    before = _inodes_by_dir(warehouse.current_version_dir("mv_b"))
+
+    # touch ONE group (update) + add one NEW group
+    delta = _batch(spark, [
+        ("r1", "g01", 999, dt.datetime(2024, 2, 1)),
+        ("x1", "gNEW", 5, dt.datetime(2024, 2, 1)),
+    ])
+    merge_upsert(warehouse, "fact", delta, n_buckets=8)
+    assert is_stale(warehouse, "mv_b")
+    assert refresh_matview(warehouse, "mv_b") == "incremental"
+
+    after = _inodes_by_dir(warehouse.current_version_dir("mv_b"))
+    # r1's OLD group (it moved from its seed grp to g01? no — r1 was
+    # already g01 at seed (1 % 24 = 1); the update changes its amount)
+    # touched groups: g01 (update) and gNEW (insert) → at most 2 MV
+    # buckets rewritten; everything else must share inodes (inherited)
+    rewritten = [d for d in after if after[d] != before.get(d)]
+    assert 1 <= len(rewritten) <= 2, rewritten
+    inherited = [d for d in after if d in before and after[d] == before[d]]
+    assert len(inherited) >= len(after) - 2
+    assert _state(warehouse, "mv_b") == _expected(warehouse)
+
+
+def test_group_to_zero_drops_inside_touched_bucket(spark, warehouse):
+    import datetime as dt
+
+    _seed(spark, warehouse, n=24, groups=24)  # one row per group
+    create_matview(warehouse, "mv_b", "fact", ["grp"], ["amount"],
+                   n_buckets=N_MV_BUCKETS)
+    # move g03's only row to g04: g03's count hits zero
+    merge_upsert(
+        warehouse, "fact",
+        _batch(spark, [("r3", "g04", 21, dt.datetime(2024, 2, 1))]),
+        n_buckets=8,
+    )
+    assert refresh_matview(warehouse, "mv_b") == "incremental"
+    state = _state(warehouse, "mv_b")
+    assert "g03" not in state
+    assert state == _expected(warehouse)
+
+
+def test_bucketed_refresh_equals_full_recompute(spark, warehouse):
+    import datetime as dt
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_b", "fact", ["grp"], ["amount"],
+                   n_buckets=N_MV_BUCKETS)
+    for day, rows in enumerate((
+        [("r5", "g05", 123, None), ("y1", "gY", 7, None)],
+        [("r5", "g17", 1, None), ("y1", "gY", 9, None)],
+    ), start=2):
+        batch = _batch(spark, [
+            (i, g, a, dt.datetime(2024, day, 1)) for (i, g, a, _) in rows
+        ])
+        merge_upsert(warehouse, "fact", batch, n_buckets=8)
+        assert refresh_matview(warehouse, "mv_b") == "incremental"
+        assert _state(warehouse, "mv_b") == _expected(warehouse)
+    assert refresh_matview(warehouse, "mv_b") == "fresh"
+
+
+def test_bucketed_full_fallback_keeps_layout(spark, warehouse):
+    import shutil
+
+    import datetime as dt
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_b", "fact", ["grp"], ["amount"],
+                   n_buckets=N_MV_BUCKETS)
+    recorded = warehouse.read_version_meta("mv_b")["mv_base_version"]
+    merge_upsert(
+        warehouse, "fact",
+        _batch(spark, [("z1", "g00", 42, dt.datetime(2024, 2, 1))]),
+        n_buckets=8,
+    )
+    shutil.rmtree(os.path.join(warehouse.table_dir("fact"), recorded),
+                  ignore_errors=True)
+    assert refresh_matview(warehouse, "mv_b") == "full"
+    assert _state(warehouse, "mv_b") == _expected(warehouse)
+    # layout preserved → the NEXT refresh is partial again
+    vdir = warehouse.current_version_dir("mv_b")
+    assert any(e.startswith(f"{MV_BUCKET_COL}=") for e in os.listdir(vdir))
+    merge_upsert(
+        warehouse, "fact",
+        _batch(spark, [("z2", "g01", 1, dt.datetime(2024, 3, 1))]),
+        n_buckets=8,
+    )
+    assert refresh_matview(warehouse, "mv_b") == "incremental"
+    assert _state(warehouse, "mv_b") == _expected(warehouse)
+
+
+def test_bucketed_mv_partition_pruned_stored_read(spark, warehouse):
+    """The refresh's stored-partials scan must be partition-pruned to
+    the touched MV buckets (PartitionFilters on _mv_bucket), not a
+    full MV read."""
+    import datetime as dt
+
+    _seed(spark, warehouse, n=240, groups=48)
+    create_matview(warehouse, "mv_b", "fact", ["grp"], ["amount"],
+                   n_buckets=N_MV_BUCKETS)
+    merge_upsert(
+        warehouse, "fact",
+        _batch(spark, [("r1", "g01", 999, dt.datetime(2024, 2, 1))]),
+        n_buckets=8,
+    )
+    # capture the stored read's plan via the filter the refresh builds:
+    # equivalent probe — read + isin on one bucket value, check pruning
+    from qms_datawarehouse_spark.operators.matview import _with_mv_bucket
+
+    one = (
+        _with_mv_bucket(
+            warehouse.read("mv_b").drop(MV_BUCKET_COL).limit(1),
+            ["grp"], N_MV_BUCKETS,
+        )
+        .select(MV_BUCKET_COL)
+        .collect()[0][0]
+    )
+    pruned = warehouse.read("mv_b").filter(F.col(MV_BUCKET_COL).isin([int(one)]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and MV_BUCKET_COL in plan
+    # and the refresh itself stays green
+    assert refresh_matview(warehouse, "mv_b") == "incremental"
+    assert _state(warehouse, "mv_b") == _expected(warehouse)
