@@ -394,7 +394,8 @@ def probe_ingest_semantic(spark, sf_dir: str, k: int) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def probe_matview_refresh(spark, sf_dir: str, n_buckets: int) -> tuple[float, float]:
+def probe_matview_refresh(spark, sf_dir: str, n_buckets: int,
+                          mv_buckets: int | None = None) -> tuple[float, float]:
     """(incremental refresh sec, full recompute sec) after a
     one-bucket clustered update batch lands on the base table — the
     MV maintenance claim: refresh cost tracks TOUCHED buckets, the
@@ -422,7 +423,8 @@ def probe_matview_refresh(spark, sf_dir: str, n_buckets: int) -> tuple[float, fl
             F.col("ts").alias("updated_at"),
         )
         merge_upsert(wh, "f", base, n_buckets=n_buckets)
-        create_matview(wh, "mv", "f", ["grp"], ["amount"])
+        create_matview(wh, "mv", "f", ["grp"], ["amount"],
+                       n_buckets=mv_buckets)
         batch = (
             base.filter(F.expr(f"pmod(xxhash64(_id), {n_buckets}) = 0"))
             .orderBy("_id")
@@ -544,6 +546,18 @@ def main(argv: list[str] | None = None) -> int:
             mv10 = probe_matview_refresh(spark, scaled, SEED_BUCKETS)
             emit("matview_refresh_incremental", mv1[0], mv10[0])
             emit("matview_full_recompute", mv1[1], mv10[1])
+        if wanted("matview_refresh_bucketed"):
+            # round-11 layout: the MV itself is hash-partitioned on
+            # its group key and refresh rewrites only delta-touched
+            # MV buckets — for a fixed batch the cost must stay flat
+            # as the corpus (and the MV's untouched majority) grows
+            emit(
+                "matview_refresh_bucketed",
+                probe_matview_refresh(spark, BASE, SEED_BUCKETS,
+                                      mv_buckets=32)[0],
+                probe_matview_refresh(spark, scaled, SEED_BUCKETS,
+                                      mv_buckets=32)[0],
+            )
         if wanted("ingest_semantic_fixed_k"):
             emit(
                 "ingest_semantic_fixed_k",
