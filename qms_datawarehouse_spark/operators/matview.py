@@ -246,31 +246,34 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     # re-read)
     mv_version = warehouse.current_version_name(name)
 
-    if n_buckets:
-        # O(delta) path: only the MV buckets holding delta-touched
-        # groups are read (partition-pruned) and rewritten; the
-        # collect is bounded by n_buckets.
-        # NET the delta first — agg(changed@new) ∪ -agg(changed@old)
-        # names EVERY group living in a changed base bucket, with
-        # cancelling partials for the untouched ones; without netting,
-        # 'touched' would balloon to all groups co-resident with the
-        # change (measured: one updated row rewrote all 8 MV buckets)
-        net_aggs = [F.sum("_mv_n").cast("long").alias("_mv_n")]
-        for c in sum_cols:
-            net_aggs.append(F.sum(f"{c}_sum").alias(f"{c}_sum"))
-        nonzero = F.col("_mv_n") != 0
-        for c in sum_cols:
-            nonzero = nonzero | (F.coalesce(F.col(f"{c}_sum"), F.lit(0)) != 0)
-        net = delta.groupBy(*group_cols).agg(*net_aggs).filter(nonzero)
-        delta_b = _with_mv_bucket(net, group_cols, n_buckets).persist()
-        try:
+    # NET the delta first — agg(changed@new) ∪ -agg(changed@old) names
+    # EVERY group living in a changed base bucket, with cancelling
+    # partials for the untouched ones; without netting, the bucketed
+    # path's 'touched' balloons to all groups co-resident with the
+    # change (measured: one updated row rewrote all 8 MV buckets), and
+    # the unbucketed path can't tell a content-preserving base rewrite
+    # (compaction, clustering) from a real delta — which turns every
+    # maintenance pass into a pointless full-MV rewrite downstream
+    net_aggs = [F.sum("_mv_n").cast("long").alias("_mv_n")]
+    for c in sum_cols:
+        net_aggs.append(F.sum(f"{c}_sum").alias(f"{c}_sum"))
+    nonzero = F.col("_mv_n") != 0
+    for c in sum_cols:
+        nonzero = nonzero | (F.coalesce(F.col(f"{c}_sum"), F.lit(0)) != 0)
+    net = delta.groupBy(*group_cols).agg(*net_aggs).filter(nonzero).persist()
+    try:
+        if n_buckets:
+            # O(delta) path: only the MV buckets holding delta-touched
+            # groups are read (partition-pruned) and rewritten; the
+            # collect is bounded by n_buckets
+            delta_b = _with_mv_bucket(net, group_cols, n_buckets)
             touched = sorted(
                 int(r[0])
                 for r in delta_b.select(MV_BUCKET_COL).distinct().collect()
             )
             if not touched:
-                # both snapshots aggregate identically (e.g. a
-                # compaction-style rewrite) — lineage-only advance
+                # both snapshots aggregate identically — lineage-only
+                # advance (atomic rename, idempotent on crash)
                 warehouse.update_version_meta(
                     name, {"mv_base_version": current}
                 )
@@ -281,7 +284,7 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
             merged = _with_mv_bucket(
                 _merge_partials(
                     stored.drop(MV_BUCKET_COL),
-                    delta_b.drop(MV_BUCKET_COL),
+                    net,
                     group_cols,
                     sum_cols,
                 ),
@@ -302,19 +305,24 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
                 # MV advanced under us — fallback is always correct
                 return _full()
             return "incremental"
-        finally:
-            delta_b.unpersist()
 
-    merged = _merge_partials(
-        warehouse.read(name, version=mv_version), delta, group_cols, sum_cols
-    )
-    warehouse.write_version(
-        name,
-        merged,
-        expect_base=mv_version,
-        extra_meta={"mv_base_version": current},
-    )
-    return "incremental"
+        if net.isEmpty():
+            # content-preserving base rewrite: nothing to merge,
+            # record the new base in place
+            warehouse.update_version_meta(name, {"mv_base_version": current})
+            return "incremental"
+        merged = _merge_partials(
+            warehouse.read(name, version=mv_version), net, group_cols, sum_cols
+        )
+        warehouse.write_version(
+            name,
+            merged,
+            expect_base=mv_version,
+            extra_meta={"mv_base_version": current},
+        )
+        return "incremental"
+    finally:
+        net.unpersist()
 
 
 # --------------------------------------------------------------------

@@ -208,3 +208,33 @@ def test_bucketed_mv_partition_pruned_stored_read(spark, warehouse):
     # and the refresh itself stays green
     assert refresh_matview(warehouse, "mv_b") == "incremental"
     assert _state(warehouse, "mv_b") == _expected(warehouse)
+
+
+def test_compaction_of_base_is_lineage_only_refresh(spark, warehouse):
+    """compact() rewrites base buckets (every inode changes) without
+    changing CONTENT: the netted delta is empty, so refresh must
+    advance lineage in place — no MV data version written — for BOTH
+    layouts. Without this, every maintenance pass on the base triggers
+    a pointless full-MV rewrite downstream."""
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_b", "fact", ["grp"], ["amount"],
+                   n_buckets=N_MV_BUCKETS)
+    create_matview(warehouse, "mv_flat", "fact", ["grp"], ["amount"])
+    v_b = warehouse.current_version_name("mv_b")
+    v_flat = warehouse.current_version_name("mv_flat")
+    expected = _expected(warehouse)
+
+    warehouse.compact("fact", sort_col="_id")
+    assert is_stale(warehouse, "mv_b") and is_stale(warehouse, "mv_flat")
+
+    assert refresh_matview(warehouse, "mv_b") == "incremental"
+    assert refresh_matview(warehouse, "mv_flat") == "incremental"
+    # lineage advanced, data untouched (same version dirs)
+    assert warehouse.current_version_name("mv_b") == v_b
+    assert warehouse.current_version_name("mv_flat") == v_flat
+    assert not is_stale(warehouse, "mv_b")
+    assert not is_stale(warehouse, "mv_flat")
+    assert _state(warehouse, "mv_b") == expected
+    assert _state(warehouse, "mv_flat") == expected
+    assert refresh_matview(warehouse, "mv_b") == "fresh"
+    assert refresh_matview(warehouse, "mv_flat") == "fresh"
