@@ -160,6 +160,8 @@ HEADLINE = [
     "similarity_audio_fp_topk",
     "dedup_cross_modal_agreement",
     "join_matview_incremental_replay",
+    # round-11 addition
+    "matview_bucketed_replay",
 ]
 
 

@@ -426,3 +426,97 @@ def matview_incremental_replay(spark, sf_dir: str) -> DataFrame:
         F.col("_mv_n").cast("long").alias("n"),
         F.col("amount_sum").cast("long").alias("amount_sum"),
     )
+
+
+_MV_BUCKETED_REPLAY_SQL = """
+    WITH f AS (
+        SELECT event_type,
+               CASE WHEN ((event_id % 3) + 3) % 3 != 0
+                         AND ((event_id % 5) + 5) % 5 = 0
+                    THEN 2 * CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
+               END AS amount
+        FROM events
+        WHERE ((event_id % 2) + 2) % 2 = 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amount) AS BIGINT) AS amount_sum
+    FROM f GROUP BY 1
+"""
+
+
+@query("matview_bucketed_replay", _MV_BUCKETED_REPLAY_SQL)
+def matview_bucketed_replay(spark, sf_dir: str) -> DataFrame:
+    """The BUCKETED-layout twin of ``matview_incremental_replay`` (on
+    the ODD event half so the two rows are distinct computations): the
+    MV is created with ``n_buckets=16`` — hash-partitioned on its own
+    group key — and the same two-epoch replay (inserts % 3 == 0,
+    doubled-amount updates % 5 == 0) must refresh through the
+    INCREMENTAL branch (asserted in-query) and hash-equal the oracle's
+    one-shot recompute. What this adds over the unbucketed row: the
+    delta-netting, touched-MV-bucket resolution, and partial-write
+    commit all sit on the hot path being value-checked. The
+    inode-level evidence that untouched MV partitions hardlink-inherit
+    is deterministic only at fixed scale, so it lives in
+    tests/test_matview_bucketed.py (the join-MV replay convention).
+
+    Scale shape: refresh reads the changed BASE buckets at two
+    retained versions, nets the delta to nonzero groups, reads ONLY
+    the MV partitions holding them (partition-pruned), and rewrites
+    only those dirs — O(delta), independent of group cardinality.
+
+    Reference analog: none (the reference recomputes reports per
+    request, src/api/routes.py); this is the derived-table layout that
+    keeps a billion-group rollup maintainable."""
+    import os
+    import shutil
+
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.plans.registry import tables
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+
+    (events,) = tables(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = pid_scoped_dir("qms_mvb_replay", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(spark, root)
+
+    base = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1).select(
+        F.col("event_id").cast("string").alias("_id"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("m3"),
+        F.pmod(F.col("event_id"), F.lit(5)).alias("m5"),
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("amount"),
+        F.col("ts").alias("updated_at"),
+    )
+    batch1 = base.filter(F.col("m3") != 0).drop("m3", "m5")
+    merge_upsert(wh, "fact_events", batch1, n_buckets=16)
+    create_matview(
+        wh, "mv_events", "fact_events", ["grp"], ["amount"], n_buckets=16
+    )
+
+    inserts = base.filter(F.col("m3") == 0).drop("m3", "m5")
+    updates = (
+        base.filter((F.col("m3") != 0) & (F.col("m5") == 0))
+        .withColumn("amount", F.col("amount") * 2)
+        .withColumn(
+            "updated_at", F.col("updated_at") + F.expr("INTERVAL 1 DAY")
+        )
+        .drop("m3", "m5")
+    )
+    epoch2 = inserts.unionByName(updates)
+    if epoch2.isEmpty():  # evidence guard: the delta must be real
+        raise AssertionError("bucketed MV replay fixture produced no delta")
+    merge_upsert(wh, "fact_events", epoch2, n_buckets=16)
+
+    mode = refresh_matview(wh, "mv_events")
+    if mode != "incremental":  # the row's claim IS the delta-merge path
+        raise AssertionError(
+            f"bucketed matview refresh took the {mode!r} branch"
+        )
+    return wh.read("mv_events").select(
+        F.col("grp").alias("event_type"),
+        F.col("_mv_n").cast("long").alias("n"),
+        F.col("amount_sum").cast("long").alias("amount_sum"),
+    )

@@ -67,8 +67,8 @@ def test_anchors_inside_window():
 # round-7-cohort rows the 50-slot r11 window couldn't fit — all
 # ever-green (r7), so the invariant doesn't force them; the queue is
 # the bookkeeping that they MUST enter the r12 window, which retires
-# the round-7 evidence tier. No new queries were registered in round
-# 11 (a consolidation round), so nothing here is invariant-forced.
+# the round-7 evidence tier — plus the one round-11 late addition
+# (never-checked, invariant-forced).
 QUEUED_NEXT_WINDOW: list[str] = [
     "q6_revenue_filter",
     "quantile_order_value",
@@ -95,6 +95,10 @@ QUEUED_NEXT_WINDOW: list[str] = [
     "q22_idle_customers",
     "similarity_topk_cosine",
     "sketch_kmv_distinct",
+    # round-11 late addition (landed after the r11 window froze): the
+    # bucketed-layout twin of the aggregate-MV replay — never-checked,
+    # so the invariant forces it into the r12 window
+    "matview_bucketed_replay",
 ]
 
 

@@ -109,6 +109,7 @@ TOP_OPS = [
     # round-10 late addition: join-MV maintenance through the real
     # write path (two bucketed merges + create + refresh per run)
     "join_matview_incremental_replay",
+    "matview_bucketed_replay",
 ]
 
 # per-table key columns to offset per replica (join consistency);
