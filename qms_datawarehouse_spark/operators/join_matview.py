@@ -246,6 +246,13 @@ def refresh_join_matview(
         )
         return JoinRefreshResult("full", 0, _n_buckets(warehouse, name))
 
+    # lineage lost (an MV version committed without _VERSION_META.json
+    # by a pre-round-12 maintenance rewrite, no legacy table-meta
+    # record): the stored rows reflect an unknown base pair — full
+    # recompute re-establishes it (joining None into a path crashed)
+    if rec_fact is None or rec_dim is None:
+        return _full()
+
     # -- fact-side: inode-level changed buckets ------------------------
     touched: set[int] = set()
     if cur_fact != rec_fact:
@@ -303,8 +310,17 @@ def refresh_join_matview(
     if not touched:
         # lineage-only advance: the stored rows are already correct
         # (e.g. a dim rewrite that changed zero keys); record the new
-        # base versions in place — one atomic rename, idempotent
-        warehouse.update_version_meta(name, lineage)
+        # base versions in place — one atomic rename, idempotent —
+        # CASed on the MV version whose rows we validated: a rival
+        # refresh committing in between has NEWER lineage that ours
+        # must not overwrite (this layer's absorbing contract: re-read
+        # and retry against the rival's state instead of surfacing)
+        try:
+            warehouse.update_version_meta(
+                name, lineage, expect_version=mv_base
+            )
+        except ConcurrentWriteError:
+            return refresh_join_matview(warehouse, name, max_dim_keys)
         return JoinRefreshResult("incremental", 0, total)
     tl = sorted(touched)
     rows = _joined(

@@ -15,9 +15,13 @@ layer provides that over any key-bucketed warehouse table:
   (``changes.changed_partitions``): hardlink-inherited buckets are
   provably unchanged and never scanned. The stored partials merge
   with the delta by group key; groups whose count reaches zero drop;
-- partials are ADDITIVE (count, sums — mean derives at read time), so
-  the merge is associative and the delta can be negative. min/max are
-  NOT incrementally maintainable under deletes/updates and are
+- partials are ADDITIVE (count, and per sum column the (sum, non-null
+  count) pair — mean derives at read time), so the merge is
+  associative and the delta can be negative. The non-null count is
+  what keeps SQL sum semantics exact under NULLs: an all-NULL group's
+  sum is NULL, a zero-sum group's is 0, and only the pair can tell a
+  delta that moved between those states from no change at all. min/max
+  are NOT incrementally maintainable under deletes/updates and are
   deliberately excluded here (the rollup layer handles them for
   append-only feeds);
 - if the recorded base version was garbage-collected (retention
@@ -79,9 +83,21 @@ MV_BUCKET_COL = "_mv_bucket"
 
 def _aggregate(df: DataFrame, group_cols: list[str], sum_cols: list[str],
                sign: int = 1) -> DataFrame:
+    """Additive partials per group: row count, and per sum column the
+    (sum, non-null count) PAIR. The pair — not the sum alone — is the
+    sufficient statistic for SQL sum-with-NULL semantics under an
+    additive merge: ``sum`` over partials treats an all-NULL partial
+    as contributing nothing, which is indistinguishable from a partial
+    whose true sum is 0; the non-null count disambiguates (the merged
+    sum is NULL iff the merged non-null count is 0). Without it, a
+    group whose stored sum was NULL and whose delta introduced a 0
+    netted to "no change" and kept the stale NULL forever."""
     aggs = [F.sum(F.lit(sign)).cast("long").alias("_mv_n")]
     for c in sum_cols:
         aggs.append((F.sum(F.col(c)) * sign).alias(f"{c}_sum"))
+        aggs.append(
+            (F.count(F.col(c)) * sign).cast("long").alias(f"{c}_nn")
+        )
     return df.groupBy(*group_cols).agg(*aggs)
 
 
@@ -101,8 +117,22 @@ def _merge_partials(stored: DataFrame, delta: DataFrame,
     merged = stored.unionByName(delta)
     aggs = [F.sum("_mv_n").cast("long").alias("_mv_n")]
     for c in sum_cols:
-        aggs.append(F.sum(f"{c}_sum").alias(f"{c}_sum"))
-    return merged.groupBy(*group_cols).agg(*aggs).filter(F.col("_mv_n") > 0)
+        # sum over partials ignores NULL partials — exactly right,
+        # since a NULL partial is one with zero non-null inputs and
+        # contributes nothing to the true sum
+        aggs.append(F.sum(f"{c}_sum").alias(f"_raw_{c}_sum"))
+        aggs.append(F.sum(f"{c}_nn").cast("long").alias(f"{c}_nn"))
+    out = merged.groupBy(*group_cols).agg(*aggs).filter(F.col("_mv_n") > 0)
+    # NULL-correct derivation: the merged sum is NULL iff no non-null
+    # value survives (nn == 0); when nn > 0 at least one partial's sum
+    # is non-null, so the raw sum is the true value (a 0 stays 0, it
+    # does not collapse into NULL or vice versa)
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_sum",
+            F.when(F.col(f"{c}_nn") > 0, F.col(f"_raw_{c}_sum")),
+        ).drop(f"_raw_{c}_sum")
+    return out
 
 
 def create_matview(
@@ -181,8 +211,14 @@ def is_stale(warehouse: ParquetWarehouse, name: str) -> bool:
 def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     """Bring the MV up to the base's current version. Returns
     ``"fresh"`` (no-op), ``"incremental"``, or ``"full"`` (fallback
-    when the recorded base version is no longer retained or the base
-    lacks the bucket layout)."""
+    when the recorded base version is no longer retained, the base
+    lacks the bucket layout, lineage was lost entirely, or the stored
+    partials predate the NULL-correct (sum, non-null count) schema).
+
+    Concurrency contract (both layouts): a refresh racing a committed
+    rival surfaces ``ConcurrentWriteError`` — every commit it makes,
+    including the lineage-only advance, is a compare-and-swap on the
+    MV version it read; the loser re-reads, it never overwrites."""
     import os
 
     meta = warehouse.read_meta(name)
@@ -194,15 +230,22 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     if current == recorded:
         return "fresh"
 
-    old_dir = os.path.join(warehouse.table_dir(base), recorded)
-    # to_version pins the diff to the `current` captured above — a
-    # sync landing mid-refresh must not widen the changed set past
-    # the version the meta will record
-    changed = (
-        changed_partitions(warehouse, base, recorded, to_version=current)
-        if os.path.isdir(old_dir)
-        else None
-    )
+    # recorded is None when lineage was lost (an MV version committed
+    # without _VERSION_META.json by a pre-round-12 maintenance rewrite
+    # and no legacy table-meta record) — the stored partials reflect
+    # an UNKNOWN base, so the only correct move is a full recompute
+    # (which re-establishes lineage); joining None into a path crashed
+    # here instead
+    changed = None
+    if recorded is not None:
+        old_dir = os.path.join(warehouse.table_dir(base), recorded)
+        # to_version pins the diff to the `current` captured above — a
+        # sync landing mid-refresh must not widen the changed set past
+        # the version the meta will record
+        if os.path.isdir(old_dir):
+            changed = changed_partitions(
+                warehouse, base, recorded, to_version=current
+            )
     n_buckets = meta.get("mv_n_buckets")
 
     def _full() -> str:
@@ -246,6 +289,13 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     # re-read)
     mv_version = warehouse.current_version_name(name)
 
+    # stored partials written before the (sum, non-null count) pair
+    # lack the {c}_nn columns — one full recompute upgrades the MV to
+    # the NULL-correct schema, then refreshes are incremental again
+    stored_cols = set(warehouse.read(name, version=mv_version).columns)
+    if any(f"{c}_nn" not in stored_cols for c in sum_cols):
+        return _full()
+
     # NET the delta first — agg(changed@new) ∪ -agg(changed@old) names
     # EVERY group living in a changed base bucket, with cancelling
     # partials for the untouched ones; without netting, the bucketed
@@ -257,9 +307,14 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     net_aggs = [F.sum("_mv_n").cast("long").alias("_mv_n")]
     for c in sum_cols:
         net_aggs.append(F.sum(f"{c}_sum").alias(f"{c}_sum"))
+        net_aggs.append(F.sum(f"{c}_nn").cast("long").alias(f"{c}_nn"))
     nonzero = F.col("_mv_n") != 0
     for c in sum_cols:
+        # the nn term keeps pure NULL↔value transitions: a group whose
+        # sum went all-NULL → 0 has count delta 0 and sum delta 0, but
+        # its non-null count moved — dropping it left the stale NULL
         nonzero = nonzero | (F.coalesce(F.col(f"{c}_sum"), F.lit(0)) != 0)
+        nonzero = nonzero | (F.col(f"{c}_nn") != 0)
     net = delta.groupBy(*group_cols).agg(*net_aggs).filter(nonzero).persist()
     try:
         if n_buckets:
@@ -273,9 +328,14 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
             )
             if not touched:
                 # both snapshots aggregate identically — lineage-only
-                # advance (atomic rename, idempotent on crash)
+                # advance (atomic rename, idempotent on crash), CASed
+                # on the MV version we resolved: a rival refresh
+                # committing in between must surface as a conflict,
+                # not have its newer lineage stamped over with ours
                 warehouse.update_version_meta(
-                    name, {"mv_base_version": current}
+                    name,
+                    {"mv_base_version": current},
+                    expect_version=mv_version,
                 )
                 return "incremental"
             stored = warehouse.read(name, version=mv_version).filter(
@@ -300,16 +360,23 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
                     base_version=mv_version,
                     extra_meta={"mv_base_version": current},
                 )
-            except (ValueError, ConcurrentWriteError):
-                # no partition dirs to inherit (empty create) or the
-                # MV advanced under us — fallback is always correct
+            except ValueError:
+                # no partition dirs to inherit (empty create) —
+                # fallback is always correct
                 return _full()
+            # ConcurrentWriteError propagates — the unbucketed
+            # contract (loser gets the conflict): an un-CASed _full()
+            # here would blind-overwrite the rival's committed (and
+            # possibly newer-base) refresh
             return "incremental"
 
         if net.isEmpty():
             # content-preserving base rewrite: nothing to merge,
-            # record the new base in place
-            warehouse.update_version_meta(name, {"mv_base_version": current})
+            # record the new base in place (CASed — see the bucketed
+            # twin above)
+            warehouse.update_version_meta(
+                name, {"mv_base_version": current}, expect_version=mv_version
+            )
             return "incremental"
         merged = _merge_partials(
             warehouse.read(name, version=mv_version), net, group_cols, sum_cols

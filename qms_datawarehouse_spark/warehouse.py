@@ -472,22 +472,50 @@ class ParquetWarehouse:
         with open(path) as f:
             return json.load(f)
 
-    def update_version_meta(self, table: str, meta: dict) -> None:
+    def update_version_meta(
+        self, table: str, meta: dict, expect_version: str | None = None
+    ) -> None:
         """Atomically replace the CURRENT version's lineage meta
         without writing data — for refreshes that observe base-version
         churn which touched zero partitions (the stored content is
         byte-identical, only the reflected-base record advances). The
         os.replace is the whole commit; a crash before it leaves the
-        old record, and redoing the no-op advance is idempotent."""
-        vdir = self.current_version_dir(table)
-        if vdir is None:
-            raise FileNotFoundError(f"warehouse table not found: {table}")
-        tmp = os.path.join(
-            vdir, VERSION_META_FILE + f".tmp.{uuid.uuid4().hex[:8]}"
-        )
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(vdir, VERSION_META_FILE))
+        old record, and redoing the no-op advance is idempotent.
+
+        ``expect_version`` makes the advance a compare-and-swap, the
+        same discipline as ``write_version(expect_base=…)``: the
+        caller passes the version name it resolved its lineage
+        against, and if a concurrent data commit repointed the table
+        in between, ``ConcurrentWriteError`` is raised instead of
+        silently stamping OLDER lineage onto the rival's NEWER
+        version — for an aggregate MV that stale record would make
+        the next refresh re-merge a delta the stored partials already
+        include (the additive double-count the single-swap protocol
+        exists to prevent). The check and the rename run under the
+        table's commit lock — the same lock every pointer swap takes —
+        so there is no window between compare and swap."""
+        lock, lock_token = self._acquire_lock(table)
+        try:
+            cur = self.current_version_name(table)
+            if cur is None:
+                raise FileNotFoundError(
+                    f"warehouse table not found: {table}"
+                )
+            if expect_version is not None and cur != expect_version:
+                raise ConcurrentWriteError(
+                    f"table {table!r}: version advanced from "
+                    f"{expect_version!r} to {cur!r} since the caller "
+                    "resolved it — re-read before advancing lineage"
+                )
+            vdir = os.path.join(self.table_dir(table), cur)
+            tmp = os.path.join(
+                vdir, VERSION_META_FILE + f".tmp.{uuid.uuid4().hex[:8]}"
+            )
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(vdir, VERSION_META_FILE))
+        finally:
+            self._release_lock(lock, lock_token)
 
     def write_version_partial(
         self,
@@ -613,6 +641,19 @@ class ParquetWarehouse:
                     f"table {table!r}: base version {os.path.basename(prev)!r}"
                     " was garbage-collected during the partial write"
                 ) from exc
+
+        # lineage inherits with the content: a partial write that does
+        # not state its own extra_meta keeps the previous version's
+        # _VERSION_META.json (write_version_partial overwrites it
+        # afterwards when extra_meta IS given). Without this, any
+        # content-preserving maintenance rewrite of an MV — compact()
+        # most of all — silently dropped the reflected-base record and
+        # the next refresh crashed instead of staying incremental.
+        prev_meta = os.path.join(prev, VERSION_META_FILE)
+        if os.path.exists(prev_meta):
+            shutil.copyfile(
+                prev_meta, os.path.join(vdir, VERSION_META_FILE)
+            )
 
         # evolved schema = previous version's schema ∪ the batch's —
         # inherited files may lack new columns; read() null-fills them.
@@ -821,9 +862,16 @@ class ParquetWarehouse:
         if sort_col is not None:
             cols = ([part_col] if part_col else []) + [sort_col]
             df = df.sortWithinPartitions(*cols)
+        # content-preserving rewrite: the new version holds the same
+        # rows, so it reflects the same lineage — carry the version
+        # meta through (the partial branch above inherits it inside
+        # _stage_version_partial). Dropping it here turned an MV's
+        # nightly compaction into a refresh crash: _recorded_*
+        # resolved to None and the refresher joined None into a path.
         return self.write_version(
             table,
             df,
             partition_by=[part_col] if part_col else None,
             cluster=False,
+            extra_meta=self.read_version_meta(table),
         )

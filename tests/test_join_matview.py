@@ -363,3 +363,92 @@ def test_identical_dim_rewrite_advances_lineage_only(spark, warehouse):
     assert not is_join_stale(warehouse, "mv")
     assert refresh_join_matview(warehouse, "mv").mode == "fresh"
     assert _mv_rows(warehouse) == _expected(warehouse)
+
+
+def test_join_refresh_full_when_lineage_lost(spark, warehouse):
+    """Version meta gone AND no legacy table-meta record: the stored
+    rows reflect an unknown base pair — refresh must take the full
+    branch (re-establishing lineage), never crash on a None path."""
+    import os
+
+    from qms_datawarehouse_spark.warehouse import VERSION_META_FILE
+
+    _seed(spark, warehouse)
+    vdir = warehouse.current_version_dir("mv")
+    os.unlink(os.path.join(vdir, VERSION_META_FILE))
+
+    assert is_join_stale(warehouse, "mv")
+    assert refresh_join_matview(warehouse, "mv").mode == "full"
+    assert not is_join_stale(warehouse, "mv")
+    assert refresh_join_matview(warehouse, "mv").mode == "fresh"
+    assert _mv_rows(warehouse) == _expected(warehouse)
+
+
+def test_compact_preserves_join_mv_lineage(spark, warehouse):
+    """compact() of the join MV is a content-preserving rewrite: the
+    reflected base versions must ride into the new version, keeping
+    the MV fresh and later refreshes incremental."""
+    _seed(spark, warehouse)
+    recorded = warehouse.read_version_meta("mv")
+
+    warehouse.compact("mv", sort_col="_id")
+    assert warehouse.read_version_meta("mv") == recorded
+    assert not is_join_stale(warehouse, "mv")
+    assert refresh_join_matview(warehouse, "mv").mode == "fresh"
+
+    # incremental maintenance still works on the compacted MV
+    batch = spark.createDataFrame(
+        [("7", 7 % 20, 55555, "2024-03-01")],
+        "`_id` string, cust_id long, cents long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "facts", batch, n_buckets=N_BUCKETS)
+    assert refresh_join_matview(warehouse, "mv").mode == "incremental"
+    assert _mv_rows(warehouse) == _expected(warehouse)
+
+
+def test_lineage_advance_race_retries_not_lost(spark, warehouse):
+    """A lineage-only advance racing a rival's data commit must not
+    stamp OLDER base versions over the rival's newer MV version (the
+    CAS catches it) — this layer's absorbing contract re-reads and
+    retries, ending with lineage that reflects the live state."""
+    from unittest import mock
+
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    _seed(spark, warehouse)
+    # identical dim rewrite → zero changed keys → lineage-only path
+    warehouse.write_version(
+        "dims", warehouse.read("dims"), partition_by=[BUCKET_COL]
+    )
+    assert is_join_stale(warehouse, "mv")
+
+    real_update = ParquetWarehouse.update_version_meta
+    fired = {"done": False}
+
+    def racing_update(self, table, meta, expect_version=None):
+        if table == "mv" and not fired["done"]:
+            fired["done"] = True
+            # rival: a real fact delta lands and a rival refresh
+            # commits a new MV data version with newer lineage
+            batch = spark.createDataFrame(
+                [("9100", 4, 77, "2024-03-01")],
+                "`_id` string, cust_id long, cents long, updated_at string",
+            ).withColumn(
+                "updated_at", F.col("updated_at").cast("timestamp")
+            )
+            merge_upsert(warehouse, "facts", batch, n_buckets=N_BUCKETS)
+            refresh_join_matview(warehouse, "mv")
+        return real_update(self, table, meta, expect_version=expect_version)
+
+    with mock.patch.object(
+        ParquetWarehouse, "update_version_meta", racing_update
+    ):
+        res = refresh_join_matview(warehouse, "mv")
+
+    # the retry observed the rival's state; nothing was lost — the MV
+    # is current and value-correct, including the rival's insert
+    assert res.mode == "fresh"
+    assert not is_join_stale(warehouse, "mv")
+    assert ("9100", 4, 77 * 1, None) not in _mv_rows(warehouse)  # shape guard
+    assert _mv_rows(warehouse) == _expected(warehouse)
+    assert any(r[0] == "9100" for r in _mv_rows(warehouse))

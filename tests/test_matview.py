@@ -366,3 +366,261 @@ def test_concurrent_refresh_loser_gets_conflict(spark, warehouse):
     # the rival's refresh is intact and the MV is current
     assert _mv_state(warehouse)["g4"] == (1, 3)
     assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
+
+
+# -- NULL-sum semantics (round 12): the (sum, non-null count) pair ----
+
+
+def _null_seed(spark, warehouse):
+    # gN: ALL amounts NULL (stored sum must be NULL);
+    # gV: real values (stored sum 8); g1: the usual mixed control
+    merge_upsert(
+        warehouse,
+        "fact",
+        _batch(spark, [
+            ("n1", "gN", None, TS), ("n2", "gN", None, TS),
+            ("v1", "gV", 5, TS), ("v2", "gV", 3, TS),
+            ("a", "g1", 10, TS),
+        ]),
+        n_buckets=8,
+    )
+
+
+def test_null_sum_group_gains_zero(spark, warehouse):
+    """A group whose stored sum is NULL (all inputs NULL) that gains a
+    0 must refresh to sum 0 — the count delta and the sum delta are
+    both 0, so only the non-null-count term keeps the group in the
+    netted delta; without it the stale NULL survived forever."""
+    import pytest
+
+    _null_seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    assert _mv_state(warehouse)["gN"] == (2, None)
+
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("n1", "gN", 0, TS2)]), n_buckets=8,
+    )
+    assert refresh_matview(warehouse, "mv_by_grp") == "incremental"
+    state = _mv_state(warehouse)
+    assert state["gN"] == (2, 0), state  # NULL → 0, not a stale NULL
+    assert state["gV"] == (2, 8)
+
+
+def test_sum_group_goes_all_null(spark, warehouse):
+    """The reverse transition: a group whose every value flips to NULL
+    must refresh to sum NULL, not 0 — the merged non-null count hits
+    zero and the derivation restores SQL sum semantics."""
+    _null_seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    merge_upsert(
+        warehouse, "fact",
+        _batch(spark, [("v1", "gV", None, TS2), ("v2", "gV", None, TS2)]),
+        n_buckets=8,
+    )
+    assert refresh_matview(warehouse, "mv_by_grp") == "incremental"
+    state = _mv_state(warehouse)
+    assert state["gV"] == (2, None), state  # 8 → NULL, not 8 or 0
+    assert state["gN"] == (2, None)
+
+
+def test_null_transitions_bucketed_layout(spark, warehouse):
+    """Both NULL transitions through the bucketed (partial-write)
+    path: the nn term must also drive the touched-MV-bucket
+    resolution, or the flipped groups' partitions hardlink-inherit
+    stale partials."""
+    _null_seed(spark, warehouse)
+    create_matview(
+        warehouse, "mv_by_grp", "fact", ["grp"], ["amount"], n_buckets=8
+    )
+    merge_upsert(
+        warehouse, "fact",
+        _batch(spark, [
+            ("n1", "gN", 0, TS2),
+            ("v1", "gV", None, TS2), ("v2", "gV", None, TS2),
+        ]),
+        n_buckets=8,
+    )
+    assert refresh_matview(warehouse, "mv_by_grp") == "incremental"
+    state = _mv_state(warehouse)
+    assert state["gN"] == (2, 0)
+    assert state["gV"] == (2, None)
+    # equivalence with a one-shot recompute over the final base
+    expected = {
+        r.grp: (r.n, r.s)
+        for r in warehouse.read("fact")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("s"))
+        .collect()
+    }
+    assert state == expected
+
+
+def test_pre_nn_schema_mv_upgrades_via_full(spark, warehouse):
+    """An MV stored before the (sum, non-null count) pair (no {c}_nn
+    column) must take ONE full recompute — which writes the new
+    schema — instead of an incremental merge that would fail on the
+    missing column; the next refresh is incremental again."""
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    # rewrite the stored MV into the legacy shape: drop the nn column
+    legacy = warehouse.read("mv_by_grp").drop("amount_nn")
+    warehouse.write_version(
+        "mv_by_grp", legacy,
+        extra_meta=warehouse.read_version_meta("mv_by_grp"),
+    )
+
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("e", "g4", 3, TS2)]), n_buckets=8,
+    )
+    assert refresh_matview(warehouse, "mv_by_grp") == "full"
+    assert _mv_state(warehouse)["g4"] == (1, 3)
+    assert "amount_nn" in warehouse.read("mv_by_grp").columns
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("f", "g4", 4, TS2)]), n_buckets=8,
+    )
+    assert refresh_matview(warehouse, "mv_by_grp") == "incremental"
+    assert _mv_state(warehouse)["g4"] == (2, 7)
+
+
+# -- lineage durability + CAS (round 12) -------------------------------
+
+
+def test_compact_preserves_mv_lineage(spark, warehouse):
+    """compact() is a content-preserving rewrite: the new version must
+    carry the reflected-base record forward. Before round 12 it
+    dropped _VERSION_META.json, _recorded_base_version resolved to
+    None, and the next refresh crashed joining None into a path."""
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    recorded = warehouse.read_version_meta("mv_by_grp")["mv_base_version"]
+
+    warehouse.compact("mv_by_grp")
+    assert (
+        warehouse.read_version_meta("mv_by_grp")["mv_base_version"]
+        == recorded
+    )
+    assert not is_stale(warehouse, "mv_by_grp")
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
+
+    # and the MV still refreshes INCREMENTALLY after its compaction
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("e", "g4", 3, TS2)]), n_buckets=8,
+    )
+    assert refresh_matview(warehouse, "mv_by_grp") == "incremental"
+    assert _mv_state(warehouse)["g4"] == (1, 3)
+
+
+def test_partial_write_inherits_version_meta(spark, warehouse):
+    """A partial write that states no extra_meta keeps the previous
+    version's lineage (it inherits the content, it inherits the
+    record) — the seam compact(only_fragmented=True) rides."""
+    _seed(spark, warehouse)
+    create_matview(
+        warehouse, "mv_by_grp", "fact", ["grp"], ["amount"], n_buckets=8
+    )
+    from qms_datawarehouse_spark.operators.matview import MV_BUCKET_COL
+
+    recorded = warehouse.read_version_meta("mv_by_grp")["mv_base_version"]
+    mv = warehouse.read("mv_by_grp")
+    some_bucket = mv.select(MV_BUCKET_COL).first()[0]
+    sub = mv.filter(F.col(MV_BUCKET_COL) == some_bucket)
+    warehouse.write_version_partial(
+        "mv_by_grp", sub, [some_bucket], partition_col=MV_BUCKET_COL
+    )
+    assert (
+        warehouse.read_version_meta("mv_by_grp")["mv_base_version"]
+        == recorded
+    )
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
+
+
+def test_refresh_full_when_lineage_lost(spark, warehouse):
+    """Version meta gone AND no legacy table-meta record: the stored
+    partials reflect an unknown base, so refresh must take the full
+    branch (re-establishing lineage), never crash on a None path."""
+    import os
+
+    from qms_datawarehouse_spark.warehouse import VERSION_META_FILE
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    vdir = warehouse.current_version_dir("mv_by_grp")
+    os.unlink(os.path.join(vdir, VERSION_META_FILE))
+
+    assert is_stale(warehouse, "mv_by_grp")
+    assert refresh_matview(warehouse, "mv_by_grp") == "full"
+    assert not is_stale(warehouse, "mv_by_grp")
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
+    assert _mv_state(warehouse)["g1"] == (2, 30)
+
+
+def test_update_version_meta_cas(spark, warehouse):
+    """warehouse-level CAS: an advance expecting a superseded version
+    must raise, and the rival's meta must be untouched."""
+    import pytest
+
+    from qms_datawarehouse_spark.warehouse import ConcurrentWriteError
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    stale_version = warehouse.current_version_name("mv_by_grp")
+    rival_meta = {"mv_base_version": "rival"}
+    warehouse.write_version(
+        "mv_by_grp", warehouse.read("mv_by_grp"), extra_meta=rival_meta
+    )
+
+    with pytest.raises(ConcurrentWriteError):
+        warehouse.update_version_meta(
+            "mv_by_grp", {"mv_base_version": "mine"},
+            expect_version=stale_version,
+        )
+    assert warehouse.read_version_meta("mv_by_grp") == rival_meta
+
+
+def test_lineage_advance_loser_gets_conflict(spark, warehouse):
+    """The verdict-ordered interleaving: a refresh on the LINEAGE-ONLY
+    path (content-preserving base rewrite) races a rival that commits
+    a real MV data version between our version resolve and the meta
+    rename. The advance must surface ConcurrentWriteError — stamping
+    our older base over the rival's newer version would make the next
+    refresh re-merge a delta the stored partials already include."""
+    from unittest import mock
+
+    import pytest
+
+    from qms_datawarehouse_spark.warehouse import (
+        ConcurrentWriteError,
+        ParquetWarehouse,
+    )
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    # content-preserving base rewrite → our refresh nets to zero and
+    # takes the lineage-only advance
+    warehouse.compact("fact", sort_col="_id")
+
+    real_update = ParquetWarehouse.update_version_meta
+    fired = {"done": False}
+
+    def racing_update(self, table, meta, expect_version=None):
+        if table == "mv_by_grp" and not fired["done"]:
+            fired["done"] = True
+            # rival: a REAL delta lands and a rival refresh commits a
+            # new MV data version (with newer lineage) first
+            merge_upsert(
+                warehouse, "fact",
+                _batch(spark, [("e", "g4", 3, TS2)]), n_buckets=8,
+            )
+            refresh_matview(warehouse, "mv_by_grp")
+        return real_update(self, table, meta, expect_version=expect_version)
+
+    with mock.patch.object(
+        ParquetWarehouse, "update_version_meta", racing_update
+    ):
+        with pytest.raises(ConcurrentWriteError):
+            refresh_matview(warehouse, "mv_by_grp")
+
+    # the rival's merge is intact and its lineage was not regressed:
+    # a plain re-read refresh finds everything current
+    assert _mv_state(warehouse)["g4"] == (1, 3)
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"

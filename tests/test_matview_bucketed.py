@@ -238,3 +238,64 @@ def test_compaction_of_base_is_lineage_only_refresh(spark, warehouse):
     assert _state(warehouse, "mv_flat") == expected
     assert refresh_matview(warehouse, "mv_b") == "fresh"
     assert refresh_matview(warehouse, "mv_flat") == "fresh"
+
+
+def test_bucketed_concurrent_refresh_loser_gets_conflict(spark, warehouse):
+    """Round 12: the bucketed path must match the unbucketed
+    concurrency contract — a refresh losing the partial-write CAS
+    surfaces ConcurrentWriteError. The pre-round-12 behavior fell back
+    to an un-CASed _full(), blind-overwriting the rival's freshly
+    committed (and possibly newer-base) MV version."""
+    import datetime as dt
+    from unittest import mock
+
+    import pytest
+
+    from qms_datawarehouse_spark.warehouse import (
+        ConcurrentWriteError,
+        ParquetWarehouse,
+    )
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_b", "fact", ["grp"], ["amount"],
+                   n_buckets=N_MV_BUCKETS)
+    merge_upsert(
+        warehouse, "fact",
+        _batch(spark, [("x1", "g00", 999, dt.datetime(2024, 2, 1))]),
+        n_buckets=8,
+    )
+
+    real_partial = ParquetWarehouse.write_version_partial
+    fired = {"done": False}
+
+    def racing_partial(self, table, df, touched, **kw):
+        if table == "mv_b" and not fired["done"]:
+            fired["done"] = True
+            refresh_matview(warehouse, "mv_b")  # rival commits first
+        return real_partial(self, table, df, touched, **kw)
+
+    with mock.patch.object(
+        ParquetWarehouse, "write_version_partial", racing_partial
+    ):
+        with pytest.raises(ConcurrentWriteError):
+            refresh_matview(warehouse, "mv_b")
+
+    # the rival's refresh is intact, current, and value-correct
+    assert _state(warehouse) == _expected(warehouse)
+    assert refresh_matview(warehouse, "mv_b") == "fresh"
+
+
+def test_compact_preserves_bucketed_mv_lineage(spark, warehouse):
+    """compact() of the MV ITSELF (partitioned full-rewrite branch)
+    must carry the reflected-base record into the new version — the
+    nightly-maintenance seam that used to strand the MV."""
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_b", "fact", ["grp"], ["amount"],
+                   n_buckets=N_MV_BUCKETS)
+    recorded = warehouse.read_version_meta("mv_b")["mv_base_version"]
+
+    warehouse.compact("mv_b")
+    assert warehouse.read_version_meta("mv_b")["mv_base_version"] == recorded
+    assert not is_stale(warehouse, "mv_b")
+    assert refresh_matview(warehouse, "mv_b") == "fresh"
+    assert _state(warehouse) == _expected(warehouse)
