@@ -587,3 +587,143 @@ def matview_bucketed_replay(spark, sf_dir: str) -> DataFrame:
         F.col("_mv_n").cast("long").alias("n"),
         F.col("amount_sum").cast("long").alias("amount_sum"),
     )
+
+
+_MV_NULL_SUM_REPLAY_SQL = """
+    WITH base AS (
+        SELECT event_type || '#'
+                   || CAST(((event_id % 7) + 7) % 7 AS VARCHAR) AS grp,
+               ((event_id % 7) + 7) % 7 AS c7,
+               ((event_id % 5) + 5) % 5 AS c5,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS raw
+        FROM events
+        WHERE ((event_id % 2) + 2) % 2 = 0
+    ), final AS (
+        SELECT grp,
+               CASE
+                   WHEN c7 = 3 THEN NULL
+                   WHEN c5 = 0 AND c7 = 0 THEN 0
+                   WHEN c5 = 0 AND c7 = 1 THEN NULL
+                   WHEN c5 = 0 AND c7 = 2 THEN NULL
+                   WHEN c5 = 0 THEN 2 * raw
+                   WHEN c7 IN (0, 1) THEN NULL
+                   ELSE raw
+               END AS amount
+        FROM base
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amount) AS BIGINT) AS amount_sum
+    FROM final GROUP BY 1
+"""
+
+
+@query("matview_null_sum_replay", _MV_NULL_SUM_REPLAY_SQL)
+def matview_null_sum_replay(spark, sf_dir: str) -> DataFrame:
+    """NULL-transition torture replay for the incremental MV merge
+    (round 12): groups are keyed by (event_type, event_id % 7) so that
+    whole mod-7 classes flip together, and the two-epoch replay drives
+    every NULL↔value transition SQL ``sum`` distinguishes —
+
+    - class 0: stored sum NULL (all inputs NULL), epoch 2 introduces
+      0s → the refreshed sum must be 0, not a stale NULL (the count
+      delta AND the sum delta are both 0; only the non-null-count
+      partial keeps the group in the netted delta);
+    - class 3: stored sum real, epoch 2 flips EVERY row to NULL → the
+      refreshed sum must be NULL, not 0 (the merged non-null count
+      hits zero and the derivation restores sum-of-nothing = NULL);
+    - class 1: all-NULL stays all-NULL (nets to zero — no rewrite);
+    - class 2: partial value→NULL inside a group that keeps other
+      values (the ordinary negative-delta path);
+    - classes 4-6: plain doubled-amount updates (control).
+
+    The refresh must take the INCREMENTAL branch (asserted in-query)
+    and the final MV must hash-equal the oracle's one-shot recompute
+    over the fully-updated set — ``sum`` partials alone cannot pass
+    this row; the (sum, non-null count) pair can (matview.py's
+    round-12 merge algebra).
+
+    Scale shape: identical to matview_bucketed_replay — changed base
+    buckets read at two retained versions, delta netted to nonzero
+    groups, MV-partition-pruned stored read, partial rewrite.
+
+    Reference analog: none (the reference recomputes reports per
+    request, src/api/routes.py, and its Postgres aggregates get NULL
+    semantics from the engine); this row pins that the incremental
+    merge algebra preserves them."""
+    import os
+    import shutil
+
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.plans.registry import tables
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+
+    (events,) = tables(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = pid_scoped_dir("qms_mvnull_replay", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(spark, root)
+
+    base = events.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0).select(
+        F.col("event_id").cast("string").alias("_id"),
+        F.pmod(F.col("event_id"), F.lit(7)).alias("c7"),
+        F.pmod(F.col("event_id"), F.lit(5)).alias("c5"),
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            F.pmod(F.col("event_id"), F.lit(7)).cast("string"),
+        ).alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("raw"),
+        F.col("ts").alias("updated_at"),
+    )
+    epoch1 = base.withColumn(
+        "amount",
+        F.when(F.col("c7").isin(0, 1), F.lit(None).cast("long")).otherwise(
+            F.col("raw")
+        ),
+    )
+    cols = ["_id", "grp", "amount", "updated_at"]
+    merge_upsert(wh, "fact_events", epoch1.select(*cols), n_buckets=16)
+    create_matview(
+        wh, "mv_events", "fact_events", ["grp"], ["amount"], n_buckets=8
+    )
+
+    # epoch 2: class 3 flips wholesale to NULL; among the % 5 == 0
+    # rows, class 0 gains a 0, classes 1-2 go NULL, the rest double
+    upd_all_null = base.filter(F.col("c7") == 3).withColumn(
+        "amount", F.lit(None).cast("long")
+    )
+    upd_five = base.filter(
+        (F.col("c5") == 0) & (F.col("c7") != 3)
+    ).withColumn(
+        "amount",
+        F.when(F.col("c7") == 0, F.lit(0))
+        .when(F.col("c7").isin(1, 2), F.lit(None))
+        .otherwise(F.col("raw") * 2)
+        .cast("long"),
+    )
+    epoch2 = upd_all_null.unionByName(upd_five).withColumn(
+        "updated_at", F.col("updated_at") + F.expr("INTERVAL 1 DAY")
+    )
+    # evidence guard: BOTH pure-NULL transitions must be present in
+    # the delta, or the row stops testing what it claims
+    flips = epoch2.agg(
+        F.sum(F.when(F.col("c7") == 0, 1).otherwise(0)).alias("n_null_to_0"),
+        F.sum(F.when(F.col("c7") == 3, 1).otherwise(0)).alias("n_to_null"),
+    ).first()
+    if not flips["n_null_to_0"] or not flips["n_to_null"]:
+        raise AssertionError(
+            f"null-transition fixture degenerate: {flips}"
+        )
+    merge_upsert(wh, "fact_events", epoch2.select(*cols), n_buckets=16)
+
+    mode = refresh_matview(wh, "mv_events")
+    if mode != "incremental":  # the claim IS the delta-merge path
+        raise AssertionError(
+            f"null-sum matview refresh took the {mode!r} branch"
+        )
+    return wh.read("mv_events").select(
+        F.col("grp"),
+        F.col("_mv_n").cast("long").alias("n"),
+        F.col("amount_sum").cast("long").alias("amount_sum"),
+    )

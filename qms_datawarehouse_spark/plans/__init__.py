@@ -42,85 +42,85 @@ from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 
-# Round-11 rotation: CORRECTNESS_r10 came back 50/50 fully green, so
-# every r10 slot is free to rotate. This window (a) takes the THREE
-# never-driver-checked round-10 late additions the invariant forces
-# (similarity_audio_fp_topk, dedup_cross_modal_agreement,
-# join_matview_incremental_replay); (b) RETIRES THE ROUND-6 EVIDENCE
-# TIER — all 23 round-6-cohort rows queued by r10 enter, after which
-# nothing in the registry carries evidence older than round 7;
-# (c) anchors every query over round-11-touched code — the MV
-# single-pointer-swap commit (matview.py: matview_incremental_replay;
-# join_matview.py: the replay row, already in via (a)) and the
-# warehouse write-path clustering rework (warehouse.py:
-# ingest_gate_replay_two_epochs + watermark_late_replay ride the
-# partial-write path and enter via (d) anyway); (d) fills the
-# remaining 22 slots with the oldest round-7-cohort rows,
-# CORRECTNESS_r07 order.
+# Round-12 rotation: CORRECTNESS_r11 came back 50/50 fully green, so
+# every r11 slot is free to rotate. This window (a) takes the TWO
+# never-driver-checked rows the invariant forces —
+# matview_bucketed_replay (the r11 late addition, the registry's only
+# never-checked query entering the round) and matview_null_sum_replay
+# (added this round for the NULL-correct (sum, non-null count) merge
+# algebra); (b) RETIRES THE ROUND-7 EVIDENCE TIER — all 25
+# round-7-cohort rows queued by r11 enter, after which nothing in the
+# registry carries evidence older than round 8; (c) anchors the
+# flagship plus every replay row over round-12-touched code — the MV
+# lineage-durability + CAS + NULL-sum rework (matview.py,
+# join_matview.py, warehouse.py: matview_incremental_replay,
+# join_matview_incremental_replay, and the two rows in (a));
+# (d) fills the remaining 20 slots with the oldest round-8-cohort
+# rows, CORRECTNESS_r08 order.
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
-    # ---- never-driver-checked (r10 late additions) ----------------
-    "similarity_audio_fp_topk",
-    "dedup_cross_modal_agreement",
-    "join_matview_incremental_replay",  # ALSO r11-touched (semi-join)
-    # ---- anchor over round-11-touched code ------------------------
-    "matview_incremental_replay",  # single-pointer-swap MV commit
-    # ---- the full round-10 queue: the 23 round-6-aged rows --------
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q5_region_revenue",
-    "q8_market_share",
-    "range_join_purchases_1h",
-    "scalar_subquery",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_token_stats",
-    "unpivot_status_counts",
-    "w4_first_last",
-    "w4_lag_lead",
-    "w4_rank_family",
-    "attribution_position_weighted",
-    "privacy_l_diversity",
-    "dedup_minhash_estimate_audit",
-    "dq_content_checksum",
-    "similarity_ivf_probe",
-    "curation_contamination",
-    "multimodal_features",
-    "t9_tumbling_hourly",
-    "s8_point_lookup",
-    # ---- freshness: the 22 oldest round-7 rows --------------------
-    "dedup_substring_spans",
-    "similarity_ann_multiprobe",
-    "watermark_late_replay",  # r11-touched (partial-write signature)
-    "embedding_kmeans_2iter",
-    "ingest_gate_replay_two_epochs",  # r11-touched (same)
-    "bloom_index_point_lookup",
-    "a1_high_water_mark",
-    "a5_per_staff_totals",
-    "a7_service_duration",
-    "a8_company_sets",
-    "a9_rating_agg",
-    "curation_pack_sequences",
-    "curation_stratified_sample",
-    "d3_union_by_name",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "f3_json_extract",
-    "f7_iso_format",
-    "f_scalar_suite",
-    "j3_lineitem_orders",
-    "j4_part_supplier",
-    "j5_denormalized_orders",
+    # ---- never-driver-checked ------------------------------------
+    "matview_bucketed_replay",  # ALSO r12-touched (matview.py)
+    "matview_null_sum_replay",  # new this round (NULL-sum algebra)
+    # ---- anchors over round-12-touched code -----------------------
+    "matview_incremental_replay",  # CASed lineage advance, nn merge
+    "join_matview_incremental_replay",  # CASed advance + None guard
+    # ---- the full round-11 queue: the 25 round-7-aged rows --------
+    "q6_revenue_filter",
+    "quantile_order_value",
+    "rollup_hierarchy_1d",
+    "scd2_user_event_type",
+    "similarity_ann_lsh",
+    "similarity_knn_join_lsh",
+    "t9_sliding_daily",
+    "text_pii_redact",
+    "topk_per_group",
+    "user_activity_report",
+    "w2_recent_topn",
+    "w3_sequential_number",
+    "w4_window_frames",
+    "bm25_topk",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "f_scalar_suite2",
+    "q2_min_cost_supplier",
+    "q7_nation_trade",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q20_heavy_shippers",
+    "q22_idle_customers",
+    "similarity_topk_cosine",
+    "sketch_kmv_distinct",
+    # ---- freshness: the 20 oldest round-8 rows --------------------
+    "dedup_semantic",
+    "quality_model_score",
+    "curation_dsir_weights",
+    "join_salted_skew",
+    "interval_containment_join",
+    "graph_pagerank_2iter",
+    "text_chunking",
+    "fileskip_routed_scan",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "text_tokenize_ids",
+    "dedup_ppjoin_exact",
+    "stats_ks_drift",
+    "bucketed_join_scan",
+    "zorder_routed_scan",
+    "dq_distribution_drift",
+    "similarity_rrf_fusion",
+    "similarity_mmr_rerank",
 ]
 
 # Allocation note: once this window lands green, the staleness ledger
-# reads: nothing older than round 7, and exactly 25 round-7 rows
+# reads: nothing older than round 8, and exactly 25 round-8 rows
 # remain (queued in tests/test_driver_window.py QUEUED_NEXT_WINDOW
-# for r12 — one more rotation retires the r7 tier). Next-round
-# slots: (a) any red rows from CORRECTNESS_r11, (b) queries added in
-# round 12, (c) the queued 25, (d) the round-8 cohort, oldest first.
+# for r13 — one more rotation retires the r8 tier). Next-round
+# slots: (a) any red rows from CORRECTNESS_r12, (b) queries added in
+# round 13, (c) the queued 25, (d) the round-9 cohort, oldest first.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

@@ -16,18 +16,17 @@ import os
 
 from qms_datawarehouse_spark.plans import _DRIVER_WINDOW, REGISTRY, queries_map
 
-# r11 anchors: flagship + every query whose code materially changed
-# this round — the MV single-pointer-swap commit (matview.py /
-# join_matview.py replay rows), the join-MV broadcast-semi-join dim
-# propagation, and the warehouse write-path clustering rework
-# (partial-write riders: the two replay rows below plus the gate
-# replays already anchored via the r7-cohort fill).
+# r12 anchors: flagship + every query whose code materially changed
+# this round — the MV lineage-durability + CAS + NULL-correct-sum
+# rework (matview.py, join_matview.py, warehouse.py's
+# update_version_meta / _stage_version_partial / compact): all four
+# MV replay rows ride those paths live.
 ANCHORS = [
     "flagship_staff_report",
     "matview_incremental_replay",
+    "matview_bucketed_replay",
+    "matview_null_sum_replay",
     "join_matview_incremental_replay",
-    "ingest_gate_replay_two_epochs",
-    "watermark_late_replay",
 ]
 
 
@@ -60,45 +59,41 @@ def test_anchors_inside_window():
 
 # queries ADDED this round (no driver row possible yet): either
 # already swapped into the window, or queued here for the next window
-# so nothing falls through. The r11 rotation emptied the entire r10
-# staging queue (all 26 entries — the three never-checked r10 late
-# additions plus the 23 round-6-cohort rows — are in-window), which
-# retires the round-6 evidence tier when green. r12 pool: the 25
-# round-7-cohort rows the 50-slot r11 window couldn't fit — all
-# ever-green (r7), so the invariant doesn't force them; the queue is
-# the bookkeeping that they MUST enter the r12 window, which retires
-# the round-7 evidence tier — plus the one round-11 late addition
-# (never-checked, invariant-forced).
+# so nothing falls through. The r12 rotation emptied the entire r11
+# staging queue (all 26 entries — the never-checked
+# matview_bucketed_replay plus the 25 round-7-cohort rows — are
+# in-window, alongside the round-12 addition matview_null_sum_replay),
+# which retires the round-7 evidence tier when green. r13 pool: the
+# 25 round-8-cohort rows the 50-slot r12 window couldn't fit
+# (CORRECTNESS_r08 order) — all ever-green (r8), so the invariant
+# doesn't force them; the queue is the bookkeeping that they MUST
+# enter the r13 window, which retires the round-8 evidence tier.
 QUEUED_NEXT_WINDOW: list[str] = [
-    "q6_revenue_filter",
-    "quantile_order_value",
-    "rollup_hierarchy_1d",
-    "scd2_user_event_type",
-    "similarity_ann_lsh",
-    "similarity_knn_join_lsh",
-    "t9_sliding_daily",
-    "text_pii_redact",
-    "topk_per_group",
-    "user_activity_report",
-    "w2_recent_topn",
-    "w3_sequential_number",
-    "w4_window_frames",
-    "bm25_topk",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "f_scalar_suite2",
-    "q2_min_cost_supplier",
-    "q7_nation_trade",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q20_heavy_shippers",
-    "q22_idle_customers",
-    "similarity_topk_cosine",
-    "sketch_kmv_distinct",
-    # round-11 late addition (landed after the r11 window froze): the
-    # bucketed-layout twin of the aggregate-MV replay — never-checked,
-    # so the invariant forces it into the r12 window
-    "matview_bucketed_replay",
+    "stats_bootstrap_poisson",
+    "privacy_dp_laplace_counts",
+    "experiment_cuped_adjusted",
+    "curation_coreset_kcenter",
+    "dq_freshness_sla",
+    "array_functions_suite",
+    "regexp_functions_suite",
+    "datetime_functions_suite",
+    "string_functions_suite",
+    "map_functions_props",
+    "null_semantics_suite",
+    "decimal_arithmetic_suite",
+    "multimodal_pipeline",
+    "multimodal_features_arrow",
+    "variant_props_agg",
+    "udtf_json_pairs",
+    "t9_sessionization",
+    "a2_row_counts",
+    "w4_range_interval",
+    "asof_join_cogroup",
+    "grouped_arrow_zscore",
+    "time_weighted_avg",
+    "heavy_hitters_exact",
+    "dq_constraint_checks",
+    "curation_split_summary",
 ]
 
 
