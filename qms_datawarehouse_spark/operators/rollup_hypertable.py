@@ -83,10 +83,23 @@ def merge_partials(existing: DataFrame, delta: DataFrame) -> DataFrame:
         "bucket",
         "event_type",
         (F.coalesce("e_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
-        (
+        # null-aware add: a NULL partial means "all inputs NULL" (SQL
+        # sum semantics), which contributes nothing when the other
+        # side has a value but must stay NULL when BOTH sides are
+        # NULL/absent — the blind coalesce-to-0 pair turned an
+        # all-NULL bucket's sum into 0. Append-only partials never
+        # cancel, so pairwise NULL-iff-both-NULL is exact without a
+        # stored non-null count (contrast matview.py's subtractive
+        # merge, which needs the (sum, nn) pair).
+        F.when(
+            F.col("e_value_sum").isNull() & F.col("d_value_sum").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
             F.coalesce("e_value_sum", F.lit(0.0))
             + F.coalesce("d_value_sum", F.lit(0.0))
-        ).alias("value_sum"),
+        )
+        .alias("value_sum"),
         F.least(
             F.coalesce("e_value_min", F.col("d_value_min")),
             F.coalesce("d_value_min", F.col("e_value_min")),

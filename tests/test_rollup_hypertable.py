@@ -116,3 +116,38 @@ def test_compact_preserves_day_partition_layout(spark, warehouse):
         (3, t + dt.timedelta(days=2), 1, "click", 4.0, None),
     ]))
     assert warehouse.read("rollup_1h").count() == 3
+
+
+def test_all_null_value_bucket_sum_stays_null(spark, warehouse):
+    """SQL sum semantics through the pairwise merge (round 12): a
+    bucket whose every value is NULL across BOTH merged chunks must
+    keep value_sum NULL — the old coalesce-to-0 pair collapsed it to
+    0.0; a bucket NULL in one chunk and valued in the other takes the
+    value."""
+    t = dt.datetime(2024, 3, 1, 0, 0, 0)
+    chunk1 = [
+        (1, t + dt.timedelta(minutes=5), 1, "nullish", None, None),
+        (2, t + dt.timedelta(minutes=10), 1, "mixed", None, None),
+    ]
+    chunk2 = [
+        (3, t + dt.timedelta(minutes=30), 1, "nullish", None, None),
+        (4, t + dt.timedelta(minutes=40), 1, "mixed", 4.0, None),
+    ]
+    update_rollups(warehouse, _events(spark, chunk1))
+    update_rollups(warehouse, _events(spark, chunk2))
+
+    got = {
+        r["event_type"]: (r["n"], r["value_sum"])
+        for r in warehouse.read("rollup_1h").collect()
+    }
+    assert got["nullish"] == (2, None), got   # NOT 0.0
+    assert got["mixed"] == (2, 4.0), got
+
+    # equivalence with the one-shot aggregate over all events
+    full = {
+        r["event_type"]: (r["n"], r["value_sum"])
+        for r in aggregate_to_bucket(
+            _events(spark, chunk1 + chunk2), "1 hour"
+        ).collect()
+    }
+    assert got == full
