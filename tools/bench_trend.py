@@ -97,6 +97,13 @@ def main() -> int:
             " print '-' — compare their raw common22 against the idle"
             " history in the bench notes instead."
         )
+        print(
+            "Caveat: the anchor corrects CPU-speed swings only; page-"
+            "cache state and residual 5m load (see the settle block in"
+            " each capture) still move common22 independently — treat"
+            " norm_c22 as a first-order correction, and A/B the prior"
+            " commit when a move survives it."
+        )
     return 0
 
 
