@@ -204,6 +204,7 @@ def refresh_join_matview(
     warehouse: ParquetWarehouse,
     name: str,
     max_dim_keys: int = 10_000,
+    _retries: int = 2,
 ) -> JoinRefreshResult:
     """Bring the join MV up to both bases' current versions.
 
@@ -314,13 +315,20 @@ def refresh_join_matview(
         # CASed on the MV version whose rows we validated: a rival
         # refresh committing in between has NEWER lineage that ours
         # must not overwrite (this layer's absorbing contract: re-read
-        # and retry against the rival's state instead of surfacing)
+        # and retry against the rival's state instead of surfacing).
+        # Retries are BOUNDED — each one observes a strictly newer MV
+        # version, but under sustained rival churn the loser
+        # eventually surfaces the conflict rather than spinning.
         try:
             warehouse.update_version_meta(
                 name, lineage, expect_version=mv_base
             )
         except ConcurrentWriteError:
-            return refresh_join_matview(warehouse, name, max_dim_keys)
+            if _retries <= 0:
+                raise
+            return refresh_join_matview(
+                warehouse, name, max_dim_keys, _retries=_retries - 1
+            )
         return JoinRefreshResult("incremental", 0, total)
     tl = sorted(touched)
     rows = _joined(
