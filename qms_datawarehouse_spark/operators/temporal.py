@@ -228,10 +228,21 @@ def scd2_from_stream(
     single keyed window pipeline.
     """
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    # first-row detection must NOT ride the lagged ATTRIBUTE being
+    # NULL — a NULL attr value is a legitimate dimension state, and
+    # conflating the two broke both NULL directions: value→NULL
+    # transitions vanished (x != NULL is NULL → filtered) and every
+    # consecutive NULL opened a fresh history row. Lag the (non-null)
+    # timestamp to mark true first rows, and compare values
+    # null-safely (eqNullSafe = SQL IS DISTINCT FROM, negated).
     changed = (
         updates.withColumn("_prev", F.lag(attr).over(w))
-        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)))
-        .drop("_prev")
+        .withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .filter(
+            F.col("_prev_ts").isNull()
+            | ~F.col("_prev").eqNullSafe(F.col(attr))
+        )
+        .drop("_prev", "_prev_ts")
     )
     w2 = Window.partitionBy(key).orderBy(ts_col, tiebreak)
     return (
@@ -248,12 +259,15 @@ def scd2_from_stream(
         SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-               ) AS prev
+               ) AS prev,
+               lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_ts
         FROM events
     ),
     changed AS (
         SELECT user_id, event_type, ts, event_id FROM ordered
-        WHERE prev IS NULL OR prev <> event_type
+        WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type,
            epoch_us(ts) AS valid_from_us,

@@ -152,3 +152,39 @@ def test_scd2_asof_lookup_state_at_transition_instant(spark):
         ).collect()
     }
     assert out == {100: "click", 101: "view", 102: "click"}
+
+
+def test_scd2_null_state_transitions(spark):
+    """NULL is a legitimate dimension state (round 12): value→NULL
+    opens a new history row (the old `prev != attr` comparison
+    returned NULL and silently dropped it), consecutive NULLs
+    collapse into ONE interval (the old first-row test `prev IS NULL`
+    re-opened a row per NULL), and NULL→value closes it."""
+    rows = [
+        (1, "a", _ts(0), 10),
+        (1, None, _ts(1), 11),  # a → NULL: must open a NULL row
+        (1, None, _ts(2), 12),  # NULL → NULL: collapses
+        (1, "a", _ts(3), 13),   # NULL → a: new version
+        (2, None, _ts(0), 20),  # first row IS a NULL state
+        (2, None, _ts(1), 21),  # collapses into it
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, ts timestamp, event_id long"
+    )
+    out = scd2_from_stream(df, "user_id", "state", "ts", "event_id")
+    u1 = sorted(
+        [
+            (r.state, r.valid_from, r.valid_to, r.is_current)
+            for r in out.filter("user_id = 1").collect()
+        ],
+        key=lambda t: t[1],
+    )
+    assert [s for s, *_ in u1] == ["a", None, "a"]
+    assert u1[0][2] == _ts(1) and u1[1][1] == _ts(1)
+    assert u1[1][2] == _ts(3) and u1[2][1] == _ts(3)
+    assert u1[2][3] is True
+    u2 = [
+        (r.state, r.is_current)
+        for r in out.filter("user_id = 2").collect()
+    ]
+    assert u2 == [(None, True)]  # one open NULL interval, not two
