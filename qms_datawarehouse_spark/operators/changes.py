@@ -136,8 +136,15 @@ def table_changes(
         .when(F.col("n._k").isNull(), F.lit("delete"))
         .when(F.col("o._fp") != F.col("n._fp"), F.lit("update"))
     )
+    # pick whole-row by SIDE, not per-column coalesce: an update that
+    # sets a column to NULL must surface the NEW null, not resurrect
+    # the old value (coalesce did exactly that); deletes are the only
+    # rows that read from the old side
     picked = [
-        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c) for c in shared
+        F.when(F.col("n._k").isNull(), F.col(f"o.{c}"))
+        .otherwise(F.col(f"n.{c}"))
+        .alias(c)
+        for c in shared
     ]
     return (
         joined.withColumn("_change_type", change)

@@ -465,3 +465,30 @@ def test_replay_query_matches_real_apply(spark, warehouse):
         if r.final_event_id is not None
     }
     assert stored == q and len(stored) > 0
+
+
+def test_table_changes_surfaces_new_null_values(spark, warehouse):
+    """An update that sets a column to NULL must report the NEW null
+    (round 12) — the old per-column coalesce resurrected the previous
+    value, so a NULL-ing update replicated as a no-op downstream."""
+    from qms_datawarehouse_spark.operators.changes import table_changes
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+
+    up = "_id string, v string, updated_at string"
+    merge_upsert(
+        warehouse, "leader",
+        spark.createDataFrame([("a", "a1", "t1"), ("b", "b1", "t1")], up),
+    )
+    v1 = warehouse.current_version_name("leader")
+    merge_upsert(
+        warehouse, "leader",
+        spark.createDataFrame([("a", None, "t2"), ("c", None, "t2")], up),
+    )
+
+    diff = {
+        r["_id"]: (r["_change_type"], r["v"])
+        for r in table_changes(warehouse, "leader", "_id", v1).collect()
+    }
+    assert diff["a"] == ("update", None), diff   # NOT the old "a1"
+    assert diff["c"] == ("insert", None), diff
+    assert "b" not in diff
