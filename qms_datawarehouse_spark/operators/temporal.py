@@ -48,7 +48,12 @@ def asof_join(
     right-before-left on ties) → last(ignorenulls) carry-forward →
     keep left rows. One shuffle total.
     """
-    rtag = right.select(
+    # a NULL-ts right row has no position on the timeline and must
+    # match NOTHING (SQL asof: ts <= NULL is never true) — unfiltered
+    # it sorts nulls-first and becomes a bogus "-infinity" match for
+    # every left row. NULL-ts LEFT rows stay: they sort before any
+    # real right row, carry no match, and surface with NULL asof cols.
+    rtag = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),

@@ -188,3 +188,37 @@ def test_scd2_null_state_transitions(spark):
         for r in out.filter("user_id = 2").collect()
     ]
     assert u2 == [(None, True)]  # one open NULL interval, not two
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """SQL asof semantics under NULLs (round 12): a NULL-ts right row
+    matches NOTHING (it used to sort nulls-first and become a bogus
+    -infinity match for the whole key); a NULL-ts left row is kept
+    with NULL asof columns."""
+    from qms_datawarehouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(2), "L1"), (1, None, "L2")],
+        "k long, lts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, _ts(1), "real")],
+        "k long, rts timestamp, rv string",
+    )
+    out = {
+        r.lv: r.asof_rv
+        for r in asof_join(left, right, "k", "lts", "rts", ["rv"]).collect()
+    }
+    # L1 (t=2) matches the REAL t=1 row, never the NULL-ts ghost;
+    # L2 (NULL ts) matches nothing but is not dropped
+    assert out == {"L1": "real", "L2": None}, out
+
+    # with ONLY a NULL-ts right row, no left row matches anything
+    ghost_only = right.filter("rv = 'ghost'")
+    out2 = {
+        r.lv: r.asof_rv
+        for r in asof_join(
+            left, ghost_only, "k", "lts", "rts", ["rv"]
+        ).collect()
+    }
+    assert out2 == {"L1": None, "L2": None}, out2
