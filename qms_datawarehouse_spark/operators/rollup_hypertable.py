@@ -269,3 +269,112 @@ def hll_rollup_estimate(
             ).alias("n_distinct_est")
         )
     )
+
+
+_ROLLUP_REPLAY_SQL = """
+    WITH src AS (
+        SELECT ts, event_type,
+               CASE WHEN event_type = 'error' THEN NULL
+                    WHEN event_type = 'view'
+                         AND ((event_id % 2) + 2) % 2 = 0 THEN NULL
+                    ELSE CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+               END AS cents
+        FROM events
+    )
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM src GROUP BY 1, 2
+"""
+
+
+@query("rollup_incremental_replay", _ROLLUP_REPLAY_SQL)
+def rollup_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUSH-based rollup cascade through its REAL maintenance path
+    (round 12; the matview_incremental_replay mold): two parity-split
+    event chunks fold into the day-partitioned rollup tables via
+    ``update_rollups`` — the second call exercises the contested-day
+    partial merge (``merge_partials``) because both chunks land in
+    every day — and the final rollup_1d state must hash-equal the
+    oracle's one-shot daily aggregate. NULL semantics are the point:
+    'error' events carry NULL values in BOTH chunks (the merged sum
+    must stay NULL — the old coalesce-to-0 pair collapsed it to 0),
+    and 'view' values are NULL exactly in the even chunk (the merge
+    sees a NULL partial on one side and a value on the other). Values
+    ride as integer cents in a double column, so partial sums are
+    order-independent and hash-stable across engines.
+
+    Scale shape: each update reads/rewrites only the delta's day
+    partitions (partition-pruned; untouched days hardlink-inherit) —
+    O(touched days), the time-axis twin of the keyed merge.
+
+    Reference analog: none (the reference recomputes report aggregates
+    per request, src/api/routes.py); this row pins the warehouse-side
+    continuous-aggregate maintenance the hypertable docs describe."""
+    import os
+    import shutil
+
+    from qms_datawarehouse_spark.plans.registry import tables
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+
+    (events,) = tables(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = pid_scoped_dir("qms_rollup_replay", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(spark, root)
+
+    cents = F.round(F.col("value").cast("double") * 100).cast("long")
+    src = events.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .when(
+            (F.col("event_type") == "view")
+            & (F.pmod(F.col("event_id"), F.lit(2)) == 0),
+            F.lit(None),
+        )
+        .otherwise(cents)
+        .cast("double")
+        .alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    for parity in (0, 1):
+        chunk = src.filter(F.pmod(F.col("event_id"), F.lit(2)) == parity)
+        if chunk.isEmpty():  # evidence guard: both chunks must fold
+            raise AssertionError(f"rollup replay chunk {parity} is empty")
+        update_rollups(wh, chunk)
+
+    out = wh.read("rollup_1d").select(
+        F.col("bucket").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("value_sum").cast("long").alias("sum_cents"),
+        F.col("value_min").cast("long").alias("min_cents"),
+        F.col("value_max").cast("long").alias("max_cents"),
+    )
+    # evidence guards: the all-NULL class must come back NULL (not 0)
+    # and the split-NULL class must come back valued — else this row
+    # stopped testing the merge's NULL algebra
+    probe = out.agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "error")
+                & F.col("sum_cents").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("all_null_groups"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "view")
+                & F.col("sum_cents").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("split_null_groups"),
+    ).first()
+    if not probe["all_null_groups"] or not probe["split_null_groups"]:
+        raise AssertionError(f"rollup NULL fixture degenerate: {probe}")
+    return out

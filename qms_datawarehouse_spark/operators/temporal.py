@@ -682,3 +682,146 @@ def interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_windows").cast("long").alias("n_pairs"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "scd2_null_states",
+    """
+    WITH src AS (
+        SELECT user_id, nullif(event_type, 'click') AS state, ts, event_id
+        FROM events
+    ),
+    ordered AS (
+        SELECT user_id, state, ts, event_id,
+               lag(state) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev,
+               lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM src
+    ),
+    changed AS (
+        SELECT user_id, state, ts, event_id FROM ordered
+        WHERE prev_ts IS NULL OR prev IS DISTINCT FROM state
+    )
+    SELECT user_id, state,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to_us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL AS is_current
+    FROM changed
+    """,
+)
+def scd2_null_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 with NULL as a first-class dimension state (round 12):
+    the commonest event_type ('click') is NULLed before history
+    reconstruction, so the stream is dense with value→NULL,
+    NULL→value, and NULL→NULL transitions — the three the old
+    ``prev != attr`` / ``prev IS NULL`` detection got wrong (dropped,
+    dropped, and duplicated respectively). Consecutive NULL states
+    must collapse into ONE interval; NULL↔value boundaries must open
+    rows. Oracle states the identical semantics with
+    ``prev_ts IS NULL OR prev IS DISTINCT FROM state``.
+
+    Evidence guard: the output must contain NULL-state rows AND fewer
+    of them than the input's click rows — proof the NULL runs really
+    collapsed rather than passing through one-per-event."""
+    (events,) = tables(spark, sf_dir, "events")
+    src = events.select(
+        "user_id",
+        F.expr("nullif(event_type, 'click')").alias("state"),
+        "ts",
+        "event_id",
+    )
+    out = scd2_from_stream(
+        src, key="user_id", attr="state", ts_col="ts", tiebreak="event_id"
+    )
+    n_null_rows = out.filter(F.col("state").isNull()).count()
+    n_clicks = events.filter(F.col("event_type") == "click").count()
+    if not (0 < n_null_rows < n_clicks):
+        raise AssertionError(
+            f"NULL-state fixture degenerate: {n_null_rows} null-state "
+            f"rows vs {n_clicks} click events"
+        )
+    return out.select(
+        "user_id",
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@query(
+    "asof_null_ts",
+    """
+    WITH purchases AS (
+        SELECT user_id,
+               CASE WHEN ((event_id % 3) + 3) % 3 = 0 THEN NULL ELSE ts END
+                   AS ts,
+               max(event_id) AS p_event_id,
+               arg_max(value, event_id) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS ts_us,
+           p.p_event_id AS asof_p_event_id,
+           round(p.p_value, 2) AS asof_p_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_null_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join with a third of the right side's timestamps
+    NULLed (round 12): SQL asof semantics say ``ts >= NULL`` is never
+    true, so those rows must match NOTHING — the old tagged-union
+    sorted them nulls-first and carried them as a bogus "-infinity"
+    match for every click on the key. The oracle is DuckDB's native
+    ASOF LEFT JOIN over the identically-NULLed right side.
+
+    Evidence guard: the NULLed subset must be non-empty and some
+    clicks must still match (the row tests exclusion, not an empty
+    join)."""
+    (events,) = tables(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "ts",
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit(None)
+            ).otherwise(F.col("ts")),
+        )
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    n_nulled = purchases.filter(F.col("ts").isNull()).count()
+    if not n_nulled:
+        raise AssertionError("asof NULL fixture degenerate: no NULL ts")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["p_event_id", "p_value"],
+    )
+    if out.filter(F.col("asof_p_event_id").isNotNull()).isEmpty():
+        raise AssertionError("asof NULL fixture degenerate: zero matches")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "asof_p_event_id",
+        F.round("asof_p_value", 2).alias("asof_p_value"),
+    )

@@ -55,14 +55,23 @@ from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, que
 # lineage-durability + CAS + NULL-sum rework (matview.py,
 # join_matview.py, warehouse.py: matview_incremental_replay,
 # join_matview_incremental_replay, and the two rows in (a));
-# (d) fills the remaining 20 slots with the oldest round-8-cohort
-# rows, CORRECTNESS_r08 order.
+# (d) adds the three NULL-semantics-audit rows (scd2_null_states,
+# asof_null_ts, rollup_incremental_replay — never-checked, added
+# this round to driver-pin the audit's fixes); (e) fills the
+# remaining 17 slots with the oldest round-8-cohort rows,
+# CORRECTNESS_r08 order.
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
     # ---- never-driver-checked ------------------------------------
     "matview_bucketed_replay",  # ALSO r12-touched (matview.py)
     "matview_null_sum_replay",  # new this round (NULL-sum algebra)
+    # the round-12 NULL-semantics audit's driver rows: each fix in
+    # scd2_from_stream / asof_join / rollup merge_partials gets a
+    # registry row that MANUFACTURES the NULLs the fixtures lack
+    "scd2_null_states",
+    "asof_null_ts",
+    "rollup_incremental_replay",
     # ---- anchors over round-12-touched code -----------------------
     "matview_incremental_replay",  # CASed lineage advance, nn merge
     "join_matview_incremental_replay",  # CASed advance + None guard
@@ -92,7 +101,7 @@ _DRIVER_WINDOW = [
     "q22_idle_customers",
     "similarity_topk_cosine",
     "sketch_kmv_distinct",
-    # ---- freshness: the 20 oldest round-8 rows --------------------
+    # ---- freshness: the 17 oldest round-8 rows --------------------
     "dedup_semantic",
     "quality_model_score",
     "curation_dsir_weights",
@@ -110,13 +119,10 @@ _DRIVER_WINDOW = [
     "stats_ks_drift",
     "bucketed_join_scan",
     "zorder_routed_scan",
-    "dq_distribution_drift",
-    "similarity_rrf_fusion",
-    "similarity_mmr_rerank",
 ]
 
 # Allocation note: once this window lands green, the staleness ledger
-# reads: nothing older than round 8, and exactly 25 round-8 rows
+# reads: nothing older than round 8, and exactly 28 round-8 rows
 # remain (queued in tests/test_driver_window.py QUEUED_NEXT_WINDOW
 # for r13 — one more rotation retires the r8 tier). Next-round
 # slots: (a) any red rows from CORRECTNESS_r12, (b) queries added in

@@ -27,6 +27,14 @@ ANCHORS = [
     "matview_bucketed_replay",
     "matview_null_sum_replay",
     "join_matview_incremental_replay",
+    # NULL-semantics audit (r12): rows over the touched operators —
+    # scd2_from_stream, asof_join, rollup merge_partials — plus the
+    # manufactured-NULL rows that pin each fix driver-verifiably
+    "scd2_user_event_type",
+    "rollup_hierarchy_1d",
+    "scd2_null_states",
+    "asof_null_ts",
+    "rollup_incremental_replay",
 ]
 
 
@@ -67,8 +75,13 @@ def test_anchors_inside_window():
 # 25 round-8-cohort rows the 50-slot r12 window couldn't fit
 # (CORRECTNESS_r08 order) — all ever-green (r8), so the invariant
 # doesn't force them; the queue is the bookkeeping that they MUST
-# enter the r13 window, which retires the round-8 evidence tier.
+# enter the r13 window, which retires the round-8 evidence tier —
+# plus the three r8 rows the NULL-audit additions displaced from the
+# r12 window's fill (also ever-green r8).
 QUEUED_NEXT_WINDOW: list[str] = [
+    "dq_distribution_drift",
+    "similarity_rrf_fusion",
+    "similarity_mmr_rerank",
     "stats_bootstrap_poisson",
     "privacy_dp_laplace_counts",
     "experiment_cuped_adjusted",
