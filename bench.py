@@ -162,6 +162,15 @@ HEADLINE = [
     "join_matview_incremental_replay",
     # round-11 addition
     "matview_bucketed_replay",
+    # round-12 additions (the NULL-semantics-audit rows; their
+    # sibling shapes asof_join_last_purchase / scd2_user_event_type /
+    # rollup_hierarchy_1d are already headline rows —
+    # matview_null_sum_replay is deliberately excluded, same commit
+    # profile as matview_bucketed_replay which stays the probed
+    # representative)
+    "scd2_null_states",
+    "asof_null_ts",
+    "rollup_incremental_replay",
 ]
 
 

@@ -110,6 +110,7 @@ TOP_OPS = [
     # write path (two bucketed merges + create + refresh per run)
     "join_matview_incremental_replay",
     "matview_bucketed_replay",
+    "rollup_incremental_replay",
 ]
 
 # per-table key columns to offset per replica (join consistency);

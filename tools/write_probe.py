@@ -394,6 +394,46 @@ def probe_ingest_semantic(spark, sf_dir: str, k: int) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_rollup_update(spark, sf_dir: str) -> float:
+    """Time ONE fixed-batch update_rollups against a rollup state
+    seeded from the full corpus — the O(touched days) maintenance
+    claim. The REPLAY registry row's read-probe grows with the corpus
+    by construction (it folds the whole corpus through the path); the
+    scale property that matters is THIS one: a fixed delta's cost is
+    independent of how much history the rollup already holds."""
+    import tempfile as tf
+
+    from pyspark.sql import functions as F
+
+    from qms_datawarehouse_spark.operators.rollup_hypertable import (
+        update_rollups,
+    )
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    root = tf.mkdtemp(prefix="wp_rollup_")
+    try:
+        wh = ParquetWarehouse(spark, root)
+        events = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).select(
+            "event_id", "ts", "user_id", "event_type",
+            F.col("value").cast("double").alias("value"),
+            F.col("props").cast("string").alias("props"),
+        )
+        update_rollups(wh, events)  # seed: the whole corpus's history
+        # materialize the batch as LOCAL rows: the lazy orderBy+limit
+        # plan scans the (scaled) corpus, and every action inside
+        # update_rollups would re-execute it — timing the fixture,
+        # not the maintenance path
+        rows = events.orderBy("event_id").limit(BATCH_ROWS).collect()
+        batch = spark.createDataFrame(rows, events.schema)
+        t0 = time.monotonic()
+        update_rollups(wh, batch)
+        return time.monotonic() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_matview_refresh(spark, sf_dir: str, n_buckets: int,
                           mv_buckets: int | None = None) -> tuple[float, float]:
     """(incremental refresh sec, full recompute sec) after a
@@ -546,6 +586,12 @@ def main(argv: list[str] | None = None) -> int:
             mv10 = probe_matview_refresh(spark, scaled, SEED_BUCKETS)
             emit("matview_refresh_incremental", mv1[0], mv10[0])
             emit("matview_full_recompute", mv1[1], mv10[1])
+        if wanted("rollup_update_fixed_batch"):
+            emit(
+                "rollup_update_fixed_batch",
+                probe_rollup_update(spark, BASE),
+                probe_rollup_update(spark, scaled),
+            )
         if wanted("matview_refresh_bucketed"):
             # round-11 layout: the MV itself is hash-partitioned on
             # its group key and refresh rewrites only delta-touched
