@@ -132,9 +132,20 @@ def update_rollups(
     maintenance cost is O(touched days), not O(retention window) —
     the same contract the keyed merge has, applied to the time axis.
     Pre-partitioned legacy tables (no day column) fall back to one
-    full rewrite, which migrates them to the partitioned layout."""
+    full rewrite, which migrates them to the partitioned layout.
+
+    Concurrency: the merge is a read-modify-write of the stored
+    partials, so the partial commit is pinned (``base_version``) to
+    the exact version the contested days were read from — a rival
+    updater committing in between surfaces ``ConcurrentWriteError``
+    (the caller re-reads and retries) instead of silently re-merging
+    against a superseded snapshot and losing the rival's counts.
+    Empty deltas short-circuit before any commit (P6): a quiet
+    micro-batch must not churn versions."""
     delta_1h = aggregate_to_bucket(delta_events, "1 hour").persist()
     try:
+        if delta_1h.isEmpty():
+            return
         for table, delta in (
             (hourly_table, delta_1h),
             (daily_table, coarsen(delta_1h, "1 day")),
@@ -143,7 +154,8 @@ def update_rollups(
             if not warehouse.table_exists(table):
                 warehouse.write_version(table, delta, partition_by=[DAY_COL])
                 continue
-            existing = warehouse.read(table)
+            base = warehouse.current_version_name(table)
+            existing = warehouse.read(table, version=base)
             if DAY_COL not in existing.columns:
                 # legacy unpartitioned layout: migrate via full rewrite
                 merged = merge_partials(existing, delta).withColumn(
@@ -157,7 +169,8 @@ def update_rollups(
                 DAY_COL, F.to_date("bucket")
             )
             warehouse.write_version_partial(
-                table, merged, days, partition_col=DAY_COL
+                table, merged, days, partition_col=DAY_COL,
+                base_version=base,
             )
     finally:
         delta_1h.unpersist()

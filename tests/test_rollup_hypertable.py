@@ -151,3 +151,63 @@ def test_all_null_value_bucket_sum_stays_null(spark, warehouse):
         ).collect()
     }
     assert got == full
+
+
+def test_empty_delta_is_a_noop(spark, warehouse):
+    """P6 for the rollup path (round 12): a quiet micro-batch must not
+    write a version — version churn from empty deltas costs GC and
+    CAS conflicts for nothing."""
+    t = dt.datetime(2024, 3, 1)
+    update_rollups(warehouse, _events(spark, [(1, t, 1, "click", 1.0, None)]))
+    v_h = warehouse.current_version_name("rollup_1h")
+    v_d = warehouse.current_version_name("rollup_1d")
+    update_rollups(warehouse, _events(spark, []))
+    assert warehouse.current_version_name("rollup_1h") == v_h
+    assert warehouse.current_version_name("rollup_1d") == v_d
+
+
+def test_concurrent_rollup_update_loser_gets_conflict(spark, warehouse):
+    """The rollup merge is a read-modify-write of stored partials —
+    a rival committing between our read and our commit must surface
+    ConcurrentWriteError (round 12: base_version pins the commit),
+    never silently drop the rival's counts."""
+    from unittest import mock
+
+    import pytest
+
+    from qms_datawarehouse_spark.warehouse import (
+        ConcurrentWriteError,
+        ParquetWarehouse,
+    )
+
+    t = dt.datetime(2024, 3, 1)
+    update_rollups(warehouse, _events(spark, [(1, t, 1, "click", 1.0, None)]))
+
+    real_partial = ParquetWarehouse.write_version_partial
+    fired = {"done": False}
+
+    def racing_partial(self, table, df, touched, **kw):
+        if table == "rollup_1h" and not fired["done"]:
+            fired["done"] = True
+            update_rollups(
+                warehouse,
+                _events(spark, [(2, t, 2, "click", 5.0, None)]),
+            )
+        return real_partial(self, table, df, touched, **kw)
+
+    with mock.patch.object(
+        ParquetWarehouse, "write_version_partial", racing_partial
+    ):
+        with pytest.raises(ConcurrentWriteError):
+            update_rollups(
+                warehouse,
+                _events(spark, [(3, t, 3, "click", 7.0, None)]),
+            )
+
+    # the rival's fold is intact; retrying the loser converges
+    update_rollups(warehouse, _events(spark, [(3, t, 3, "click", 7.0, None)]))
+    got = {
+        r["event_type"]: (r["n"], r["value_sum"])
+        for r in warehouse.read("rollup_1h").collect()
+    }
+    assert got == {"click": (3, 13.0)}, got
