@@ -317,7 +317,13 @@ def _index_append(
     if stale_entries is not None:
         touched_df = touched_df.unionByName(stale_entries.select(BVB_COL))
     touched = [r[0] for r in touched_df.distinct().collect()]
-    existing = warehouse.read(index_table).filter(F.col(BVB_COL).isin(touched))
+    # read-modify-write: pin the version read, CAS the commit on it —
+    # a racing ingest surfaces ConcurrentWriteError and the replayed
+    # batch re-runs the idempotent dedup-union against the new state
+    base = warehouse.current_version_name(index_table)
+    existing = warehouse.read(index_table, version=base).filter(
+        F.col(BVB_COL).isin(touched)
+    )
     if stale_entries is not None:
         # remove ALL rows of re-ingested doc_ids: stale_entries' bv
         # values pin every partition their old rows can live in, so
@@ -335,4 +341,5 @@ def _index_append(
         existing.unionByName(fresh),
         touched,
         partition_col=BVB_COL,
+        base_version=base,
     )

@@ -256,9 +256,14 @@ def ingest_semantic(
             # in the probe, so they re-admit) — anti-join the stored
             # slice on vec_id so the commit is idempotent
             # (effectively-once under at-least-once replay, the
-            # stream_ingest_semantic contract)
+            # stream_ingest_semantic contract). The read-modify-write
+            # pins the version it read (base_version): a racing
+            # writer surfaces ConcurrentWriteError, and the stream's
+            # at-least-once replay of the failed batch re-runs the
+            # idempotent commit against the new state.
+            base = warehouse.current_version_name(corpus_table)
             part = (
-                warehouse.read(corpus_table)
+                warehouse.read(corpus_table, version=base)
                 .filter(F.col(CELL_COL).isin(touched))
                 .join(admitted.select("vec_id"), "vec_id", "left_anti")
                 .unionByName(admitted.select(
@@ -266,7 +271,8 @@ def ingest_semantic(
                 ))
             )
             warehouse.write_version_partial(
-                corpus_table, part, touched, partition_col=CELL_COL
+                corpus_table, part, touched, partition_col=CELL_COL,
+                base_version=base,
             )
         else:
             warehouse.write_version(

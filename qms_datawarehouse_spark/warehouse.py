@@ -826,8 +826,20 @@ class ParquetWarehouse:
         (write_version_partial). At 100 TB this is the difference
         between a nightly compaction that touches the day's churned
         buckets and one that rewrites the table.
+
+        Concurrency: compaction is a read-modify-write that must not
+        clobber a writer landing mid-pass — both branches pin the
+        version they read (``base_version`` / ``expect_base``) and
+        surface ``ConcurrentWriteError`` on a race; maintenance just
+        retries. Un-pinned, the rewrite would resurrect the pre-race
+        rows (full branch) or mix two snapshots (partial branch).
         """
-        df = self.read(table)
+        # pin ONE version for the whole pass: the read, the lineage
+        # carry, and the commit CAS must all name the same snapshot
+        base = self.current_version_name(table)
+        if base is None:
+            raise FileNotFoundError(f"warehouse table not found: {table}")
+        df = self.read(table, version=base)
         # preserve whatever partition layout the table actually has —
         # assuming _bucket here would strip e.g. a rollup table's day
         # partitioning, after which partial writes could not inherit
@@ -852,7 +864,8 @@ class ParquetWarehouse:
             # + sortWithinPartitions above IS the layout being
             # committed — the write path must not re-shuffle it
             return self.write_version_partial(
-                table, sub, vals, partition_col=part_col, cluster=False
+                table, sub, vals, partition_col=part_col, cluster=False,
+                base_version=base,
             )
 
         if part_col is not None:
@@ -873,5 +886,6 @@ class ParquetWarehouse:
             df,
             partition_by=[part_col] if part_col else None,
             cluster=False,
-            extra_meta=self.read_version_meta(table),
+            extra_meta=self.read_version_meta(table, version=base),
+            expect_base=base,
         )

@@ -142,3 +142,50 @@ def test_fetcher_retry_policy_recovers_and_reports(spark):
         ).collect()
     }
     assert out == {"ok": 200, "down": 503}
+
+
+def test_compact_race_loser_gets_conflict(spark, warehouse):
+    """Compaction is a read-modify-write (round 12): a writer landing
+    between compact's read and its commit must surface
+    ConcurrentWriteError — an un-pinned rewrite would resurrect the
+    pre-race rows. The rival's merge must survive intact."""
+    import datetime as dt
+    from unittest import mock
+
+    import pytest
+
+    from qms_datawarehouse_spark.operators.merge import merge_upsert
+    from qms_datawarehouse_spark.warehouse import (
+        ConcurrentWriteError,
+        ParquetWarehouse,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "_id string, v long, updated_at timestamp"
+        )
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    merge_upsert(
+        warehouse, "t", batch([("a", 1, t1), ("b", 2, t1)]), n_buckets=4
+    )
+
+    real_write = ParquetWarehouse.write_version
+    fired = {"done": False}
+
+    def racing_write(self, table, df, **kw):
+        if table == "t" and not fired["done"]:
+            fired["done"] = True
+            merge_upsert(warehouse, "t", batch([("c", 3, t2)]), n_buckets=4)
+        return real_write(self, table, df, **kw)
+
+    with mock.patch.object(ParquetWarehouse, "write_version", racing_write):
+        with pytest.raises(ConcurrentWriteError):
+            warehouse.compact("t", sort_col="_id")
+
+    rows = {r["_id"]: r["v"] for r in warehouse.read("t").collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}, rows
+    # a retry on the settled table succeeds
+    warehouse.compact("t", sort_col="_id")
+    rows = {r["_id"]: r["v"] for r in warehouse.read("t").collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}, rows
