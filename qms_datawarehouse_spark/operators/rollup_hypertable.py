@@ -22,6 +22,12 @@ the cascade is explicit and *incrementally maintainable*:
 - At 100 TB: the delta agg shuffles only the batch; the merge touches
   only the buckets the batch lands in (time-partitioned tables make
   this partition-pruned: recent buckets only).
+- Both levels commit in ONE multi-table transaction (round 12):
+  sequential per-table commits had a crash window between the hourly
+  and daily pointer flips that diverged the cascade permanently —
+  and because the partials are not replay-idempotent, no later batch
+  could heal it. Staged versions + intent journal + roll-forward
+  (operators/transaction.py) make the cascade all-or-nothing.
 """
 
 from __future__ import annotations
@@ -135,43 +141,85 @@ def update_rollups(
     full rewrite, which migrates them to the partitioned layout.
 
     Concurrency: the merge is a read-modify-write of the stored
-    partials, so the partial commit is pinned (``base_version``) to
-    the exact version the contested days were read from — a rival
+    partials, so every staged level is pinned (``base_version`` /
+    ``expect_base``) to the exact version it was read from — a rival
     updater committing in between surfaces ``ConcurrentWriteError``
     (the caller re-reads and retries) instead of silently re-merging
     against a superseded snapshot and losing the rival's counts.
     Empty deltas short-circuit before any commit (P6): a quiet
-    micro-batch must not churn versions."""
+    micro-batch must not churn versions.
+
+    Atomicity ACROSS levels: both tables commit in ONE multi-table
+    transaction (T7 — staged versions, intent journal, pointer flips
+    under sorted locks). Sequential per-table commits had a crash
+    window between the hourly and daily flips that diverged the
+    cascade PERMANENTLY: the batch's delta lands in one level and
+    never reaches the other, and because additive partials are not
+    replay-idempotent no later batch can heal it. Now a crash before
+    the journal leaves both levels untouched; a crash after it rolls
+    FORWARD at the next ``recover_transactions`` — the cascade is
+    never visible half-updated."""
+    from qms_datawarehouse_spark.operators.transaction import (
+        MultiTableTransaction,
+    )
+
     delta_1h = aggregate_to_bucket(delta_events, "1 hour").persist()
     try:
         if delta_1h.isEmpty():
             return
-        for table, delta in (
-            (hourly_table, delta_1h),
-            (daily_table, coarsen(delta_1h, "1 day")),
-        ):
-            delta = delta.withColumn(DAY_COL, F.to_date("bucket"))
-            if not warehouse.table_exists(table):
-                warehouse.write_version(table, delta, partition_by=[DAY_COL])
-                continue
-            base = warehouse.current_version_name(table)
-            existing = warehouse.read(table, version=base)
-            if DAY_COL not in existing.columns:
-                # legacy unpartitioned layout: migrate via full rewrite
-                merged = merge_partials(existing, delta).withColumn(
-                    DAY_COL, F.to_date("bucket")
+        txn = MultiTableTransaction(warehouse)
+        # abort() covers STAGING failures only: commit() cleans up its
+        # own CAS aborts, and a failure after the commit point must
+        # leave the staged dirs for journal roll-forward — an abort
+        # there would delete the versions recovery repoints to
+        try:
+            for table, delta in (
+                (hourly_table, delta_1h),
+                (daily_table, coarsen(delta_1h, "1 day")),
+            ):
+                delta = delta.withColumn(DAY_COL, F.to_date("bucket"))
+                if not warehouse.table_exists(table):
+                    # cluster by the partition key (write_version's
+                    # convention — stage_write writes as-given)
+                    txn.stage_write(
+                        table,
+                        delta.repartition(DAY_COL),
+                        partition_by=[DAY_COL],
+                        expect_base=None,
+                    )
+                    continue
+                base = warehouse.current_version_name(table)
+                existing = warehouse.read(table, version=base)
+                if DAY_COL not in existing.columns:
+                    # legacy unpartitioned layout: migrate via full
+                    # rewrite (still inside the transaction)
+                    merged = merge_partials(existing, delta).withColumn(
+                        DAY_COL, F.to_date("bucket")
+                    )
+                    txn.stage_write(
+                        table,
+                        merged.repartition(DAY_COL),
+                        partition_by=[DAY_COL],
+                        expect_base=base,
+                    )
+                    continue
+                days = [
+                    r[0] for r in delta.select(DAY_COL).distinct().collect()
+                ]
+                contested = existing.filter(
+                    F.col(DAY_COL).isin(days)
+                ).drop(DAY_COL)
+                merged = merge_partials(
+                    contested, delta.drop(DAY_COL)
+                ).withColumn(DAY_COL, F.to_date("bucket"))
+                txn.stage_write_partial(
+                    table, merged, days, partition_col=DAY_COL,
+                    base_version=base,
                 )
-                warehouse.write_version(table, merged, partition_by=[DAY_COL])
-                continue
-            days = [r[0] for r in delta.select(DAY_COL).distinct().collect()]
-            contested = existing.filter(F.col(DAY_COL).isin(days)).drop(DAY_COL)
-            merged = merge_partials(contested, delta.drop(DAY_COL)).withColumn(
-                DAY_COL, F.to_date("bucket")
-            )
-            warehouse.write_version_partial(
-                table, merged, days, partition_col=DAY_COL,
-                base_version=base,
-            )
+        except BaseException:
+            txn.abort()
+            raise
+        txn.commit()
     finally:
         delta_1h.unpersist()
 

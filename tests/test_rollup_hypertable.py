@@ -183,20 +183,24 @@ def test_concurrent_rollup_update_loser_gets_conflict(spark, warehouse):
     t = dt.datetime(2024, 3, 1)
     update_rollups(warehouse, _events(spark, [(1, t, 1, "click", 1.0, None)]))
 
-    real_partial = ParquetWarehouse.write_version_partial
+    from qms_datawarehouse_spark.operators.transaction import (
+        MultiTableTransaction,
+    )
+
+    real_commit = MultiTableTransaction.commit
     fired = {"done": False}
 
-    def racing_partial(self, table, df, touched, **kw):
-        if table == "rollup_1h" and not fired["done"]:
+    def racing_commit(self, **kw):
+        if not fired["done"]:
             fired["done"] = True
             update_rollups(
                 warehouse,
                 _events(spark, [(2, t, 2, "click", 5.0, None)]),
             )
-        return real_partial(self, table, df, touched, **kw)
+        return real_commit(self, **kw)
 
     with mock.patch.object(
-        ParquetWarehouse, "write_version_partial", racing_partial
+        MultiTableTransaction, "commit", racing_commit
     ):
         with pytest.raises(ConcurrentWriteError):
             update_rollups(
@@ -211,3 +215,60 @@ def test_concurrent_rollup_update_loser_gets_conflict(spark, warehouse):
         for r in warehouse.read("rollup_1h").collect()
     }
     assert got == {"click": (3, 13.0)}, got
+
+
+def test_crash_between_level_flips_rolls_forward(spark, warehouse):
+    """The cascade's cross-level crash window (round 12): both rollup
+    levels commit in ONE transaction, so a crash between the two
+    pointer flips leaves a journal that recovery rolls FORWARD —
+    sequential commits diverged the levels permanently (additive
+    partials are not replay-idempotent, so no later batch heals a
+    missed one)."""
+    from unittest import mock
+
+    import pytest
+
+    from qms_datawarehouse_spark.operators.transaction import (
+        MultiTableTransaction,
+        SimulatedCrash,
+        recover_transactions,
+    )
+
+    t = dt.datetime(2024, 3, 1)
+    update_rollups(warehouse, _events(spark, [(1, t, 1, "click", 1.0, None)]))
+
+    real_commit = MultiTableTransaction.commit
+
+    def crashing_commit(self, **kw):
+        kw["_crash_after_repoints"] = 1
+        return real_commit(self, **kw)
+
+    with mock.patch.object(
+        MultiTableTransaction, "commit", crashing_commit
+    ):
+        with pytest.raises(SimulatedCrash):
+            update_rollups(
+                warehouse, _events(spark, [(2, t, 2, "click", 5.0, None)])
+            )
+
+    # mid-crash: sorted flip order means rollup_1d advanced,
+    # rollup_1h did not — the divergence the transaction exists for
+    d_sum = warehouse.read("rollup_1d").agg(F.sum("n")).first()[0]
+    h_sum = warehouse.read("rollup_1h").agg(F.sum("n")).first()[0]
+    assert (d_sum, h_sum) == (2, 1), (d_sum, h_sum)
+
+    recovered = recover_transactions(warehouse)
+    assert len(recovered) == 1
+    for table in ("rollup_1h", "rollup_1d"):
+        got = {
+            r["event_type"]: (r["n"], r["value_sum"])
+            for r in warehouse.read(table).collect()
+        }
+        assert got == {"click": (2, 6.0)}, (table, got)
+    # the next batch folds into the recovered state normally
+    update_rollups(warehouse, _events(spark, [(3, t, 3, "view", 2.0, None)]))
+    got = {
+        r["event_type"]: r["n"]
+        for r in warehouse.read("rollup_1d").collect()
+    }
+    assert got == {"click": 2, "view": 1}
