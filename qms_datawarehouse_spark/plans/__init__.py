@@ -126,7 +126,7 @@ _DRIVER_WINDOW = [
 # remain (queued in tests/test_driver_window.py QUEUED_NEXT_WINDOW
 # for r13 — one more rotation retires the r8 tier). Next-round
 # slots: (a) any red rows from CORRECTNESS_r12, (b) queries added in
-# round 13, (c) the queued 25, (d) the round-9 cohort, oldest first.
+# round 13, (c) the queued 28, (d) the round-9 cohort, oldest first.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering
