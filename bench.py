@@ -171,6 +171,9 @@ HEADLINE = [
     "scd2_null_states",
     "asof_null_ts",
     "rollup_incremental_replay",
+    # round-13 addition scd2_null_ts is deliberately excluded: same
+    # plan shape as scd2_null_states (one keyed-window pipeline over
+    # events), which stays the probed representative
 ]
 
 
@@ -303,7 +306,7 @@ def main() -> None:
                 "host_load_end": _host_load(),
                 "calibration": _calibration(spark),
                 "notes": (
-                    f"r11: {len(HEADLINE)}-query headline; common22 stays "
+                    f"{len(HEADLINE)}-query headline; common22 stays "
                     "the frozen cross-round signal. Settle gate now "
                     "requires loadavg_1m < 1 AND loadavg_5m < 1.5 and "
                     "records settle_residual_5m (the r10 capture passed "

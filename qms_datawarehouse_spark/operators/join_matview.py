@@ -142,12 +142,15 @@ def create_join_matview(
 
 
 def _recorded_versions(
-    warehouse: ParquetWarehouse, name: str, meta: dict
+    warehouse: ParquetWarehouse, name: str, meta: dict,
+    version: str | None = None,
 ) -> tuple[str | None, str | None]:
-    """(fact_version, dim_version) the CURRENT MV version reflects:
-    from the version's own meta (single-swap protocol), falling back
-    to the table meta for MVs written before round 11."""
-    vmeta = warehouse.read_version_meta(name)
+    """(fact_version, dim_version) an MV version reflects: from that
+    version's own meta (single-swap protocol), falling back to the
+    table meta for MVs written before round 11. ``version=None``
+    reads whatever is current; refresh passes its PINNED version so
+    recorded lineage and the CAS target name the same snapshot."""
+    vmeta = warehouse.read_version_meta(name, version=version)
     if vmeta is not None and "jmv_fact_version" in vmeta:
         return vmeta["jmv_fact_version"], vmeta["jmv_dim_version"]
     return meta.get("jmv_fact_version"), meta.get("jmv_dim_version")
@@ -227,7 +230,17 @@ def refresh_join_matview(
     fact_table, dim_table = meta["jmv_fact"], meta["jmv_dim"]
     dim_key = meta["jmv_dim_key"]
     dim_cols = list(meta["jmv_dim_cols"])
-    rec_fact, rec_dim = _recorded_versions(warehouse, name, meta)
+    # Pin the MV version FIRST and read recorded lineage from that
+    # exact snapshot (same TOCTOU as matview.refresh_matview): a rival
+    # committing between an unpinned lineage read and a later version
+    # resolve would let our CAS pass while stamping lineage computed
+    # against a superseded snapshot. Bucket rewrites here are absolute
+    # (fact@cur ⋈ dim@cur) so the stale ordering cost wasted work, not
+    # corruption — but the CAS discipline should mean what it says.
+    mv_base = warehouse.current_version_name(name)
+    rec_fact, rec_dim = _recorded_versions(
+        warehouse, name, meta, version=mv_base
+    )
     cur_fact = warehouse.current_version_name(fact_table)
     cur_dim = warehouse.current_version_name(dim_table)
     if cur_fact == rec_fact and cur_dim == rec_dim:
@@ -307,7 +320,6 @@ def refresh_join_matview(
             keys.unpersist()
 
     total = _n_buckets(warehouse, name)
-    mv_base = warehouse.current_version_name(name)
     if not touched:
         # lineage-only advance: the stored rows are already correct
         # (e.g. a dim rewrite that changed zero keys); record the new

@@ -190,11 +190,14 @@ def create_matview(
 
 
 def _recorded_base_version(warehouse: ParquetWarehouse, name: str,
-                           meta: dict) -> str | None:
-    """The base version the CURRENT MV version reflects: from the
-    version's own meta (single-swap protocol), falling back to the
-    table meta for MVs written before round 11."""
-    vmeta = warehouse.read_version_meta(name)
+                           meta: dict,
+                           version: str | None = None) -> str | None:
+    """The base version an MV version reflects: from that version's
+    own meta (single-swap protocol), falling back to the table meta
+    for MVs written before round 11. ``version=None`` reads whatever
+    is current; refresh passes its PINNED version so lineage, stored
+    partials, and the CAS target all name the same snapshot."""
+    vmeta = warehouse.read_version_meta(name, version=version)
     if vmeta is not None and "mv_base_version" in vmeta:
         return vmeta["mv_base_version"]
     return meta.get("mv_base_version")
@@ -223,7 +226,20 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     base = meta["mv_base"]
     group_cols = list(meta["mv_group_cols"])
     sum_cols = list(meta["mv_sum_cols"])
-    recorded = _recorded_base_version(warehouse, name, meta)
+    # Pin the MV version FIRST and read lineage from that exact
+    # snapshot. Reading lineage from "whatever is current" and pinning
+    # the CAS target later opens a TOCTOU window: a rival committing
+    # in between advances the MV, the loser resolves mv_version to the
+    # RIVAL's version, merges its (already-applied) recorded→current
+    # delta into partials that include it, and the CAS passes —
+    # a silent double-count instead of the contractual
+    # ConcurrentWriteError. With the pin first, a rival landing at any
+    # later point makes every commit below (partial write, full
+    # write_version expect_base, lineage-only advance) fail its CAS.
+    mv_version = warehouse.current_version_name(name)
+    recorded = _recorded_base_version(
+        warehouse, name, meta, version=mv_version
+    )
     current = warehouse.current_version_name(base)
     if current == recorded:
         return "fresh"
@@ -250,7 +266,11 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
         # pinned to `current` captured above — the version meta and
         # data name the same base even if a sync lands mid-refresh,
         # and they commit in the same pointer swap; a bucketed MV
-        # keeps its layout so later refreshes stay partial
+        # keeps its layout so later refreshes stay partial. CASed on
+        # the pinned mv_version like every other commit in this
+        # function: a rival may have refreshed against a base version
+        # NEWER than `current`, so even a "full" recompute must not
+        # blind-overwrite it (that would regress data AND lineage)
         mv = _aggregate(
             warehouse.read(base, version=current), group_cols, sum_cols
         )
@@ -259,11 +279,13 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
                 name,
                 _with_mv_bucket(mv, group_cols, n_buckets),
                 partition_by=[MV_BUCKET_COL],
+                expect_base=mv_version,
                 extra_meta={"mv_base_version": current},
             )
         else:
             warehouse.write_version(
-                name, mv, extra_meta={"mv_base_version": current}
+                name, mv, expect_base=mv_version,
+                extra_meta={"mv_base_version": current},
             )
         return "full"
 
@@ -280,13 +302,6 @@ def refresh_matview(warehouse: ParquetWarehouse, name: str) -> str:
     delta = _aggregate(new_rows, group_cols, sum_cols).unionByName(
         _aggregate(old_rows, group_cols, sum_cols, sign=-1)
     )
-    # read-modify-write on the stored partials: CAS on the MV version
-    # we read (write_version's expect_base / write_version_partial's
-    # base_version), so a concurrent refresh can't have its merge
-    # silently overwritten (ConcurrentWriteError tells the loser to
-    # re-read)
-    mv_version = warehouse.current_version_name(name)
-
     # stored partials written before the (sum, non-null count) pair
     # lack the {c}_nn columns — one full recompute upgrades the MV to
     # the NULL-correct schema, then refreshes are incremental again

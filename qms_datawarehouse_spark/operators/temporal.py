@@ -227,6 +227,12 @@ def scd2_from_stream(
     the standard audit/dimension pattern the reference's
     ``sync_history`` table gestures at).
 
+    Rows with a NULL ``ts_col`` are dropped: an interval needs a
+    start, and an unplaceable change event would otherwise sort
+    nulls-first and make the first real-ts row open a spurious
+    duplicate interval (its ``lag(ts)`` is NULL even when its value
+    equals the preceding state).
+
     Two windows, both partitioned by ``key`` — one shuffle total, the
     second window reuses the partitioning (AQE keeps them in one
     exchange). Nothing global, nothing on the driver; scales as a
@@ -240,8 +246,16 @@ def scd2_from_stream(
     # consecutive NULL opened a fresh history row. Lag the (non-null)
     # timestamp to mark true first rows, and compare values
     # null-safely (eqNullSafe = SQL IS DISTINCT FROM, negated).
+    #
+    # NULL-ts rows are dropped up front: a validity interval needs a
+    # start, and a change event with no timestamp has no position on
+    # the timeline. Left in, they'd also poison the first-row test —
+    # they sort nulls-first, so the first REAL-ts row sees
+    # lag(ts)=NULL and opens a spurious duplicate interval even when
+    # its value equals the preceding state.
     changed = (
-        updates.withColumn("_prev", F.lag(attr).over(w))
+        updates.filter(F.col(ts_col).isNotNull())
+        .withColumn("_prev", F.lag(attr).over(w))
         .withColumn("_prev_ts", F.lag(ts_col).over(w))
         .filter(
             F.col("_prev_ts").isNull()
@@ -750,6 +764,88 @@ def scd2_null_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@query(
+    "scd2_null_ts",
+    """
+    WITH src AS (
+        SELECT user_id, event_type,
+               CASE WHEN ((event_id % 7) + 7) % 7 = 3 THEN NULL
+                    ELSE ts END AS ts,
+               event_id
+        FROM events
+    ),
+    placed AS (
+        SELECT * FROM src WHERE ts IS NOT NULL
+    ),
+    ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev,
+               lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM placed
+    ),
+    changed AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to_us,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL AS is_current
+    FROM changed
+    """,
+)
+def scd2_null_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over a change stream containing NULL timestamps (round
+    13): every 7th event's ``ts`` is NULLed before history
+    reconstruction. An unplaceable change event carries no position
+    on the validity timeline, so ``scd2_from_stream`` drops it; the
+    oracle states the same semantics with ``WHERE ts IS NOT NULL``
+    before the windows. The pre-fix code kept NULL-ts rows — they
+    sort nulls-first, so each key's first REAL-ts row saw
+    ``lag(ts) = NULL`` and opened a spurious duplicate interval even
+    when its value equalled the preceding state (plus emitted
+    NULL-``valid_from`` rows outright) — both hash-visible here.
+
+    Evidence guard: the manufactured input must actually contain
+    NULL-ts rows, and the output must contain none of their residue
+    (no NULL ``valid_from``) — fail loudly, never a trivial match."""
+    (events,) = tables(spark, sf_dir, "events")
+    src = events.select(
+        "user_id",
+        "event_type",
+        F.when(F.pmod("event_id", F.lit(7)) == 3, F.lit(None))
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        "event_id",
+    )
+    n_null_ts = src.filter(F.col("ts").isNull()).count()
+    if n_null_ts <= 0:
+        raise AssertionError("NULL-ts fixture degenerate: no NULL ts rows")
+    out = scd2_from_stream(
+        src, key="user_id", attr="event_type", ts_col="ts",
+        tiebreak="event_id",
+    )
+    if out.filter(F.col("valid_from").isNull()).count() != 0:
+        raise AssertionError(
+            "NULL-ts rows leaked into the history as NULL valid_from"
+        )
+    return out.select(
+        "user_id",
+        "event_type",
         F.unix_micros("valid_from").alias("valid_from_us"),
         F.unix_micros("valid_to").alias("valid_to_us"),
         "is_current",

@@ -42,91 +42,91 @@ from qms_datawarehouse_spark.streaming import windows  # noqa: F401
 from qms_datawarehouse_spark.plans import registry
 from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 
-# Round-12 rotation: CORRECTNESS_r11 came back 50/50 fully green, so
-# every r11 slot is free to rotate. This window (a) takes the TWO
-# never-driver-checked rows the invariant forces —
-# matview_bucketed_replay (the r11 late addition, the registry's only
-# never-checked query entering the round) and matview_null_sum_replay
-# (added this round for the NULL-correct (sum, non-null count) merge
-# algebra); (b) RETIRES THE ROUND-7 EVIDENCE TIER — all 25
-# round-7-cohort rows queued by r11 enter, after which nothing in the
-# registry carries evidence older than round 8; (c) anchors the
-# flagship plus every replay row over round-12-touched code — the MV
-# lineage-durability + CAS + NULL-sum rework (matview.py,
-# join_matview.py, warehouse.py: matview_incremental_replay,
-# join_matview_incremental_replay, and the two rows in (a));
-# (d) adds the three NULL-semantics-audit rows (scd2_null_states,
-# asof_null_ts, rollup_incremental_replay — never-checked, added
-# this round to driver-pin the audit's fixes); (e) fills the
-# remaining 17 slots with the oldest round-8-cohort rows,
-# CORRECTNESS_r08 order.
+# Round-13 rotation: CORRECTNESS_r12 came back 50/50 fully green
+# (fifth consecutive), so every r12 slot is free to rotate. This
+# window (a) takes the ONE never-driver-checked row the invariant
+# forces — scd2_null_ts, added this round to driver-pin the NULL-ts
+# scd2_from_stream fix (ADVICE low); (b) RETIRES THE ROUND-8
+# EVIDENCE TIER — the full 28-row r12 queue enters, after which
+# nothing in the registry carries evidence older than round 9;
+# (c) anchors the flagship plus every row over round-13-touched code
+# — the refresh-TOCTOU pin-first rework (matview.py, join_matview.py:
+# all four MV replay rows) and the scd2 NULL-ts drop (temporal.py:
+# scd2_user_event_type, scd2_null_states ride scd2_from_stream live);
+# (d) fills the remaining 14 slots with the oldest round-9-cohort
+# rows, CORRECTNESS_r09 order.
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
     # ---- never-driver-checked ------------------------------------
-    "matview_bucketed_replay",  # ALSO r12-touched (matview.py)
-    "matview_null_sum_replay",  # new this round (NULL-sum algebra)
-    # the round-12 NULL-semantics audit's driver rows: each fix in
-    # scd2_from_stream / asof_join / rollup merge_partials gets a
-    # registry row that MANUFACTURES the NULLs the fixtures lack
-    "scd2_null_states",
-    "asof_null_ts",
-    "rollup_incremental_replay",
-    # ---- anchors over round-12-touched code -----------------------
-    "matview_incremental_replay",  # CASed lineage advance, nn merge
-    "join_matview_incremental_replay",  # CASed advance + None guard
-    # ---- the full round-11 queue: the 25 round-7-aged rows --------
-    "q6_revenue_filter",
-    "quantile_order_value",
-    "rollup_hierarchy_1d",
+    "scd2_null_ts",  # new this round (NULL-ts drop semantics)
+    # ---- anchors over round-13-touched code -----------------------
+    # refresh_matview / refresh_join_matview pin mv_version FIRST and
+    # read lineage from that snapshot (r12 ADVICE high: the
+    # recorded-before-pin TOCTOU let a rival's commit turn the
+    # contractual ConcurrentWriteError into a silent double-count);
+    # _full() now CASes too. All four replay rows drive those commit
+    # paths live.
+    "matview_incremental_replay",
+    "matview_bucketed_replay",
+    "matview_null_sum_replay",
+    "join_matview_incremental_replay",
+    # scd2_from_stream drops NULL-ts rows (temporal.py) — both
+    # existing scd2 rows ride the changed operator
     "scd2_user_event_type",
-    "similarity_ann_lsh",
-    "similarity_knn_join_lsh",
-    "t9_sliding_daily",
-    "text_pii_redact",
-    "topk_per_group",
-    "user_activity_report",
-    "w2_recent_topn",
-    "w3_sequential_number",
-    "w4_window_frames",
-    "bm25_topk",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "f_scalar_suite2",
-    "q2_min_cost_supplier",
-    "q7_nation_trade",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q20_heavy_shippers",
-    "q22_idle_customers",
-    "similarity_topk_cosine",
-    "sketch_kmv_distinct",
-    # ---- freshness: the 17 oldest round-8 rows --------------------
-    "dedup_semantic",
-    "quality_model_score",
-    "curation_dsir_weights",
-    "join_salted_skew",
-    "interval_containment_join",
-    "graph_pagerank_2iter",
-    "text_chunking",
-    "fileskip_routed_scan",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "text_tokenize_ids",
-    "dedup_ppjoin_exact",
-    "stats_ks_drift",
-    "bucketed_join_scan",
-    "zorder_routed_scan",
+    "scd2_null_states",
+    # ---- the full round-12 queue: the 28 round-8-aged rows --------
+    "dq_distribution_drift",
+    "similarity_rrf_fusion",
+    "similarity_mmr_rerank",
+    "stats_bootstrap_poisson",
+    "privacy_dp_laplace_counts",
+    "experiment_cuped_adjusted",
+    "curation_coreset_kcenter",
+    "dq_freshness_sla",
+    "array_functions_suite",
+    "regexp_functions_suite",
+    "datetime_functions_suite",
+    "string_functions_suite",
+    "map_functions_props",
+    "null_semantics_suite",
+    "decimal_arithmetic_suite",
+    "multimodal_pipeline",
+    "multimodal_features_arrow",
+    "variant_props_agg",
+    "udtf_json_pairs",
+    "t9_sessionization",
+    "a2_row_counts",
+    "w4_range_interval",
+    "asof_join_cogroup",
+    "grouped_arrow_zscore",
+    "time_weighted_avg",
+    "heavy_hitters_exact",
+    "dq_constraint_checks",
+    "curation_split_summary",
+    # ---- freshness: the 14 oldest round-9 rows --------------------
+    "graph_triangles_lsh",
+    "dedup_semantic_scaled",
+    "text_bpe_encode",
+    "sketch_kmv_setops",
+    "corpus_curation",
+    "curation_domain_mix",
+    "text_repetition",
+    "text_inverted_index",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "growth_daily_users",
+    "robust_outliers_mad",
+    "attribution_last_touch",
+    "basket_type_lift",
 ]
 
 # Allocation note: once this window lands green, the staleness ledger
-# reads: nothing older than round 8, and exactly 28 round-8 rows
+# reads: nothing older than round 9, and exactly 33 round-9 rows
 # remain (queued in tests/test_driver_window.py QUEUED_NEXT_WINDOW
-# for r13 — one more rotation retires the r8 tier). Next-round
-# slots: (a) any red rows from CORRECTNESS_r12, (b) queries added in
-# round 13, (c) the queued 28, (d) the round-9 cohort, oldest first.
+# for r14). Next-round slots: (a) any red rows from CORRECTNESS_r13,
+# (b) queries added in round 14, (c) the queued 33, (d) the round-10
+# cohort, oldest first.
 
 
 # Applied lazily by queries_map()/oracle_sql_map(): eager reordering

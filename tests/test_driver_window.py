@@ -16,25 +16,20 @@ import os
 
 from qms_datawarehouse_spark.plans import _DRIVER_WINDOW, REGISTRY, queries_map
 
-# r12 anchors: flagship + every query whose code materially changed
-# this round — the MV lineage-durability + CAS + NULL-correct-sum
-# rework (matview.py, join_matview.py, warehouse.py's
-# update_version_meta / _stage_version_partial / compact): all four
-# MV replay rows ride those paths live.
+# r13 anchors: flagship + every query whose code materially changed
+# this round — the refresh-TOCTOU pin-first rework (matview.py,
+# join_matview.py: mv_version pinned BEFORE the lineage read, _full()
+# CASed) rides all four MV replay rows live; the scd2_from_stream
+# NULL-ts drop (temporal.py) rides both existing scd2 rows.
 ANCHORS = [
     "flagship_staff_report",
     "matview_incremental_replay",
     "matview_bucketed_replay",
     "matview_null_sum_replay",
     "join_matview_incremental_replay",
-    # NULL-semantics audit (r12): rows over the touched operators —
-    # scd2_from_stream, asof_join, rollup merge_partials — plus the
-    # manufactured-NULL rows that pin each fix driver-verifiably
     "scd2_user_event_type",
-    "rollup_hierarchy_1d",
     "scd2_null_states",
-    "asof_null_ts",
-    "rollup_incremental_replay",
+    "scd2_null_ts",
 ]
 
 
@@ -67,46 +62,48 @@ def test_anchors_inside_window():
 
 # queries ADDED this round (no driver row possible yet): either
 # already swapped into the window, or queued here for the next window
-# so nothing falls through. The r12 rotation emptied the entire r11
-# staging queue (all 26 entries — the never-checked
-# matview_bucketed_replay plus the 25 round-7-cohort rows — are
-# in-window, alongside the round-12 addition matview_null_sum_replay),
-# which retires the round-7 evidence tier when green. r13 pool: the
-# 25 round-8-cohort rows the 50-slot r12 window couldn't fit
-# (CORRECTNESS_r08 order) — all ever-green (r8), so the invariant
-# doesn't force them; the queue is the bookkeeping that they MUST
-# enter the r13 window, which retires the round-8 evidence tier —
-# plus the three r8 rows the NULL-audit additions displaced from the
-# r12 window's fill (also ever-green r8).
+# so nothing falls through. The r13 rotation emptied the entire r12
+# staging queue (all 28 round-8-cohort rows are in-window), which
+# retires the round-8 evidence tier when green; the round-13 addition
+# scd2_null_ts is in-window too. r14 pool: the 33 round-9-cohort rows
+# the 50-slot r13 window couldn't fit (CORRECTNESS_r09 order) — all
+# ever-green (r9), so the invariant doesn't force them; the queue is
+# the bookkeeping that they MUST enter the r14 window, which retires
+# the round-9 evidence tier.
 QUEUED_NEXT_WINDOW: list[str] = [
-    "dq_distribution_drift",
-    "similarity_rrf_fusion",
-    "similarity_mmr_rerank",
-    "stats_bootstrap_poisson",
-    "privacy_dp_laplace_counts",
-    "experiment_cuped_adjusted",
-    "curation_coreset_kcenter",
-    "dq_freshness_sla",
-    "array_functions_suite",
-    "regexp_functions_suite",
-    "datetime_functions_suite",
-    "string_functions_suite",
-    "map_functions_props",
-    "null_semantics_suite",
-    "decimal_arithmetic_suite",
-    "multimodal_pipeline",
-    "multimodal_features_arrow",
-    "variant_props_agg",
-    "udtf_json_pairs",
-    "t9_sessionization",
-    "a2_row_counts",
-    "w4_range_interval",
-    "asof_join_cogroup",
-    "grouped_arrow_zscore",
-    "time_weighted_avg",
-    "heavy_hitters_exact",
-    "dq_constraint_checks",
-    "curation_split_summary",
+    "revenue_share_by_nation",
+    "revenue_yoy_growth",
+    "calendar_fill_gaps",
+    "agg_rollup",
+    "semi_anti_join",
+    "cdc_resolution_probe",
+    "cdc_replay_two_epochs",
+    "curation_sample_exact_k",
+    "entity_match_blocked",
+    "curation_shuffle_shards",
+    "curation_repeat_upsample",
+    "curation_temperature_mix",
+    "curation_temporal_split",
+    "privacy_k_anonymity",
+    "curation_quality_weighted_sample",
+    "dedup_clusters",
+    "dedup_passages",
+    "dedup_canonical",
+    "dedup_split_leakage",
+    "curation_split_by_cluster",
+    "dedup_cross_source_matrix",
+    "dedup_minhash_recall_audit",
+    "dedup_containment",
+    "similarity_pq_adc",
+    "similarity_ivfpq",
+    "profile_orders",
+    "similarity_truncated_rerank",
+    "scd2_asof_lookup",
+    "event_transitions",
+    "text_tfidf_topk",
+    "text_top_bigrams",
+    "text_normalize",
+    "text_bigram_lm_score",
 ]
 
 

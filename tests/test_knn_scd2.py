@@ -190,6 +190,37 @@ def test_scd2_null_state_transitions(spark):
     assert u2 == [(None, True)]  # one open NULL interval, not two
 
 
+def test_scd2_null_ts_rows_are_dropped(spark):
+    """NULL-ts change events carry no position on the timeline
+    (round 13, ADVICE low): they must be dropped, not sorted
+    nulls-first. Pre-fix, a key's first REAL-ts row saw lag(ts)=NULL
+    and opened a spurious duplicate interval even when its value
+    equalled the NULL-ts row's state — and the NULL-ts rows
+    themselves leaked out as NULL-valid_from history."""
+    rows = [
+        (1, "a", None, 9),     # unplaceable — must vanish
+        (1, "a", _ts(0), 10),  # same state: must NOT duplicate
+        (1, "b", _ts(1), 11),
+        (2, "x", None, 20),    # a key with ONLY NULL-ts rows
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, state string, ts timestamp, event_id long"
+    )
+    out = scd2_from_stream(df, "user_id", "state", "ts", "event_id")
+    assert out.filter("valid_from IS NULL").count() == 0
+    u1 = sorted(
+        [
+            (r.state, r.valid_from, r.valid_to, r.is_current)
+            for r in out.filter("user_id = 1").collect()
+        ],
+        key=lambda t: t[1],
+    )
+    assert [s for s, *_ in u1] == ["a", "b"]
+    assert u1[0][1] == _ts(0) and u1[0][2] == _ts(1)
+    assert u1[1][3] is True
+    assert out.filter("user_id = 2").count() == 0
+
+
 def test_asof_join_null_timestamps_never_match(spark):
     """SQL asof semantics under NULLs (round 12): a NULL-ts right row
     matches NOTHING (it used to sort nulls-first and become a bogus

@@ -624,3 +624,61 @@ def test_lineage_advance_loser_gets_conflict(spark, warehouse):
     # a plain re-read refresh finds everything current
     assert _mv_state(warehouse)["g4"] == (1, 3)
     assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
+
+
+def test_rival_during_lineage_read_surfaces_conflict(spark, warehouse):
+    """The round-12 TOCTOU (ADVICE high): lineage used to be read
+    from WHATEVER was current, with the CAS target (mv_version)
+    resolved much later — a rival committing in between advanced the
+    MV, the loser resolved mv_version to the RIVAL's version, merged
+    its already-applied recorded→current delta into partials that
+    included it, and the CAS passed: a silent double-count (g1 sum 40
+    instead of 35), no ConcurrentWriteError. The earlier race tests
+    only injected rivals AFTER mv_version resolution, so this window
+    was untested. Fixed by pinning mv_version FIRST and reading
+    lineage from that exact snapshot; this test fires the rival
+    inside the lineage read itself — the earliest point a commit can
+    land — and the loser must now surface the conflict."""
+    from unittest import mock
+
+    import pytest
+
+    from qms_datawarehouse_spark.warehouse import (
+        ConcurrentWriteError,
+        ParquetWarehouse,
+    )
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    # the real delta our refresh will try to apply: b (g1: 20→25)
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("b", "g1", 25, TS2)]), n_buckets=8,
+    )
+
+    real_read = ParquetWarehouse.read_version_meta
+    fired = {"done": False}
+
+    def racing_read(self, table, version=None):
+        out = real_read(self, table, version=version)
+        if table == "mv_by_grp" and not fired["done"]:
+            fired["done"] = True
+            # rival refresh commits while WE are reading lineage —
+            # its new MV version already contains the g1 delta
+            with mock.patch.object(
+                ParquetWarehouse, "read_version_meta", real_read
+            ):
+                assert refresh_matview(warehouse, "mv_by_grp") == (
+                    "incremental"
+                )
+        return out
+
+    with mock.patch.object(
+        ParquetWarehouse, "read_version_meta", racing_read
+    ):
+        with pytest.raises(ConcurrentWriteError):
+            refresh_matview(warehouse, "mv_by_grp")
+
+    # the rival's merge is intact and applied exactly once — the
+    # pre-fix behavior left g1 at (2, 40): the delta merged twice
+    assert _mv_state(warehouse)["g1"] == (2, 35)
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
