@@ -171,9 +171,12 @@ HEADLINE = [
     "scd2_null_states",
     "asof_null_ts",
     "rollup_incremental_replay",
-    # round-13 addition scd2_null_ts is deliberately excluded: same
-    # plan shape as scd2_null_states (one keyed-window pipeline over
-    # events), which stays the probed representative
+    # round-13 additions (the ANSI degenerate-input audit rows);
+    # scd2_null_ts is deliberately excluded: same plan shape as
+    # scd2_null_states (one keyed-window pipeline over events), which
+    # stays the probed representative
+    "similarity_zero_norm",
+    "experiment_ttest_empty_arm",
 ]
 
 
@@ -330,7 +333,12 @@ def main() -> None:
                     "r5 10.99s, r6 11.01s, r7 10.25s, r8 10.74s, r9 "
                     "10.45s, r10 10.20s (r11 same-session A/B above). "
                     "Compare common22 only, and check contaminated/"
-                    "host_load first."
+                    "host_load first. r13 round-open settle-gated 4-leg "
+                    "interleaved A/B (HEAD incl. the TOCTOU pin vs r12 "
+                    "close 9d82c65): HEAD 10.65/12.93 s vs r12 "
+                    "12.04/13.16 s — parity-or-better adjacent pairs; "
+                    "r12's +27% norm_c22 confirmed BOX STATE, not code "
+                    "(the grounded anchor row the r12 verdict ordered)."
                 ),
                 "merge": _merge_bench(spark),
             }

@@ -80,7 +80,32 @@ def sync_dataframe(
     history.record(warehouse, source_name, collection, "STARTED", started)
     try:
         last = checkpoint.get_last_synced(warehouse, source_name, collection)
-        delta = delta_filter(source_df, cursor_col, last, settings.delta_mode)
+
+        # JSON sources surface ISO-8601 cursors as strings (Spark's
+        # JSON reader does not infer timestamps by default). The
+        # checkpoint contract is temporal (reference db.py:43-50:
+        # last_synced_at TIMESTAMP), so coerce once here — BEFORE the
+        # delta filter, not after it (round-13 audit): filtering the
+        # raw string column compared cursor values LEXICOGRAPHICALLY
+        # against the checkpoint's isoformat, which silently LOSES
+        # rows whose string order disagrees with their temporal order
+        # — e.g. an offset cursor '2024-01-01T23:30:00-02:00'
+        # (= 01:30 UTC next day) sorts before a '2024-01-02T00:00:00'
+        # checkpoint and never syncs. Cast first and the comparison is
+        # temporal; the merge's running max() then yields a datetime
+        # and the stored table carries a typed timestamp like the
+        # reference's column.
+        from pyspark.sql import types as T
+
+        src = source_df
+        if cursor_col in src.columns and isinstance(
+            src.schema[cursor_col].dataType, T.StringType
+        ):
+            src = src.withColumn(
+                cursor_col, F.col(cursor_col).cast("timestamp")
+            )
+
+        delta = delta_filter(src, cursor_col, last, settings.delta_mode)
         cleaned = clean_records(delta, source_name=source_name)
 
         # The checkpoint contract REQUIRES the cursor column — fail
@@ -90,19 +115,6 @@ def sync_dataframe(
             raise ValueError(
                 f"cursor column {cursor_col!r} missing from delta for "
                 f"{source_name}.{collection}"
-            )
-
-        # JSON sources surface ISO-8601 cursors as strings (Spark's
-        # JSON reader does not infer timestamps by default). The
-        # checkpoint contract is temporal (reference db.py:43-50:
-        # last_synced_at TIMESTAMP), so coerce once here: the merge's
-        # running max() then yields a datetime and the stored table
-        # carries a typed timestamp like the reference's column.
-        from pyspark.sql import types as T
-
-        if isinstance(cleaned.schema[cursor_col].dataType, T.StringType):
-            cleaned = cleaned.withColumn(
-                cursor_col, F.col(cursor_col).cast("timestamp")
             )
 
         # A1 rides the merge's own count aggregation (merge_upsert_stats)

@@ -498,7 +498,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (F.col("na") * F.col("nb"))
+    # try_divide: a zero-norm embedding pair yields NULL (Spark 4
+    # ANSI would throw DIVIDE_BY_ZERO), and NULL >= threshold
+    # filters the pair — same as DuckDB's NULL-on-zero division
+    cos = F.try_divide(dot, F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -609,7 +612,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        # try_divide: zero-norm pairs -> NULL -> filtered (ANSI-safe)
+        .withColumn(
+            "cosine",
+            F.round(F.try_divide(dot, F.col("na") * F.col("nb")), 4),
+        )
         .filter(F.col("cosine") >= _COSINE_THRESHOLD)
         .select("doc_a", "doc_b", "cosine")
     )

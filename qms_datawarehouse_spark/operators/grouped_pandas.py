@@ -47,8 +47,10 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     "grouped_pandas_zscore",
     """
     SELECT o_custkey, o_orderkey,
-           round((o_totalprice - avg(o_totalprice) OVER w)
-                 / stddev_samp(o_totalprice) OVER w, 4) AS zscore
+           round(CASE WHEN stddev_samp(o_totalprice) OVER w > 0
+                      THEN (o_totalprice - avg(o_totalprice) OVER w)
+                           / stddev_samp(o_totalprice) OVER w
+                      ELSE 0.0 END, 4) AS zscore
     FROM orders
     WHERE o_custkey <= 200
     WINDOW w AS (PARTITION BY o_custkey)
@@ -97,8 +99,10 @@ def _zscore_group_arrow(key, table):
     "grouped_arrow_zscore",
     """
     SELECT o_custkey, o_orderkey,
-           round((o_totalprice - avg(o_totalprice) OVER w)
-                 / stddev_samp(o_totalprice) OVER w, 4) AS zscore
+           round(CASE WHEN stddev_samp(o_totalprice) OVER w > 0
+                      THEN (o_totalprice - avg(o_totalprice) OVER w)
+                           / stddev_samp(o_totalprice) OVER w
+                      ELSE 0.0 END, 4) AS zscore
     FROM orders
     WHERE o_custkey <= 200
     WINDOW w AS (PARTITION BY o_custkey)

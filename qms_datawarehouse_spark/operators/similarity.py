@@ -55,6 +55,19 @@ def _norm(v: Column) -> Column:
     )
 
 
+def _cos_div(num: Column, den: Column) -> Column:
+    """Cosine division, NULL-safe for zero-norm vectors (round-13
+    degenerate-input audit): Spark 4 runs ANSI mode by default, so a
+    plain ``/`` with a zero divisor throws ``DIVIDE_BY_ZERO`` at
+    RUNTIME — one all-zero embedding (padding row, dead doc) would
+    crash the whole query at scale. ``try_divide`` returns NULL
+    instead, which is exactly what DuckDB's ``/`` yields, so the
+    oracles match without edits; both engines then sort NULL cosines
+    LAST under ``DESC``, so the semantics are "a zero-norm vector
+    never matches" — the cosine of an undefined direction."""
+    return F.try_divide(num, den)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -96,7 +109,7 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    cos = _cos_div(_dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qn"))
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
@@ -105,6 +118,79 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", "cosine")
     )
+
+
+@query(
+    "similarity_zero_norm",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               CASE WHEN vec_id % 37 = 5
+                    THEN list_transform(embedding::DOUBLE[], x -> 0.0)
+                    ELSE embedding::DOUBLE[] END AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, label, cosine FROM (
+        SELECT n.vec_id, n.label,
+               round(list_sum(list_transform(range(1, 65),
+                   i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn), 4) AS cosine
+        FROM n, q WHERE n.vec_id <> {QUERY_VEC_ID}
+    )
+    ORDER BY cosine DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def similarity_zero_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over a corpus CONTAINING zero-norm vectors (round
+    13 degenerate-input audit): every 37th embedding is zeroed before
+    scoring. Spark 4 runs ANSI mode by default, so the pre-audit plain
+    ``/`` crashed on the first zero-norm row (DIVIDE_BY_ZERO) — one
+    padding row would have killed the whole query at 100 TB.
+    ``try_divide`` yields NULL, DuckDB's ``/`` yields NULL, and both
+    engines sort NULL cosines last under DESC: a zero-norm vector
+    never matches, hash-identically cross-engine.
+
+    Evidence guard: the manufactured corpus must actually contain
+    zero-norm candidates, and none may appear in the top-k — fail
+    loudly, never a trivial match."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    zeroed = F.pmod(F.col("vec_id"), F.lit(37)) == 5
+    e = embeddings.select(
+        "vec_id",
+        "label",
+        F.when(
+            zeroed, F.transform("embedding", lambda _: F.lit(0.0))
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    n_zero = e.filter(F.col("nrm") == 0.0).count()
+    if n_zero <= 0:
+        raise AssertionError("zero-norm fixture degenerate: no zeroed rows")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = _cos_div(_dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qn"))
+    out = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.round(cos, 4))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", "cosine")
+    )
+    leaked = out.filter(F.pmod(F.col("vec_id"), F.lit(37)) == 5).count()
+    if leaked != 0:
+        raise AssertionError(
+            f"{leaked} zero-norm vectors leaked into the top-k"
+        )
+    return out
 
 
 def lsh_bucketed(embeddings: DataFrame, n_planes: int = N_HYPERPLANES) -> DataFrame:
@@ -151,7 +237,7 @@ def _ivf_scored_cells(v: Column, nrm: Column) -> Column:
     return F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            (-_dot(v, c["cv"]) / (nrm * c["cnrm"])).alias("negcos"),
+            (-_cos_div(_dot(v, c["cv"]), nrm * c["cnrm"])).alias("negcos"),
             c["cent_id"].alias("cent_id"),
         ),
     )
@@ -256,7 +342,7 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    cos = _cos_div(_dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qn"))
     return (
         assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
@@ -386,8 +472,13 @@ def ivf_probe_indexed(
 
     qv = [float(x) for x in query_vec]
     qn = math.sqrt(sum(x * x for x in qv))
+    if qn == 0.0:
+        # cosine against a zero query is undefined everywhere — fail
+        # loudly here instead of a ZeroDivisionError mid-fold
+        raise ValueError("query vector has zero norm; cosine undefined")
     # codebook is tiny (K rows): the nprobe argmax is a driver-side
-    # fold over collected centroids, not a Spark job
+    # fold over collected centroids, not a Spark job. Zero-norm
+    # centroids (a cell whose members were all zero) can't rank.
     cents = centroids.collect()
     scored = sorted(
         (
@@ -396,12 +487,13 @@ def ivf_probe_indexed(
                 r["cent_id"],
             )
             for r in cents
+            if r["cnrm"] > 0.0
         ),
     )
     probe = [cid for _, cid in scored[:n_probe]]
 
     qcol = F.array(*[F.lit(x) for x in qv])
-    cos = _dot(F.col("v"), qcol) / (F.col("nrm") * F.lit(qn))
+    cos = _cos_div(_dot(F.col("v"), qcol), F.col("nrm") * F.lit(qn))
     scan = stored.filter(F.col(IVF_CELL_COL).isin(probe))  # partition pruning
     if exclude_vec_id is not None:
         # self-exclusion BEFORE the top-k so the limit still fills k
@@ -430,7 +522,7 @@ def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            (-_dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])).alias(
+            (-_cos_div(_dot(F.col("v"), c["cv"]), F.col("nrm") * c["cnrm"])).alias(
                 "negcos"
             ),
             c["cent_id"].alias("cent_id"),
@@ -510,7 +602,7 @@ def codebook_sse(embeddings: DataFrame, centroids: DataFrame) -> float:
     cents = centroids.select(
         F.col("cent_id").alias("cell_id"), "cv", "cnrm"
     )
-    cos = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    cos = _cos_div(_dot(F.col("v"), F.col("cv")), F.col("nrm") * F.col("cnrm"))
     return (
         assigned.join(F.broadcast(cents), "cell_id")
         .select((1.0 - cos).alias("dist"))
@@ -542,7 +634,14 @@ def cosine_pandas_udf():
             m = np.stack(v.to_numpy())  # (batch, dim) — one BLAS call
             dots = m @ q
             norms = np.sqrt((m * m).sum(axis=1))
-            return pd.Series(dots / (norms * qn))
+            den = norms * qn
+            # zero-norm rows: numpy would emit inf/nan — and Spark
+            # sorts NaN ABOVE every real value under DESC, silently
+            # ranking degenerate vectors first. Mask to NULL (nullable
+            # Float64 -> Arrow null), matching the JVM try_divide twin.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(den == 0.0, np.nan, dots / den)
+            return pd.Series(out, dtype="Float64").mask(den == 0.0)
 
         # module uses `from __future__ import annotations` (string
         # hints, which pandas_udf can't infer) — set real ones
@@ -586,7 +685,7 @@ def knn_join_lsh(embeddings: DataFrame, k: int = K_NEIGHBORS) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    cos = _cos_div(_dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qn"))
     pairs = (
         a.join(e, "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -829,7 +928,12 @@ def embedding_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ssq",
         "sum_vec_sq",
         F.round(
-            F.col("sum_vec_sq") * 1.0 / (F.col("n") * F.col("ssq")), 6
+            # try_divide: an all-zero label (ssq 0) yields NULL, as the
+            # oracle's DuckDB division does — not an ANSI runtime crash
+            F.try_divide(
+                F.col("sum_vec_sq") * 1.0, F.col("n") * F.col("ssq")
+            ),
+            6,
         ).alias("coherence"),
     )
 
@@ -1403,7 +1507,7 @@ def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(probes), F.col("bucket") == F.col("pb"))
         .select("vec_id", "label", "v", "nrm", "hamming")
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    cos = _cos_div(_dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qn"))
     return (
         cand.crossJoin(F.broadcast(q.select("qv", "qn")))
         .withColumn("cosine", F.round(cos, 4))
@@ -1516,13 +1620,18 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     rel = F.floor(
-        _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")) * 10000
+        _cos_div(_dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qn"))
+        * 10000
         + 0.5
     ).cast("long")
     short = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .withColumn("rel", rel)
+        # zero-norm candidates have NULL relevance (undefined cosine):
+        # they can never be picked, and the driver-side MMR fold below
+        # does integer math on rel — drop them before the collect
+        .filter(F.col("rel").isNotNull())
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(_MMR_C)
         .select("vec_id", "v", "nrm", "rel")

@@ -44,22 +44,29 @@ from qms_datawarehouse_spark.plans.registry import REGISTRY, oracle_sql_map, que
 
 # Round-13 rotation: CORRECTNESS_r12 came back 50/50 fully green
 # (fifth consecutive), so every r12 slot is free to rotate. This
-# window (a) takes the ONE never-driver-checked row the invariant
-# forces — scd2_null_ts, added this round to driver-pin the NULL-ts
-# scd2_from_stream fix (ADVICE low); (b) RETIRES THE ROUND-8
-# EVIDENCE TIER — the full 28-row r12 queue enters, after which
-# nothing in the registry carries evidence older than round 9;
-# (c) anchors the flagship plus every row over round-13-touched code
-# — the refresh-TOCTOU pin-first rework (matview.py, join_matview.py:
-# all four MV replay rows) and the scd2 NULL-ts drop (temporal.py:
-# scd2_user_event_type, scd2_null_states ride scd2_from_stream live);
-# (d) fills the remaining 14 slots with the oldest round-9-cohort
+# window (a) takes the THREE never-driver-checked rows the invariant
+# forces — scd2_null_ts (NULL-ts scd2_from_stream fix, ADVICE low),
+# similarity_zero_norm and experiment_ttest_empty_arm (the round-13
+# ANSI degenerate-input audit's manufactured-edge rows); (b) RETIRES
+# THE ROUND-8 EVIDENCE TIER — the full 28-row r12 queue enters, after
+# which nothing in the registry carries evidence older than round 9;
+# (c) anchors the flagship plus a representative row per
+# round-13-touched code path — the refresh-TOCTOU pin-first rework
+# (matview.py, join_matview.py: all four MV replay rows), the scd2
+# NULL-ts drop (temporal.py), the try_divide sweep's shared kernels
+# (_cos_div → similarity_topk_cosine; _welch_readout →
+# experiment_ab_ttest), the zscore oracle guard
+# (grouped_pandas_zscore; its arrow twin rides the 28), and the
+# cursor-coercion reorder in engine.py (s1_incremental_scan);
+# (d) fills the remaining 8 slots with the oldest round-9-cohort
 # rows, CORRECTNESS_r09 order.
 _DRIVER_WINDOW = [
     # flagship (reference staff_reports.json reproduction) — anchor
     "flagship_staff_report",
     # ---- never-driver-checked ------------------------------------
     "scd2_null_ts",  # new this round (NULL-ts drop semantics)
+    "similarity_zero_norm",  # new (zero-norm never matches, ANSI-safe)
+    "experiment_ttest_empty_arm",  # new (one-arm Welch -> NULL stats)
     # ---- anchors over round-13-touched code -----------------------
     # refresh_matview / refresh_join_matview pin mv_version FIRST and
     # read lineage from that snapshot (r12 ADVICE high: the
@@ -75,6 +82,12 @@ _DRIVER_WINDOW = [
     # existing scd2 rows ride the changed operator
     "scd2_user_event_type",
     "scd2_null_states",
+    # representative rows per try_divide-swept shared kernel, the
+    # changed zscore oracle, and the engine.py cursor reorder
+    "similarity_topk_cosine",
+    "experiment_ab_ttest",
+    "grouped_pandas_zscore",
+    "s1_incremental_scan",
     # ---- the full round-12 queue: the 28 round-8-aged rows --------
     "dq_distribution_drift",
     "similarity_rrf_fusion",
@@ -104,7 +117,7 @@ _DRIVER_WINDOW = [
     "heavy_hitters_exact",
     "dq_constraint_checks",
     "curation_split_summary",
-    # ---- freshness: the 14 oldest round-9 rows --------------------
+    # ---- freshness: the 8 oldest round-9 rows ---------------------
     "graph_triangles_lsh",
     "dedup_semantic_scaled",
     "text_bpe_encode",
@@ -113,19 +126,13 @@ _DRIVER_WINDOW = [
     "curation_domain_mix",
     "text_repetition",
     "text_inverted_index",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "growth_daily_users",
-    "robust_outliers_mad",
-    "attribution_last_touch",
-    "basket_type_lift",
 ]
 
 # Allocation note: once this window lands green, the staleness ledger
-# reads: nothing older than round 9, and exactly 33 round-9 rows
+# reads: nothing older than round 9, and exactly 39 round-9 rows
 # remain (queued in tests/test_driver_window.py QUEUED_NEXT_WINDOW
 # for r14). Next-round slots: (a) any red rows from CORRECTNESS_r13,
-# (b) queries added in round 14, (c) the queued 33, (d) the round-10
+# (b) queries added in round 14, (c) the queued 39, (d) the round-10
 # cohort, oldest first.
 
 

@@ -1910,9 +1910,13 @@ def stats_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wtd.groupBy("b").agg(
         F.sum("w").cast("long").alias("n_drawn"),
-        F.expr("CAST(sum(w * cents) div sum(w) AS BIGINT)").alias(
-            "mean_cents"
-        ),
+        # nullif guard (round-13 audit): a replicate whose Poisson
+        # weights all drew 0 has sum(w)=0 — DuckDB's // yields NULL,
+        # ANSI div would crash; nullif keeps the division exact int64
+        # (try_divide would round-trip through double)
+        F.expr(
+            "CAST(sum(w * cents) div nullif(sum(w), 0) AS BIGINT)"
+        ).alias("mean_cents"),
     ).select(
         F.col("b").cast("long").alias("replicate"), "n_drawn", "mean_cents"
     )
@@ -1991,6 +1995,71 @@ def timeseries_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AB_HASH = _sql_hash_u32("user_id")
 
 
+def _welch_readout(v: DataFrame) -> DataFrame:
+    """Welch t statistic from a (variant, x) frame via exact integer
+    sufficient statistics — shared by the full A/B readout and the
+    empty-arm degenerate row. try_divide throughout (round-13
+    degenerate-input audit): an empty arm (n=0), a single-sample arm
+    (n-1=0), or two constant arms (pooled stderr 0) must yield NULL
+    stats like the oracle's DuckDB division does — under Spark 4's
+    default ANSI mode a plain `/` would crash the readout at runtime
+    instead."""
+    m = v.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_b"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("x") * F.col("x")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sxx_a"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("x") * F.col("x")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sxx_b"),
+    )
+    mean_a = F.try_divide(F.col("sx_a") * 1.0, F.col("n_a"))
+    mean_b = F.try_divide(F.col("sx_b") * 1.0, F.col("n_b"))
+    var_a = F.try_divide(
+        F.col("sxx_a")
+        - F.try_divide(F.col("sx_a") * 1.0 * F.col("sx_a"), F.col("n_a")),
+        F.col("n_a") - 1,
+    )
+    var_b = F.try_divide(
+        F.col("sxx_b")
+        - F.try_divide(F.col("sx_b") * 1.0 * F.col("sx_b"), F.col("n_b")),
+        F.col("n_b") - 1,
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        "sx_a",
+        "sx_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round(
+            F.try_divide(
+                mean_b - mean_a,
+                F.sqrt(
+                    F.try_divide(var_a, F.col("n_a"))
+                    + F.try_divide(var_b, F.col("n_b"))
+                ),
+            ),
+            4,
+        ).alias("t_welch"),
+    )
+
+
 @query(
     "experiment_ab_ttest",
     f"""
@@ -2047,51 +2116,71 @@ def experiment_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         variant.alias("variant"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
     )
-    m = v.agg(
-        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_a"),
-        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_b"),
-        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
-        .cast("long")
-        .alias("sx_a"),
-        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
-        .cast("long")
-        .alias("sx_b"),
-        F.sum(
-            F.when(F.col("variant") == 0, F.col("x") * F.col("x")).otherwise(0)
-        )
-        .cast("long")
-        .alias("sxx_a"),
-        F.sum(
-            F.when(F.col("variant") == 1, F.col("x") * F.col("x")).otherwise(0)
-        )
-        .cast("long")
-        .alias("sxx_b"),
+    return _welch_readout(v)
+
+
+@query(
+    "experiment_ttest_empty_arm",
+    f"""
+    WITH v AS (
+        SELECT {_AB_HASH} % 2 AS variant,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events
+        WHERE event_type = 'purchase' AND {_AB_HASH} % 2 = 0
+    ),
+    m AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END)
+                    AS BIGINT) AS sx_a,
+               CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END)
+                    AS BIGINT) AS sx_b,
+               CAST(sum(CASE WHEN variant = 0 THEN x*x ELSE 0 END)
+                    AS BIGINT) AS sxx_a,
+               CAST(sum(CASE WHEN variant = 1 THEN x*x ELSE 0 END)
+                    AS BIGINT) AS sxx_b
+        FROM v
     )
-    mean_a = F.col("sx_a") * 1.0 / F.col("n_a")
-    mean_b = F.col("sx_b") * 1.0 / F.col("n_b")
-    var_a = (
-        F.col("sxx_a") - F.col("sx_a") * 1.0 * F.col("sx_a") / F.col("n_a")
-    ) / (F.col("n_a") - 1)
-    var_b = (
-        F.col("sxx_b") - F.col("sx_b") * 1.0 * F.col("sx_b") / F.col("n_b")
-    ) / (F.col("n_b") - 1)
-    return m.select(
-        "n_a",
-        "n_b",
-        "sx_a",
-        "sx_b",
-        F.round(mean_a, 4).alias("mean_a"),
-        F.round(mean_b, 4).alias("mean_b"),
-        F.round(
-            (mean_b - mean_a)
-            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
-            4,
-        ).alias("t_welch"),
-    )
+    SELECT n_a, n_b, sx_a, sx_b,
+           round(sx_a * 1.0 / n_a, 4) AS mean_a,
+           round(sx_b * 1.0 / n_b, 4) AS mean_b,
+           round(
+             (sx_b * 1.0 / n_b - sx_a * 1.0 / n_a)
+             / sqrt(
+                 ((sxx_a - sx_a * 1.0 * sx_a / n_a) / (n_a - 1)) / n_a
+                 + ((sxx_b - sx_b * 1.0 * sx_b / n_b) / (n_b - 1)) / n_b
+             ), 4) AS t_welch
+    FROM m
+    """,
+)
+def experiment_ttest_empty_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Welch readout over a MANUFACTURED one-arm experiment (round
+    13 degenerate-input audit): purchases filtered to variant-0 users
+    only, so n_b = 0. Every division the full readout performs is now
+    zero-divided — DuckDB yields NULL mean_b / t_welch; the pre-audit
+    Spark side crashed with ANSI DIVIDE_BY_ZERO on the first of them.
+    try_divide makes the engines agree NULL-for-NULL, hash-checked.
+
+    Evidence guard: the empty arm must actually be empty AND the
+    populated arm non-trivial — fail loudly, never a trivial match."""
+    from qms_datawarehouse_spark.operators.hashsplit import hash_u32
+
+    (events,) = tables(spark, sf_dir, "events")
+    variant = hash_u32(F.col("user_id")) % 2
+    v = events.filter(F.col("event_type") == "purchase").select(
+        variant.alias("variant"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    ).filter(F.col("variant") == 0)
+    out = _welch_readout(v)
+    row = out.first()
+    if not (row["n_b"] == 0 and row["n_a"] > 0):
+        raise AssertionError(
+            f"empty-arm fixture degenerate: n_a={row['n_a']} n_b={row['n_b']}"
+        )
+    return out
+
 
 
 # --------------------------------------------------------------------
@@ -2196,12 +2285,15 @@ def experiment_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("sxa"),
         F.sum("y").cast("long").alias("sya"),
     )
-    theta = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        * 1.0
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    # try_divide (round-13 audit): a CONSTANT covariate (n·Σxx = Σx²,
+    # e.g. every user inactive pre-period) or constant metric zeroes a
+    # variance denominator — the oracle's DuckDB division yields NULL
+    # there, while Spark 4's default ANSI `/` would crash the readout.
+    theta = F.try_divide(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0,
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
-    mean_y = F.col("sya") * 1.0 / F.col("n_arm")
+    mean_y = F.try_divide(F.col("sya") * 1.0, F.col("n_arm"))
     return a.crossJoin(F.broadcast(m)).select(
         F.col("arm").cast("long").alias("arm"),
         "n_arm",
@@ -2209,15 +2301,18 @@ def experiment_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             mean_y
             - theta
-            * (F.col("sxa") * 1.0 / F.col("n_arm") - F.col("sx") * 1.0 / F.col("n")),
+            * (
+                F.try_divide(F.col("sxa") * 1.0, F.col("n_arm"))
+                - F.try_divide(F.col("sx") * 1.0, F.col("n"))
+            ),
             4,
         ).alias("mean_y_adj"),
         F.round(
             theta
-            * (
+            * F.try_divide(
                 (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                * 1.0
-                / (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                * 1.0,
+                F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"),
             ),
             4,
         ).alias("rho2"),

@@ -30,6 +30,15 @@ ANCHORS = [
     "scd2_user_event_type",
     "scd2_null_states",
     "scd2_null_ts",
+    # ANSI degenerate-input audit (r13): the manufactured-edge rows
+    # plus a representative per try_divide-swept shared kernel, the
+    # re-stated zscore oracle, and the engine cursor-coercion reorder
+    "similarity_zero_norm",
+    "experiment_ttest_empty_arm",
+    "similarity_topk_cosine",
+    "experiment_ab_ttest",
+    "grouped_pandas_zscore",
+    "s1_incremental_scan",
 ]
 
 
@@ -64,13 +73,23 @@ def test_anchors_inside_window():
 # already swapped into the window, or queued here for the next window
 # so nothing falls through. The r13 rotation emptied the entire r12
 # staging queue (all 28 round-8-cohort rows are in-window), which
-# retires the round-8 evidence tier when green; the round-13 addition
-# scd2_null_ts is in-window too. r14 pool: the 33 round-9-cohort rows
-# the 50-slot r13 window couldn't fit (CORRECTNESS_r09 order) — all
-# ever-green (r9), so the invariant doesn't force them; the queue is
-# the bookkeeping that they MUST enter the r14 window, which retires
-# the round-9 evidence tier.
+# retires the round-8 evidence tier when green; the three round-13
+# additions (scd2_null_ts, similarity_zero_norm,
+# experiment_ttest_empty_arm) are in-window too. r14 pool: the 39
+# round-9-cohort rows the 50-slot r13 window couldn't fit
+# (CORRECTNESS_r09 order, including the 6 the audit anchors
+# displaced) — all ever-green (r9), so the invariant doesn't force
+# them; the queue is the bookkeeping that they MUST enter the r14
+# window, which retires the round-9 evidence tier.
 QUEUED_NEXT_WINDOW: list[str] = [
+    # the 6 round-9 rows the r13 audit anchors displaced from the
+    # window fill (CORRECTNESS_r09 order preserved)
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "growth_daily_users",
+    "robust_outliers_mad",
+    "attribution_last_touch",
+    "basket_type_lift",
     "revenue_share_by_nation",
     "revenue_yoy_growth",
     "calendar_fill_gaps",

@@ -222,6 +222,41 @@ def test_string_cursor_column_is_coerced_to_timestamp(spark, warehouse):
     )
 
 
+def test_offset_string_cursor_is_compared_temporally(spark, warehouse):
+    """Round-13 audit: the cursor cast must happen BEFORE the delta
+    filter. Filtering the raw string column compared cursors
+    LEXICOGRAPHICALLY against the checkpoint's isoformat — an offset
+    cursor '2024-01-01T23:30:00-02:00' (= 2024-01-02T01:30 UTC) sorts
+    before a '2024-01-02T00:00:00' checkpoint string and the row was
+    silently LOST. Temporal comparison must sync it."""
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("updated_at", T.StringType()),
+        ]
+    )
+    first = spark.createDataFrame(
+        [("a1", 1, "2024-01-02T00:00:00Z")], schema
+    )
+    sync_dataframe(warehouse, first, "json://o", "t_off")
+    assert checkpoint.get_last_synced(
+        warehouse, "json://o", "t_off"
+    ) == dt.datetime(2024, 1, 2)
+
+    # temporally LATER than the checkpoint, lexicographically EARLIER
+    delta = spark.createDataFrame(
+        [("a2", 2, "2024-01-01T23:30:00-02:00")], schema
+    )
+    res = sync_dataframe(warehouse, delta, "json://o", "t_off")
+    assert res.records_synced == 1, "offset-cursor row was lost"
+    out = warehouse.read("t_off")
+    assert out.count() == 2
+    assert checkpoint.get_last_synced(
+        warehouse, "json://o", "t_off"
+    ) == dt.datetime(2024, 1, 2, 1, 30)
+
+
 def test_set_last_synced_accepts_iso_string(spark, warehouse):
     checkpoint.set_last_synced(warehouse, "s", "c", "2024-05-06T07:08:09Z")
     assert checkpoint.get_last_synced(warehouse, "s", "c") == dt.datetime(

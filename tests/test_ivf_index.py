@@ -31,6 +31,18 @@ def test_indexed_probe_matches_query_path(spark, warehouse):
     assert got_rows == want_rows
 
 
+def test_zero_norm_query_raises_loudly(spark, warehouse):
+    """Round-13 degenerate-input audit: a zero query vector used to
+    die with a bare ZeroDivisionError inside the driver-side nprobe
+    fold — cosine against it is undefined, so fail with a message."""
+    import pytest
+
+    (embeddings,) = tables(spark, SF, "embeddings")
+    build_ivf_index(warehouse, embeddings, table="ivf0")
+    with pytest.raises(ValueError, match="zero norm"):
+        ivf_probe_indexed(warehouse, [0.0] * 64, table="ivf0")
+
+
 def test_probe_scan_prunes_cell_partitions(spark, warehouse):
     (embeddings,) = tables(spark, SF, "embeddings")
     build_ivf_index(warehouse, embeddings, table="ivf2")

@@ -71,6 +71,7 @@ def test_no_cartesian_products_anywhere(spark):
     allowed = {
         "dedup_embedding_cosine",  # documented small-block baseline
         "similarity_topk_cosine",  # 1-row broadcast query vector
+        "similarity_zero_norm",  # same shape (degenerate-input twin)
         "similarity_ivf_probe",  # 1-row broadcast codebook + query
     }
     for name, qd in REGISTRY.items():
@@ -346,6 +347,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "dedup_embedding_cosine",
         # crossJoin(broadcast(single query vector))
         "similarity_topk_cosine",
+        # same 1-row broadcast shape — the zero-norm degenerate twin
+        "similarity_zero_norm",
         # broadcast codebook (K rows, bounded)
         "similarity_ivf_probe",
         # broadcast M·K codebook list + 1-row query vector

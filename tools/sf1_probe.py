@@ -78,6 +78,10 @@ TOP_OPS = [
     "dq_distribution_drift",
     "similarity_rrf_fusion",
     "similarity_mmr_rerank",
+    # round-13 ANSI-audit rows (manufactured degenerates over the
+    # cosine / Welch kernels)
+    "similarity_zero_norm",
+    "experiment_ttest_empty_arm",
     "stats_bootstrap_poisson",
     "privacy_dp_laplace_counts",
     "experiment_cuped_adjusted",
