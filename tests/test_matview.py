@@ -682,3 +682,56 @@ def test_rival_during_lineage_read_surfaces_conflict(spark, warehouse):
     # pre-fix behavior left g1 at (2, 40): the delta merged twice
     assert _mv_state(warehouse)["g1"] == (2, 35)
     assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
+
+
+def test_full_recompute_fallback_is_cased_too(spark, warehouse):
+    """Round 13: the full-recompute fallback (lost lineage, GC'd base,
+    legacy schema) used to commit UNCHECKED — a rival refreshing
+    against a NEWER base in the same window was blind-overwritten,
+    regressing both data and lineage. _full now CASes on the pinned
+    MV version like every other commit in refresh_matview."""
+    import os
+    from unittest import mock
+
+    import pytest
+
+    from qms_datawarehouse_spark.warehouse import (
+        ConcurrentWriteError,
+        ParquetWarehouse,
+    )
+
+    _seed(spark, warehouse)
+    create_matview(warehouse, "mv_by_grp", "fact", ["grp"], ["amount"])
+    # manufacture lost lineage: no _VERSION_META.json, no table-meta
+    # record -> the next refresh must take the _full path
+    vdir = warehouse.current_version_dir("mv_by_grp")
+    meta_path = os.path.join(vdir, "_VERSION_META.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    warehouse.write_meta(
+        "mv_by_grp",
+        {k: v for k, v in warehouse.read_meta("mv_by_grp").items()
+         if k != "mv_base_version"},
+    )
+    merge_upsert(
+        warehouse, "fact", _batch(spark, [("e", "g4", 3, TS2)]), n_buckets=8,
+    )
+
+    real_write = ParquetWarehouse.write_version
+    fired = {"done": False}
+
+    def racing_write(self, table, df, **kw):
+        if table == "mv_by_grp" and not fired["done"]:
+            fired["done"] = True
+            # rival full refresh commits first (lineage still lost,
+            # so it also recomputes — and re-establishes lineage)
+            assert refresh_matview(warehouse, "mv_by_grp") == "full"
+        return real_write(self, table, df, **kw)
+
+    with mock.patch.object(ParquetWarehouse, "write_version", racing_write):
+        with pytest.raises(ConcurrentWriteError):
+            refresh_matview(warehouse, "mv_by_grp")
+
+    # the rival's recompute is intact and current
+    assert _mv_state(warehouse)["g4"] == (1, 3)
+    assert refresh_matview(warehouse, "mv_by_grp") == "fresh"
