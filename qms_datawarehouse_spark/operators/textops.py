@@ -614,9 +614,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the token filter lands BEFORE the (doc_id, token)
     aggregation, so tf state is O(matching postings); df is per-term
     counts (broadcast); dl is one groupBy(doc_id); stats broadcasts a
-    single row. int64 headroom: products stay < 2^63 while
-    n_docs * total_len * idf_10k < ~9e18 — at larger corpora promote
-    to DECIMAL(38,0) or downscale idf."""
+    single row. int64 headroom: the per-term chain multiplies idf-bp
+    by 22·total_len·tf, which clears 2^63 at real corpus sizes — the
+    numerator and denominator are promoted to DECIMAL(38,0)
+    (round-13 overflow audit); only the small bp quotient rides a
+    long. DuckDB's HUGEINT promotion does the same on the oracle
+    side."""
     (documents,) = tables(spark, sf_dir, "documents")
     tok = documents.select(
         "doc_id",
@@ -642,10 +645,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
+            # decimal(38,0) chain (round-13 overflow audit): the
+            # numerator multiplies idf-bp (~1e4-1e15) by
+            # 22·total_len·tf (~1e18 at a 1e14-token corpus) — far
+            # past int64, where ANSI aborts; DuckDB auto-promotes to
+            # HUGEINT. The final quotient is a small bp score, so
+            # div's long result is safe.
             F.expr(
-                "((10000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
-                " * (22 * total_len * tf)"
-                " div (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"
+                "((CAST(10000 AS DECIMAL(38,0))"
+                " * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
+                " * (CAST(22 AS DECIMAL(38,0)) * total_len * tf)"
+                " div (CAST(10 AS DECIMAL(38,0)) * total_len * tf"
+                "      + 3 * total_len + 9 * dl * n_docs)"
             ).alias("term_score"),
         )
     )

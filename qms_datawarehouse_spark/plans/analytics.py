@@ -1230,10 +1230,17 @@ def basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "n_ab",
-            F.expr("(10000 * n_ab) div n_a").alias("conf_a_to_b_bp"),
-            F.expr("(10000 * n_ab * n_users) div (n_a * n_b)").alias(
-                "lift_bp"
-            ),
+            # decimal products (round-13 overflow audit): 10⁴·n_ab·N
+            # and n_a·n_b are O(n²) — long overflow past ~3e9 rows
+            # under ANSI; the bp quotients stay tiny, so div's long
+            # result is safe. DuckDB's HUGEINT does the same exactly.
+            F.expr(
+                "(CAST(10000 AS DECIMAL(38,0)) * n_ab) div n_a"
+            ).alias("conf_a_to_b_bp"),
+            F.expr(
+                "(CAST(10000 AS DECIMAL(38,0)) * n_ab * n_users)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ).alias("lift_bp"),
         )
     )
 
@@ -1288,7 +1295,12 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.select(
         "nation",
         "revenue_cents",
-        F.expr("revenue_cents * 10000").alias("_num"),
+        # decimal ×10⁴ (round-13 overflow audit): total-corpus cents
+        # run ~1e16 at 100 TB — ×10000 exceeds int64 and ANSI aborts;
+        # DuckDB auto-promotes. The bp quotient stays tiny (div→long).
+        F.expr(
+            "CAST(revenue_cents AS DECIMAL(38,0)) * 10000"
+        ).alias("_num"),
         F.sum("revenue_cents").over(w).alias("_den"),
     ).select(
         "nation",
@@ -1338,8 +1350,11 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             prev.isNull(), F.lit(None).cast("long")
         ).otherwise(
+            # decimal ×10⁴ — same int64 headroom argument as
+            # revenue_share_by_nation (yearly cents ~1e16 at 100 TB)
             F.expr(
-                "((revenue_cents - lag(revenue_cents) over (order by yr))"
+                "(CAST(revenue_cents - lag(revenue_cents)"
+                " over (order by yr) AS DECIMAL(38,0))"
                 " * 10000) div lag(revenue_cents) over (order by yr)"
             )
         ).alias("yoy_growth_bp"),
@@ -1696,22 +1711,28 @@ def stats_sufficient_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the final division, which the consumer owns).
 
     Scale shape: one scan, map-side partial aggregation, one exchange
-    of |event_type| x 7 bigints. Σx² of cents stays under 2^63 up to
-    ~10^9 rows per group at these magnitudes; beyond that promote to
-    DECIMAL(38,0) partials."""
+    of |event_type| x 7 bigints. The second moments ACCUMULATE in
+    DECIMAL(38,0) (round-13 overflow audit — a long Σx² aborts
+    mid-aggregate under ANSI past ~10^9 rows per group) and cast to
+    the contract's BIGINT at the output; past ~10^10 rows that cast
+    fails loudly in BOTH engines (DuckDB's CAST AS BIGINT errors the
+    same way), at which point the consumer widens the contract."""
     (events,) = tables(spark, sf_dir, "events")
     v = events.select(
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
         F.hour("ts").cast("long").alias("y"),
     )
+    dec_sq = lambda a, b: F.sum(  # noqa: E731
+        F.col(a).cast("decimal(38,0)") * F.col(b)
+    ).cast("long")
     return v.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        dec_sq("x", "x").alias("sxx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        dec_sq("y", "y").alias("syy"),
+        dec_sq("x", "y").alias("sxy"),
     )
 
 
@@ -1810,11 +1831,20 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("n1")),
     )
-    d = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    # decimal(38,0) products (round-13 overflow audit): cum·n is
+    # O(n²) — past ~3e9 rows per snapshot the long product exceeds
+    # int64 and ANSI mode aborts the query; DuckDB auto-promotes to
+    # HUGEINT. Decimal keeps the arithmetic exact to 1e38 (n ~ 1e19);
+    # the d_num long cast is bounded by the same n² and documented as
+    # the fixture-scale diagnostic — d_stat (double) is the statistic.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = F.abs(dec("cum1") * dec("n2") - dec("cum2") * dec("n1"))
     return attached.groupBy("n1", "n2").agg(
         F.max(d).cast("long").alias("d_num"),
         F.round(
-            F.max(d) * 1.0 / (F.col("n1") * F.col("n2")), 6
+            F.max(d).cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+            6,
         ).alias("d_stat"),
     ).select(
         F.col("n1").cast("long").alias("n1"),
@@ -2017,16 +2047,23 @@ def _welch_readout(v: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
         .cast("long")
         .alias("sx_b"),
+        # decimal(38,0) accumulation (round-13 overflow audit): Σx²
+        # in cents² runs ~1e8 per row — past ~1e11 rows the long sum
+        # exceeds int64 and ANSI aborts mid-aggregate; DuckDB's sum
+        # auto-promotes to HUGEINT. Internal only — output columns
+        # keep their types (sxx never leaves this frame).
         F.sum(
-            F.when(F.col("variant") == 0, F.col("x") * F.col("x")).otherwise(0)
-        )
-        .cast("long")
-        .alias("sxx_a"),
+            F.when(
+                F.col("variant") == 0,
+                F.col("x").cast("decimal(38,0)") * F.col("x"),
+            ).otherwise(F.lit(0))
+        ).alias("sxx_a"),
         F.sum(
-            F.when(F.col("variant") == 1, F.col("x") * F.col("x")).otherwise(0)
-        )
-        .cast("long")
-        .alias("sxx_b"),
+            F.when(
+                F.col("variant") == 1,
+                F.col("x").cast("decimal(38,0)") * F.col("x"),
+            ).otherwise(F.lit(0))
+        ).alias("sxx_b"),
     )
     mean_a = F.try_divide(F.col("sx_a") * 1.0, F.col("n_a"))
     mean_b = F.try_divide(F.col("sx_b") * 1.0, F.col("n_b"))
@@ -2272,13 +2309,20 @@ def experiment_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(pre, dollars).otherwise(0)).alias("x"),
         F.sum(F.when(pre, 0).otherwise(dollars)).alias("y"),
     )
+    # second moments accumulate in decimal(38,0) (round-13 overflow
+    # audit): per-user dollar totals square to ~1e10-1e12 per row, so
+    # the long Σx²/Σxy/Σy² exceeds int64 past ~1e7-1e9 users and ANSI
+    # aborts; DuckDB auto-promotes to HUGEINT. Internal only.
+    dec_sq = lambda a, b: F.sum(  # noqa: E731
+        F.col(a).cast("decimal(38,0)") * F.col(b)
+    )
     m = pu.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        dec_sq("x", "x").alias("sxx"),
+        dec_sq("x", "y").alias("sxy"),
+        dec_sq("y", "y").alias("syy"),
     )
     a = pu.groupBy("arm").agg(
         F.count("*").cast("long").alias("n_arm"),
@@ -2289,9 +2333,13 @@ def experiment_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # e.g. every user inactive pre-period) or constant metric zeroes a
     # variance denominator — the oracle's DuckDB division yields NULL
     # there, while Spark 4's default ANSI `/` would crash the readout.
+    # n·sxy and sx·sy are decimal-promoted (sxy is decimal; sx casts)
+    # — the long·long cross terms overflowed exactly like the moments
+    sx_d = F.col("sx").cast("decimal(38,0)")
+    sy_d = F.col("sy").cast("decimal(38,0)")
     theta = F.try_divide(
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0,
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+        (F.col("n") * F.col("sxy") - sx_d * F.col("sy")).cast("double"),
+        (F.col("n") * F.col("sxx") - sx_d * F.col("sx")).cast("double"),
     )
     mean_y = F.try_divide(F.col("sya") * 1.0, F.col("n_arm"))
     return a.crossJoin(F.broadcast(m)).select(
@@ -2310,9 +2358,12 @@ def experiment_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             theta
             * F.try_divide(
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                * 1.0,
-                F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"),
+                (F.col("n") * F.col("sxy") - sx_d * F.col("sy")).cast(
+                    "double"
+                ),
+                (F.col("n") * F.col("syy") - sy_d * F.col("sy")).cast(
+                    "double"
+                ),
             ),
             4,
         ).alias("rho2"),

@@ -98,6 +98,61 @@ def test_welch_readout_empty_and_single_and_constant_arms(spark):
     assert r["t_welch"] is None
 
 
+def test_welch_moments_survive_int64_scale_values(spark):
+    """Round-13 overflow audit: Σx² accumulated in a LONG aborts the
+    aggregate under ANSI once it clears int64 — two rows of 3e9 cents
+    square to 1.8e19 > 2^63-1. The decimal(38,0) accumulation is
+    exact; verify against Python bigint arithmetic."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from qms_datawarehouse_spark.plans.analytics import _welch_readout
+
+    x = 3_000_000_000  # 3e9 cents; x*x = 9e18, two of them overflow
+    rows = [(0, x), (0, x), (1, x - 7), (1, x + 7)]
+    r = _welch_readout(
+        spark.createDataFrame(rows, "variant int, x long")
+    ).first()  # pre-audit: ArithmeticException (long overflow) here
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["sx_a"] == 2 * x and r["sx_b"] == 2 * x
+    assert r["mean_a"] == float(x) and r["mean_b"] == float(x)
+    # t itself rides the double sx·sx shortcut (same formula as the
+    # oracle), which loses integer exactness past 2^53 — at these
+    # magnitudes its value is numerically meaningless in BOTH engines
+    # and may surface as NULL; the property under test is that the
+    # aggregation itself no longer aborts and the first moments stay
+    # exact.
+
+
+def test_moments_row_decimal_accumulation_is_exact(spark, tmp_path):
+    """stats_sufficient_moments over manufactured near-limit values:
+    the decimal accumulation must agree with Python bigints and cast
+    back to the contract's BIGINT while it fits."""
+    import datetime as dt
+
+    from qms_datawarehouse_spark.plans.analytics import (
+        stats_sufficient_moments,
+    )
+
+    # 1.7e9 cents each: x*x = 2.89e18, Σ over three = 8.67e18 — just
+    # inside the contract's int64 output; the decimal accumulation
+    # must round-trip these exactly (double->cents->bigint squares)
+    vals = [17_000_000.0, 17_000_001.0, 16_999_999.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 12), 1, "purchase", v)
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = stats_sufficient_moments(spark, str(tmp_path)).first()
+    cents = [round(v * 100) for v in vals]
+    assert r["sx"] == sum(cents)
+    assert r["sxx"] == sum(c * c for c in cents)
+    assert r["sxy"] == sum(c * 12 for c in cents)
+
+
 def test_scd2_and_asof_rows_still_green_after_temporal_touch(spark):
     # cheap canary: the temporal module imports and its two NULL-edge
     # kernels behave on a 3-row frame (full oracle runs cover depth)
