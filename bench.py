@@ -177,6 +177,7 @@ HEADLINE = [
     # stays the probed representative
     "similarity_zero_norm",
     "experiment_ttest_empty_arm",
+    "ivf_index_incremental_replay",
 ]
 
 

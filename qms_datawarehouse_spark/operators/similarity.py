@@ -442,6 +442,211 @@ def build_ivf_index(
     return warehouse.write_version(table, assigned, partition_by=[IVF_CELL_COL])
 
 
+def update_ivf_index(
+    warehouse,
+    delta_embeddings: DataFrame,
+    table: str = "ivf_embeddings",
+    centroids: DataFrame | None = None,
+) -> tuple:
+    """O(delta) maintenance for the materialized IVF layout — the ANN
+    twin of the matview / rollup / join-MV incremental family: a
+    batch of new or re-embedded vectors is assigned against the
+    FROZEN codebook (broadcast argmax, no shuffle) and only the cell
+    partitions it touches are rewritten; every other cell dir
+    hardlink-inherits. Returns ``("noop", 0)`` for an empty batch
+    (P6) or ``("partial", n_touched_cells)``.
+
+    Correctness subtlety a naive upsert misses: a RE-EMBEDDED vector
+    can MOVE cells — its old row lives in cell A, its new assignment
+    in cell B. Touched = cells gaining delta rows ∪ cells holding
+    prior versions of delta ids (a column-pruned (vec_id, cell) scan
+    probed by the broadcast delta-id set — the join-MV dim-probe
+    shape), and prior rows of delta ids are anti-joined out, so no
+    vec_id ever appears in two cells.
+
+    The codebook is the index's IDENTITY: updates must not change it,
+    or every previously-assigned row silently sits in the wrong cell.
+    With the default seed-row codebook (``vec_id < N_CELLS``), a
+    delta touching a seed id raises — retrain + ``build_ivf_index``
+    is the rebuild path (standard IVF practice: codebook retrains
+    offline, index updates online).
+
+    Commit protocol: CASed partial write pinned to the version the
+    codebook and prior assignments were read from (the round-13
+    pin-first discipline) — a racing updater surfaces
+    ``ConcurrentWriteError``, never silently drops rows.
+    """
+    base = warehouse.current_version_name(table)
+    if base is None:
+        raise FileNotFoundError(f"IVF table not found: {table}")
+    stored = warehouse.read(table, version=base)
+    if centroids is None:
+        centroids = stored.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+        seed_hits = delta_embeddings.filter(
+            F.col("vec_id") < N_CELLS
+        ).count()
+        if seed_hits:
+            raise ValueError(
+                f"{seed_hits} delta rows touch codebook seed ids "
+                f"(vec_id < {N_CELLS}) — re-embedding a centroid "
+                "requires retrain + build_ivf_index, not an update"
+            )
+    e = delta_embeddings.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    if e.isEmpty():
+        return ("noop", 0)
+    assigned = assign_cells(e, centroids).withColumnRenamed(
+        "cell_id", IVF_CELL_COL
+    )
+    delta_ids = e.select("vec_id")
+    # both collects are bounded by the cell count, never the corpus
+    new_cells = {
+        int(r[0])
+        for r in assigned.select(IVF_CELL_COL).distinct().collect()
+    }
+    old_cells = {
+        int(r[0])
+        for r in stored.select("vec_id", IVF_CELL_COL)
+        .join(F.broadcast(delta_ids), "vec_id", "left_semi")
+        .select(IVF_CELL_COL)
+        .distinct()
+        .collect()
+    }
+    touched = sorted(new_cells | old_cells)
+    keep = stored.filter(F.col(IVF_CELL_COL).isin(touched)).join(
+        F.broadcast(delta_ids), "vec_id", "left_anti"
+    )
+    merged = keep.unionByName(assigned)
+    warehouse.write_version_partial(
+        table,
+        merged,
+        touched,
+        partition_col=IVF_CELL_COL,
+        base_version=base,
+    )
+    return ("partial", len(touched))
+
+
+_IVF_REPLAY_SQL = f"""
+    WITH src AS (
+        SELECT vec_id, label,
+               CASE WHEN vec_id >= {N_CELLS} AND vec_id % 7 = 1
+                         AND vec_id % 3 <> 0
+                    THEN list_transform(embedding::DOUBLE[], x -> -x)
+                    ELSE embedding::DOUBLE[] END AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM src
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+        FROM n WHERE vec_id < {N_CELLS}
+    ),
+    assign AS (
+        SELECT n.vec_id, n.label, cent_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                                i -> n.v[i] * cv[i])) / (nrm * cnrm) DESC,
+                            cent_id
+               ) AS rk
+        FROM n CROSS JOIN cents
+    )
+    SELECT vec_id, label, CAST(cent_id AS BIGINT) AS cell_id
+    FROM assign WHERE rk = 1
+"""
+
+
+@query("ivf_index_incremental_replay", _IVF_REPLAY_SQL)
+def ivf_index_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance pinned equal to the full
+    rebuild the oracle runs — through the REAL warehouse path (the
+    matview_incremental_replay mold, extended to the ANN layer):
+    build the index from epoch 1 (seed rows + vec_id % 3 != 0), then
+    ``update_ivf_index`` with epoch 2 = the % 3 == 0 inserts PLUS
+    re-embedded updates (vec_id % 7 == 1 rows with NEGATED vectors —
+    negation flips the cosine argmax, so updated vectors MOVE cells,
+    exercising the old-cell-eviction path a naive per-cell upsert
+    gets wrong). The final table must hash-equal the oracle's
+    one-shot assignment of the fully-updated corpus against the
+    frozen seed codebook.
+
+    Evidence guards (fail loudly, never a trivial match): the update
+    must take the PARTIAL path, at least one updated vector must have
+    actually changed cells, and no vec_id may appear in two cells
+    after the move."""
+    import shutil
+
+    from qms_datawarehouse_spark.tmputil import pid_scoped_dir
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = pid_scoped_dir("qms_ivf_replay", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(spark, root)
+
+    vid = F.col("vec_id")
+    ins_pred = (vid >= N_CELLS) & (F.pmod(vid, F.lit(3)) == 0)
+    upd_pred = (
+        (vid >= N_CELLS)
+        & (F.pmod(vid, F.lit(7)) == 1)
+        & (F.pmod(vid, F.lit(3)) != 0)
+    )
+    build_ivf_index(wh, embeddings.filter(~ins_pred))
+
+    updates = embeddings.filter(upd_pred).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    delta = (
+        embeddings.filter(ins_pred)
+        .select("vec_id", "label", "embedding")
+        .unionByName(updates)
+    )
+    # prior cells of the updated ids, resolved BEFORE the update (the
+    # version path pins at read() time; the old version is retained)
+    before = wh.read("ivf_embeddings").select(
+        "vec_id", F.col(IVF_CELL_COL).alias("cell_before")
+    )
+    mode, n_cells = update_ivf_index(wh, delta)
+    if mode != "partial" or n_cells == 0:
+        raise AssertionError(f"update did not take the partial path: "
+                             f"{mode}/{n_cells}")
+    out = wh.read("ivf_embeddings").select(
+        "vec_id", "label", F.col(IVF_CELL_COL).cast("long").alias("cell_id")
+    )
+    n, nd = out.count(), out.select("vec_id").distinct().count()
+    if n != nd:
+        raise AssertionError(
+            f"{n - nd} vec_ids in two cells after a cell move"
+        )
+    moved = (
+        out.join(before, "vec_id")
+        .filter(F.col("cell_id") != F.col("cell_before"))
+        .count()
+    )
+    if moved == 0:
+        raise AssertionError(
+            "no vector changed cells — the re-embed fixture is "
+            "degenerate and the eviction path went unexercised"
+        )
+    return out
+
+
 def ivf_probe_indexed(
     warehouse,
     query_vec: list[float],

@@ -117,7 +117,9 @@ _DRIVER_WINDOW = [
     "heavy_hitters_exact",
     "dq_constraint_checks",
     "curation_split_summary",
-    # ---- freshness: the 8 oldest round-9 rows ---------------------
+    # the round-13 ANN-maintenance addition (never-checked)
+    "ivf_index_incremental_replay",
+    # ---- freshness: the 7 oldest round-9 rows ---------------------
     "graph_triangles_lsh",
     "dedup_semantic_scaled",
     "text_bpe_encode",
@@ -125,14 +127,13 @@ _DRIVER_WINDOW = [
     "corpus_curation",
     "curation_domain_mix",
     "text_repetition",
-    "text_inverted_index",
 ]
 
 # Allocation note: once this window lands green, the staleness ledger
-# reads: nothing older than round 9, and exactly 39 round-9 rows
+# reads: nothing older than round 9, and exactly 40 round-9 rows
 # remain (queued in tests/test_driver_window.py QUEUED_NEXT_WINDOW
 # for r14). Next-round slots: (a) any red rows from CORRECTNESS_r13,
-# (b) queries added in round 14, (c) the queued 39, (d) the round-10
+# (b) queries added in round 14, (c) the queued 40, (d) the round-10
 # cohort, oldest first.
 
 

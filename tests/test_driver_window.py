@@ -39,6 +39,8 @@ ANCHORS = [
     "experiment_ab_ttest",
     "grouped_pandas_zscore",
     "s1_incremental_scan",
+    # the ANN-maintenance addition (new this round, never-checked)
+    "ivf_index_incremental_replay",
 ]
 
 
@@ -75,15 +77,17 @@ def test_anchors_inside_window():
 # staging queue (all 28 round-8-cohort rows are in-window), which
 # retires the round-8 evidence tier when green; the three round-13
 # additions (scd2_null_ts, similarity_zero_norm,
-# experiment_ttest_empty_arm) are in-window too. r14 pool: the 39
-# round-9-cohort rows the 50-slot r13 window couldn't fit
-# (CORRECTNESS_r09 order, including the 6 the audit anchors
-# displaced) — all ever-green (r9), so the invariant doesn't force
+# experiment_ttest_empty_arm, ivf_index_incremental_replay) are
+# in-window too. r14 pool: the 40 round-9-cohort rows the 50-slot r13
+# window couldn't fit (CORRECTNESS_r09 order, including the 7 the
+# audit anchors and the ANN-maintenance addition displaced) — all
+# ever-green (r9), so the invariant doesn't force
 # them; the queue is the bookkeeping that they MUST enter the r14
 # window, which retires the round-9 evidence tier.
 QUEUED_NEXT_WINDOW: list[str] = [
-    # the 6 round-9 rows the r13 audit anchors displaced from the
-    # window fill (CORRECTNESS_r09 order preserved)
+    # the 7 round-9 rows the r13 audit anchors and the ANN-maintenance
+    # addition displaced from the window fill (r09 order preserved)
+    "text_inverted_index",
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
     "growth_daily_users",

@@ -43,6 +43,63 @@ def test_zero_norm_query_raises_loudly(spark, warehouse):
         ivf_probe_indexed(warehouse, [0.0] * 64, table="ivf0")
 
 
+def test_update_moves_reembedded_vector_between_cells(spark, warehouse):
+    """Round-13 ANN maintenance: a re-embedded vector whose new
+    assignment lands in a different cell must vanish from its OLD
+    cell (the eviction a naive per-cell upsert misses) and appear
+    exactly once."""
+    from qms_datawarehouse_spark.operators.similarity import (
+        update_ivf_index,
+    )
+
+    (embeddings,) = tables(spark, SF, "embeddings")
+    build_ivf_index(warehouse, embeddings, table="ivf_u")
+    victim = 100
+    before = warehouse.read("ivf_u").filter(
+        F.col("vec_id") == victim
+    ).first()
+    delta = embeddings.filter(F.col("vec_id") == victim).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    mode, n_cells = update_ivf_index(warehouse, delta, table="ivf_u")
+    assert mode == "partial" and 1 <= n_cells <= 2
+    after = warehouse.read("ivf_u").filter(F.col("vec_id") == victim)
+    rows = after.collect()
+    assert len(rows) == 1  # no ghost row in the old cell
+    assert rows[0][IVF_CELL_COL] != before[IVF_CELL_COL]  # negation moves
+    # nothing else changed
+    assert warehouse.read("ivf_u").count() == embeddings.count()
+
+
+def test_update_empty_delta_is_noop(spark, warehouse):
+    from qms_datawarehouse_spark.operators.similarity import (
+        update_ivf_index,
+    )
+
+    (embeddings,) = tables(spark, SF, "embeddings")
+    build_ivf_index(warehouse, embeddings, table="ivf_n")
+    v0 = warehouse.current_version_name("ivf_n")
+    empty = embeddings.limit(0)
+    assert update_ivf_index(warehouse, empty, table="ivf_n") == ("noop", 0)
+    assert warehouse.current_version_name("ivf_n") == v0  # no version churn
+
+
+def test_update_rejects_codebook_seed_rows(spark, warehouse):
+    import pytest
+
+    from qms_datawarehouse_spark.operators.similarity import (
+        update_ivf_index,
+    )
+
+    (embeddings,) = tables(spark, SF, "embeddings")
+    build_ivf_index(warehouse, embeddings, table="ivf_s")
+    seed_delta = embeddings.filter(F.col("vec_id") == 3)
+    with pytest.raises(ValueError, match="codebook seed"):
+        update_ivf_index(warehouse, seed_delta, table="ivf_s")
+
+
 def test_probe_scan_prunes_cell_partitions(spark, warehouse):
     (embeddings,) = tables(spark, SF, "embeddings")
     build_ivf_index(warehouse, embeddings, table="ivf2")

@@ -73,6 +73,7 @@ def test_no_cartesian_products_anywhere(spark):
         "similarity_topk_cosine",  # 1-row broadcast query vector
         "similarity_zero_norm",  # same shape (degenerate-input twin)
         "similarity_ivf_probe",  # 1-row broadcast codebook + query
+        "ivf_index_incremental_replay",  # same broadcast-codebook assign
     }
     for name, qd in REGISTRY.items():
         if name in allowed:
@@ -351,6 +352,8 @@ def test_no_unintended_cartesian_anywhere(spark):
         "similarity_zero_norm",
         # broadcast codebook (K rows, bounded)
         "similarity_ivf_probe",
+        # same broadcast-codebook assign shape (build + update legs)
+        "ivf_index_incremental_replay",
         # broadcast M·K codebook list + 1-row query vector
         "similarity_pq_adc",
         # broadcast centroid/codeword lists + 1-row query+probe set

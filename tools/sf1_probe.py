@@ -82,6 +82,7 @@ TOP_OPS = [
     # cosine / Welch kernels)
     "similarity_zero_norm",
     "experiment_ttest_empty_arm",
+    "ivf_index_incremental_replay",
     "stats_bootstrap_poisson",
     "privacy_dp_laplace_counts",
     "experiment_cuped_adjusted",
