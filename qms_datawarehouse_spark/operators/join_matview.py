@@ -249,6 +249,15 @@ def refresh_join_matview(
     lineage = {"jmv_fact_version": cur_fact, "jmv_dim_version": cur_dim}
 
     def _full() -> JoinRefreshResult:
+        # CASed on the pinned mv_base like every other commit here
+        # (the refresh_matview._full discipline): a rival refresh that
+        # committed against NEWER base versions must not be
+        # blind-overwritten with data joined from versions pinned
+        # before it landed — that would transiently roll back its rows
+        # AND its lineage. Entry paths where mv_base is simply what we
+        # read (lost lineage, GC'd base, oversized dim diff) pass the
+        # CAS untouched; a genuine rival flips it to
+        # ConcurrentWriteError, which the caller retries bounded.
         mv = _joined(
             warehouse.read(fact_table, version=cur_fact),
             warehouse.read(dim_table, version=cur_dim),
@@ -256,7 +265,8 @@ def refresh_join_matview(
             dim_cols,
         )
         warehouse.write_version(
-            name, mv, partition_by=[BUCKET_COL], extra_meta=lineage
+            name, mv, partition_by=[BUCKET_COL], extra_meta=lineage,
+            expect_base=mv_base,
         )
         return JoinRefreshResult("full", 0, _n_buckets(warehouse, name))
 
@@ -355,11 +365,22 @@ def refresh_join_matview(
         warehouse.write_version_partial(
             name, rows, tl, base_version=mv_base, extra_meta=lineage
         )
-    except (ValueError, ConcurrentWriteError):
-        # no partition dirs to inherit (zero-row MV) or the MV version
-        # advanced under us — the documented contract: the fallback is
-        # always correct
+    except ValueError:
+        # no partition dirs to inherit (zero-row MV) — the documented
+        # contract: the full rewrite is always correct (and still
+        # CASed on mv_base; no rival has committed in this branch)
         return _full()
+    except ConcurrentWriteError:
+        # the MV version advanced under us: a rival refresh committed
+        # newer data/lineage. Retry the WHOLE refresh against the
+        # rival's state (bounded, like the lineage-only path) — the
+        # old fallback-to-_full here blind-overwrote the winner with
+        # rows joined from base versions pinned before it landed.
+        if _retries <= 0:
+            raise
+        return refresh_join_matview(
+            warehouse, name, max_dim_keys, _retries=_retries - 1
+        )
     return JoinRefreshResult("incremental", len(touched), total)
 
 

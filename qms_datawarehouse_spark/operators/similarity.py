@@ -479,6 +479,29 @@ def update_ivf_index(
     base = warehouse.current_version_name(table)
     if base is None:
         raise FileNotFoundError(f"IVF table not found: {table}")
+    # ONE aggregate over the delta serves three gates that each cost a
+    # job when run separately (the documented P6 noop path paid the
+    # seed-hit count + an isEmpty before this): row count (empty
+    # short-circuit FIRST — an empty batch runs exactly this one job
+    # and never reads the stored table), distinct-id count (a batch
+    # carrying two rows for one vec_id — insert + re-embed, or plain
+    # duplicates — would write the id into two cells, violating the
+    # one-cell-per-vec_id invariant the replay row's guard protects),
+    # and seed-id hits (only enforced for the default seed-row
+    # codebook below).
+    gate = delta_embeddings.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("vec_id")).alias("nd"),
+        F.count(F.when(F.col("vec_id") < N_CELLS, 1)).alias("seed"),
+    ).first()
+    if not gate["n"]:
+        return ("noop", 0)
+    if gate["nd"] != gate["n"]:
+        raise ValueError(
+            f"delta batch holds {gate['n']} rows but only {gate['nd']} "
+            "distinct vec_ids — resolve duplicates (last write wins) "
+            "before updating the index, or a vec_id lands in two cells"
+        )
     stored = warehouse.read(table, version=base)
     if centroids is None:
         centroids = stored.filter(F.col("vec_id") < N_CELLS).select(
@@ -486,12 +509,9 @@ def update_ivf_index(
             F.col("v").alias("cv"),
             F.col("nrm").alias("cnrm"),
         )
-        seed_hits = delta_embeddings.filter(
-            F.col("vec_id") < N_CELLS
-        ).count()
-        if seed_hits:
+        if gate["seed"]:
             raise ValueError(
-                f"{seed_hits} delta rows touch codebook seed ids "
+                f"{gate['seed']} delta rows touch codebook seed ids "
                 f"(vec_id < {N_CELLS}) — re-embedding a centroid "
                 "requires retrain + build_ivf_index, not an update"
             )
@@ -500,8 +520,6 @@ def update_ivf_index(
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
     ).withColumn("nrm", _norm(F.col("v")))
-    if e.isEmpty():
-        return ("noop", 0)
     assigned = assign_cells(e, centroids).withColumnRenamed(
         "cell_id", IVF_CELL_COL
     )

@@ -86,6 +86,30 @@ def test_update_empty_delta_is_noop(spark, warehouse):
     assert warehouse.current_version_name("ivf_n") == v0  # no version churn
 
 
+def test_update_rejects_duplicate_vec_ids_in_delta(spark, warehouse):
+    """A batch carrying two rows for one vec_id (insert + re-embed,
+    or plain duplicates) would write the id into two cells — the
+    one-cell-per-vec_id invariant the replay row's guard protects.
+    The update must refuse the batch, not split the id."""
+    import pytest
+
+    from qms_datawarehouse_spark.operators.similarity import (
+        update_ivf_index,
+    )
+
+    (embeddings,) = tables(spark, SF, "embeddings")
+    build_ivf_index(warehouse, embeddings, table="ivf_d")
+    one = embeddings.filter(F.col("vec_id") == 100)
+    flipped = one.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    dup = one.unionByName(flipped)
+    v0 = warehouse.current_version_name("ivf_d")
+    with pytest.raises(ValueError, match="distinct vec_ids"):
+        update_ivf_index(warehouse, dup, table="ivf_d")
+    assert warehouse.current_version_name("ivf_d") == v0  # nothing committed
+
+
 def test_update_rejects_codebook_seed_rows(spark, warehouse):
     import pytest
 

@@ -452,3 +452,57 @@ def test_lineage_advance_race_retries_not_lost(spark, warehouse):
     assert ("9100", 4, 77 * 1, None) not in _mv_rows(warehouse)  # shape guard
     assert _mv_rows(warehouse) == _expected(warehouse)
     assert any(r[0] == "9100" for r in _mv_rows(warehouse))
+
+
+def test_partial_write_race_retries_against_rival(spark, warehouse):
+    """ADVICE r13 (medium): a refresh losing the partial-write CAS
+    used to fall back to _full() WITHOUT expect_base — blind-
+    overwriting the rival refresh that just won, with data joined
+    from base versions pinned before the rival's batch landed
+    (transient rollback of committed rows). The fix retries the whole
+    refresh against the rival's state; the end state must include
+    BOTH writers' rows."""
+    from unittest import mock
+
+    from qms_datawarehouse_spark.warehouse import ParquetWarehouse
+
+    _seed(spark, warehouse)
+    # our delta: one fact insert -> the refresh takes the partial path
+    ours = spark.createDataFrame(
+        [("9200", 5, 55, "2024-03-01")],
+        "`_id` string, cust_id long, cents long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "facts", ours, n_buckets=N_BUCKETS)
+    assert is_join_stale(warehouse, "mv")
+
+    real_partial = ParquetWarehouse.write_version_partial
+    fired = {"done": False}
+
+    def racing_partial(self, table, df, touched, **kw):
+        if table == "mv" and not fired["done"]:
+            fired["done"] = True
+            # rival: lands its own fact batch AND refreshes the MV —
+            # the MV version advances, so the outer caller's CAS fails
+            batch = spark.createDataFrame(
+                [("9300", 6, 66, "2024-03-02")],
+                "`_id` string, cust_id long, cents long, updated_at string",
+            ).withColumn(
+                "updated_at", F.col("updated_at").cast("timestamp")
+            )
+            merge_upsert(warehouse, "facts", batch, n_buckets=N_BUCKETS)
+            refresh_join_matview(warehouse, "mv")
+        return real_partial(self, table, df, touched, **kw)
+
+    with mock.patch.object(
+        ParquetWarehouse, "write_version_partial", racing_partial
+    ):
+        res = refresh_join_matview(warehouse, "mv")
+
+    # the rival's refresh already brought the MV current (it absorbed
+    # both deltas); our retry must observe that, not overwrite it
+    assert res.mode == "fresh"
+    assert not is_join_stale(warehouse, "mv")
+    rows = _mv_rows(warehouse)
+    assert any(r[0] == "9200" for r in rows)  # our row
+    assert any(r[0] == "9300" for r in rows)  # the rival's row survives
+    assert rows == _expected(warehouse)

@@ -67,7 +67,9 @@ def test_fixture_documents_avoid_the_divergent_class(spark):
     fixture contains no divergent-class characters. If this fails,
     the fixture changed — either regenerate it without İ / cased
     Greek, or move the affected rows to rows-only checks."""
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     bad = docs.filter(
         F.col("text").rlike("[İΑ-Ω]")
     ).count()
