@@ -290,25 +290,20 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Key ORDER is load-bearing: the driver archives only the LAST
+    # 2000 characters of this line (BENCH_r13.json lost its own
+    # common22/cold values when the notes string grew past the
+    # window). Long free-text fields (notes, telemetry) go FIRST;
+    # the headline numbers (value, common22_value, cold_value,
+    # calibration, merge) go LAST so any tail-truncated capture still
+    # contains them verbatim. Still exactly ONE JSON line.
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
-                "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "common22_value": round(
-                    sum(timings.get(n, 0.0) for n in COMMON_22), 3
-                ),
-                "cold_value": round(cold_total, 3),
                 "runs_per_query": 4,
                 "protocol": "warm = min of 3 runs after 1 cold run",
-                "settle": settle,
-                "contaminated": settle["contaminated"],
-                "host_load_start": load_at_start,
-                "host_load_end": _host_load(),
-                "calibration": _calibration(spark),
                 "notes": (
                     f"{len(HEADLINE)}-query headline; common22 stays "
                     "the frozen cross-round signal. Settle gate now "
@@ -341,6 +336,18 @@ def main() -> None:
                     "r12's +27% norm_c22 confirmed BOX STATE, not code "
                     "(the grounded anchor row the r12 verdict ordered)."
                 ),
+                "settle": settle,
+                "contaminated": settle["contaminated"],
+                "host_load_start": load_at_start,
+                "host_load_end": _host_load(),
+                "queries": timings,
+                "sf": sf_val,
+                "value": round(total, 3),
+                "common22_value": round(
+                    sum(timings.get(n, 0.0) for n in COMMON_22), 3
+                ),
+                "cold_value": round(cold_total, 3),
+                "calibration": _calibration(spark),
                 "merge": _merge_bench(spark),
             }
         )

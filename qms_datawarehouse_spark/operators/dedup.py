@@ -203,19 +203,10 @@ def _sig_slots(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands(sh: DataFrame) -> DataFrame:
-    """LSH band rows ``(doc_id, band_id, bv)`` from a shingled frame —
-    the reusable index-entry kernel shared by the full-corpus dedup
-    and the incremental ingestion gate. Hash array hoisted into its
-    own projection so the md5 pass runs once, not once per signature
-    slot; one posexplode pass emits all band rows (vs an N-way union
-    that re-reads the signature projection per band). Docs with no
-    shingles (<3 words) produce no band rows."""
-    hashed = sh.select(
-        "doc_id",
-        F.transform(F.col("shingles"), lambda s: F.md5(s.cast("binary"))).alias("hs"),
-    )
-    sigs = _sig_slots(hashed.select("doc_id", *_minhash_sig_cols()))
+def bands_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Band rows from an already-computed signature-slot frame
+    (callers holding a persisted sigs frame derive bands from it
+    instead of re-running the md5+min-fold chain)."""
     return sigs.filter(F.col("m0") != "g").select(
         "doc_id",
         F.posexplode(
@@ -231,6 +222,21 @@ def minhash_bands(sh: DataFrame) -> DataFrame:
             )
         ).alias("band_id", "bv"),
     )
+
+
+def minhash_bands(sh: DataFrame) -> DataFrame:
+    """LSH band rows ``(doc_id, band_id, bv)`` from a shingled frame —
+    the reusable index-entry kernel shared by the full-corpus dedup
+    and the incremental ingestion gate. Hash array hoisted into its
+    own projection so the md5 pass runs once, not once per signature
+    slot; one posexplode pass emits all band rows (vs an N-way union
+    that re-reads the signature projection per band). Docs with no
+    shingles (<3 words) produce no band rows."""
+    hashed = sh.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.md5(s.cast("binary"))).alias("hs"),
+    )
+    return bands_from_sigs(_sig_slots(hashed.select("doc_id", *_minhash_sig_cols())))
 
 
 _MINHASH_COLS_SQL = ", ".join(
@@ -284,8 +290,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(documents).persist()
 
     # Hash array hoisted into its own projection so the md5 pass runs
-    # once, not once per signature slot.
-    bl = minhash_bands(sh)
+    # once, not once per signature slot. Persisted (the ingest gate's
+    # discipline, incremental_dedup.py): BOTH sides of the candidate
+    # self-join read the band table, and without the persist the
+    # executed plan ran the whole signature chain (one md5 per
+    # shingle + the 8-way min fold + band md5s) twice — the shingle
+    # cache below it only deduped tokenization. At scale the band
+    # table is materialized as an index table for the same reason.
+    bl = minhash_bands(sh).persist()
 
     a, b = bl.alias("a"), bl.alias("b")
     cand = (
@@ -311,8 +323,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         withsets.filter(jacc >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
-    # eager-checkpoint the tiny pair set, then drop the shingle cache
-    return checkpoint_result("dedup_minhash_lsh", out, sh)
+    # eager-checkpoint the tiny pair set, then drop the caches
+    return checkpoint_result("dedup_minhash_lsh", out, sh, bl)
 
 
 # --------------------------------------------------------------------
@@ -829,7 +841,10 @@ def ingest_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = tables(spark, sf_dir, "documents")
     sh = _shingled(documents).persist()
-    bands = minhash_bands(sh)
+    # persisted for the same reason as dedup_minhash_lsh: both sides
+    # of the candidate join read the band table, and unpersisted the
+    # signature chain (md5 per shingle + min fold) executed twice
+    bands = minhash_bands(sh).persist()
     newb = bands.filter(F.col("doc_id") % _GATE_MOD == 0)
     oldb = bands.filter(F.col("doc_id") % _GATE_MOD != 0)
     cand = (
@@ -846,7 +861,7 @@ def ingest_gate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return checkpoint_result(
-        "ingest_gate_probe", _verify_pairs(cand, sh, sh), sh
+        "ingest_gate_probe", _verify_pairs(cand, sh, sh), sh, bands
     )
 
 
@@ -1350,7 +1365,7 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
 
-    bl = minhash_bands(sh)
+    bl = minhash_bands(sh).persist()  # both candidate-join sides read it
     ba, bb = bl.alias("a"), bl.alias("b")
     cand = (
         ba.join(
@@ -1381,8 +1396,8 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_bp"),
         )
     )
-    # one counter row: eager-checkpoint, then drop the shingle cache
-    return checkpoint_result("dedup_minhash_recall_audit", out, sh)
+    # one counter row: eager-checkpoint, then drop the caches
+    return checkpoint_result("dedup_minhash_recall_audit", out, sh, bl)
 
 
 # --------------------------------------------------------------------
@@ -1565,7 +1580,10 @@ def ingest_gate_replay_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
     frame aggregates to two rows in a single shuffle."""
     (documents,) = tables(spark, sf_dir, "documents")
     sh = _shingled(documents).persist()
-    bl = minhash_bands(sh)
+    # persisted: both candidate-join sides read the band table (the
+    # dedup_minhash_lsh rationale — unpersisted, the signature chain
+    # executed twice)
+    bl = minhash_bands(sh).persist()
 
     a, b = bl.alias("a"), bl.alias("b")
     cand = (
@@ -1638,9 +1656,11 @@ def ingest_gate_replay_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("epoch")
     )
-    # two counter rows: eager-checkpoint, then drop both caches (the
-    # shingle frame AND the verified-pair frame)
-    return checkpoint_result("ingest_gate_replay_two_epochs", out, ver, sh)
+    # two counter rows: eager-checkpoint, then drop the caches (the
+    # shingle, band, and verified-pair frames)
+    return checkpoint_result(
+        "ingest_gate_replay_two_epochs", out, ver, sh, bl
+    )
 
 
 # --------------------------------------------------------------------
@@ -1713,10 +1733,16 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hs"
         ),
     )
-    sigs = _sig_slots(hashed.select("doc_id", *_minhash_sig_cols())).filter(
-        F.col("m0") != "g"
+    # persisted: sigs feeds BOTH per-doc signature lookups (sa/sb)
+    # AND the band derivation (whose rows feed both candidate-join
+    # sides) — unpersisted, the md5+min-fold signature chain executed
+    # four times in this query; now it runs once
+    sigs = (
+        _sig_slots(hashed.select("doc_id", *_minhash_sig_cols()))
+        .filter(F.col("m0") != "g")
+        .persist()
     )
-    bl = minhash_bands(sh)
+    bl = bands_from_sigs(sigs).persist()
     a, b = bl.alias("a"), bl.alias("b")
     cand = (
         a.join(
@@ -1761,8 +1787,10 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist hygiene (the connected_components standard): eagerly
     # materialize the candidate-pair-sized result, then drop the
-    # shingle cache instead of leaving it to session GC
-    return checkpoint_result("dedup_minhash_estimate_audit", out, sh)
+    # caches instead of leaving them to session GC
+    return checkpoint_result(
+        "dedup_minhash_estimate_audit", out, sh, sigs, bl
+    )
 
 
 # --------------------------------------------------------------------
@@ -1983,6 +2011,12 @@ def _ppjoin_prefix_candidates(tok: DataFrame):
         # integer-exact prefix length: n - ceil(0.8n) + 1
         .filter(F.col("r") <= F.expr("n - ((4 * n + 4) div 5) + 1"))
         .select("doc_id", "t")
+        # persisted: BOTH self-join sides read the prefix table —
+        # unpersisted, the df-count join + per-doc rank window ran
+        # twice. ContextCleaner reclaims the cache when the frame is
+        # GC'd (the dedup_ngram_jaccard convention — this helper's
+        # callers can't unpersist an internal frame).
+        .persist()
     )
     pa, pb = ranked.alias("pa"), ranked.alias("pb")
     cands = (

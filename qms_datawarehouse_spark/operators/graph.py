@@ -128,10 +128,17 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
+    # cache discipline (the triangles operator's): edges/deg/nodes are
+    # each consumed by BOTH power iterations plus the init and the
+    # final join — without persists every reference re-derives the
+    # whole lineitem⋈orders + distinct subtree (the executed plan held
+    # seven copies of the pair scan; at 100 TB that is seven full fact
+    # joins for a 2-iteration rank). Persisting the |E|-row edge list
+    # once is the canonical iterative-graph shape.
     edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"),
-                                    F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+                                    F.col("src").alias("dst"))).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.agg(F.count("*").alias("n"))
     r0 = nodes.crossJoin(F.broadcast(n)).select(
         "node", F.expr(f"{_MASS} div n").alias("r")
@@ -148,7 +155,9 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_mass"), "node")
         .limit(20)
     )
-    return out
+    from qms_datawarehouse_spark.planaudit import checkpoint_result
+
+    return checkpoint_result("graph_pagerank_2iter", out, edges, deg, nodes)
 
 
 # --------------------------------------------------------------------

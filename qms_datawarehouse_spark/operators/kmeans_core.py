@@ -38,6 +38,23 @@ def km_scaled_k(n: int) -> int:
 _SEM_T2 = 1600
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """registry.spread, inlined (this module must stay a leaf —
+    importing from the registry would re-enter the package's circular-
+    import window): repartition up to cluster parallelism when the
+    source arrived in fewer partitions. A single-file embedding
+    fixture reads as ONE partition, which made every downstream
+    CPU-bound stage — Lloyd assignment folds, the SemDeDup pair dot
+    products, k-center distance scans — run on ONE core (measured:
+    dedup_semantic spent 2×2.9 s in single-task stages). A multi-file
+    corpus at scale already has ≥ parallelism partitions and skips
+    the shuffle entirely."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _km_quantized(emb: DataFrame) -> DataFrame:
     """Integer fixed-point embedding: floor((x+1)·1000). The +1 shift
     (range check: fixture values sit in (-0.58, 0.52)) keeps every
@@ -54,6 +71,7 @@ def _km_quantized(emb: DataFrame) -> DataFrame:
     per-element comparison folded into the same transform — no extra
     pass), so a hostile embedding fails LOUDLY instead of as an
     unexplained driver hash mismatch."""
+    emb = _spread(emb)
     return emb.select(
         "vec_id",
         F.expr(
@@ -120,6 +138,7 @@ def _cos_quantized(emb: DataFrame) -> DataFrame:
     invariant — and none is needed: dot products and squared norms
     involve no integer division, and floor itself (round toward -inf)
     is identical in both engines on identical doubles."""
+    emb = _spread(emb)
     return emb.select(
         "vec_id",
         F.expr(

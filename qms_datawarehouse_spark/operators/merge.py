@@ -169,28 +169,39 @@ def _merge_upsert_once(
     n_buckets: int | None,
     txn=None,
 ) -> tuple[int, object]:
-    # Empty guard via take(1), not isEmpty(): isEmpty() prunes the
-    # required schema to zero data columns, which Spark rejects on raw
-    # JSON scans filtered by _corrupt_record (QUERY_ONLY_CORRUPT_
-    # RECORD_COLUMN). take(1) keeps full-row references and stops at
-    # the first row found.
-    if not updates.take(1):
-        return 0, None
-
     buckets = _resolve_buckets(warehouse, table, n_buckets)
     batch = dedup_last_write_wins(updates, key, order_col)
     # Persist BEFORE any action: the dedup window + bucket hash compute
-    # once; the touched-bucket scan, the stats agg, and the version
-    # write all read the cache. try/finally: a ConcurrentWriteError
-    # commit would otherwise leak one cached DataFrame per retry.
+    # once; the stats/touched-bucket agg and the version write both
+    # read the cache. try/finally: a ConcurrentWriteError commit would
+    # otherwise leak one cached DataFrame per retry.
     batch = with_bucket(batch, key, buckets).persist()
     try:
-        aggs = [F.count(F.lit(1)).alias("n")]
+        # ONE per-bucket aggregate serves what used to be THREE driver
+        # actions per commit (a take(1) empty guard, a global
+        # count/max-cursor agg, and a distinct-touched-bucket collect):
+        # rows merged = Σ per-bucket counts, cursor high-water = max of
+        # per-bucket maxes (max ignores nulls on both levels), touched
+        # buckets = the group keys, empty batch = zero groups. The
+        # collect stays bounded by n_buckets, never the batch. The old
+        # take(1)-not-isEmpty caveat (QUERY_ONLY_CORRUPT_RECORD_COLUMN
+        # on raw JSON scans) does not bite here: the dedup window's
+        # row hash references every column, so the scan schema is
+        # never pruned to zero data columns.
         has_cursor = order_col is not None and order_col in batch.columns
+        aggs = [F.count(F.lit(1)).alias("n")]
         if has_cursor:
             aggs.append(F.max(order_col).alias("hwm"))
-        row = batch.agg(*aggs).first()
-        n, hwm = int(row["n"]), (row["hwm"] if has_cursor else None)
+        stats = batch.groupBy(BUCKET_COL).agg(*aggs).collect()
+        if not stats:  # empty batch short-circuit (P6)
+            return 0, None
+        n = sum(int(r["n"]) for r in stats)
+        hwm = (
+            max((r["hwm"] for r in stats if r["hwm"] is not None), default=None)
+            if has_cursor
+            else None
+        )
+        touched = [r[BUCKET_COL] for r in stats]
 
         # Capture the base BEFORE reading: the read below is pinned to
         # this exact version and the commit CASes against it, so a
@@ -221,11 +232,6 @@ def _merge_upsert_once(
             return n, hwm
 
         target = warehouse.read(table, version=base)
-
-        # Bucket pruning: list of touched buckets is tiny (≤ #distinct
-        # keys in the batch); collecting it to the driver is
-        # O(n_buckets) max.
-        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
 
         contested = target.filter(F.col(BUCKET_COL).isin(touched))
 

@@ -165,7 +165,21 @@ def update_rollups(
 
     delta_1h = aggregate_to_bucket(delta_events, "1 hour").persist()
     try:
-        if delta_1h.isEmpty():
+        # ONE action serves the empty short-circuit AND both levels'
+        # touched-day lists (they are identical: the daily delta is
+        # the hourly delta coarsened within the same days) — this
+        # replaces an isEmpty plus a per-table distinct-collect, two
+        # extra jobs per update. Bounded by distinct days in the
+        # batch, never rows.
+        days = [
+            r[0]
+            for r in delta_1h.select(
+                F.to_date("bucket").alias(DAY_COL)
+            )
+            .distinct()
+            .collect()
+        ]
+        if not days:
             return
         txn = MultiTableTransaction(warehouse)
         # abort() covers STAGING failures only: commit() cleans up its
@@ -203,9 +217,6 @@ def update_rollups(
                         expect_base=base,
                     )
                     continue
-                days = [
-                    r[0] for r in delta.select(DAY_COL).distinct().collect()
-                ]
                 contested = existing.filter(
                     F.col(DAY_COL).isin(days)
                 ).drop(DAY_COL)

@@ -98,6 +98,12 @@ def zorder_write(
     z-curve of ``cols``: range-partition then sort within partitions on
     the z-value (dropped before write), so each file's footer min/max
     covers a narrow slice of every z-ordered column."""
+    from qms_datawarehouse_spark.plans.registry import spread
+
+    # single-file sources read as ONE partition: the percentile pass
+    # and the rank-code projection would run on one core, and the
+    # range shuffle that follows pays for the spread anyway
+    df = spread(df)
     z = zorder_code(df, cols, bits)
     (
         df.withColumn("_z", z)
@@ -183,7 +189,10 @@ def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         prune_files_df_multi,
     )
 
+    from qms_datawarehouse_spark.plans.registry import spread
+
     (events,) = tables(spark, sf_dir, "events")
+    events = spread(events)  # single-file source: one-partition scan
     row = events.agg(
         F.min("user_id").alias("ulo"),
         F.max("user_id").alias("uhi"),

@@ -52,7 +52,21 @@ def write_bucketed_table(
     ``key`` between tables bucketed with the SAME ``n_buckets``.
     """
     validate_table_name(name)
-    writer = df.write.format("parquet").mode(mode).option("path", path)
+    from pyspark.sql import functions as F
+
+    # Cluster rows onto the bucket hash BEFORE the bucketed write.
+    # Without this the write inherits the SCAN's partitioning — a
+    # single-file source reads as 1-3 tasks, so the whole sort+write
+    # runs nearly serially (measured 2.8 s on 3 tasks for lineitem at
+    # sf0.1) and every task writes a file into every bucket it holds
+    # rows for. repartition(n_buckets, key) uses the same
+    # murmur3-pmod placement as the bucket spec, so each task holds
+    # exactly one bucket: n_buckets-way parallel sort+write, ~one
+    # file per bucket.
+    writer = (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet").mode(mode).option("path", path)
+    )
     writer = writer.bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)

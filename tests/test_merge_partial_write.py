@@ -182,3 +182,47 @@ def test_partial_write_refuses_unpartitioned_previous_version(spark, warehouse):
         warehouse.write_version_partial(
             "t", spark.range(1).toDF("x").withColumn(BUCKET_COL, F.lit(0)), [0]
         )
+
+
+def test_stats_fold_exact_counts_hwm_and_touched(spark, warehouse):
+    """The per-commit driver actions were folded into ONE per-bucket
+    aggregate (count + cursor max per bucket; touched = group keys).
+    Pin the derived stats against the old three-action semantics:
+    rows merged counts the DEDUPED batch, the high-water mark is the
+    global cursor max across buckets, an all-NULL cursor batch yields
+    hwm None, and an empty batch is a (0, None) no-op that creates no
+    table."""
+    from qms_datawarehouse_spark.operators.merge import merge_upsert_stats
+
+    empty = spark.createDataFrame(
+        [], "`_id` string, updated_at timestamp, v long"
+    )
+    assert merge_upsert_stats(warehouse, "t_fold", empty) == (0, None)
+    assert not warehouse.table_exists("t_fold")
+
+    batch = spark.createDataFrame(
+        [
+            ("a", "2024-01-02", 1),
+            ("a", "2024-01-03", 2),  # same key — dedup keeps newest
+            ("b", "2024-01-01", 3),
+            ("c", None, 4),
+        ],
+        "`_id` string, updated_at string, v long",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    n, hwm = merge_upsert_stats(warehouse, "t_fold", batch, n_buckets=N_BUCKETS)
+    assert n == 3  # a (deduped), b, c
+    assert hwm is not None and hwm.isoformat().startswith("2024-01-03")
+
+    nulls = spark.createDataFrame(
+        [("d", None, 5), ("e", None, 6)],
+        "`_id` string, updated_at string, v long",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    n, hwm = merge_upsert_stats(warehouse, "t_fold", nulls)
+    assert (n, hwm) == (2, None)  # max over all-NULL cursor is None
+
+    # the merged table state matches the last-write-wins expectation
+    rows = {
+        (r["_id"], r["v"])
+        for r in warehouse.read("t_fold").select("_id", "v").collect()
+    }
+    assert rows == {("a", 2), ("b", 3), ("c", 4), ("d", 5), ("e", 6)}
