@@ -1218,8 +1218,12 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     float is ln on identical integer ratios, summed per-doc and
     rounded to 4 decimals (the bigram_lm_score precedent — per-term
     ulp drift ~1e-16, far below the rounding grain)."""
+    from qms_datawarehouse_spark.plans.registry import spread
+
     (documents,) = tables(spark, sf_dir, "documents")
-    t = documents.select(
+    # single-file corpus reads as ONE partition; the bigram zip +
+    # explode below is the expensive map-side term
+    t = spread(documents).select(
         "doc_id", "lang", F.split(F.col("text"), " ", -1).alias("w")
     )
     b = t.select(
@@ -1358,30 +1362,39 @@ def curation_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     first = q.orderBy("vec_id").limit(1).collect()[0]
     picked = [(1, int(first["vec_id"]), 0)]
-    centers = [list(first["v"])]
+    center = list(first["v"])
+    # Incremental running minimum: min-dist-to-chosen-set is
+    # min(previous running min, dist to the NEWEST center) — so each
+    # round scores ONE center instead of re-scoring all k chosen so
+    # far (identical values: least() iterated equals array_min over
+    # the full set, exact on integers). The per-round (vec_id, v,
+    # mind) frame is persisted and the previous round's dropped, so
+    # round cost is O(N·64) with an O(64)-literal plan instead of
+    # O(N·64·k) with a k×64-literal plan that recompiled per round.
+    state = None
     for rank in range(2, _KC_K + 1):
-        cents = F.array(
-            *[F.array(*[F.lit(int(x)) for x in c]) for c in centers]
+        c = F.array(*[F.lit(int(x)) for x in center])
+        d_new = F.aggregate(
+            F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        mind = F.array_min(
-            F.transform(
-                cents,
-                lambda c: F.aggregate(
-                    F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ),
-            )
-        )
+        base = q if state is None else state
+        mind = d_new if state is None else F.least(F.col("mind"), d_new)
+        new_state = base.select("vec_id", "v", mind.alias("mind")).persist()
         row = (
-            q.filter(~F.col("vec_id").isin([p[1] for p in picked]))
-            .select("vec_id", "v", mind.alias("dist2"))
-            .orderBy(F.desc("dist2"), F.asc("vec_id"))
+            new_state.filter(~F.col("vec_id").isin([p[1] for p in picked]))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
             .limit(1)
             .collect()[0]
         )
-        picked.append((rank, int(row["vec_id"]), int(row["dist2"])))
-        centers.append(list(row["v"]))
+        if state is not None:
+            state.unpersist()
+        state = new_state
+        picked.append((rank, int(row["vec_id"]), int(row["mind"])))
+        center = list(row["v"])
+    if state is not None:
+        state.unpersist()
     q.unpersist()
     return spark.createDataFrame(
         picked, "rank long, vec_id long, dist2 long"

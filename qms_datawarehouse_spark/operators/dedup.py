@@ -1892,7 +1892,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = tables(spark, sf_dir, "documents")
     k = _SPAN_K
-    t = documents.select("doc_id", F.split("text", " ", -1).alias("w"))
+    # _spread: the md5-per-gram generation below is the expensive
+    # term and a single-file corpus reads as ONE partition
+    t = _spread(documents).select(
+        "doc_id", F.split("text", " ", -1).alias("w")
+    )
     g = t.select(
         "doc_id",
         F.size("w").cast("long").alias("n_tokens"),

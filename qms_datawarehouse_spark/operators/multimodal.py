@@ -92,8 +92,18 @@ extract_features = extract_features_with(fake_decode)
 
 def with_binary_content(documents: DataFrame) -> DataFrame:
     """Model the corpus as multimodal rows: text bytes stand in for an
-    opaque media payload + typed metadata columns."""
-    return documents.select(
+    opaque media payload + typed metadata columns.
+
+    Spread to cluster parallelism first (registry.spread): every
+    decode stage in this module (mapInPandas dHash/audio-fp/feature
+    kernels) consumes this frame, and a single-file corpus reads as
+    ONE partition — which ran the whole Python decode pass on one
+    core (measured: dedup_cross_modal_agreement spent 4×1.1 s in
+    single-task stages). A multi-file corpus at scale already has
+    ≥ parallelism partitions and skips the shuffle."""
+    from qms_datawarehouse_spark.plans.registry import spread
+
+    return spread(documents).select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.lit("fake/blob").alias("format"),

@@ -1228,8 +1228,13 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc reassembly is one doc-keyed agg whose sort is
     within-group by position. OOV ratio in exact integer basis
     points."""
+    from qms_datawarehouse_spark.plans.registry import spread
+
     (documents,) = tables(spark, sf_dir, "documents")
-    t = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    # single-file corpus reads as ONE partition; the tokenize +
+    # posexplode pass feeds both the word-frequency shuffle and the
+    # id/encode join, and ran single-task without the spread
+    t = spread(documents).select("doc_id", _words(F.col("text")).alias("w"))
     tok = t.select(
         "doc_id", F.posexplode("w").alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
@@ -1467,8 +1472,13 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference capability analog: none (the reference stores raw text;
     this is the LLM-pipeline layer mandated by SURVEY §2.12)."""
+    from qms_datawarehouse_spark.plans.registry import spread
+
     (documents,) = tables(spark, sf_dir, "documents")
-    t = documents.select("doc_id", _words(F.col("text")).alias("w"))
+    # single-file corpus reads as ONE partition; the tokenize +
+    # posexplode pass feeds both the word-frequency shuffle and the
+    # id/encode join, and ran single-task without the spread
+    t = spread(documents).select("doc_id", _words(F.col("text")).alias("w"))
     tok = t.select(
         "doc_id", F.posexplode("w").alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
