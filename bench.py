@@ -334,7 +334,12 @@ def main() -> None:
                     "close 9d82c65): HEAD 10.65/12.93 s vs r12 "
                     "12.04/13.16 s — parity-or-better adjacent pairs; "
                     "r12's +27% norm_c22 confirmed BOX STATE, not code "
-                    "(the grounded anchor row the r12 verdict ordered)."
+                    "(the grounded anchor row the r12 verdict ordered). "
+                    "r14 (optimization round): headline numbers moved "
+                    "to the END of this JSON line so the driver's "
+                    "2000-char tail always retains them (BENCH_r13 "
+                    "lost its common22 to notes growth); per-query "
+                    "before/after A/Bs in OPTIMIZATION_r14.md."
                 ),
                 "settle": settle,
                 "contaminated": settle["contaminated"],
