@@ -304,42 +304,20 @@ def main() -> None:
                 "unit": "sec",
                 "runs_per_query": 4,
                 "protocol": "warm = min of 3 runs after 1 cold run",
+                # CAPPED (r15): the history this string accumulated
+                # lives in docs/BENCH_NOTES.md — a growing notes field
+                # is what truncated BENCH_r13's numbers out of the
+                # driver's 2000-char tail window. Keep this a short
+                # FIXED string so the numbers-last ordering guarantee
+                # below stays structural, not incidental.
                 "notes": (
-                    f"{len(HEADLINE)}-query headline; common22 stays "
-                    "the frozen cross-round signal. Settle gate now "
-                    "requires loadavg_1m < 1 AND loadavg_5m < 1.5 and "
-                    "records settle_residual_5m (the r10 capture passed "
-                    "the 1m-only gate while 5m was 2.18 and read ~1.5x "
-                    "idle). CAUTION — absolute wall-times track the HOST, "
-                    "not just the code: on 2026-08-16 the same box read "
-                    "common22 13.9 s running the UNCHANGED r10-closing "
-                    "code (git ed73f64) minutes apart from 14.3 s on r11 "
-                    "code (median per-query ratio 0.98 across 87 rows), "
-                    "vs 10.2 s for that identical r10 code at its own "
-                    "round close — a ~1.4x whole-box swing invisible to "
-                    "loadavg/steal. When a round-over-round common22 "
-                    "moves, first check the calibration anchors (fixed "
-                    "4M-row sha2 compute + 1024-key shuffle workloads, "
-                    "new r11) against prior rounds and only then A/B the "
-                    "prior commit. SCALE probes in "
-                    "docs/SCALING.md: ~10x read probe (tools/sf1_probe.py),"
-                    " ~10x WRITE-path probe (tools/write_probe.py). "
-                    "host_load_start/_end embed loadavg+uptime. Idle-box "
-                    "common22 history: r1 13.99s, r3 11.93s, r4 11.37s, "
-                    "r5 10.99s, r6 11.01s, r7 10.25s, r8 10.74s, r9 "
-                    "10.45s, r10 10.20s (r11 same-session A/B above). "
-                    "Compare common22 only, and check contaminated/"
-                    "host_load first. r13 round-open settle-gated 4-leg "
-                    "interleaved A/B (HEAD incl. the TOCTOU pin vs r12 "
-                    "close 9d82c65): HEAD 10.65/12.93 s vs r12 "
-                    "12.04/13.16 s — parity-or-better adjacent pairs; "
-                    "r12's +27% norm_c22 confirmed BOX STATE, not code "
-                    "(the grounded anchor row the r12 verdict ordered). "
-                    "r14 (optimization round): headline numbers moved "
-                    "to the END of this JSON line so the driver's "
-                    "2000-char tail always retains them (BENCH_r13 "
-                    "lost its common22 to notes growth); per-query "
-                    "before/after A/Bs in OPTIMIZATION_r14.md."
+                    f"{len(HEADLINE)}-query headline; compare the "
+                    "frozen common22_value only, check contaminated/"
+                    "host_load/calibration first (the box swings "
+                    "~1.4x on identical code). Full capture-reading "
+                    "guide + idle-box common22 history: "
+                    "docs/BENCH_NOTES.md. Per-query A/Bs: "
+                    "OPTIMIZATION_r15.md."
                 ),
                 "settle": settle,
                 "contaminated": settle["contaminated"],

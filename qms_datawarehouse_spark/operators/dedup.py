@@ -1998,11 +1998,21 @@ _PPJOIN_SQL = f"""
 
 
 def _ppjoin_prefix_candidates(tok: DataFrame):
-    """(sizes, candidate pairs) from a (doc_id, t) token table via the
-    PPJoin prefix filter at τ=0.8: rank each doc's tokens rarest-first
-    (df asc, t asc), keep the first n − ceil(0.8n) + 1, self-equi-join
-    the prefix subset. Shared with tools/ppjoin_probe.py so the probe
-    measures the REAL candidate stage, not a re-implementation."""
+    """(sizes, candidate pairs, prefix frame) from a (doc_id, t) token
+    table via the PPJoin prefix filter at τ=0.8: rank each doc's tokens
+    rarest-first (df asc, t asc), keep the first n − ceil(0.8n) + 1,
+    self-equi-join the prefix subset. The standard PPJoin LENGTH filter
+    prunes candidate pairs in the same join: J(a,b) >= 4/5 forces
+    c >= (4/5)(na+nb)/(1+4/5) and c <= min(na,nb), hence
+    5·min(na,nb) >= 4·max(na,nb) — integer-exact and IMPLIED by the
+    final 9c >= 4(na+nb) verify filter, so dropping the failing pairs
+    before the expensive intersection join changes nothing the verify
+    would have kept. Candidates carry (na, nb) so the verify stage
+    re-uses them instead of re-joining sizes twice. The persisted
+    prefix frame is returned so callers can unpersist it (both
+    self-join sides read it — unpersisted, the df-count join + per-doc
+    rank window ran twice). Shared with tools/ppjoin_probe.py so the
+    probe measures the REAL candidate stage, not a re-implementation."""
     from pyspark.sql.window import Window
 
     sizes = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
@@ -2014,12 +2024,7 @@ def _ppjoin_prefix_candidates(tok: DataFrame):
         .join(sizes, "doc_id")
         # integer-exact prefix length: n - ceil(0.8n) + 1
         .filter(F.col("r") <= F.expr("n - ((4 * n + 4) div 5) + 1"))
-        .select("doc_id", "t")
-        # persisted: BOTH self-join sides read the prefix table —
-        # unpersisted, the df-count join + per-doc rank window ran
-        # twice. ContextCleaner reclaims the cache when the frame is
-        # GC'd (the dedup_ngram_jaccard convention — this helper's
-        # callers can't unpersist an internal frame).
+        .select("doc_id", "t", "n")
         .persist()
     )
     pa, pb = ranked.alias("pa"), ranked.alias("pb")
@@ -2027,15 +2032,22 @@ def _ppjoin_prefix_candidates(tok: DataFrame):
         pa.join(
             pb,
             (F.col("pa.t") == F.col("pb.t"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # length filter: lossless candidate pruning (see docstring)
+            & (
+                F.lit(5) * F.least(F.col("pa.n"), F.col("pb.n"))
+                >= F.lit(4) * F.greatest(F.col("pa.n"), F.col("pb.n"))
+            ),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
+            F.col("pa.n").alias("na"),
+            F.col("pb.n").alias("nb"),
         )
         .distinct()
     )
-    return sizes, cands
+    return sizes, cands, ranked
 
 
 @query("dedup_ppjoin_exact", _PPJOIN_SQL)
@@ -2075,22 +2087,22 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("shingles").alias("t"))
         .persist()
     )
-    sizes, cands = _ppjoin_prefix_candidates(tok)
+    _sizes, cands, prefix = _ppjoin_prefix_candidates(tok)
 
     ta = tok.select(F.col("doc_id").alias("doc_a"), "t")
     tb = tok.select(F.col("doc_id").alias("doc_b"), "t")
+    # (na, nb) ride the candidate rows from the prefix stage — the
+    # verify needs no size re-joins, and the grouping keys extend by
+    # the two size columns (functionally determined by the doc ids, so
+    # the groups are identical)
     inter = (
         cands.join(ta, "doc_a")
         .join(tb, ["doc_b", "t"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     out = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(
+        inter.filter(
             F.lit(9) * F.col("n_common")
             >= F.lit(4) * (F.col("na") + F.col("nb"))
         )
@@ -2109,5 +2121,5 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # surviving pairs are tiny: eager-checkpoint, then drop the token
-    # cache (the estimate-audit hygiene standard)
-    return checkpoint_result("dedup_ppjoin_exact", out, tok)
+    # and prefix caches (the estimate-audit hygiene standard)
+    return checkpoint_result("dedup_ppjoin_exact", out, tok, prefix)

@@ -190,15 +190,25 @@ def _changed_dim_keys(
     new = warehouse.read(dim_table, version=new_version).filter(
         F.col(BUCKET_COL).isin(vals)
     )
-    # exceptAll, not a column-list anti-join: NULL attribute values
-    # must compare EQUAL to themselves, or a dim row carrying a null
-    # is re-flagged as "changed" on every refresh forever
+    # Single-pass multiset diff: tag each version ±1 and keep rows
+    # whose signed multiplicity is nonzero — the exact key set the old
+    # two-exceptAll form produced (a key changed ⟺ some full row's
+    # multiplicity differs between snapshots), but each snapshot is
+    # READ ONCE and there is ONE shuffle instead of two exceptAll
+    # exchanges that each re-scanned both sides. groupBy, like
+    # exceptAll, treats NULL attribute values as equal to themselves —
+    # a dim row carrying a null must not re-flag as "changed" on every
+    # refresh forever (which is also why this is not a column-list
+    # anti-join).
     cols = sorted(set(old.columns) & set(new.columns))
-    gone_or_edited = old.select(*cols).exceptAll(new.select(*cols))
-    added_or_edited = new.select(*cols).exceptAll(old.select(*cols))
+    tagged = old.select(*cols).withColumn(
+        "_jmv_side", F.lit(1)
+    ).unionByName(new.select(*cols).withColumn("_jmv_side", F.lit(-1)))
     return (
-        gone_or_edited.select(dim_key)
-        .unionByName(added_or_edited.select(dim_key))
+        tagged.groupBy(*cols)
+        .agg(F.sum("_jmv_side").alias("_jmv_d"))
+        .filter(F.col("_jmv_d") != 0)
+        .select(dim_key)
         .distinct()
     )
 
@@ -257,17 +267,26 @@ def refresh_join_matview(
         # AND its lineage. Entry paths where mv_base is simply what we
         # read (lost lineage, GC'd base, oversized dim diff) pass the
         # CAS untouched; a genuine rival flips it to
-        # ConcurrentWriteError, which the caller retries bounded.
+        # ConcurrentWriteError and the whole refresh retries against
+        # the rival's state (bounded — same absorbing contract as the
+        # partial-write and lineage-only paths).
         mv = _joined(
             warehouse.read(fact_table, version=cur_fact),
             warehouse.read(dim_table, version=cur_dim),
             dim_key,
             dim_cols,
         )
-        warehouse.write_version(
-            name, mv, partition_by=[BUCKET_COL], extra_meta=lineage,
-            expect_base=mv_base,
-        )
+        try:
+            warehouse.write_version(
+                name, mv, partition_by=[BUCKET_COL], extra_meta=lineage,
+                expect_base=mv_base,
+            )
+        except ConcurrentWriteError:
+            if _retries <= 0:
+                raise
+            return refresh_join_matview(
+                warehouse, name, max_dim_keys, _retries=_retries - 1
+            )
         return JoinRefreshResult("full", 0, _n_buckets(warehouse, name))
 
     # lineage lost (an MV version committed without _VERSION_META.json
@@ -489,9 +508,25 @@ def join_matview_incremental_replay(spark, sf_dir: str) -> DataFrame:
         F.lit("2024-01-01").cast("timestamp").alias("updated_at"),
     )
 
+    # The fact seed and the dim seed land in DIFFERENT tables with no
+    # ordering dependency: submit both merges from a 2-thread pool so
+    # the second job's tasks back-fill executors the first job's tail
+    # leaves idle (guide §2.6 — actions are only sequential because
+    # driver code calls them sequentially). Same for the two epoch-2
+    # batches below. Commit safety is unchanged: each merge CASes its
+    # own table.
+    from concurrent.futures import ThreadPoolExecutor
+
     batch1 = base.filter(F.col("m3") != 0).drop("m3", "m5")
-    merge_upsert(wh, "fact_orders", batch1, n_buckets=16)
-    merge_upsert(wh, "dim_customer", dim, n_buckets=16)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fact = pool.submit(
+            merge_upsert, wh, "fact_orders", batch1, n_buckets=16
+        )
+        f_dim = pool.submit(
+            merge_upsert, wh, "dim_customer", dim, n_buckets=16
+        )
+        f_fact.result()
+        f_dim.result()
     create_join_matview(
         wh, "mv_orders_cust", "fact_orders", "dim_customer",
         dim_key="cust_id", dim_cols=["nation_grp"],
@@ -507,7 +542,6 @@ def join_matview_incremental_replay(spark, sf_dir: str) -> DataFrame:
         )
         .drop("m3", "m5")
     )
-    merge_upsert(wh, "fact_orders", inserts.unionByName(updates), n_buckets=16)
 
     # epoch 2, dim side: a SMALL key batch moves nation (% 100 == 7)
     moved = (
@@ -517,8 +551,18 @@ def join_matview_incremental_replay(spark, sf_dir: str) -> DataFrame:
         )
         .withColumn("updated_at", F.lit("2024-02-01").cast("timestamp"))
     )
-    n_moved = moved.count()
-    merge_upsert(wh, "dim_customer", moved, n_buckets=16)
+    # n_moved rides the merge's own return (rows merged after in-batch
+    # dedup — equal to moved.count() because cust_id is unique per dim
+    # row by construction), so the old standalone count() pass over
+    # customer is gone. The two epoch-2 batches overlap (§2.6 again).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fact = pool.submit(
+            merge_upsert, wh, "fact_orders",
+            inserts.unionByName(updates), n_buckets=16,
+        )
+        f_dim = pool.submit(merge_upsert, wh, "dim_customer", moved)
+        n_moved = f_dim.result()
+        f_fact.result()
 
     # max_dim_keys sized to the fixture: the moved-key set grows with
     # the corpus (≈ n_customers/100), and above ~sf7 it would trip the

@@ -39,20 +39,20 @@ _SEM_T2 = 1600
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """registry.spread, inlined (this module must stay a leaf —
-    importing from the registry would re-enter the package's circular-
-    import window): repartition up to cluster parallelism when the
-    source arrived in fewer partitions. A single-file embedding
-    fixture reads as ONE partition, which made every downstream
-    CPU-bound stage — Lloyd assignment folds, the SemDeDup pair dot
-    products, k-center distance scans — run on ONE core (measured:
-    dedup_semantic spent 2×2.9 s in single-task stages). A multi-file
-    corpus at scale already has ≥ parallelism partitions and skips
-    the shuffle entirely."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """registry.spread via a DEFERRED in-function import (the module
+    must stay an import-graph leaf, and a module-level registry import
+    would re-enter the package's circular-import window — but by the
+    time any query CALLS this, the package is fully initialized; the
+    same idiom other operators already use). One definition, no drift:
+    a single-file embedding fixture reads as ONE partition, which made
+    every downstream CPU-bound stage — Lloyd assignment folds, the
+    SemDeDup pair dot products, k-center distance scans — run on ONE
+    core (measured: dedup_semantic spent 2×2.9 s in single-task
+    stages). A multi-file corpus at scale already has ≥ parallelism
+    partitions and skips the shuffle entirely."""
+    from qms_datawarehouse_spark.plans.registry import spread
+
+    return spread(df)
 
 
 def _km_quantized(emb: DataFrame) -> DataFrame:

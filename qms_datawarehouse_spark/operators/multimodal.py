@@ -90,7 +90,9 @@ def extract_features_with(decode):
 extract_features = extract_features_with(fake_decode)
 
 
-def with_binary_content(documents: DataFrame) -> DataFrame:
+def with_binary_content(
+    documents: DataFrame, spread: bool = True
+) -> DataFrame:
     """Model the corpus as multimodal rows: text bytes stand in for an
     opaque media payload + typed metadata columns.
 
@@ -100,10 +102,18 @@ def with_binary_content(documents: DataFrame) -> DataFrame:
     ONE partition — which ran the whole Python decode pass on one
     core (measured: dedup_cross_modal_agreement spent 4×1.1 s in
     single-task stages). A multi-file corpus at scale already has
-    ≥ parallelism partitions and skips the shuffle."""
-    from qms_datawarehouse_spark.plans.registry import spread
+    ≥ parallelism partitions and skips the shuffle.
 
-    return spread(documents).select(
+    ``spread=False`` opts a consumer out: the two feature-extraction
+    rows run exactly ONE cheap kernel pass, and the round-14 A/B
+    measured the spread's round-robin exchange costing more than the
+    parallelism saved there (multimodal_features_arrow 0.30 → 0.52 s)
+    while every multi-pass consumer (dHash/audio-fp/cross-modal)
+    kept it a win."""
+    from qms_datawarehouse_spark.plans.registry import spread as _spread
+
+    src = _spread(documents) if spread else documents
+    return src.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("content"),
         F.lit("fake/blob").alias("format"),
@@ -139,7 +149,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (pushed before decode) → Arrow-batched stub decode →
     typed feature rows."""
     (documents,) = tables(spark, sf_dir, "documents")
-    blobs = with_binary_content(documents)
+    blobs = with_binary_content(documents, spread=False)  # one cheap pass
     # metadata-only predicate BEFORE the decode stage
     blobs = blobs.filter(F.length("content") > 0)
     return blobs.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
@@ -359,7 +369,9 @@ def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (image codecs, audio resamplers): it skips the pandas round-trip
     entirely."""
     (documents,) = tables(spark, sf_dir, "documents")
-    blobs = with_binary_content(documents).filter(F.length("content") > 0)
+    blobs = with_binary_content(documents, spread=False).filter(
+        F.length("content") > 0
+    )  # one cheap pass — see with_binary_content's spread note
     return blobs.mapInArrow(extract_features_arrow, schema=FEATURE_SCHEMA)
 
 

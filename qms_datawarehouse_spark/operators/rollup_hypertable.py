@@ -125,7 +125,7 @@ def update_rollups(
     delta_events: DataFrame,
     hourly_table: str = "rollup_1h",
     daily_table: str = "rollup_1d",
-) -> None:
+) -> list:
     """Incrementally fold a delta batch into the hourly and daily
     rollup tables. The daily delta derives from the hourly delta
     (cascade), so raw events are aggregated exactly once.
@@ -159,6 +159,8 @@ def update_rollups(
     the journal leaves both levels untouched; a crash after it rolls
     FORWARD at the next ``recover_transactions`` — the cascade is
     never visible half-updated."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from qms_datawarehouse_spark.operators.transaction import (
         MultiTableTransaction,
     )
@@ -170,7 +172,9 @@ def update_rollups(
         # the hourly delta coarsened within the same days) — this
         # replaces an isEmpty plus a per-table distinct-collect, two
         # extra jobs per update. Bounded by distinct days in the
-        # batch, never rows.
+        # batch, never rows. The day list is also RETURNED so callers
+        # (the replay row, sync drivers) can assert on the touched set
+        # without a second pass over their delta.
         days = [
             r[0]
             for r in delta_1h.select(
@@ -180,57 +184,75 @@ def update_rollups(
             .collect()
         ]
         if not days:
-            return
+            return []
         txn = MultiTableTransaction(warehouse)
+
+        def _stage(item) -> None:
+            table, delta = item
+            delta = delta.withColumn(DAY_COL, F.to_date("bucket"))
+            if not warehouse.table_exists(table):
+                # cluster by the partition key (write_version's
+                # convention — stage_write writes as-given)
+                txn.stage_write(
+                    table,
+                    delta.repartition(DAY_COL),
+                    partition_by=[DAY_COL],
+                    expect_base=None,
+                )
+                return
+            base = warehouse.current_version_name(table)
+            existing = warehouse.read(table, version=base)
+            if DAY_COL not in existing.columns:
+                # legacy unpartitioned layout: migrate via full
+                # rewrite (still inside the transaction)
+                merged = merge_partials(existing, delta).withColumn(
+                    DAY_COL, F.to_date("bucket")
+                )
+                txn.stage_write(
+                    table,
+                    merged.repartition(DAY_COL),
+                    partition_by=[DAY_COL],
+                    expect_base=base,
+                )
+                return
+            contested = existing.filter(
+                F.col(DAY_COL).isin(days)
+            ).drop(DAY_COL)
+            merged = merge_partials(
+                contested, delta.drop(DAY_COL)
+            ).withColumn(DAY_COL, F.to_date("bucket"))
+            txn.stage_write_partial(
+                table, merged, days, partition_col=DAY_COL,
+                base_version=base,
+            )
+
         # abort() covers STAGING failures only: commit() cleans up its
         # own CAS aborts, and a failure after the commit point must
         # leave the staged dirs for journal roll-forward — an abort
-        # there would delete the versions recovery repoints to
+        # there would delete the versions recovery repoints to.
+        # The two levels touch DIFFERENT tables and both derive from
+        # the persisted hourly delta, so their staging writes are
+        # independent Spark jobs — submit both from a 2-thread pool
+        # (guide §2.6): the daily job's tasks back-fill executors the
+        # hourly job's write tail leaves idle. Atomicity is untouched:
+        # staging only writes invisible version dirs; the single
+        # commit() below still flips every pointer together.
         try:
-            for table, delta in (
-                (hourly_table, delta_1h),
-                (daily_table, coarsen(delta_1h, "1 day")),
-            ):
-                delta = delta.withColumn(DAY_COL, F.to_date("bucket"))
-                if not warehouse.table_exists(table):
-                    # cluster by the partition key (write_version's
-                    # convention — stage_write writes as-given)
-                    txn.stage_write(
-                        table,
-                        delta.repartition(DAY_COL),
-                        partition_by=[DAY_COL],
-                        expect_base=None,
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(
+                    pool.map(
+                        _stage,
+                        (
+                            (hourly_table, delta_1h),
+                            (daily_table, coarsen(delta_1h, "1 day")),
+                        ),
                     )
-                    continue
-                base = warehouse.current_version_name(table)
-                existing = warehouse.read(table, version=base)
-                if DAY_COL not in existing.columns:
-                    # legacy unpartitioned layout: migrate via full
-                    # rewrite (still inside the transaction)
-                    merged = merge_partials(existing, delta).withColumn(
-                        DAY_COL, F.to_date("bucket")
-                    )
-                    txn.stage_write(
-                        table,
-                        merged.repartition(DAY_COL),
-                        partition_by=[DAY_COL],
-                        expect_base=base,
-                    )
-                    continue
-                contested = existing.filter(
-                    F.col(DAY_COL).isin(days)
-                ).drop(DAY_COL)
-                merged = merge_partials(
-                    contested, delta.drop(DAY_COL)
-                ).withColumn(DAY_COL, F.to_date("bucket"))
-                txn.stage_write_partial(
-                    table, merged, days, partition_col=DAY_COL,
-                    base_version=base,
                 )
         except BaseException:
             txn.abort()
             raise
         txn.commit()
+        return days
     finally:
         delta_1h.unpersist()
 
@@ -416,9 +438,12 @@ def rollup_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for parity in (0, 1):
         chunk = src.filter(F.pmod(F.col("event_id"), F.lit(2)) == parity)
-        if chunk.isEmpty():  # evidence guard: both chunks must fold
+        # evidence guard: both chunks must fold. The emptiness signal
+        # rides update_rollups' own returned day list (zero hourly
+        # groups ⟺ zero delta rows) — the old chunk.isEmpty() was an
+        # extra full pass over events per chunk.
+        if not update_rollups(wh, chunk):
             raise AssertionError(f"rollup replay chunk {parity} is empty")
-        update_rollups(wh, chunk)
 
     out = wh.read("rollup_1d").select(
         F.col("bucket").alias("day"),

@@ -493,9 +493,18 @@ def update_ivf_index(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col("vec_id")).alias("nd"),
         F.count(F.when(F.col("vec_id") < N_CELLS, 1)).alias("seed"),
+        F.count(F.when(F.col("vec_id").isNull(), 1)).alias("nulls"),
     ).first()
     if not gate["n"]:
         return ("noop", 0)
+    if gate["nulls"]:
+        # count_distinct skips NULLs, so without this dedicated gate a
+        # NULL vec_id (no actual duplicates) surfaced as a misleading
+        # "resolve duplicates" error
+        raise ValueError(
+            f"delta batch holds {gate['nulls']} rows with NULL vec_id "
+            "— assign real ids before updating the index"
+        )
     if gate["nd"] != gate["n"]:
         raise ValueError(
             f"delta batch holds {gate['n']} rows but only {gate['nd']} "
@@ -524,20 +533,20 @@ def update_ivf_index(
         "cell_id", IVF_CELL_COL
     )
     delta_ids = e.select("vec_id")
-    # both collects are bounded by the cell count, never the corpus
-    new_cells = {
+    # ONE distinct-collect serves both touched-cell sources (cells
+    # gaining delta rows ∪ prior cells of delta ids) — bounded by the
+    # cell count, never the corpus; separately they cost two jobs
+    touched = sorted(
         int(r[0])
-        for r in assigned.select(IVF_CELL_COL).distinct().collect()
-    }
-    old_cells = {
-        int(r[0])
-        for r in stored.select("vec_id", IVF_CELL_COL)
-        .join(F.broadcast(delta_ids), "vec_id", "left_semi")
-        .select(IVF_CELL_COL)
+        for r in assigned.select(IVF_CELL_COL)
+        .unionByName(
+            stored.select("vec_id", IVF_CELL_COL)
+            .join(F.broadcast(delta_ids), "vec_id", "left_semi")
+            .select(IVF_CELL_COL)
+        )
         .distinct()
         .collect()
-    }
-    touched = sorted(new_cells | old_cells)
+    )
     keep = stored.filter(F.col(IVF_CELL_COL).isin(touched)).join(
         F.broadcast(delta_ids), "vec_id", "left_anti"
     )
@@ -647,17 +656,24 @@ def ivf_index_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = wh.read("ivf_embeddings").select(
         "vec_id", "label", F.col(IVF_CELL_COL).cast("long").alias("cell_id")
     )
-    n, nd = out.count(), out.select("vec_id").distinct().count()
-    if n != nd:
+    # ONE aggregate serves all three evidence guards (was: a count, a
+    # distinct-count, and a join+count — three jobs). `before` holds
+    # one row per stored vec_id, so the left join preserves out's row
+    # multiplicity; inserted ids get a NULL cell_before, which the
+    # moved predicate correctly ignores.
+    probe = out.join(before, "vec_id", "left").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("vec_id")).alias("nd"),
+        F.count(
+            F.when(F.col("cell_id") != F.col("cell_before"), 1)
+        ).alias("moved"),
+    ).first()
+    if probe["n"] != probe["nd"]:
         raise AssertionError(
-            f"{n - nd} vec_ids in two cells after a cell move"
+            f"{probe['n'] - probe['nd']} vec_ids in two cells after a "
+            "cell move"
         )
-    moved = (
-        out.join(before, "vec_id")
-        .filter(F.col("cell_id") != F.col("cell_before"))
-        .count()
-    )
-    if moved == 0:
+    if probe["moved"] == 0:
         raise AssertionError(
             "no vector changed cells — the re-embed fixture is "
             "degenerate and the eviction path went unexercised"

@@ -68,9 +68,11 @@ def _as_double(df: DataFrame, c: str) -> Column:
     return col.cast("double")
 
 
-def zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
-    """The z-value column for ``cols`` (numeric/timestamp/date), using
-    per-column ``approx_percentile`` cut points from ``df`` itself."""
+def zorder_cuts(df: DataFrame, cols: list[str], bits: int = 8) -> list:
+    """Per-column ``approx_percentile`` cut points (2**bits − 1 doubles
+    per column) in ONE aggregate pass — exposed so callers that already
+    run a stats pass over ``df`` can fuse this into it and hand the
+    result to ``zorder_code(cuts=...)`` / ``zorder_write(cuts=...)``."""
     num_cols = [_as_double(df, c) for c in cols]
     pcts = F.array(*[F.lit(i / (2**bits)) for i in range(1, 2**bits)])
     cuts_row = df.select(
@@ -79,9 +81,21 @@ def zorder_code(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
             for i, nc in enumerate(num_cols)
         ]
     ).first()
+    return [list(cuts_row[i]) for i in range(len(cols))]
+
+
+def zorder_code(
+    df: DataFrame, cols: list[str], bits: int = 8, cuts: list | None = None
+) -> Column:
+    """The z-value column for ``cols`` (numeric/timestamp/date), using
+    per-column ``approx_percentile`` cut points from ``df`` itself —
+    or the caller's precomputed ``cuts`` (``zorder_cuts`` shape), which
+    skips the stats pass entirely."""
+    num_cols = [_as_double(df, c) for c in cols]
+    if cuts is None:
+        cuts = zorder_cuts(df, cols, bits)
     codes = [
-        _rank_code(nc, list(cuts_row[i]), bits)
-        for i, nc in enumerate(num_cols)
+        _rank_code(nc, cuts[i], bits) for i, nc in enumerate(num_cols)
     ]
     return _interleave(codes, bits)
 
@@ -93,26 +107,66 @@ def zorder_write(
     n_files: int = 64,
     bits: int = 8,
     mode: str = "overwrite",
+    cuts: list | None = None,
 ) -> None:
-    """Write ``df`` as ``n_files`` parquet files laid out along the
-    z-curve of ``cols``: range-partition then sort within partitions on
-    the z-value (dropped before write), so each file's footer min/max
-    covers a narrow slice of every z-ordered column."""
+    """Write ``df`` as (up to) ``n_files`` flat parquet files laid out
+    along the z-curve of ``cols``: each file holds exactly one
+    CONTIGUOUS z-value slice, so its footer min/max covers a narrow
+    range of every z-ordered column.
+
+    The slice a row belongs to is computed directly from its z-value
+    (``z div step`` — rank codes are quantile-uniform by construction,
+    so the slices carry ~equal mass), which makes the write ONE hash
+    exchange. The previous ``repartitionByRange(n_files, z)`` form
+    cost an extra full pass: the range partitioner's boundary-sampling
+    job re-evaluated the per-row rank-code fold over the whole input
+    before the exchange evaluated it again. Slice-per-file comes from
+    a dynamic-partition write into a staging dir whose files are then
+    moved (filesystem metadata only) into ``path`` flat — two slices
+    hash-colliding into one task still land in separate files, and the
+    footer-stats contract (one narrow slice per file) holds exactly.
+    """
+    import os
+    import shutil
+
     from qms_datawarehouse_spark.plans.registry import spread
 
     # single-file sources read as ONE partition: the percentile pass
     # and the rank-code projection would run on one core, and the
-    # range shuffle that follows pays for the spread anyway
+    # clustering shuffle that follows pays for the spread anyway
     df = spread(df)
-    z = zorder_code(df, cols, bits)
+    z = zorder_code(df, cols, bits, cuts=cuts)
+    span = 2 ** (bits * len(cols))
+    step = max(1, span // n_files)
+    staging = path.rstrip("/") + ".__zstage__"
+    shutil.rmtree(staging, ignore_errors=True)
     (
         df.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
+        .withColumn("_zf", F.expr(f"_z div {step}"))
+        .repartition(n_files, "_zf")
+        .sortWithinPartitions("_zf", "_z")
         .drop("_z")
-        .write.mode(mode)
-        .parquet(path)
+        .write.mode("overwrite")
+        .partitionBy("_zf")
+        .parquet(staging)
     )
+    if mode == "overwrite":
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    try:
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("_zf="):
+                continue
+            slice_tag = entry.split("=", 1)[1]
+            pdir = os.path.join(staging, entry)
+            for fn in os.listdir(pdir):
+                if fn.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(pdir, fn),
+                        os.path.join(path, f"zf{slice_tag}-{fn}"),
+                    )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 # --------------------------------------------------------------------
@@ -193,14 +247,29 @@ def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = tables(spark, sf_dir, "events")
     events = spread(events)  # single-file source: one-partition scan
+    # ONE stats pass serves the oracle's exact min/max cuts AND the
+    # z-layout's per-column quantile cut points (previously two full
+    # scans: this agg, then zorder_code's percentile pass inside
+    # zorder_write)
+    _zbits = 6
+    _zpcts = F.array(
+        *[F.lit(i / (2**_zbits)) for i in range(1, 2**_zbits)]
+    )
     row = events.agg(
         F.min("user_id").alias("ulo"),
         F.max("user_id").alias("uhi"),
         F.min("value").alias("vlo"),
         F.max("value").alias("vhi"),
+        F.percentile_approx(
+            F.col("user_id").cast("double"), _zpcts, F.lit(10000)
+        ).alias("ucuts"),
+        F.percentile_approx(
+            F.col("value").cast("double"), _zpcts, F.lit(10000)
+        ).alias("vcuts"),
     ).first()
     ulo, uhi = int(row["ulo"]), int(row["uhi"])
     vlo, vhi = float(row["vlo"]), float(row["vhi"])
+    cuts = [list(row["ucuts"]), list(row["vcuts"])]
     u_cut = ulo + (uhi - ulo) // 4
     v_cut = vlo + (vhi - vlo) / 2
 
@@ -213,7 +282,10 @@ def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)),
         "events",
     )
-    zorder_write(events, path, ["user_id", "value"], n_files=_ZROUTE_FILES, bits=6)
+    zorder_write(
+        events, path, ["user_id", "value"],
+        n_files=_ZROUTE_FILES, bits=_zbits, cuts=cuts,
+    )
     manifest = file_manifest_df(spark, path, ["user_id", "value"])
     files = prune_files_df_multi(
         manifest, {"user_id": (ulo, u_cut), "value": (v_cut, vhi)}

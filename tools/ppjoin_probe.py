@@ -105,8 +105,9 @@ def measure(spark, sf_dir: str, runs: int):
     tok = _shingled(docs).select(
         "doc_id", F.explode("shingles").alias("t")
     ).persist()
-    _, cands = _ppjoin_prefix_candidates(tok)
+    _, cands, prefix = _ppjoin_prefix_candidates(tok)
     n_cand = cands.count()
+    prefix.unpersist()
     tok.unpersist()
     return round(best, 2), n_cand, n_true
 
