@@ -204,13 +204,21 @@ def _changed_dim_keys(
     tagged = old.select(*cols).withColumn(
         "_jmv_side", F.lit(1)
     ).unionByName(new.select(*cols).withColumn("_jmv_side", F.lit(-1)))
-    return (
+    keys = (
         tagged.groupBy(*cols)
         .agg(F.sum("_jmv_side").alias("_jmv_d"))
         .filter(F.col("_jmv_d") != 0)
         .select(dim_key)
         .distinct()
     )
+    # plan capture (the dim_probe convention): one scan per snapshot,
+    # one aggregate exchange — pinned by tests/test_join_matview.py
+    from qms_datawarehouse_spark.planaudit import PRE_CHECKPOINT_PLANS
+
+    PRE_CHECKPOINT_PLANS["join_matview:dim_diff"] = (
+        keys._jdf.queryExecution().executedPlan().toString()
+    )
+    return keys
 
 
 def refresh_join_matview(

@@ -140,16 +140,22 @@ def zorder_write(
     step = max(1, span // n_files)
     staging = path.rstrip("/") + ".__zstage__"
     shutil.rmtree(staging, ignore_errors=True)
-    (
+    staged = (
         df.withColumn("_z", z)
         .withColumn("_zf", F.expr(f"_z div {step}"))
         .repartition(n_files, "_zf")
         .sortWithinPartitions("_zf", "_z")
         .drop("_z")
-        .write.mode("overwrite")
-        .partitionBy("_zf")
-        .parquet(staging)
     )
+    # plan capture (planaudit convention): ONE hash exchange on the
+    # slice id — the old rangepartitioning exchange carried a
+    # boundary-sampling pre-pass over the full rank-code projection
+    from qms_datawarehouse_spark.planaudit import PRE_CHECKPOINT_PLANS
+
+    PRE_CHECKPOINT_PLANS["zorder_write"] = (
+        staged._jdf.queryExecution().executedPlan().toString()
+    )
+    staged.write.mode("overwrite").partitionBy("_zf").parquet(staging)
     if mode == "overwrite":
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)

@@ -245,6 +245,32 @@ def test_dim_probe_is_broadcast_semi_join_column_pruned(spark, warehouse):
     )
 
 
+def test_dim_diff_reads_each_snapshot_once(spark, warehouse):
+    """The changed-dim-key diff must be the single-pass signed
+    multiset form: each snapshot's changed buckets scanned ONCE into
+    one aggregate — not the two-exceptAll shape, which scanned each
+    snapshot twice and shuffled twice (Spark lowers exceptAll through
+    Generate replicaterows; its absence pins the shape)."""
+    from qms_datawarehouse_spark.planaudit import PRE_CHECKPOINT_PLANS
+
+    _seed(spark, warehouse)
+    moved = spark.createDataFrame(
+        [("13", 13, 77, "2024-02-01")],
+        "`_id` string, cust_id long, segment long, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    merge_upsert(warehouse, "dims", moved, n_buckets=N_BUCKETS)
+    PRE_CHECKPOINT_PLANS.pop("join_matview:dim_diff", None)
+    res = refresh_join_matview(warehouse, "mv")
+    assert res.mode == "incremental"
+
+    plan = PRE_CHECKPOINT_PLANS["join_matview:dim_diff"]
+    assert "replicaterows" not in plan, "exceptAll shape is back"
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 2, (
+        f"expected exactly one scan per dim snapshot, got {len(scans)}"
+    )
+
+
 def test_zero_row_mv_incremental_falls_back_to_full(spark, warehouse):
     """A join MV whose create-time join produced ZERO rows has no
     partition dirs to inherit; the first real refresh must take the
