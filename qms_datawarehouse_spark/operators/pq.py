@@ -330,7 +330,10 @@ def pq_adc_topk(
     broadcast it as an array indexed [sub_id·K + code_id], and score
     each candidate as Σ_s lut[s·K + codes[s]] — no float vector is
     touched per candidate, which is the whole point of PQ at scale."""
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    # one expr string, not 64 F.lit py4j round-trips (exact doubles)
+    qlit = F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in query_vec) + ")"
+    )
     lut = codebooks.select(
         "sub_id",
         "code_id",

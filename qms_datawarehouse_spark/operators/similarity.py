@@ -211,19 +211,25 @@ def lsh_bucketed(embeddings: DataFrame, n_planes: int = N_HYPERPLANES) -> DataFr
     forest cost seconds of DRIVER time per planning, the dominant
     term in every lsh-bucketed query at small corpus sizes.
     """
-    from qms_datawarehouse_spark.operators.lsh_planes import plane_component
+    from qms_datawarehouse_spark.operators.lsh_planes import (
+        plane_spark_literal,
+    )
 
-    dim = 64
-    planes = [
-        F.array(*[F.lit(plane_component(j, i)) for i in range(dim)])
+    # ONE expr string for the whole bit vector: building the plane
+    # forest from per-component F.lit Columns cost ~0.2 s of driver
+    # py4j time per invocation (512 round-trips); the SQL string
+    # parses in the JVM in microseconds and evaluates identically
+    # (plane_spark_literal round-trips the exact doubles)
+    bits = [
+        "(CASE WHEN aggregate(zip_with("
+        "CAST(embedding AS array<double>), "
+        f"{plane_spark_literal(j)}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x) > 0.0D THEN '1' ELSE '0' END)"
         for j in range(n_planes)
     ]
-    v = F.col("embedding").cast("array<double>")
-    bits = [
-        F.when(_dot(v, plane) > 0, F.lit("1")).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return embeddings.withColumn("bucket", F.concat(*bits))
+    return embeddings.withColumn(
+        "bucket", F.expr("concat(" + ", ".join(bits) + ")")
+    )
 
 
 N_CELLS = 16  # IVF coarse cells (deterministic seed centroids)
@@ -731,7 +737,10 @@ def ivf_probe_indexed(
     )
     probe = [cid for _, cid in scored[:n_probe]]
 
-    qcol = F.array(*[F.lit(x) for x in qv])
+    # one expr string, not 64 F.lit py4j round-trips (exact doubles)
+    qcol = F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in qv) + ")"
+    )
     cos = _cos_div(_dot(F.col("v"), qcol), F.col("nrm") * F.lit(qn))
     scan = stored.filter(F.col(IVF_CELL_COL).isin(probe))  # partition pruning
     if exclude_vec_id is not None:

@@ -35,7 +35,11 @@ from qms_datawarehouse_spark.plans.registry import query
 def _rank_code(col: Column, cuts: list[float], bits: int) -> Column:
     """Map a value to its quantile bucket in [0, 2**bits) by counting
     how many cut points it exceeds (fold over a small literal array)."""
-    cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    # one expr string, not 2**bits F.lit py4j round-trips per column
+    # (repr round-trips the exact doubles; D = Spark double literal)
+    cuts_arr = F.expr(
+        "array(" + ",".join(f"{float(c)!r}D" for c in cuts) + ")"
+    )
     counted = F.aggregate(
         cuts_arr,
         F.lit(0),
@@ -74,7 +78,11 @@ def zorder_cuts(df: DataFrame, cols: list[str], bits: int = 8) -> list:
     run a stats pass over ``df`` can fuse this into it and hand the
     result to ``zorder_code(cuts=...)`` / ``zorder_write(cuts=...)``."""
     num_cols = [_as_double(df, c) for c in cols]
-    pcts = F.array(*[F.lit(i / (2**bits)) for i in range(1, 2**bits)])
+    pcts = F.expr(
+        "array("
+        + ",".join(f"{i / (2**bits)!r}D" for i in range(1, 2**bits))
+        + ")"
+    )
     cuts_row = df.select(
         *[
             F.percentile_approx(nc, pcts, F.lit(10000)).alias(f"c{i}")
@@ -258,8 +266,10 @@ def zorder_routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans: this agg, then zorder_code's percentile pass inside
     # zorder_write)
     _zbits = 6
-    _zpcts = F.array(
-        *[F.lit(i / (2**_zbits)) for i in range(1, 2**_zbits)]
+    _zpcts = F.expr(
+        "array("
+        + ",".join(f"{i / (2**_zbits)!r}D" for i in range(1, 2**_zbits))
+        + ")"
     )
     row = events.agg(
         F.min("user_id").alias("ulo"),
