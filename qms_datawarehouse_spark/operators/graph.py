@@ -37,13 +37,17 @@ from qms_datawarehouse_spark.plans.registry import query, tables
 _MASS = 10**12  # total integer rank mass
 
 
-def _pr_iterate(nodes: DataFrame, n: DataFrame, edges: DataFrame,
-                deg: DataFrame, ranks: DataFrame) -> DataFrame:
+def _pr_iterate(nodes: DataFrame, n: DataFrame, edges_deg: DataFrame,
+                ranks: DataFrame) -> DataFrame:
     """One damped power-iteration step, all-integer. ``ranks`` has
-    (node, r); returns the same shape."""
+    (node, r); ``edges_deg`` is the degree-annotated edge list
+    (src, dst, d) — the edges⋈deg join is ITERATION-INVARIANT, so it
+    is done once outside the loop instead of once per step (one
+    |E|-row join per iteration saved, and the persisted frame's
+    src-hash partitioning means only the rank side shuffles here).
+    Returns the (node, r) shape."""
     contribs = (
-        edges.join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+        edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
         .select("dst", F.expr("r div d").alias("m"))
     )
     agg = contribs.groupBy(F.col("dst").alias("node")).agg(
@@ -138,13 +142,22 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst"))).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
+    # degree-annotated edges, hash-clustered on src and persisted:
+    # the edges⋈deg join is the same in both power iterations (hoist
+    # it out of the loop), and persisting it WITH src partitioning
+    # lets each iteration's contribs join reuse that layout — only
+    # the K-node rank table shuffles per step, the |E|-row side never
+    # re-exchanges (§2.4 exchange reuse, the iterative-graph shape)
+    edges_deg = (
+        edges.join(deg, "src").repartition("src").persist()
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.agg(F.count("*").alias("n"))
     r0 = nodes.crossJoin(F.broadcast(n)).select(
         "node", F.expr(f"{_MASS} div n").alias("r")
     )
-    r1 = _pr_iterate(nodes, n, edges, deg, r0)
-    r2 = _pr_iterate(nodes, n, edges, deg, r1)
+    r1 = _pr_iterate(nodes, n, edges_deg, r0)
+    r2 = _pr_iterate(nodes, n, edges_deg, r1)
     out = (
         r2.join(deg, r2.node == deg.src)
         .select(
@@ -157,7 +170,9 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from qms_datawarehouse_spark.planaudit import checkpoint_result
 
-    return checkpoint_result("graph_pagerank_2iter", out, edges, deg, nodes)
+    return checkpoint_result(
+        "graph_pagerank_2iter", out, edges, deg, nodes, edges_deg
+    )
 
 
 # --------------------------------------------------------------------

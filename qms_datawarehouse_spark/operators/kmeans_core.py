@@ -55,7 +55,7 @@ def _spread(df: DataFrame) -> DataFrame:
     return spread(df)
 
 
-def _km_quantized(emb: DataFrame) -> DataFrame:
+def _km_quantized(emb: DataFrame, keep_w: bool = False) -> DataFrame:
     """Integer fixed-point embedding: floor((x+1)·1000). The +1 shift
     (range check: fixture values sit in (-0.58, 0.52)) keeps every
     component non-negative, so the centroid update's integer division
@@ -70,10 +70,16 @@ def _km_quantized(emb: DataFrame) -> DataFrame:
     is enforced here with an executor-side ``raise_error`` guard (a
     per-element comparison folded into the same transform — no extra
     pass), so a hostile embedding fails LOUDLY instead of as an
-    unexplained driver hash mismatch."""
+    unexplained driver hash mismatch.
+
+    ``keep_w=True`` additionally emits the UNSHIFTED cosine-term
+    quantization ``w`` (``_cos_quantized``'s column) in the SAME
+    map-side projection — callers needing both (the semantic gate's
+    member frame) previously re-derived ``w`` separately and paid a
+    corpus-wide vec_id join to re-attach it."""
     emb = _spread(emb)
-    return emb.select(
-        "vec_id",
+    cols = [
+        F.col("vec_id"),
         F.expr(
             "CASE WHEN exists(embedding, x -> CAST(x AS DOUBLE) <= -1.0d) "
             "THEN raise_error(concat("
@@ -84,14 +90,25 @@ def _km_quantized(emb: DataFrame) -> DataFrame:
             "CAST(floor((CAST(x AS DOUBLE) + 1.0d) * 1000.0d) AS BIGINT)) "
             "END"
         ).alias("v"),
-    )
+    ]
+    if keep_w:
+        cols.append(
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(floor(CAST(x AS DOUBLE) * 1000.0d) AS BIGINT))"
+            ).alias("w")
+        )
+    return emb.select(*cols)
 
 
-def _km_assign(q: DataFrame, cents_df: DataFrame) -> DataFrame:
+def _km_assign(
+    q: DataFrame, cents_df: DataFrame, keep: tuple = ()
+) -> DataFrame:
     """Assign every vector to its nearest centroid: the K-row centroid
     list rides one broadcast (same shape as the IVF codebook), squared
     L2 is an integer fold per row, ties break on lowest centroid id
-    via struct array_min. No shuffle touches the vectors."""
+    via struct array_min. No shuffle touches the vectors. ``keep``
+    names extra input columns carried through unchanged."""
     scored = F.transform(
         F.col("cents"),
         lambda c: F.struct(
@@ -111,6 +128,7 @@ def _km_assign(q: DataFrame, cents_df: DataFrame) -> DataFrame:
             "v",
             F.col("best.cid").alias("cid"),
             F.col("best.dist").alias("dist"),
+            *keep,
         )
     )
 

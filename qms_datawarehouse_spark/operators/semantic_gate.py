@@ -81,20 +81,25 @@ def _dot_col():
 
 def _members(batch: DataFrame, cents_list: DataFrame) -> DataFrame:
     """(vec_id, cid, w, nn) for a batch: fixed-point cell assignment
-    against the broadcast centroid list + unshifted cosine terms."""
-    asn = _km_assign(_km_quantized(batch), cents_list).select(
-        "vec_id", "cid"
+    against the broadcast centroid list + unshifted cosine terms —
+    ALL map-side in one projection chain. The previous form derived
+    the assignment, the cosine terms, and the norm as three separate
+    frames and re-joined them on vec_id: two corpus-wide shuffle
+    joins for columns that are pure per-row functions of the same
+    input row (§2.4 — remove shuffles outright)."""
+    m = _km_assign(
+        _km_quantized(batch, keep_w=True), cents_list, keep=("w",)
     )
-    w = _cos_quantized(batch)
-    nrm = w.select(
+    return m.select(
         "vec_id",
+        "cid",
+        "w",
         F.aggregate(
             F.transform("w", lambda x: x * x),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("nn"),
     )
-    return asn.join(w, "vec_id").join(nrm, "vec_id")
 
 
 def train_semantic_centroids(q: DataFrame, k: int = _KM_K) -> DataFrame:
@@ -155,16 +160,31 @@ def ingest_semantic(
     the in-cell probe's ``va < vb`` id order would otherwise make
     the admission itself nondeterministic."""
     batch = batch.select("vec_id", "embedding").dropDuplicates()
-    conflict = (
-        batch.groupBy("vec_id").count().filter(F.col("count") > 1).take(1)
-    )
-    if conflict:
+    # ONE aggregate serves the conflict gate AND the batch count (the
+    # take(1)-then-count pair cost two jobs); the groupBy that names
+    # the offending id only runs on the rare violation path
+    stats = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        # count_distinct skips NULL ids; NULL-id rows form ONE group
+        # under the old groupBy gate, so add that group back before
+        # comparing — a single NULL-id row must not trip the gate
+        (
+            F.count_distinct(F.col("vec_id"))
+            + F.when(
+                F.count(F.when(F.col("vec_id").isNull(), 1)) > 0, 1
+            ).otherwise(0)
+        ).alias("nd"),
+    ).first()
+    if stats["nd"] != stats["n"]:
+        conflict = (
+            batch.groupBy("vec_id").count().filter(F.col("count") > 1).take(1)
+        )
         raise ValueError(
             "ingest_semantic: vec_id "
             f"{conflict[0][0]!r} appears in this batch with more than one "
             "distinct embedding — no deterministic winner; dedupe upstream"
         )
-    n_batch = batch.count()
+    n_batch = stats["n"]
     if n_batch == 0:
         return SemanticIngestResult(0, 0, 0, [])
 
@@ -225,6 +245,11 @@ def ingest_semantic(
         )
         rejected_pairs = in_batch.unionByName(cross)
 
+    # persisted: THREE consumers read the pair frame (the bounded
+    # report collect, the exact reject count, and the admission
+    # anti-join) — unpersisted, the cell self-join + stored-slice
+    # probe executed three times per batch
+    rejected_pairs = rejected_pairs.persist()
     rej_ids = rejected_pairs.select(
         F.col("new_id").alias("vec_id")
     ).distinct()
@@ -280,6 +305,7 @@ def ingest_semantic(
             )
     q.unpersist()
     mem.unpersist()
+    rejected_pairs.unpersist()
     return SemanticIngestResult(
         n_batch, n_accepted, n_rejected, rejected, rejects_truncated
     )
@@ -431,14 +457,11 @@ def semantic_gate_replay_two_epochs(
     # training (the count also materializes the cache)
     cents = _cents_list(train_semantic_centroids(q1, km_scaled_k(q1.count())))
 
+    # the epoch flag is a pure function of vec_id — computing it in
+    # place removes a corpus-wide re-join against the source (§2.4)
     mem = (
         _members(emb, cents)
-        .join(
-            emb.select(
-                "vec_id", F.expr(_EVEN).alias("e1")
-            ),
-            "vec_id",
-        )
+        .withColumn("e1", F.expr(_EVEN))
         .persist()
     )
     a = mem.select(

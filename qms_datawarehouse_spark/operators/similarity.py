@@ -1474,16 +1474,18 @@ def _semdedup_from_assignment(
     threshold, keep-first policy, per-cluster stats. ``q`` is the
     caller's persisted quantized frame — checkpointed away with the
     member cache before return (plan recorded under ``name``)."""
-    w = _cos_quantized(emb)
-    nrm = w.select(
-        "vec_id",
+    # nn rides the SAME map-side projection as w — deriving it as a
+    # separate frame and re-joining on vec_id paid a corpus-wide
+    # shuffle join for a per-row function (§2.4)
+    w = _cos_quantized(emb).withColumn(
+        "nn",
         F.aggregate(
             F.transform("w", lambda x: x * x),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        ).alias("nn"),
+        ),
     )
-    mem = asn.join(w, "vec_id").join(nrm, "vec_id").persist()
+    mem = asn.join(w, "vec_id").persist()
     a = mem.select(
         "cid",
         F.col("vec_id").alias("va"),
