@@ -28,12 +28,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qms_datawarehouse_spark.plans.registry import REGISTRY, query, spread, tables
-from qms_datawarehouse_spark.planaudit import checkpoint_result
-
 N_MINHASH = 8  # signature length
 N_BANDS = 4  # bands of 2 rows each
 JACCARD_THRESHOLD = 0.5
+
+_SHINGLE_CTE = """
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+                   i -> array_to_string(
+                       list_slice(string_split(lower(text), ' '), i, i + 2), ' ')
+               )) AS shingles
+        FROM documents
+    ),
+    sx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+"""
+
+# The registry import triggers the plans package init, which imports
+# EVERY operator module — including multimodal, whose query-decorator
+# oracle SQL reads JACCARD_THRESHOLD and _SHINGLE_CTE back off this
+# module. Both constants are therefore defined ABOVE this import, so
+# a process whose first-ever import is operators.dedup (a focused
+# test selecting one gate test, a REPL) finds them on the partially
+# initialized module instead of dying in the cycle.
+from qms_datawarehouse_spark.plans.registry import REGISTRY, query, spread, tables
+from qms_datawarehouse_spark.planaudit import checkpoint_result
 
 
 _spread = spread  # CPU-bound stages need input parallelism, see registry
@@ -59,21 +80,6 @@ def _shingled(documents: DataFrame) -> DataFrame:
     )
     out = NGram(n=3, inputCol="w", outputCol="_sh").transform(base)
     return out.select("doc_id", F.array_distinct("_sh").alias("shingles"))
-
-
-_SHINGLE_CTE = """
-    sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
-                   i -> array_to_string(
-                       list_slice(string_split(lower(text), ' '), i, i + 2), ' ')
-               )) AS shingles
-        FROM documents
-    ),
-    sx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
-"""
 
 
 # --------------------------------------------------------------------

@@ -128,17 +128,33 @@ def ingest_dedup(
     )
 
     batch = batch.dropDuplicates()
-    conflict = (
-        batch.groupBy("doc_id").count().filter(F.col("count") > 1).take(1)
-    )
-    if conflict:
+    # ONE aggregate serves the conflict gate AND the batch count (the
+    # take(1)-then-count pair cost two jobs — the ingest_semantic
+    # fold); the groupBy that names the offending id only runs on the
+    # rare violation path
+    stats = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        # count_distinct skips NULL ids; NULL-id rows form ONE group
+        # under the old groupBy gate, so add that group back before
+        # comparing — a single NULL-id row must not trip the gate
+        (
+            F.count_distinct(F.col("doc_id"))
+            + F.when(
+                F.count(F.when(F.col("doc_id").isNull(), 1)) > 0, 1
+            ).otherwise(0)
+        ).alias("nd"),
+    ).first()
+    if stats["nd"] != stats["n"]:
+        conflict = (
+            batch.groupBy("doc_id").count().filter(F.col("count") > 1).take(1)
+        )
         raise ValueError(
             "ingest_dedup: doc_id "
             f"{conflict[0][0]!r} appears in this batch with more than one "
             "distinct row — no deterministic winner; dedupe upstream"
         )
 
-    n_batch = batch.count()
+    n_batch = stats["n"]
     if n_batch == 0:
         return IngestResult(0, 0, 0, [])
 
@@ -260,13 +276,19 @@ def ingest_dedup(
                 .filter(F.col(BUCKET_COL).isin(acc_buckets))
                 .join(accepted.select("doc_id"), "doc_id", "left_semi")
             )
-            if prior.take(1):
-                stale_bands = (
-                    minhash_bands(_shingled(prior))
-                    .withColumn(BVB_COL, _bv_bucket())
-                    .persist()
-                )
-                stale_bands.count()  # pin before the corpus version swaps
+            # the count both pins the frame before the corpus version
+            # swaps AND serves as the existence probe — a separate
+            # prior.take(1) was a second job over the same pruned
+            # buckets (zero-row priors shingle zero rows, so the
+            # empty case costs what the probe did)
+            stale_bands = (
+                minhash_bands(_shingled(prior))
+                .withColumn(BVB_COL, _bv_bucket())
+                .persist()
+            )
+            if not stale_bands.count():
+                stale_bands.unpersist()
+                stale_bands = None
         merge_upsert(
             warehouse,
             corpus_table,

@@ -464,16 +464,23 @@ dhash_bands = dhash_bands_with(fake_image_grid)
 
 
 def band_rows(
-    ph: DataFrame, band_col: str = "band", value_col: str = "v"
+    ph: DataFrame,
+    band_col: str = "band",
+    value_col: str = "v",
+    carry: tuple = (),
 ) -> DataFrame:
     """(doc_id, <band_col>, <value_col>): four rows per payload from a
     (doc_id, b0..b3) hash frame — the ONE derivation of the band
     layout, shared by the dedup query, the top-k probe, and the
     ingest gate's index (which renames to the MinHash-index column
     contract). Values cast to long so index hashing (xxhash64 is
-    type-sensitive) sees one type everywhere."""
+    type-sensitive) sees one type everywhere. ``carry`` names extra
+    ph columns to ride along each band row (the cross-modal audit
+    carries the four hash ints so its Hamming verify needs no re-join
+    against ph)."""
     return ph.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -487,6 +494,7 @@ def band_rows(
         ).alias("e"),
     ).select(
         "doc_id",
+        *carry,
         F.col(f"e.{band_col}").alias(band_col),
         F.col(f"e.{value_col}").alias(value_col),
     )
@@ -1182,8 +1190,14 @@ def dedup_cross_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- text pairs: shingle-keyed candidates, exact Jaccard verify ----
     sh = _shingled(documents).persist()
-    sx = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    # set sizes ride the exploded rows (one int each) so the pair agg
+    # picks them up as group constants — the dedup_ppjoin_exact size
+    # carry; the former post-agg na/nb joins re-read sh twice
+    sx = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
     a, b = sx.alias("a"), sx.alias("b")
     common = (
         a.join(
@@ -1194,15 +1208,16 @@ def dedup_cross_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("c"),
+            # n is functionally determined by the doc id — max == the value
+            F.max(F.col("a.n")).alias("na"),
+            F.max(F.col("b.n")).alias("nb"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     union_size = F.col("na") + F.col("nb") - F.col("c")
     tpairs = (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(F.col("c") * 1.0 / union_size >= JACCARD_THRESHOLD)
+        common.filter(F.col("c") * 1.0 / union_size >= JACCARD_THRESHOLD)
         # integral DIV, never float-divide-then-truncate: both engines
         # compute the exact same basis points (the repo-wide pattern)
         .selectExpr(
@@ -1219,35 +1234,33 @@ def dedup_cross_modal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content")
     )
     ph = blobs.mapInPandas(dhash_bands, schema=PHASH_SCHEMA).persist()
-    bands = band_rows(ph)
-    cand = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "v")
-        .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "v"),
-            ["band", "v"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    ha = ph.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"b{i}").alias(f"a{i}") for i in range(_PHASH_BANDS)],
-    )
-    hb = ph.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"b{i}").alias(f"c{i}") for i in range(_PHASH_BANDS)],
+    # the four hash ints ride the band rows (32 bytes/row) so Hamming
+    # verifies INSIDE the candidate join — the former shape re-joined
+    # ph twice after the pair distinct; hamming is functionally
+    # determined by the pair, so distinct over (pair, hamming) is the
+    # same pair set
+    bx = band_rows(
+        ph, carry=tuple(f"b{i}" for i in range(_PHASH_BANDS))
     )
     ham = sum(
-        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
         for i in range(_PHASH_BANDS)
     )
+    pa, pb = bx.alias("a"), bx.alias("b")
     ppairs = (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .withColumn("hamming", ham.cast("long"))
+        pa.join(
+            pb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
         .filter(F.col("hamming") <= _PHASH_T)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
     # -- agreement: one pair-keyed full-outer equi-join -----------------

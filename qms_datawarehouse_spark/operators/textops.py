@@ -1492,19 +1492,37 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     merges = _train_bpe(top, _BPE_M)
 
-    # encode chain: nested fold expressions, one per merge, applied
-    # to the distinct-word frame (single map-side projection)
-    expr = "split(trim(regexp_replace(word, '(.)', '$1 ')), ' ')"
-    for a, b in merges:
-        folded = _bpe_fold_sql(
-            expr, _bpe_sql_str(a), _bpe_sql_str(b), str(len(a))
+    # encode chain: ONE doubly-nested fold — the merge sequence rides
+    # as a literal array<struct<a,b,la>> and a single generic fold
+    # body applies each merge in training order (outer fold over
+    # merges, inner fold = the exact _bpe_fold_sql string-accumulator
+    # body with struct fields for the literals). The previous form
+    # nested M aggregate() copies, each level re-embedding the whole
+    # prior expression, and evaluated that chain TWICE (pieces and
+    # np were separate expression trees; aggregate is CodegenFallback
+    # so no subexpression elimination rescued it). np now derives
+    # from the pieces string in a second projection — aggregate is
+    # not collapse-cheap, so the optimizer keeps the single eval.
+    if merges:
+        merges_arr = "array(" + ", ".join(
+            f"named_struct('a', {_bpe_sql_str(a)}, "
+            f"'b', {_bpe_sql_str(b)}, 'la', {len(a)})"
+            for a, b in merges
+        ) + ")"
+        pieces_sql = (
+            f"aggregate({merges_arr}, "
+            "trim(regexp_replace(word, '(.)', '$1 ')), "
+            "(acc, m) -> aggregate(split(acc, ' '), '', "
+            "(s, x) -> CASE WHEN s = '' THEN x "
+            "WHEN (s = m.a OR endswith(s, ' ' || m.a)) AND x = m.b "
+            "THEN left(s, length(s) - m.la) || m.a || m.b "
+            "ELSE s || ' ' || x END))"
         )
-        expr = f"split({folded}, ' ')"
+    else:
+        pieces_sql = "trim(regexp_replace(word, '(.)', '$1 '))"
     mapping = wf.select(
-        "word",
-        F.expr(f"array_join({expr}, ' ')").alias("pieces"),
-        F.expr(f"size({expr})").cast("long").alias("np"),
-    )
+        "word", F.expr(pieces_sql).alias("pieces")
+    ).withColumn("np", F.expr("size(split(pieces, ' '))").cast("long"))
     enc = tok.join(mapping, "word")
     agg = enc.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_words"),

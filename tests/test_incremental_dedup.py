@@ -85,6 +85,15 @@ def test_intra_batch_conflicting_rows_fail_loudly(spark, warehouse):
     assert not warehouse.table_exists("corpus_docs")
 
 
+def test_single_null_id_row_does_not_trip_conflict_gate(spark, warehouse):
+    """The folded conflict gate compares count_distinct(doc_id) + a
+    NULL-group correction against the row count — a single NULL-id
+    row (one group under the old groupBy gate) must pass through to
+    the pipeline, not raise the multi-payload error."""
+    res = ingest_dedup(warehouse, _docs(spark, [(None, BASE), (2, OTHER)]))
+    assert res.n_batch == 2
+
+
 def test_short_doc_without_shingles_is_admitted(spark, warehouse):
     ingest_dedup(warehouse, _docs(spark, [(1, BASE)]))
     res = ingest_dedup(warehouse, _docs(spark, [(2, "two words")]))

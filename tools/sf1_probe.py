@@ -259,6 +259,19 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="probe only these ops (default: the TOP_OPS list)",
     )
+    ap.add_argument(
+        "--dir",
+        default=None,
+        help="reuse a prebuilt scaled dir (from a prior --keep run) "
+        "instead of building one; implies --keep",
+    )
+    ap.add_argument(
+        "--keep",
+        action="store_true",
+        help="keep the scaled dir after the run (its path prints to "
+        "stderr) so a second leg — e.g. a different --master core "
+        "count — can reuse it via --dir",
+    )
     args = ap.parse_args(argv)
 
     from qms_datawarehouse_spark.plans import queries_map
@@ -266,7 +279,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("sf1-probe", master=args.master, shuffle_partitions=32)
     registry = queries_map()
-    scaled = build_scaled_dir(spark, BASE, args.factor)
+    if args.dir:
+        scaled = args.dir
+        args.keep = True
+    else:
+        scaled = build_scaled_dir(spark, BASE, args.factor)
+    print(f"scaled dir: {scaled}", file=sys.stderr, flush=True)
 
     def timed(name: str, sf_dir: str) -> float:
         best = float("inf")
@@ -292,7 +310,8 @@ def main(argv: list[str] | None = None) -> int:
             results.append(row)
             print(json.dumps(row), flush=True)
     finally:
-        shutil.rmtree(scaled, ignore_errors=True)
+        if not args.keep:
+            shutil.rmtree(scaled, ignore_errors=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(
