@@ -586,9 +586,12 @@ def matview_bucketed_replay(spark, sf_dir: str) -> DataFrame:
         .drop("m3", "m5")
     )
     epoch2 = inserts.unionByName(updates)
-    if epoch2.isEmpty():  # evidence guard: the delta must be real
+    # evidence guard rides the merge's own row count (merge_upsert
+    # already aggregates it) — the former isEmpty was an extra job
+    # over the epoch-2 scan; an empty fixture still fails loudly,
+    # just after the merge's zero-group no-op instead of before it
+    if merge_upsert(wh, "fact_events", epoch2, n_buckets=16) == 0:
         raise AssertionError("bucketed MV replay fixture produced no delta")
-    merge_upsert(wh, "fact_events", epoch2, n_buckets=16)
 
     mode = refresh_matview(wh, "mv_events")
     if mode != "incremental":  # the row's claim IS the delta-merge path
